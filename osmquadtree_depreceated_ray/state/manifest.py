@@ -1,0 +1,78 @@
+"""Per-partition manifests + lineage — the LocationsCache/state analogue.
+
+The reference tracks (element -> file/tile) lineage in a persistent
+LocationsCache (/root/reference/locationscache/locationscache.go:18-90)
+and a per-snapshot state number; readers use the file-header block index
+as a partition manifest (/root/reference/write/header.go:21-35).  Here:
+
+* output layout: ``<out>/data/tile=<qt>/*.parquet`` (Hive partitioning
+  — the partition dirs ARE the block index, prunable at read time),
+* ``manifest.parquet``: one row per tile (tile, count) + ``state.json``
+  (sequence number, params) written LAST — a tile listed in the manifest
+  is complete, so a rerun skips it (idempotent per-partition writes),
+* ``lineage.parquet``: entity_id -> tile, driving incremental updates
+  (J10: only re-read affected tiles).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def data_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "data")
+
+
+def write_manifest(out_dir: str, tiles: np.ndarray, counts: np.ndarray,
+                   state: dict | None = None) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(
+        pa.table({"tile": pa.array(tiles, pa.int64()),
+                  "count": pa.array(counts, pa.int64())}),
+        os.path.join(out_dir, "manifest.parquet"),
+    )
+    with open(os.path.join(out_dir, "state.json"), "w") as f:
+        json.dump(state or {}, f)
+
+
+def read_manifest(out_dir: str):
+    p = os.path.join(out_dir, "manifest.parquet")
+    if not os.path.exists(p):
+        return None
+    return pq.read_table(p)
+
+
+def read_state(out_dir: str) -> dict:
+    p = os.path.join(out_dir, "state.json")
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
+def completed_tiles(out_dir: str) -> np.ndarray:
+    """Tiles whose partition is complete (listed in the manifest AND whose
+    Hive dir exists)."""
+    m = read_manifest(out_dir)
+    if m is None:
+        return np.zeros(0, dtype=np.int64)
+    tiles = m.column("tile").to_numpy()
+    dd = data_dir(out_dir)
+    ok = [t for t in tiles if os.path.isdir(os.path.join(dd, f"tile={t}"))]
+    return np.asarray(ok, dtype=np.int64)
+
+
+def write_lineage(out_dir: str, table: pa.Table) -> None:
+    pq.write_table(table, os.path.join(out_dir, "lineage.parquet"))
+
+
+def read_lineage(out_dir: str) -> pa.Table | None:
+    p = os.path.join(out_dir, "lineage.parquet")
+    if not os.path.exists(p):
+        return None
+    return pq.read_table(p)

@@ -1,0 +1,131 @@
+"""Property tests for S2/hex cell ids and polygon kernels."""
+
+import numpy as np
+import pytest
+
+from osmquadtree_depreceated_ray.functions import geom
+from osmquadtree_depreceated_ray.functions import reference_scalar as ref
+from osmquadtree_depreceated_ray.functions.cells import (
+    hex_cell_id,
+    s2_cell_id,
+    s2_level,
+    s2_parent,
+)
+
+rng = np.random.default_rng(5)
+
+
+def test_s2_basic_properties():
+    lon = rng.uniform(-180, 180, 5000)
+    lat = rng.uniform(-89, 89, 5000)
+    leaf = s2_cell_id(lon, lat, 30)
+    # valid ids: odd lsb at level 30
+    assert (leaf & 1).all()
+    # level marker round-trips
+    for level in (0, 5, 16, 30):
+        c = s2_cell_id(lon, lat, level)
+        assert (s2_level(c) == level).all()
+        # parent relation: truncating the leaf gives the same cell
+        assert (s2_parent(leaf, level) == c).all()
+    # all six faces are reachable
+    faces = np.unique(s2_cell_id(lon, lat, 30) >> 61 & 7)
+    assert len(faces) == 6
+    # nearby points share coarse cells; far points don't share fine cells
+    c1 = s2_cell_id(np.array([10.0]), np.array([50.0]), 10)
+    c2 = s2_cell_id(np.array([10.0001]), np.array([50.0001]), 10)
+    assert c1[0] == c2[0]
+    c3 = s2_cell_id(np.array([11.0]), np.array([50.0]), 16)
+    assert c3[0] != s2_cell_id(np.array([10.0]), np.array([50.0]), 16)[0]
+
+
+def test_s2_determinism_and_distribution():
+    lon = rng.uniform(-180, 180, 20000)
+    lat = rng.uniform(-80, 80, 20000)
+    a = s2_cell_id(lon, lat, 12)
+    b = s2_cell_id(lon, lat, 12)
+    assert (a == b).all()
+    # level-12 cells over the globe: expect high cardinality (fine cells)
+    assert len(np.unique(a)) > 15000
+
+
+def test_hex_cell_properties():
+    lon = rng.uniform(-170, 170, 5000)
+    lat = rng.uniform(-80, 80, 5000)
+    c = hex_cell_id(lon, lat, 9)
+    assert (c == hex_cell_id(lon, lat, 9)).all()
+    # close points share a cell at coarse res
+    assert hex_cell_id(np.array([10.0]), np.array([50.0]), 5)[0] == \
+           hex_cell_id(np.array([10.01]), np.array([50.01]), 5)[0]
+    # resolution packs into the id
+    assert ((c >> 58) == 9).all()
+
+
+def test_pnpoly_matches_scalar():
+    # random star polygon
+    for seed in range(5):
+        r = np.random.default_rng(seed)
+        k = r.integers(5, 12)
+        ang = np.sort(r.uniform(0, 2 * np.pi, k))
+        rad = r.uniform(0.5, 1.5, k) * 1e7
+        lon = (np.cos(ang) * rad).astype(np.int64)
+        lat = (np.sin(ang) * rad).astype(np.int64)
+        lon = np.append(lon, lon[0])
+        lat = np.append(lat, lat[0])
+        px = r.integers(-2e7, 2e7, 500)
+        py = r.integers(-2e7, 2e7, 500)
+        got = geom.pnpoly(lon, lat, px, py)
+        for i in range(0, 500, 17):
+            want = ref.point_in_poly(lon.tolist(), lat.tolist(), int(px[i]), int(py[i]))
+            assert got[i] == want, (seed, i)
+
+
+def test_ring_area_and_orientation():
+    # unit square at equator, ccw, closed
+    lon = np.array([0, 10_000_000, 10_000_000, 0, 0], dtype=np.int64)
+    lat = np.array([0, 0, 10_000_000, 10_000_000, 0], dtype=np.int64)
+    a, ccw = geom.ring_area(lon, lat)
+    assert ccw
+    # ~111.3 km per degree in mercator at equator
+    assert a == pytest.approx((111_319.49079327358) ** 2, rel=1e-3)
+    a2, ccw2 = geom.ring_area(lon[::-1], lat[::-1])
+    assert a2 == pytest.approx(a) and not ccw2
+    # polygon with a hole: outer minus inner
+    hole_lon = np.array([2_000_000, 4_000_000, 4_000_000, 2_000_000, 2_000_000], dtype=np.int64)
+    hole_lat = np.array([2_000_000, 2_000_000, 4_000_000, 4_000_000, 2_000_000], dtype=np.int64)
+    pa = geom.polygon_area([(lon, lat), (hole_lon, hole_lat)])
+    assert pa == pytest.approx(a - geom.ring_area(hole_lon, hole_lat)[0], rel=1e-9)
+
+
+def test_ring_contains_and_intersect():
+    outer_lon = np.array([0, 100, 100, 0, 0], dtype=np.int64) * 100000
+    outer_lat = np.array([0, 0, 100, 100, 0], dtype=np.int64) * 100000
+    inner_lon = np.array([20, 40, 40, 20, 20], dtype=np.int64) * 100000
+    inner_lat = np.array([20, 20, 40, 40, 20], dtype=np.int64) * 100000
+    assert geom.ring_contains(outer_lon, outer_lat, inner_lon, inner_lat)
+    assert not geom.ring_contains(inner_lon, inner_lat, outer_lon, outer_lat)
+    crossing_lon = np.array([-10, 50, 50, -10, -10], dtype=np.int64) * 100000
+    crossing_lat = np.array([20, 20, 40, 40, 20], dtype=np.int64) * 100000
+    assert geom.rings_intersect(outer_lon, outer_lat, crossing_lon, crossing_lat)
+    assert not geom.ring_contains(outer_lon, outer_lat, crossing_lon, crossing_lat)
+
+
+def test_zorder():
+    z = geom.find_zorder(
+        highway=["motorway", "service", None, "primary", None],
+        railway=[None, None, "rail", None, None],
+        layer=[None, "2", None, None, None],
+        bridge=[None, None, None, "yes", None],
+        tunnel=[None, None, None, None, "yes"],
+        z_order_tag=[None, None, None, None, "42"],
+    )
+    # motorway=9; service rank 1 is ignored (z>1 rule) but layer 2 adds 20;
+    # railway=5; primary=7 + bridge 10; explicit z_order overrides, tunnel -10
+    assert z.tolist() == [9, 20, 5, 17, 32]
+
+
+def test_find_parent_highway():
+    assert geom.find_parent_highway(["residential", "motorway"]) == "motorway"
+    assert geom.find_parent_highway(["trunk_link", "trunk"]) == "trunk"
+    assert geom.find_parent_highway([]) == ""
+    assert geom.find_parent_highway(["weird"]) == "weird"
+    assert geom.find_parent_highway(["weird", "weird", "odd"]) == "weird"
