@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship spatial pipeline on /root/testdata/sf0.001;
+``queries()`` / ``oracle_sql()`` expose one entry per implemented operator
+from SURVEY.md §2 with DuckDB oracles (see
+osmquadtree_depreceated_ray/pipelines/queries.py).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +14,33 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: derive geo-entities from the documents table, assign
+    quadtree/S2/hex cells, run the count -> skew-split -> allocate flow,
+    and return the per-tile summary (tile, count) as pandas."""
+    import numpy as np
+    import pandas as pd
+
+    from osmquadtree_depreceated_ray.functions.qttree import QtAllocator, find_qt_groups
+    from osmquadtree_depreceated_ray.pipelines.queries import derived_entities
+    from osmquadtree_depreceated_ray.pipelines.tile import count_tiles
+
+    ents = derived_entities(SF_SMOKE, table="orders", key_col="o_orderkey")
+    qts, counts = count_tiles(ents)
+    gq, gt = find_qt_groups(qts, counts, target=200, minimum=20, require_count=False)
+    return pd.DataFrame({"tile": gq, "count": gt})
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from osmquadtree_depreceated_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from osmquadtree_depreceated_ray.pipelines.queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,434 @@
+"""Driver-contract query registry: Ray pipelines + matching DuckDB oracles.
+
+Each entry in :data:`QUERIES` is ``name -> callable(sf_dir)`` returning a
+Dataset / pandas DataFrame / pyarrow Table; :data:`ORACLES` holds the
+equivalent ANSI SQL (DuckDB) over the same parquet tables, with IDENTICAL
+column names.  The driver compares row-count + schema + order-insensitive
+value hashes (task brief).
+
+Spatial queries derive entity coordinates from integer key columns via
+the oracle-safe mid-cell scheme (see sources/derive.py): the engine runs
+the real float quadrant descent / pnpoly / knn kernels, while the SQL
+oracle uses pure-integer formulas that are provably equal on this grid.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.quadtree import qt_round
+from ..sources import derive
+
+# --------------------------------------------------------------------------
+# SQL helpers (pure integer where possible)
+# --------------------------------------------------------------------------
+
+
+def sql_qt_round(expr: str, level: int) -> str:
+    """qt_round in SQL (quadtree.go:206-213); assumes depth(expr) >= level."""
+    sh = 63 - 2 * level
+    return f"((( {expr} >> {sh}) << {sh}) + {level})"
+
+
+def _sql_smear(x: str) -> str:
+    v = x
+    for s in (1, 2, 4, 8, 16, 32):
+        v = f"({v} | ({v} >> {s}))"
+    return v
+
+
+def sql_qt_common(a: str, b: str, depth: int = 18) -> str:
+    """qt_common for two equal-depth qts (quadtree.go:216-241): xor the
+    paths, count leading zeros via smear+bit_count, round to the common
+    level.  Pure integer SQL."""
+    x = f"xor(({a} & -32), ({b} & -32))"
+    nlz = f"(64 - bit_count({_sql_smear(x)}))"
+    # NB: DuckDB integer '/' returns DOUBLE and CAST rounds — use '//'
+    lvl = f"LEAST({depth}, ({nlz} - 1) // 2)"
+    sh = f"(63 - 2 * {lvl})"
+    return f"CASE WHEN {a} = {b} THEN {a} ELSE ((({a} >> {sh}) << {sh}) + {lvl}) END"
+
+
+# deterministic rectangle "admin regions" for the PIP oracle: engine runs
+# the real PolygonIndex/pnpoly path over 4-vertex rings; the SQL oracle
+# reduces to half-open interval tests (pnpoly on an axis-aligned rectangle
+# is exactly lon in [a,b) AND lat in [c,d) — even-odd crossing semantics).
+N_RECTS = 24
+
+
+def _rect_bounds(k: np.ndarray):
+    a = ((k * 7919) % 340 - 170) * 10_000_000  # lon west edge
+    c = ((k * 104729) % 150 - 75) * 10_000_000  # lat south edge
+    w = (5 + (k % 7) * 3) * 10_000_000
+    h = (4 + (k % 5) * 3) * 10_000_000
+    return a, c, a + w, c + h
+
+
+def rect_polys_table() -> pa.Table:
+    k = np.arange(N_RECTS, dtype=np.int64)
+    a, c, b, d = _rect_bounds(k)
+    rings = [
+        [[
+            {"lon": int(a[i]), "lat": int(c[i])},
+            {"lon": int(b[i]), "lat": int(c[i])},
+            {"lon": int(b[i]), "lat": int(d[i])},
+            {"lon": int(a[i]), "lat": int(d[i])},
+            {"lon": int(a[i]), "lat": int(c[i])},
+        ]]
+        for i in range(N_RECTS)
+    ]
+    ring_t = pa.list_(pa.list_(pa.struct([("lon", pa.int64()), ("lat", pa.int64())])))
+    return pa.table(
+        {
+            "poly_id": pa.array(k),
+            "rings": pa.array(rings, ring_t),
+            "admin_level": pa.array((2 + k % 9).astype(np.int32)),
+        }
+    )
+
+
+def sql_rects_cte() -> str:
+    rows = []
+    k = np.arange(N_RECTS, dtype=np.int64)
+    a, c, b, d = _rect_bounds(k)
+    for i in range(N_RECTS):
+        rows.append(f"({i}, {a[i]}, {c[i]}, {b[i]}, {d[i]}, {2 + i % 9})")
+    return (
+        "rects(poly_id, minx, miny, maxx, maxy, admin_level) AS (VALUES "
+        + ", ".join(rows)
+        + ")"
+    )
+
+
+KNN_QUERY_KEYS = [777_013 + 13 * i for i in range(10)]
+KNN_K = 5
+
+
+def _knn_queries():
+    keys = np.asarray(KNN_QUERY_KEYS, dtype=np.int64)
+    lon, lat = derive.derive_lonlat(keys)
+    return {
+        "query_id": np.arange(len(keys), dtype=np.int64),
+        "lon": lon,
+        "lat": lat,
+    }
+
+
+def sql_knn_queries_cte() -> str:
+    q = _knn_queries()
+    rows = ", ".join(
+        f"({int(i)}, {int(lo)}, {int(la)})"
+        for i, lo, la in zip(q["query_id"], q["lon"], q["lat"])
+    )
+    return f"knnq(query_id, qlon, qlat) AS (VALUES {rows})"
+
+
+# --------------------------------------------------------------------------
+# Ray-side derived-entity helpers
+# --------------------------------------------------------------------------
+
+
+def _derive_batch(batch: pa.Table, key_col: str) -> pa.Table:
+    key = batch.column(key_col).to_numpy().astype(np.int64)
+    lon, lat = derive.derive_lonlat(key)
+    return batch.append_column("lon", pa.array(lon)).append_column(
+        "lat", pa.array(lat)
+    )
+
+
+def derived_entities(sf_dir: str, table: str = "documents", key_col: str = "doc_id"):
+    """Dataset of (key, lon, lat, qt, cells) derived from an sf table."""
+    import ray
+
+    from ..stages.assign import assign_cells
+
+    ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=[key_col])
+    return ds.map_batches(
+        lambda b: assign_cells(_derive_batch(b, key_col)), batch_format="pyarrow"
+    )
+
+
+# --------------------------------------------------------------------------
+# Queries
+# --------------------------------------------------------------------------
+
+
+def q_point_qt(sf_dir: str):
+    """M1: per-document tile id at level 18 (the core kernel)."""
+    ds = derived_entities(sf_dir)
+    return ds.select_columns(["doc_id", "lon", "lat", "qt"])
+
+
+def sql_point_qt() -> str:
+    qt = derive.sql_qt_expr("doc_id")
+    lon, lat = derive.sql_lonlat_expr("doc_id")
+    return (
+        f"SELECT doc_id, {lon} AS lon, {lat} AS lat, {qt} AS qt "
+        f"FROM documents"
+    )
+
+
+def q_tile_counts(sf_dir: str):
+    """A1: per-tile counts at a coarser level (the trie input) over the
+    orders table — groupby on the qt prefix."""
+    import ray
+
+    level = 10
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        from ..functions.quadtree import calculate_point
+
+        key = b.column("o_orderkey").to_numpy().astype(np.int64)
+        lon, lat = derive.derive_lonlat(key)
+        qt = calculate_point(lon, lat, 0.05, 18)
+        rounded = qt_round(qt, level)
+        vals, counts = np.unique(rounded, return_counts=True)
+        return pa.table({"tile": pa.array(vals), "n": pa.array(counts.astype(np.int64))})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    return (
+        ds.map_batches(per_batch, batch_format="pyarrow")
+        .groupby("tile")
+        .sum("n")
+        .rename_columns(["tile", "n"])
+    )
+
+
+def sql_tile_counts() -> str:
+    qt = derive.sql_qt_expr("o_orderkey")
+    return (
+        f"SELECT {sql_qt_round(qt, 10)} AS tile, COUNT(*) AS n "
+        f"FROM orders GROUP BY 1"
+    )
+
+
+def q_pip_join(sf_dir: str):
+    """M5/M11/J-PIP: point-in-polygon join of derived document entities
+    against the deterministic rectangle regions, via the broadcast
+    PolygonIndex actor pool (real pnpoly path)."""
+    import ray
+
+    from ..stages.spatial import PIPActor, PolygonIndex
+
+    index = PolygonIndex.from_table(rect_polys_table())
+    ref = ray.put(index)
+    ds = derived_entities(sf_dir)
+    pairs = ds.map_batches(
+        PIPActor,
+        fn_constructor_args=(ref, ("doc_id",)),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return pairs.select_columns(["doc_id", "poly_id", "admin_level"])
+
+
+def sql_pip_join() -> str:
+    lon, lat = derive.sql_lonlat_expr("doc_id")
+    return (
+        f"WITH {sql_rects_cte()}, e AS (SELECT doc_id, {lon} AS lon, {lat} AS lat "
+        f"FROM documents) "
+        f"SELECT e.doc_id, r.poly_id, CAST(r.admin_level AS BIGINT) AS admin_level "
+        f"FROM e JOIN rects r ON e.lon >= r.minx AND e.lon < r.maxx "
+        f"AND e.lat >= r.miny AND e.lat < r.maxy"
+    )
+
+
+def q_knn(sf_dir: str):
+    """kNN: top-5 derived entities per broadcast query point (brute-force
+    candidates per batch + global top-k groupby)."""
+    import ray
+
+    from ..stages.spatial import KnnActor
+
+    qref = ray.put(_knn_queries())
+    ds = derived_entities(sf_dir)
+    cands = ds.map_batches(
+        KnnActor,
+        fn_constructor_args=(qref, KNN_K, "doc_id"),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+    def topk(group):
+        import pandas as pd
+
+        g = group.sort_values(["dist2", "doc_id"]).head(KNN_K)
+        return g
+
+    return cands.groupby("query_id").map_groups(topk, batch_format="pandas")
+
+
+def sql_knn() -> str:
+    lon, lat = derive.sql_lonlat_expr("doc_id")
+    return (
+        f"WITH {sql_knn_queries_cte()}, e AS (SELECT doc_id, {lon} AS lon, "
+        f"{lat} AS lat FROM documents) "
+        f"SELECT query_id, doc_id, dist2 FROM ("
+        f"  SELECT q.query_id, e.doc_id, "
+        f"  CAST(e.lon - q.qlon AS DOUBLE) * CAST(e.lon - q.qlon AS DOUBLE) + "
+        f"  CAST(e.lat - q.qlat AS DOUBLE) * CAST(e.lat - q.qlat AS DOUBLE) AS dist2, "
+        f"  row_number() OVER (PARTITION BY q.query_id ORDER BY "
+        f"    CAST(e.lon - q.qlon AS DOUBLE) * CAST(e.lon - q.qlon AS DOUBLE) + "
+        f"    CAST(e.lat - q.qlat AS DOUBLE) * CAST(e.lat - q.qlat AS DOUBLE), e.doc_id"
+        f"  ) AS rn FROM e CROSS JOIN knnq q) WHERE rn <= {KNN_K}"
+    )
+
+
+def q_raster_lookup(sf_dir: str):
+    """Raster<->vector: sample the deterministic z=8 raster grid at each
+    derived entity via the qt->slippy mapping (broadcast grid actor)."""
+    import ray
+
+    from ..sources.fixtures import gen_raster_tiles
+    from ..stages.spatial import RasterLookupActor
+
+    rt = gen_raster_tiles(8)
+    n = 1 << 8
+    vals = np.asarray(rt.column("values").combine_chunks().flatten()).reshape(-1, 256)
+    xs = rt.column("x").to_numpy().astype(np.int64)
+    ys = rt.column("y").to_numpy().astype(np.int64)
+    grid = np.zeros((n * n, 256), dtype=np.float32)
+    grid[xs * n + ys] = vals
+    gref = ray.put({"z": 8, "values": grid})
+
+    ds = derived_entities(sf_dir)
+    out = ds.map_batches(
+        RasterLookupActor,
+        fn_constructor_args=(gref,),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "raster_value": pa.array(
+                    b.column("raster_value").to_numpy().astype(np.int64)
+                ),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_raster_lookup() -> str:
+    kx, ky = derive.sql_cells_expr("doc_id")
+    x8 = f"({kx} >> 10)"
+    y8 = f"((262143 - {ky}) >> 10)"
+    x12 = f"({kx} >> 6)"
+    y12 = f"((262143 - {ky}) >> 6)"
+    cell = f"(({x12} - 16 * {x8}) * 16 + ({y12} - 16 * {y8}))"
+    val = f"(xor(xor({x8} * 73856093, {y8} * 19349663), {cell} * 83492791) % 1000)"
+    return f"SELECT doc_id, {val} AS raster_value FROM documents"
+
+
+def q_bbox_agg(sf_dir: str):
+    """A2: per-group bbox (min/max lon/lat) over lineitem-derived points,
+    grouped by order key — the way-bbox aggregation."""
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    def add_coords(b: pa.Table) -> pa.Table:
+        key = (
+            b.column("l_orderkey").to_numpy().astype(np.int64) * 8
+            + b.column("l_linenumber").to_numpy().astype(np.int64)
+        )
+        lon, lat = derive.derive_lonlat(key)
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
+    )
+    return (
+        ds.map_batches(add_coords, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(
+            Min("lon", alias_name="minx"),
+            Min("lat", alias_name="miny"),
+            Max("lon", alias_name="maxx"),
+            Max("lat", alias_name="maxy"),
+        )
+    )
+
+
+def sql_bbox_agg() -> str:
+    key = "(CAST(l_orderkey AS BIGINT) * 8 + l_linenumber)"
+    lon, lat = derive.sql_lonlat_expr(key)
+    return (
+        f"SELECT l_orderkey, MIN({lon}) AS minx, MIN({lat}) AS miny, "
+        f"MAX({lon}) AS maxx, MAX({lat}) AS maxy FROM lineitem GROUP BY l_orderkey"
+    )
+
+
+def q_common_qt(sf_dir: str):
+    """A3: per-group deepest-common-ancestor tile (Common over member qts
+    = common(min, max) in qt pre-order; all derived qts are depth 18)."""
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    from ..functions.quadtree import calculate_point, qt_common
+
+    def add_qt(b: pa.Table) -> pa.Table:
+        key = (
+            b.column("l_orderkey").to_numpy().astype(np.int64) * 8
+            + b.column("l_linenumber").to_numpy().astype(np.int64)
+        )
+        lon, lat = derive.derive_lonlat(key)
+        qt = calculate_point(lon, lat, 0.05, 18)
+        return pa.table({"l_orderkey": b.column("l_orderkey"), "qt": pa.array(qt)})
+
+    def finish(b: pa.Table) -> pa.Table:
+        c = qt_common(b.column("qmin").to_numpy(), b.column("qmax").to_numpy())
+        return pa.table(
+            {"l_orderkey": b.column("l_orderkey"), "common_qt": pa.array(c)}
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
+    )
+    return (
+        ds.map_batches(add_qt, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Min("qt", alias_name="qmin"), Max("qt", alias_name="qmax"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def sql_common_qt() -> str:
+    key = "(CAST(l_orderkey AS BIGINT) * 8 + l_linenumber)"
+    qt = derive.sql_qt_expr(key)
+    common = sql_qt_common("qmin", "qmax")
+    return (
+        f"SELECT l_orderkey, {common} AS common_qt FROM ("
+        f"SELECT l_orderkey, MIN({qt}) AS qmin, MAX({qt}) AS qmax "
+        f"FROM lineitem GROUP BY l_orderkey)"
+    )
+
+
+QUERIES = {
+    "point_qt": q_point_qt,
+    "tile_counts": q_tile_counts,
+    "pip_join": q_pip_join,
+    "knn": q_knn,
+    "raster_lookup": q_raster_lookup,
+    "bbox_agg": q_bbox_agg,
+    "common_qt": q_common_qt,
+}
+
+ORACLES = {
+    "point_qt": sql_point_qt(),
+    "tile_counts": sql_tile_counts(),
+    "pip_join": sql_pip_join(),
+    "knn": sql_knn(),
+    "raster_lookup": sql_raster_lookup(),
+    "bbox_agg": sql_bbox_agg(),
+    "common_qt": sql_common_qt(),
+}

@@ -399,10 +399,12 @@ def gen_raster_tiles(z: int = 8):
     xs = xs.ravel().astype(np.int64)
     ys = ys.ravel().astype(np.int64)
     cell = np.arange(256, dtype=np.int64)
+    # values are small integers stored as float32 — exactly representable,
+    # so SQL oracles can compare them without float-precision hedging
     vals = (
         (xs[:, None] * 73856093 ^ ys[:, None] * 19349663 ^ cell[None, :] * 83492791)
         % 1000
-    ).astype(np.float32) / 10.0
+    ).astype(np.float32)
     return pa.table(
         {
             "z": pa.array(np.full(len(xs), z, dtype=np.int32)),
@@ -420,9 +422,7 @@ def raster_value(z, x, y, cell):
     x = np.asarray(x, dtype=np.int64)
     y = np.asarray(y, dtype=np.int64)
     cell = np.asarray(cell, dtype=np.int64)
-    return ((x * 73856093 ^ y * 19349663 ^ cell * 83492791) % 1000).astype(
-        np.float32
-    ) / np.float32(10.0)
+    return ((x * 73856093 ^ y * 19349663 ^ cell * 83492791) % 1000).astype(np.float32)
 
 
 def write_fixture_dir(path: str, n_pages: int, seed: int = 42, n_ways: int | None = None):
