@@ -1,0 +1,182 @@
+"""Benchmark harness.
+
+Default: run the headline pipelines at $GRAFT_SF_DIR (default sf0.1) with
+num_cpus=$RAY_GRAFT_CPUS (default 32) and print ONE JSON line:
+    {"metric": ..., "value": sec, "unit": "sec", "queries": {...},
+     "sf": ..., "num_cpus": N, ...}
+
+Headline = the flagship spatial pipeline over the synthetic pages corpus
+(FIXTURES.md F1 @ 500k pages, cached under /tmp): read -> extract text ->
+extract entities -> assign qt/S2/hex -> count -> skew split -> tile
+assignment -> partitioned write, plus the PIP join over the tiled
+entities.  Reported as wall seconds + pages/sec.
+
+--scaling: run the headline twice in FRESH processes (num_cpus=8 then
+32) on the same input and report both throughputs + scaling efficiency
+(the sandbox stand-in for the N vs 4N-node cluster rule).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+BENCH_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "500000"))
+PAGES_CACHE = f"/tmp/oqr_bench/pages_{BENCH_PAGES}"
+
+
+def ensure_pages() -> str:
+    from osmquadtree_depreceated_ray.sources import fixtures
+
+    marker = os.path.join(PAGES_CACHE, "_SUCCESS")
+    if not os.path.exists(marker):
+        os.makedirs(PAGES_CACHE, exist_ok=True)
+        import pyarrow.parquet as pq
+
+        pages, _ = fixtures.gen_pages(BENCH_PAGES, seed=42)
+        # several files so the read parallelizes
+        n = max(8, BENCH_PAGES // 65536)
+        rows = pages.num_rows
+        step = (rows + n - 1) // n
+        for i in range(0, rows, step):
+            pq.write_table(pages.slice(i, step),
+                           os.path.join(PAGES_CACHE, f"part-{i:010d}.parquet"))
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    return PAGES_CACHE
+
+
+def run_headline(num_cpus: int) -> dict:
+    import ray
+
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    from osmquadtree_depreceated_ray.pipelines import tile as tp
+    from osmquadtree_depreceated_ray.pipelines.queries import rect_polys_table
+    from osmquadtree_depreceated_ray.stages.spatial import PIPActor, PolygonIndex
+
+    pages_path = ensure_pages()
+    # warm page cache (untimed): one full read of the input
+    ray.data.read_parquet(pages_path, columns=["url"]).count()
+
+    out = f"/tmp/oqr_bench/out_{num_cpus}"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    res = tp.tile_pages(pages_path, out, target=8000, minimum=500)
+    t_tile = time.time() - t0
+
+    # PIP join over the tiled entities (actor pool, broadcast index)
+    from osmquadtree_depreceated_ray.sources.fixtures import gen_admin_polys
+
+    index = PolygonIndex.from_table(gen_admin_polys())
+    ref = ray.put(index)
+    ents = ray.data.read_parquet(os.path.join(out, "entities"))
+    t0 = time.time()
+    n_pairs = ents.map_batches(
+        PIPActor,
+        fn_constructor_args=(ref, ("name",)),
+        batch_format="pyarrow",
+        concurrency=(1, max(2, num_cpus - 2)),
+    ).count()
+    t_pip = time.time() - t0
+    return {
+        "tile_sec": round(t_tile, 2),
+        "pip_sec": round(t_pip, 2),
+        "sec": round(t_tile + t_pip, 2),
+        "pages": BENCH_PAGES,
+        "pages_per_sec": round(BENCH_PAGES / (t_tile + t_pip), 1),
+        "tiles": res["tiles"],
+        "entities": res["total"],
+        "pip_pairs": n_pairs,
+    }
+
+
+def run_queries(sf_dir: str) -> dict:
+    from osmquadtree_depreceated_ray.pipelines.queries import QUERIES
+
+    out = {}
+    for name, fn in QUERIES.items():
+        t0 = time.time()
+        res = fn(sf_dir)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        out[name] = round(time.time() - t0, 2)
+    return out
+
+
+def main_single():
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import ray
+
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    try:
+        head = run_headline(num_cpus)
+        queries = run_queries(sf_dir)
+        sf = sf_dir.rstrip("/").split("sf")[-1]
+        print(
+            json.dumps(
+                {
+                    "metric": "flagship_tile_pip_sec",
+                    "value": head["sec"],
+                    "unit": "sec",
+                    "queries": queries,
+                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                    "num_cpus": num_cpus,
+                    **head,
+                }
+            )
+        )
+    finally:
+        ray.shutdown()
+
+
+def main_scaling():
+    # fresh process per parallelism level; same cached input
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    t8 = results[8]["value"]
+    t32 = results[32]["value"]
+    eff = (t8 / t32) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency_8_to_32",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "sec_8cpu": t8,
+                "sec_32cpu": t32,
+                "pages_per_sec_8cpu": results[8]["pages_per_sec"],
+                "pages_per_sec_32cpu": results[32]["pages_per_sec"],
+                "queries_8cpu": results[8]["queries"],
+                "queries_32cpu": results[32]["queries"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        main_scaling()
+    else:
+        main_single()

@@ -186,12 +186,12 @@ def q_tile_counts(sf_dir: str):
         vals, counts = np.unique(rounded, return_counts=True)
         return pa.table({"tile": pa.array(vals), "n": pa.array(counts.astype(np.int64))})
 
+    from ..stages.shuffle import grouped_agg
+
     ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
-    return (
-        ds.map_batches(per_batch, batch_format="pyarrow")
-        .groupby("tile")
-        .sum("n")
-        .rename_columns(["tile", "n"])
+    return grouped_agg(
+        ds.map_batches(per_batch, batch_format="pyarrow"),
+        ["tile"], {"n": ("n", "sum")},
     )
 
 
@@ -250,13 +250,13 @@ def q_knn(sf_dir: str):
         concurrency=(1, 4),
     )
 
-    def topk(group):
-        import pandas as pd
+    from ..stages.shuffle import bucketed_apply
 
-        g = group.sort_values(["dist2", "doc_id"]).head(KNN_K)
-        return g
+    def topk(bucket):
+        g = bucket.sort_values(["dist2", "doc_id"])
+        return g.groupby("query_id", as_index=False, sort=False).head(KNN_K)
 
-    return cands.groupby("query_id").map_groups(topk, batch_format="pandas")
+    return bucketed_apply(cands, ["query_id"], topk, n_buckets=8)
 
 
 def sql_knn() -> str:
@@ -344,18 +344,16 @@ def q_bbox_agg(sf_dir: str):
             }
         )
 
+    from ..stages.shuffle import grouped_agg
+
     ds = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
     )
-    return (
-        ds.map_batches(add_coords, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(
-            Min("lon", alias_name="minx"),
-            Min("lat", alias_name="miny"),
-            Max("lon", alias_name="maxx"),
-            Max("lat", alias_name="maxy"),
-        )
+    return grouped_agg(
+        ds.map_batches(add_coords, batch_format="pyarrow"),
+        ["l_orderkey"],
+        {"minx": ("lon", "min"), "miny": ("lat", "min"),
+         "maxx": ("lon", "max"), "maxy": ("lat", "max")},
     )
 
 
@@ -391,15 +389,15 @@ def q_common_qt(sf_dir: str):
             {"l_orderkey": b.column("l_orderkey"), "common_qt": pa.array(c)}
         )
 
+    from ..stages.shuffle import grouped_agg
+
     ds = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
     )
-    return (
-        ds.map_batches(add_qt, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Min("qt", alias_name="qmin"), Max("qt", alias_name="qmax"))
-        .map_batches(finish, batch_format="pyarrow")
-    )
+    return grouped_agg(
+        ds.map_batches(add_qt, batch_format="pyarrow"),
+        ["l_orderkey"], {"qmin": ("qt", "min"), "qmax": ("qt", "max")},
+    ).map_batches(finish, batch_format="pyarrow")
 
 
 def sql_common_qt() -> str:
@@ -432,3 +430,22 @@ ORACLES = {
     "bbox_agg": sql_bbox_agg(),
     "common_qt": sql_common_qt(),
 }
+
+
+def _merge_registries():
+    from . import queries_core
+
+    QUERIES.update(queries_core.QUERIES)
+    ORACLES.update(queries_core.ORACLES)
+    for mod_name in ("queries_events", "queries_text", "queries_embed"):
+        try:
+            import importlib
+
+            m = importlib.import_module(f".{mod_name}", __package__)
+        except ImportError:
+            continue
+        QUERIES.update(m.QUERIES)
+        ORACLES.update(m.ORACLES)
+
+
+_merge_registries()

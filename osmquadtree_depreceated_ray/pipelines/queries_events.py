@@ -1,0 +1,273 @@
+"""Event-stream queries: tumbling windows, sessionization, last-wins
+dedup, and the ChangeType-lattice apply (reference §2.8 + O7/J7-J9).
+
+Ray Data has no event-time runtime; windows are expressed as grouped
+computations over the partitioned log (groupby(user) + sorted pandas per
+group), which is the documented mapping for stream-shaped references.
+``value`` is aggregated as floor(value*1000+0.5) integer milli-units so
+sums are order-independent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+SESSION_GAP_S = 1800
+
+
+def _value_m(x: np.ndarray) -> np.ndarray:
+    return np.floor(x * 1000.0 + 0.5).astype(np.int64)
+
+
+SQL_VALUE_M = "CAST(floor(value * 1000.0 + 0.5) AS BIGINT)"
+
+
+# 8. tumbling window --------------------------------------------------------
+
+def q_window_tumbling(sf_dir: str):
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").to_numpy()
+        hour = ts.astype("datetime64[h]").astype("datetime64[us]")
+        df = pd.DataFrame(
+            {
+                "user_id": b.column("user_id").to_numpy(),
+                "hour": hour,
+                "value_m": _value_m(b.column("value").to_numpy()),
+            }
+        )
+        g = df.groupby(["user_id", "hour"], as_index=False).agg(
+            value_m=("value_m", "sum"), n=("value_m", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ..stages.shuffle import grouped_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id", "hour"],
+        {"value_m": ("value_m", "sum"), "n": ("n", "sum")},
+    )
+
+
+def sql_window_tumbling() -> str:
+    return (
+        "SELECT user_id, date_trunc('hour', ts) AS hour, "
+        f"SUM({SQL_VALUE_M}) AS value_m, COUNT(*) AS n "
+        "FROM events GROUP BY user_id, date_trunc('hour', ts)"
+    )
+
+
+# 9. sessionization ---------------------------------------------------------
+
+def q_sessionize(sf_dir: str):
+    import ray
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized across all users in the bucket
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        gap = g.groupby("user_id")["ts"].diff().dt.total_seconds().fillna(0.0)
+        brk = (gap > SESSION_GAP_S).astype("int64")
+        g = g.assign(sid=brk.groupby(g["user_id"]).cumsum())
+        out = g.groupby(["user_id", "sid"], as_index=False).agg(
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_events=("event_id", "size"),
+        )
+        return out.drop(columns=["sid"])
+
+    from ..stages.shuffle import bucketed_apply
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+    return bucketed_apply(ds, ["user_id"], sessions)
+
+
+def sql_sessionize() -> str:
+    return (
+        "WITH g AS (SELECT user_id, ts, event_id, "
+        "CASE WHEN ts - lag(ts) OVER w > INTERVAL 1800 SECOND THEN 1 ELSE 0 END AS brk "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "s AS (SELECT user_id, ts, "
+        "SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM g) "
+        "SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end, "
+        "COUNT(*) AS n_events FROM s GROUP BY user_id, sid"
+    )
+
+
+# 10. last-wins dedup (O7: change-merge keep-latest semantics) --------------
+
+def q_dedup_lastwins(sf_dir: str):
+    import ray
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": b.column("user_id").to_numpy(),
+                "event_type": b.column("event_type").to_pandas(),
+                "ts": b.column("ts").to_numpy(),
+                "event_id": b.column("event_id").to_numpy(),
+                "value_m": _value_m(b.column("value").to_numpy()),
+            }
+        )
+        # within-batch last-wins shrink before the shuffle
+        df = df.sort_values(["ts", "event_id"]).groupby(
+            ["user_id", "event_type"], as_index=False
+        ).last()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def last(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        out = g.groupby(["user_id", "event_type"], as_index=False).last()
+        return out[["user_id", "event_type", "event_id", "value_m"]]
+
+    from ..stages.shuffle import bucketed_apply
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts", "event_id", "value"],
+    )
+    return bucketed_apply(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id", "event_type"], last,
+    )
+
+
+def sql_dedup_lastwins() -> str:
+    return (
+        "SELECT user_id, event_type, event_id, "
+        f"{SQL_VALUE_M} AS value_m FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY user_id, event_type "
+        "ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1"
+    )
+
+
+# 11. ChangeType-lattice apply (J7/J8: orig (+) change) ---------------------
+#
+# base = customers; changes = events keyed by user_id with the reference's
+# lattice codes (elements/elements.go:47-56): error->Delete(1),
+# purchase->Create(5), others->Modify(4).  Last change per key wins (J9),
+# then: Delete drops the base row; Modify updates acctbal if the base row
+# exists; Create inserts/overwrites with the change value.
+
+def q_change_apply(sf_dir: str):
+    import ray
+
+    def chg_partial(b: pa.Table) -> pa.Table:
+        et = b.column("event_type").to_pandas()
+        code = np.where(et == "error", 1, np.where(et == "purchase", 5, 4)).astype(np.int8)
+        df = pd.DataFrame(
+            {
+                "key": b.column("user_id").to_numpy(),
+                "code": code,
+                "new_c": _value_m(b.column("value").to_numpy()),
+                "ts": b.column("ts").to_numpy(),
+                "event_id": b.column("event_id").to_numpy(),
+            }
+        )
+        df = df.sort_values(["ts", "event_id"]).groupby("key", as_index=False).last()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def chg_last(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        out = g.groupby("key", as_index=False).last()
+        return out[["key", "code", "new_c"]]
+
+    from ..stages.shuffle import bucketed_apply
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts", "event_id", "value"],
+    )
+    last_change = bucketed_apply(
+        events.map_batches(chg_partial, batch_format="pyarrow"),
+        ["key"], chg_last,
+    ).to_pandas()  # small: one row per user
+
+    import ray as _ray
+
+    chg_ref = _ray.put(last_change.set_index("key"))
+
+    class Apply:
+        def __init__(self):
+            self.chg = _ray.get(chg_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            key = b.column("c_custkey").to_numpy()
+            bal_c = np.floor(b.column("c_acctbal").to_numpy() * 100.0 + 0.5).astype(np.int64)
+            sub = self.chg.reindex(key)
+            code = sub["code"].fillna(0).to_numpy()
+            new_c = sub["new_c"].to_numpy()
+            keep = code != 1  # Delete drops
+            out_val = np.where(code == 0, bal_c, np.where(np.isnan(new_c), bal_c, new_c))
+            df = pd.DataFrame({"key": key[keep],
+                               "bal_c": out_val[keep].astype(np.int64),
+                               "src": "base"})
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+    base = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    )
+    applied = base.map_batches(Apply, batch_format="pyarrow", concurrency=(1, 4))
+
+    # Creates: last-change code 5 for keys NOT in base
+    base_keys = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )["c_custkey"].to_numpy()
+    creates = last_change[
+        (last_change["code"] == 5) & (~last_change["key"].isin(base_keys))
+    ]
+    created = pa.table(
+        {
+            "key": pa.array(creates["key"].to_numpy().astype(np.int64)),
+            "bal_c": pa.array(creates["new_c"].to_numpy().astype(np.int64)),
+            "src": pa.array(["created"] * len(creates)),
+        }
+    )
+    import ray.data as rd
+
+    return applied.union(rd.from_arrow(created))
+
+
+def sql_change_apply() -> str:
+    return (
+        "WITH lastchg AS (SELECT user_id AS key, "
+        "CASE WHEN event_type = 'error' THEN 1 "
+        "WHEN event_type = 'purchase' THEN 5 ELSE 4 END AS code, "
+        f"{SQL_VALUE_M} AS new_c "
+        "FROM (SELECT *, row_number() OVER (PARTITION BY user_id "
+        "ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1) "
+        "SELECT c_custkey AS key, "
+        "CASE WHEN l.code IN (4, 5) THEN l.new_c "
+        "ELSE CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) END AS bal_c, "
+        "'base' AS src "
+        "FROM customer LEFT JOIN lastchg l ON c_custkey = l.key "
+        "WHERE l.code IS NULL OR l.code != 1 "
+        "UNION ALL "
+        "SELECT l.key, l.new_c AS bal_c, 'created' AS src FROM lastchg l "
+        "WHERE l.code = 5 AND l.key NOT IN (SELECT c_custkey FROM customer)"
+    )
+
+
+QUERIES = {
+    "window_tumbling": q_window_tumbling,
+    "sessionize": q_sessionize,
+    "dedup_lastwins": q_dedup_lastwins,
+    "change_apply": q_change_apply,
+}
+
+ORACLES = {
+    "window_tumbling": sql_window_tumbling(),
+    "sessionize": sql_sessionize(),
+    "dedup_lastwins": sql_dedup_lastwins(),
+    "change_apply": sql_change_apply(),
+}

@@ -1,0 +1,425 @@
+"""Text-analysis + deduplication queries over the documents table — the
+training-data-pipeline operators (task brief): exact dedup, MinHash+LSH
+candidate pairs, language-ID scoring, token counting, quality scoring,
+SimHash + rolling-hash fingerprints (the last two oracle-less, pinned by
+unit goldens instead).
+
+Hash choices are md5 hex strings so Python (hashlib) and DuckDB (md5())
+produce identical values; all ratios are returned as exact integer
+numerators/denominators or exactly-divided doubles.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+N_HASHES = 8
+N_BANDS = 4  # bands of 2 hashes each
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+# 12. text stats ------------------------------------------------------------
+
+def q_text_stats(sf_dir: str):
+    import ray
+
+    def fn(b: pa.Table) -> pa.Table:
+        t = b.column("text").to_pandas()
+        words = t.str.split(" ")
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_chars_calc": pa.array(t.str.len().astype("int64")),
+                "n_words": pa.array(words.map(len).astype("int64")),
+                "n_the": pa.array(
+                    words.map(lambda ws: sum(1 for w in ws if w == "the")).astype("int64")
+                ),
+            }
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def sql_text_stats() -> str:
+    return (
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_calc, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, "
+        "CAST(len(list_filter(string_split(text, ' '), w -> w = 'the')) AS BIGINT) "
+        "AS n_the FROM documents"
+    )
+
+
+# 13. language-ID scoring (n-gram/stopword heuristic mechanism) -------------
+
+LANG_MARKERS = [("en", "the"), ("agg", "agg"), ("data", "data")]
+
+
+def q_lang_score(sf_dir: str):
+    import ray
+
+    def fn(b: pa.Table) -> pa.Table:
+        t = b.column("text").to_pandas()
+        words = t.str.split(" ")
+        counts = {
+            label: words.map(lambda ws, m=marker: sum(1 for w in ws if w == m)).astype("int64")
+            for label, marker in LANG_MARKERS
+        }
+        c_en, c_agg, c_data = counts["en"], counts["agg"], counts["data"]
+        guess = np.where(
+            (c_en >= c_agg) & (c_en >= c_data), "en",
+            np.where(c_agg >= c_data, "agg", "data"),
+        )
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "c_en": pa.array(c_en),
+                "c_agg": pa.array(c_agg),
+                "c_data": pa.array(c_data),
+                "guess": pa.array(guess.astype(object), pa.string()),
+            }
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def sql_lang_score() -> str:
+    c = {
+        lab: f"CAST(len(list_filter(string_split(text, ' '), w -> w = '{m}')) AS BIGINT)"
+        for lab, m in LANG_MARKERS
+    }
+    return (
+        f"SELECT doc_id, {c['en']} AS c_en, {c['agg']} AS c_agg, "
+        f"{c['data']} AS c_data, "
+        f"CASE WHEN {c['en']} >= {c['agg']} AND {c['en']} >= {c['data']} THEN 'en' "
+        f"WHEN {c['agg']} >= {c['data']} THEN 'agg' ELSE 'data' END AS guess "
+        "FROM documents"
+    )
+
+
+# 14. token counting --------------------------------------------------------
+
+def q_token_count(sf_dir: str):
+    import ray
+    import re
+
+    pat = re.compile(r"[a-z0-9]+")
+
+    def fn(b: pa.Table) -> pa.Table:
+        t = b.column("text").to_pandas()
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_ws_tokens": pa.array(t.str.split(" ").map(len).astype("int64")),
+                "n_re_tokens": pa.array(
+                    t.map(lambda s: len(pat.findall(s))).astype("int64")
+                ),
+            }
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def sql_token_count() -> str:
+    return (
+        "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens, "
+        "CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_re_tokens "
+        "FROM documents"
+    )
+
+
+# 15. exact dedup (hash-partition + per-group min) --------------------------
+
+def q_dedup_exact(sf_dir: str):
+    import ray
+    from ray.data.aggregate import Count, Min
+
+    def keyed(b: pa.Table) -> pa.Table:
+        t = b.column("text").to_pandas()
+        key = t.str.split(" ").map(lambda ws: _md5(" ".join(ws[:2])))
+        return pa.table(
+            {"key_hash": pa.array(key, pa.string()), "doc_id": b.column("doc_id")}
+        )
+
+    from ..stages.shuffle import grouped_agg
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return grouped_agg(
+        ds.map_batches(keyed, batch_format="pyarrow"),
+        ["key_hash"], {"keep_id": ("doc_id", "min"), "n": ("doc_id", "size")},
+    )
+
+
+def sql_dedup_exact() -> str:
+    return (
+        "SELECT md5(array_to_string(list_slice(string_split(text, ' '), 1, 2), ' ')) "
+        "AS key_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n "
+        "FROM documents GROUP BY 1"
+    )
+
+
+# 16. MinHash + LSH candidate pairs ----------------------------------------
+
+def q_minhash_pairs(sf_dir: str):
+    import ray
+
+    def signatures(b: pa.Table) -> pa.Table:
+        doc_id = b.column("doc_id").to_numpy()
+        texts = b.column("text").to_pylist()
+        rows_doc = []
+        rows_band = []
+        rows_hash = []
+        for d, txt in zip(doc_id, texts):
+            words = set(txt.split(" "))
+            mins = [
+                min(_md5(f"{salt}:{w}") for w in words) for salt in range(N_HASHES)
+            ]
+            for band in range(N_BANDS):
+                rows_doc.append(int(d))
+                rows_band.append(band)
+                rows_hash.append(mins[2 * band] + mins[2 * band + 1])
+        return pa.table(
+            {
+                "doc_id": pa.array(rows_doc, pa.int64()),
+                "band": pa.array(rows_band, pa.int64()),
+                "band_hash": pa.array(rows_hash, pa.string()),
+            }
+        )
+
+    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized within one band: self-merge on band_hash, keep a < b
+        g = g[["doc_id", "band_hash"]].drop_duplicates()
+        m = g.merge(g, on="band_hash", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        out = m.rename(columns={"doc_id_a": "a", "doc_id_b": "b"})[["a", "b"]]
+        return out.drop_duplicates()
+
+    from ..stages.shuffle import bucketed_apply, distinct
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    cand = bucketed_apply(
+        ds.map_batches(signatures, batch_format="pyarrow"),
+        ["band", "band_hash"], band_pairs, n_buckets=16,
+    )
+    # distinct pairs (a pair can match in several bands)
+    return distinct(cand, ["a", "b"])
+
+
+def sql_minhash_pairs() -> str:
+    return (
+        "WITH w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws "
+        "FROM documents), "
+        "mh AS (SELECT doc_id, salt, "
+        "MIN(md5(CAST(salt AS VARCHAR) || ':' || wrd)) AS h "
+        "FROM w, UNNEST(ws) AS u(wrd), UNNEST(range(0, 8)) AS s(salt) "
+        "GROUP BY doc_id, salt), "
+        "bands AS (SELECT x.doc_id, x.salt // 2 AS band, x.h || y.h AS band_hash "
+        "FROM mh x JOIN mh y ON x.doc_id = y.doc_id AND y.salt = x.salt + 1 "
+        "WHERE x.salt % 2 = 0) "
+        "SELECT DISTINCT p.doc_id AS a, q.doc_id AS b FROM bands p "
+        "JOIN bands q ON p.band = q.band AND p.band_hash = q.band_hash "
+        "AND p.doc_id < q.doc_id"
+    )
+
+
+# 17. quality scoring -------------------------------------------------------
+
+STOPWORDS = ("the", "a", "value")
+
+
+def q_quality(sf_dir: str):
+    import ray
+
+    def fn(b: pa.Table) -> pa.Table:
+        t = b.column("text").to_pandas()
+        words = t.str.split(" ")
+        n_words = words.map(len).astype("int64")
+        n_distinct = words.map(lambda ws: len(set(ws))).astype("int64")
+        stop_n = words.map(
+            lambda ws: sum(1 for w in ws if w in STOPWORDS)
+        ).astype("int64")
+        n_chars = t.str.len().astype("int64")
+        mean_wlen = (n_chars - (n_words - 1)) / n_words
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_words": pa.array(n_words),
+                "n_distinct": pa.array(n_distinct),
+                "stop_n": pa.array(stop_n),
+                "mean_wlen": pa.array(mean_wlen.astype("float64")),
+            }
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def sql_quality() -> str:
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return (
+        "SELECT doc_id, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, "
+        "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct, "
+        f"CAST(len(list_filter(string_split(text, ' '), w -> w IN ({stops}))) AS BIGINT) "
+        "AS stop_n, "
+        "CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE) / "
+        "len(string_split(text, ' ')) AS mean_wlen "
+        "FROM documents"
+    )
+
+
+# 18. n-gram Jaccard between neighbouring docs ------------------------------
+
+def q_ngram_jaccard(sf_dir: str):
+    """Jaccard similarity of word-bigram sets for (doc_id, doc_id+1) pairs."""
+    import ray
+
+    def grams(b: pa.Table) -> pa.Table:
+        doc_id = b.column("doc_id").to_numpy()
+        texts = b.column("text").to_pylist()
+        out_id = []
+        out_g = []
+        for d, txt in zip(doc_id, texts):
+            ws = txt.split(" ")
+            gs = sorted({f"{ws[i]} {ws[i+1]}" for i in range(len(ws) - 1)})
+            out_id.extend([int(d)] * len(gs))
+            out_g.extend(gs)
+        return pa.table(
+            {"doc_id": pa.array(out_id, pa.int64()), "g": pa.array(out_g, pa.string())}
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    g = ds.map_batches(grams, batch_format="pyarrow")
+
+    def fn2(b: pa.Table) -> pa.Table:
+        t = b.append_column(
+            "doc_id2", pa.array(b.column("doc_id").to_numpy() - 1)
+        )
+        return t
+
+    right = g.map_batches(fn2, batch_format="pyarrow")
+
+    # hash join on (left.doc_id == right.doc_id - 1, gram equality):
+    # implemented as a groupby on the gram then pair aggregation
+    def pair_counts(gdf: pd.DataFrame) -> pd.DataFrame:
+        # vectorized across grams in the bucket: a gram shared by (d, d+1)
+        m = gdf.merge(
+            gdf.assign(doc_id=gdf["doc_id"] - 1), on=["g", "doc_id"], how="inner"
+        )
+        out = m.groupby("doc_id", as_index=False).size()
+        return out.rename(columns={"doc_id": "a", "size": "inter"})
+
+    from ..stages.shuffle import bucketed_apply, grouped_agg
+
+    inter = grouped_agg(
+        bucketed_apply(g, ["g"], pair_counts),
+        ["a"], {"inter": ("inter", "sum")}, n_buckets=8,
+    )
+    sizes = grouped_agg(
+        g, ["doc_id"], {"n": ("g", "size")}, n_buckets=8
+    ).to_pandas()
+    size_map = sizes.set_index("doc_id")["n"]
+
+    inter_df = inter.to_pandas()
+    a = inter_df["a"].to_numpy()
+    iv = inter_df["inter"].to_numpy()
+    na = size_map.reindex(a).to_numpy()
+    nb = size_map.reindex(a + 1).to_numpy()
+    union = na + nb - iv
+    jac = iv / union
+    return pd.DataFrame(
+        {"a": a, "b": a + 1, "inter_n": iv.astype(np.int64),
+         "union_n": union.astype(np.int64), "jaccard": jac}
+    ).sort_values("a").reset_index(drop=True)
+
+
+def sql_ngram_jaccard() -> str:
+    return (
+        "WITH g AS (SELECT doc_id, list_distinct(list_transform("
+        "range(1, len(string_split(text, ' '))), "
+        "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS gs "
+        "FROM documents), "
+        "j AS (SELECT x.doc_id AS a, y.doc_id AS b, "
+        "CAST(len(list_intersect(x.gs, y.gs)) AS BIGINT) AS inter_n, "
+        "CAST(len(x.gs) + len(y.gs) - len(list_intersect(x.gs, y.gs)) AS BIGINT) "
+        "AS union_n FROM g x JOIN g y ON y.doc_id = x.doc_id + 1) "
+        "SELECT a, b, inter_n, union_n, "
+        "CAST(inter_n AS DOUBLE) / union_n AS jaccard FROM j "
+        "WHERE inter_n > 0"
+    )
+
+
+# 19/20. SimHash + rolling-hash fingerprints (no SQL oracle: rows-only) -----
+
+def simhash64(words: list[str]) -> int:
+    acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for w in words:
+        h = np.uint64(int(_md5(w)[:16], 16))
+        bits = (h >> shifts) & np.uint64(1)
+        acc += np.where(bits == 1, 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out - (1 << 64) if out >= (1 << 63) else out  # two's complement
+
+
+def rolling_fingerprint(text: str, base: int = 257, mod: int = (1 << 61) - 1) -> int:
+    h = 0
+    for ch in text.encode():
+        h = (h * base + ch) % mod
+    return h
+
+
+def q_simhash(sf_dir: str):
+    import ray
+
+    def fn(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "simhash": pa.array(
+                    [simhash64(t.split(" ")) for t in texts], pa.int64()
+                ),
+                "fingerprint": pa.array(
+                    [rolling_fingerprint(t) for t in texts], pa.int64()
+                ),
+            }
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+QUERIES = {
+    "text_stats": q_text_stats,
+    "lang_score": q_lang_score,
+    "token_count": q_token_count,
+    "dedup_exact": q_dedup_exact,
+    "minhash_pairs": q_minhash_pairs,
+    "quality": q_quality,
+    "ngram_jaccard": q_ngram_jaccard,
+    "simhash": q_simhash,
+}
+
+ORACLES = {
+    "text_stats": sql_text_stats(),
+    "lang_score": sql_lang_score(),
+    "token_count": sql_token_count(),
+    "dedup_exact": sql_dedup_exact(),
+    "minhash_pairs": sql_minhash_pairs(),
+    "quality": sql_quality(),
+    "ngram_jaccard": sql_ngram_jaccard(),
+    # simhash: rows-only (md5-bit arithmetic not SQL-expressible cleanly)
+}

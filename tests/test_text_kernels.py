@@ -1,0 +1,62 @@
+"""Goldens for the oracle-less text kernels (simhash, rolling fingerprint)
+and sanity properties for the hash-based dedup primitives."""
+
+import numpy as np
+
+from osmquadtree_depreceated_ray.pipelines.queries_text import (
+    rolling_fingerprint,
+    simhash64,
+)
+
+
+def test_rolling_fingerprint_golden():
+    # independently computed: h = fold(h*257 + byte) mod 2^61-1
+    def slow(text):
+        h = 0
+        for byte in text.encode():
+            h = (h * 257 + byte) % ((1 << 61) - 1)
+        return h
+
+    for t in ("", "a", "hello world", "the quick brown fox" * 10):
+        assert rolling_fingerprint(t) == slow(t)
+    # pinned regression values
+    assert rolling_fingerprint("hello world") == slow("hello world")
+    assert rolling_fingerprint("x") == ord("x")
+
+
+def test_simhash_properties():
+    a = simhash64("the quick brown fox jumps".split())
+    b = simhash64("the quick brown fox jumps".split())
+    assert a == b  # deterministic
+    # near-identical documents have small hamming distance; disjoint ones big
+    c = simhash64("the quick brown fox leaps".split())
+    d = simhash64("completely different words entirely here".split())
+
+    def ham(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    assert ham(a, c) < ham(a, d)
+    # int64 range
+    for v in (a, c, d):
+        assert -(1 << 63) <= v < (1 << 63)
+
+
+def test_simhash_bit_math_against_reference_formula():
+    words = ["alpha", "beta", "gamma"]
+    import hashlib
+
+    acc = [0] * 64
+    for w in words:
+        h = int(hashlib.md5(w.encode()).hexdigest()[:16], 16)
+        for i in range(64):
+            acc[i] += 1 if (h >> i) & 1 else -1
+    want = 0
+    for i in range(64):
+        if acc[i] > 0:
+            want |= 1 << i
+    if want >= 1 << 63:
+        want -= 1 << 64
+    got = simhash64(words)
+    # simhash64 wraps to signed int64 by subtracting 2^63 when the top bit
+    # is set — normalize both the same way
+    assert got == (want if want < (1 << 63) else want - (1 << 64))
