@@ -37,9 +37,12 @@ DEFAULT_MINIMUM = 500
 
 def pages_to_entities(pages_ds, parallelism_hint: int | None = None):
     """pages Dataset -> entity Dataset with qt / cell_s2 / cell_h3."""
+    from ..stages.extract import add_entity_id
+
     ents = (
         pages_ds.map_batches(extract_text, batch_format="pyarrow")
         .map_batches(extract_entities, batch_format="pyarrow")
+        .map_batches(add_entity_id, batch_format="pyarrow")
         .map_batches(assign_cells, batch_format="pyarrow")
     )
     return ents
@@ -109,8 +112,23 @@ def tile_entities(
 
     assigned.write_parquet(mf.data_dir(out_dir), partition_cols=["tile"])
 
+    # lineage (T5/J10): entity -> tile, drives incremental updates
+    if "entity_id" in entities_ds.schema().names:
+        lineage_ds = entities_ds.map_batches(
+            TileAssigner,
+            fn_constructor_args=(alloc_ref,),
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        ).select_columns(["entity_id", "tile"])
+        import pyarrow as _pa
+
+        mf.write_lineage(
+            out_dir,
+            _pa.Table.from_pandas(lineage_ds.to_pandas(), preserve_index=False),
+        )
+
     mf.write_manifest(out_dir, gq, gt, state=dict(state or {}, target=target,
-                                                  minimum=minimum))
+                                                  minimum=minimum, seq=0))
     return {
         "tiles": int(len(gq)),
         "total": int(gt.sum()),

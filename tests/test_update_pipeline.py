@@ -1,0 +1,68 @@
+"""Incremental updates: applying change batches 1..k must equal
+recomputing from the mutated entity set (J7-J10 lattice + lineage)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from osmquadtree_depreceated_ray.pipelines import update as up
+from osmquadtree_depreceated_ray.state import manifest as mf
+
+
+@pytest.fixture(scope="module")
+def updated(ray_session, fixture_dir, tmp_path_factory):
+    from osmquadtree_depreceated_ray.pipelines import tile as tp
+
+    out = str(tmp_path_factory.mktemp("upd"))
+    tp.tile_pages(os.path.join(fixture_dir, "pages.parquet"), out,
+                  target=300, minimum=20)
+    changes = pq.read_table(os.path.join(fixture_dir, "changes.parquet"))
+    stats = []
+    for seq in sorted(set(changes.column("seq").to_pylist())):
+        stats.append(up.apply_change_batch(out, changes, seq))
+    return out, changes, stats
+
+
+def _golden_entities(fixture_dir, changes):
+    ents = pq.read_table(
+        os.path.join(fixture_dir, "geo_entities.parquet"),
+        columns=["entity_id", "lon", "lat"],
+    ).to_pandas().set_index("entity_id")
+    df = changes.to_pandas().sort_values(["seq"])
+    for _, r in df.iterrows():
+        e = int(r["entity_id"])
+        if r["change"] == 1:
+            ents = ents.drop(index=e, errors="ignore")
+        else:  # modify / create both end with the new payload present
+            ents.loc[e] = (int(r["lon"]), int(r["lat"]))
+    return ents.sort_index()
+
+
+def test_snapshot_equals_recompute(updated, fixture_dir):
+    out, changes, stats = updated
+    assert all(s["records"] > 0 for s in stats)
+    snap = up.read_snapshot(out).to_pandas().set_index("entity_id").sort_index()
+    golden = _golden_entities(fixture_dir, changes)
+    assert len(snap) == len(golden)
+    assert (snap.index == golden.index).all()
+    assert (snap["lon"].to_numpy() == golden["lon"].to_numpy()).all()
+    assert (snap["lat"].to_numpy() == golden["lat"].to_numpy()).all()
+
+
+def test_lineage_consistent_with_snapshot(updated):
+    out, _, _ = updated
+    lineage = mf.read_lineage(out).to_pandas().set_index("entity_id")["tile"]
+    snap = up.read_snapshot(out).to_pandas().set_index("entity_id")
+    joined = snap.join(lineage.rename("lin_tile"), how="left")
+    assert joined["lin_tile"].notna().all()
+    assert (joined["tile"].astype("int64") == joined["lin_tile"].astype("int64")).all()
+
+
+def test_affected_tiles_bounded(updated):
+    out, _, stats = updated
+    man = mf.read_manifest(out).to_pandas()
+    for s in stats:
+        assert 0 < s["affected_tiles"] <= len(man)
