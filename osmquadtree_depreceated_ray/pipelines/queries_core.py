@@ -325,3 +325,57 @@ ORACLES = {
     "sql_distinct": sql_distinct(),
     "sql_agg_group": sql_agg_group(),
 }
+
+
+# 8. the SQL-ish surface itself (sqlselect translator demo) -----------------
+
+def q_sqlish_surface(sf_dir: str):
+    """The reference's sqlselect semantics expressed through our Expr/Query
+    translator (pipelines/sqlish.py) — WHERE + projection with the scalar
+    function library + ORDER BY + LIMIT, compiled to pyarrow.compute."""
+    import ray
+
+    from .sqlish import Query, case_when, col, lit
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_name", "p_brand", "p_type", "p_size",
+                 "p_retailprice"],
+    )
+    q = (
+        Query(ds)
+        .where(col("p_size").between(3, 40) & col("p_name").like("%o%"))
+        .select(
+            p_partkey=col("p_partkey"),
+            label=col("p_brand").nullif("Brand#11").coalesce(lit("UNBRANDED"))
+            .concat(lit(":"), col("p_type").replace(" ", "-").substr(1, 6)),
+            klass=case_when(
+                [(col("p_size") < 10, lit("small")),
+                 (col("p_size") < 30, lit("mid"))],
+                default=lit("big"),
+            ),
+            price_i=(col("p_retailprice") * 100.0).make_integer(),
+            name_len=col("p_name").char_length(),
+        )
+        .order_by("p_partkey")
+        .limit(500)
+    )
+    return q.run()
+
+
+def sql_sqlish_surface() -> str:
+    return (
+        "SELECT p_partkey, "
+        "coalesce(nullif(p_brand, 'Brand#11'), 'UNBRANDED') || ':' || "
+        "substr(replace(p_type, ' ', '-'), 1, 6) AS label, "
+        "CASE WHEN p_size < 10 THEN 'small' WHEN p_size < 30 THEN 'mid' "
+        "ELSE 'big' END AS klass, "
+        "CAST(p_retailprice * 100.0 AS BIGINT) AS price_i, "
+        "CAST(length(p_name) AS BIGINT) AS name_len "
+        "FROM part WHERE p_size >= 3 AND p_size <= 40 AND p_name LIKE '%o%' "
+        "ORDER BY p_partkey LIMIT 500"
+    )
+
+
+QUERIES["sqlish_surface"] = q_sqlish_surface
+ORACLES["sqlish_surface"] = sql_sqlish_surface()

@@ -1,0 +1,238 @@
+"""SQL-ish query surface (reference sqlselect, SURVEY §2.7).
+
+The reference embeds a SELECT...FROM...WHERE...ORDER BY engine (goyacc
+grammar, no GROUP BY / LIMIT) that runs per-tile AFTER spatial pruning
+(PackedDataStore.Filter -> simpleSelect, sqlselect/tables.go:232-277).
+Here the same surface is a thin expression tree compiled to
+pyarrow.compute kernels inside map_batches, over any Dataset — or over
+a tiled output directory with manifest-driven partition pruning
+(query_tiles), mirroring "prune partitions by bbox -> per-batch Arrow
+compute".
+
+Scalar function set mirrors sqlselect/functions.go: coalesce, nullif,
+replace, char_length, substr, concat/||, arithmetic, typed comparisons,
+LIKE (prefix/suffix/contains only — functions.go:277-374), BETWEEN, IN,
+IS NULL, CASE WHEN, AND/OR/NOT, make_integer/make_float casts.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+class Expr:
+    def __init__(self, fn, name="expr"):
+        self.fn = fn
+        self.name = name
+
+    def __call__(self, t: pa.Table):
+        return self.fn(t)
+
+    # -- arithmetic / comparison (functions.go:210-374) ---------------------
+    def _bin(self, other, kernel, name):
+        other = _wrap(other)
+        return Expr(lambda t: kernel(self(t), other(t)), name)
+
+    def __add__(self, o):
+        return self._bin(o, pc.add, "add")
+
+    def __sub__(self, o):
+        return self._bin(o, pc.subtract, "sub")
+
+    def __mul__(self, o):
+        return self._bin(o, pc.multiply, "mul")
+
+    def __truediv__(self, o):
+        return self._bin(o, pc.divide, "div")
+
+    def __eq__(self, o):  # noqa: A003
+        return self._bin(o, pc.equal, "eq")
+
+    def __ne__(self, o):
+        return self._bin(o, pc.not_equal, "ne")
+
+    def __lt__(self, o):
+        return self._bin(o, pc.less, "lt")
+
+    def __le__(self, o):
+        return self._bin(o, pc.less_equal, "le")
+
+    def __gt__(self, o):
+        return self._bin(o, pc.greater, "gt")
+
+    def __ge__(self, o):
+        return self._bin(o, pc.greater_equal, "ge")
+
+    def __and__(self, o):
+        return self._bin(o, pc.and_kleene, "and")
+
+    def __or__(self, o):
+        return self._bin(o, pc.or_kleene, "or")
+
+    def __invert__(self):
+        return Expr(lambda t: pc.invert(self(t)), "not")
+
+    # -- scalar functions ----------------------------------------------------
+    def like(self, pattern: str):
+        """LIKE limited to %x, x%, %x% (functions.go:335-374)."""
+        if pattern.startswith("%") and pattern.endswith("%"):
+            pat = pattern.strip("%")
+            return Expr(lambda t: pc.match_substring(self(t), pat), "like")
+        if pattern.endswith("%"):
+            pat = pattern[:-1]
+            return Expr(lambda t: pc.starts_with(self(t), pat), "like")
+        if pattern.startswith("%"):
+            pat = pattern[1:]
+            return Expr(lambda t: pc.ends_with(self(t), pat), "like")
+        return Expr(lambda t: pc.equal(self(t), pattern), "like")
+
+    def between(self, lo, hi):
+        return (self >= lo) & (self <= hi)
+
+    def isin(self, values):
+        vs = pa.array(values)
+        return Expr(lambda t: pc.is_in(self(t), value_set=vs), "in")
+
+    def is_null(self):
+        return Expr(lambda t: pc.is_null(self(t)), "isnull")
+
+    def substr(self, start: int, length: int):
+        """1-based SQL substr (functions.go:137-165)."""
+        return Expr(
+            lambda t: pc.utf8_slice_codeunits(self(t), start - 1, start - 1 + length),
+            "substr",
+        )
+
+    def char_length(self):
+        return Expr(lambda t: pc.cast(pc.utf8_length(self(t)), pa.int64()), "len")
+
+    def replace(self, old: str, new: str):
+        return Expr(lambda t: pc.replace_substring(self(t), old, new), "replace")
+
+    def concat(self, *others):
+        parts = [self] + [_wrap(o) for o in others]
+        return Expr(
+            lambda t: pc.binary_join_element_wise(*[p(t) for p in parts], ""),
+            "concat",
+        )
+
+    def coalesce(self, *others):
+        parts = [self] + [_wrap(o) for o in others]
+        return Expr(lambda t: pc.coalesce(*[p(t) for p in parts]), "coalesce")
+
+    def nullif(self, value):
+        def fn(t):
+            a = self(t)
+            return pc.if_else(pc.equal(a, value), pa.scalar(None, _arr_type(a)), a)
+
+        return Expr(fn, "nullif")
+
+    def make_integer(self):
+        return Expr(lambda t: pc.cast(self(t), pa.int64()), "make_integer")
+
+    def make_float(self):
+        return Expr(lambda t: pc.cast(self(t), pa.float64()), "make_float")
+
+
+def _arr_type(a):
+    return a.type
+
+
+def _wrap(v):
+    if isinstance(v, Expr):
+        return v
+    return Expr(lambda t, v=v: pa.scalar(v) if not isinstance(v, pa.Scalar) else v,
+                "lit")
+
+
+def col(name: str) -> Expr:
+    return Expr(lambda t: t.column(name), name)
+
+
+def lit(v) -> Expr:
+    return _wrap(v)
+
+
+def case_when(branches, default=None) -> Expr:
+    """CASE WHEN c1 THEN v1 ... ELSE d END (exprs.go:243-289)."""
+
+    def fn(t):
+        out = _wrap(default)(t) if default is not None else None
+        for cond, val in reversed(branches):
+            v = _wrap(val)(t)
+            if out is None:
+                out = pc.if_else(cond(t), v, pa.scalar(None, _arr_type(v)))
+            else:
+                out = pc.if_else(cond(t), v, out)
+        return out
+
+    return Expr(fn, "case")
+
+
+class Query:
+    """simpleSelect: filter rows -> project -> sort [-> union -> limit]
+    (sqlselect/tables.go:232-277 + UNION :53-75)."""
+
+    def __init__(self, ds):
+        self.ds = ds
+        self._where = None
+        self._select: dict[str, Expr] | None = None
+        self._order = None
+        self._desc = None
+        self._limit = None
+
+    def where(self, expr: Expr) -> "Query":
+        self._where = expr
+        return self
+
+    def select(self, **projections: Expr) -> "Query":
+        self._select = projections
+        return self
+
+    def order_by(self, *cols, descending=False) -> "Query":
+        self._order = list(cols)
+        self._desc = descending
+        return self
+
+    def limit(self, n: int) -> "Query":
+        self._limit = n
+        return self
+
+    def union(self, other: "Query") -> "Query":
+        q = Query(self.run().union(other.run()))
+        return q
+
+    def run(self):
+        ds = self.ds
+        where = self._where
+        select = self._select
+
+        if where is not None or select is not None:
+            def fn(t: pa.Table) -> pa.Table:
+                if where is not None:
+                    t = t.filter(where(t))
+                if select is not None:
+                    cols = {}
+                    for name, e in select.items():
+                        v = e(t)
+                        if isinstance(v, pa.Scalar):
+                            v = pa.array([v.as_py()] * t.num_rows)
+                        cols[name] = v
+                    t = pa.table(cols)
+                return t
+
+            ds = ds.map_batches(fn, batch_format="pyarrow")
+        if self._order:
+            ds = ds.sort(self._order, descending=self._desc)
+        if self._limit is not None:
+            ds = ds.limit(self._limit)
+        return ds
+
+
+def query_tiles(out_dir: str, loctest, columns=None) -> Query:
+    """Reference execution model: SQL after spatial partition pruning."""
+    from .spatial_filter import read_tiles_pruned
+
+    ds, _ = read_tiles_pruned(out_dir, loctest, columns=columns)
+    return Query(ds)

@@ -170,3 +170,26 @@ def tiled_summary(out_dir: str):
 
     ds = ray.data.read_parquet(mf.data_dir(out_dir))
     return ds.groupby("tile").count()
+
+
+def write_qts(entities_ds, out_path: str) -> None:
+    """S10: qts-only output — the (id -> qt) result stream as its own
+    artifact (writefile.go:223-235)."""
+    cols = [c for c in ("entity_id", "url", "name", "qt") if c in
+            entities_ds.schema().names]
+    entities_ds.select_columns(cols).write_parquet(out_path)
+
+
+def resort_by_id(out_dir: str, group_size: int = 8000):
+    """O2: inverse shuffle — tiled layout back to id order in uniform
+    blocks (blocksort/byelementid.go:18-53; groupSize 8000 as the
+    reference's block size)."""
+    import ray
+
+    ds = ray.data.read_parquet(mf.data_dir(out_dir))
+    n = ds.count()
+    blocks = max(1, n // group_size)
+    out = ds.sort("entity_id").repartition(blocks)
+    path = os.path.join(out_dir, "byid")
+    out.write_parquet(path)
+    return path

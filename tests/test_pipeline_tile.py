@@ -89,3 +89,32 @@ def test_resume_skips_completed(ray_session, tiled):
     # all tiles were skipped -> no duplicate rows were written
     data = pq.read_table(mf.data_dir(out), columns=["qt"])
     assert data.num_rows == res["total"]
+
+
+def test_qts_writer_and_resort(ray_session, tiled, tmp_path):
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    from osmquadtree_depreceated_ray.pipelines import tile as tp
+
+    out, res = tiled
+    ents = ray.data.read_parquet(os.path.join(out, "entities"))
+    qts_path = str(tmp_path / "qts")
+    tp.write_qts(ents, qts_path)
+    t = pq.read_table(qts_path)
+    assert t.num_rows == res["total"]
+    assert set(t.column_names) >= {"entity_id", "qt"}
+
+    byid = tp.resort_by_id(out)
+    got = pq.read_table(byid, columns=["entity_id"]).to_pandas()["entity_id"]
+    assert len(got) == res["total"]
+    files = sorted(os.listdir(byid))
+    # id order holds within and across the ordered part files
+    prev_max = -1
+    for f in files:
+        part = pq.read_table(os.path.join(byid, f), columns=["entity_id"])
+        arr = part.column("entity_id").to_numpy()
+        assert (np.diff(arr) >= 0).all()

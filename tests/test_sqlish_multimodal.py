@@ -1,0 +1,69 @@
+"""SQL-ish translator semantics + multimodal stage plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_multimodal_pipeline(ray_session):
+    from osmquadtree_depreceated_ray.stages.multimodal import (
+        DecodeFeatureActor,
+        FrameSampleActor,
+        ResizeActor,
+        gen_media_table,
+        media_pipeline,
+    )
+
+    media = gen_media_table(50)
+    out = media_pipeline(media).to_pandas()
+    assert len(out) == 50
+    assert len(out["feature"].iloc[0]) == 64
+    # deterministic fake: same payload -> same feature
+    out2 = media_pipeline(media).to_pandas()
+    assert (out["mean_px"].to_numpy() == out2["mean_px"].to_numpy()).all()
+
+    # strict mode marks the genuinely-stubbed codec path
+    actor = DecodeFeatureActor(strict=True)
+    with pytest.raises(NotImplementedError):
+        actor(media)
+
+    resized = ResizeActor(128, 128)(media)
+    assert resized.column("meta")[0].as_py()["width"] == 128
+
+    frames = FrameSampleActor(every_ms=5000)(media)
+    assert frames.num_rows >= media.num_rows  # videos expand to frames
+
+
+def test_sqlish_expressions(ray_session):
+    import ray
+
+    from osmquadtree_depreceated_ray.pipelines.sqlish import (
+        Query, case_when, col, lit,
+    )
+
+    t = pa.table(
+        {
+            "a": pa.array([1, 2, 3, 4, None], pa.int64()),
+            "s": pa.array(["foo", "bar", "foobar", "baz", None]),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    out = (
+        Query(ds)
+        .where(col("s").like("foo%"))
+        .select(a2=col("a") * 2,
+                tag=case_when([(col("a") > 2, lit("big"))], default=lit("small")),
+                pre=col("s").substr(1, 2))
+        .order_by("a2")
+        .run()
+        .to_pandas()
+    )
+    assert out["a2"].tolist() == [2, 6]
+    assert out["tag"].tolist() == ["small", "big"]
+    assert out["pre"].tolist() == ["fo", "fo"]
+
+    # union + limit + null handling
+    q1 = Query(ds).select(v=col("a").coalesce(lit(0)))
+    q2 = Query(ds).select(v=col("a").coalesce(lit(0)))
+    n = q1.union(q2).run().count()
+    assert n == 10
