@@ -275,22 +275,37 @@ def sql_knn() -> str:
     )
 
 
+_RASTER_REF = None
+
+
+def _raster_grid_ref():
+    """Build + broadcast the z=8 raster grid once per process (ray.put
+    once; actors read it zero-copy)."""
+    global _RASTER_REF
+    if _RASTER_REF is None:
+        import ray
+
+        from ..sources.fixtures import gen_raster_tiles
+
+        rt = gen_raster_tiles(8)
+        n = 1 << 8
+        vals = np.asarray(rt.column("values").combine_chunks().flatten()).reshape(-1, 256)
+        xs = rt.column("x").to_numpy().astype(np.int64)
+        ys = rt.column("y").to_numpy().astype(np.int64)
+        grid = np.zeros((n * n, 256), dtype=np.float32)
+        grid[xs * n + ys] = vals
+        _RASTER_REF = ray.put({"z": 8, "values": grid})
+    return _RASTER_REF
+
+
 def q_raster_lookup(sf_dir: str):
     """Raster<->vector: sample the deterministic z=8 raster grid at each
     derived entity via the qt->slippy mapping (broadcast grid actor)."""
     import ray
 
-    from ..sources.fixtures import gen_raster_tiles
     from ..stages.spatial import RasterLookupActor
 
-    rt = gen_raster_tiles(8)
-    n = 1 << 8
-    vals = np.asarray(rt.column("values").combine_chunks().flatten()).reshape(-1, 256)
-    xs = rt.column("x").to_numpy().astype(np.int64)
-    ys = rt.column("y").to_numpy().astype(np.int64)
-    grid = np.zeros((n * n, 256), dtype=np.float32)
-    grid[xs * n + ys] = vals
-    gref = ray.put({"z": 8, "values": grid})
+    gref = _raster_grid_ref()
 
     ds = derived_entities(sf_dir)
     out = ds.map_batches(
@@ -449,3 +464,48 @@ def _merge_registries():
 
 
 _merge_registries()
+
+
+def q_tile_split(sf_dir: str):
+    """A5: the max-per-tile split rule end-to-end over orders-derived
+    entities — distributed counts -> driver trie -> (tile, n) partition.
+    Not SQL-expressible (recursive widening trie walk): rows-only check;
+    exact semantics are pinned by tests/test_qttree.py against the
+    literal reference port."""
+    import pandas as pd
+
+    from ..functions.qttree import find_qt_groups
+    from .tile import count_tiles
+
+    ents = derived_entities(sf_dir, table="orders", key_col="o_orderkey")
+    qts, counts = count_tiles(ents)
+    gq, gt = find_qt_groups(qts, counts, target=2000, minimum=100,
+                            require_count=False)
+    return pd.DataFrame({"tile": gq, "n": gt})
+
+
+def q_pip_poly(sf_dir: str):
+    """PIP against REAL concave/hole polygons (fixture admin_polys) over
+    derived entities — exercises the full PolygonIndex path (bbox buckets,
+    even-odd pnpoly, hole subtraction).  pnpoly is pinned against the
+    scalar reference port in tests; rows-only here (no SQL pnpoly)."""
+    import ray
+
+    from ..sources.fixtures import gen_admin_polys
+    from ..stages.spatial import PIPActor, PolygonIndex
+
+    index = PolygonIndex.from_table(gen_admin_polys(n_scatter=250))
+    ref = ray.put(index)
+    ds = derived_entities(sf_dir)
+    pairs = ds.map_batches(
+        PIPActor,
+        fn_constructor_args=(ref, ("doc_id",)),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return pairs.select_columns(["doc_id", "poly_id", "admin_level"])
+
+
+QUERIES["tile_split"] = q_tile_split
+QUERIES["pip_poly"] = q_pip_poly
+# (both intentionally absent from ORACLES -> driver rows-only check)

@@ -179,9 +179,11 @@ def q_minhash_pairs(sf_dir: str):
         rows_band = []
         rows_hash = []
         for d, txt in zip(doc_id, texts):
-            words = set(txt.split(" "))
+            ws = txt.split(" ")
+            shingles = {f"{ws[i]} {ws[i+1]}" for i in range(len(ws) - 1)} or {txt}
             mins = [
-                min(_md5(f"{salt}:{w}") for w in words) for salt in range(N_HASHES)
+                min(_md5(f"{salt}:{w}") for w in shingles)
+                for salt in range(N_HASHES)
             ]
             for band in range(N_BANDS):
                 rows_doc.append(int(d))
@@ -216,7 +218,9 @@ def q_minhash_pairs(sf_dir: str):
 
 def sql_minhash_pairs() -> str:
     return (
-        "WITH w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws "
+        "WITH w AS (SELECT doc_id, list_distinct(list_transform("
+        "range(1, len(string_split(text, ' '))), "
+        "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS ws "
         "FROM documents), "
         "mh AS (SELECT doc_id, salt, "
         "MIN(md5(CAST(salt AS VARCHAR) || ':' || wrd)) AS h "

@@ -68,6 +68,76 @@ def count_tiles(entities_ds, level: int = QT_MAX_LEVEL):
     return q[starts], np.add.reduceat(n, starts)
 
 
+def count_tiles_adaptive(
+    entities_ds,
+    target: int = DEFAULT_TARGET,
+    levels: tuple = (6, 12, QT_MAX_LEVEL),
+):
+    """Hierarchical tile counting with hot-cell refinement — the scalable
+    replacement for a flat max-level count.
+
+    Only cells with count > target+50 are refined one level-step deeper
+    (re-counted over the rows under them); everything else is emitted as
+    a leaf.  This is EXACTLY equivalent as input to
+    :func:`~..functions.qttree.find_qt_groups`: the widening pass visits
+    a node's children only when ``total > mx`` (mx starts at target+50
+    and only grows), and any unrefined cell satisfies
+    ``total <= target+50 <= mx`` so it is always accepted whole, never
+    descended into — pinned by tests/test_qttree.py::test_adaptive_counts.
+
+    Driver-side data is therefore O(output tiles), independent of corpus
+    size — at 10^12 docs a flat level-18 count (~10^10 distinct cells)
+    could never reach the driver.  Each refinement round is one
+    column-pruned pass over the (shrinking) hot subset.
+    """
+    import ray
+
+    threshold = target + 50
+    out_q: list[np.ndarray] = []
+    out_n: list[np.ndarray] = []
+    hot_prefixes: np.ndarray | None = None
+    prev_level: int | None = None
+    ds = entities_ds
+
+    for i, level in enumerate(levels):
+        if hot_prefixes is not None and len(hot_prefixes) == 0:
+            break
+        if hot_prefixes is not None:
+            pref = ray.put(np.sort(hot_prefixes))
+            pl = prev_level
+
+            def _filter(b: pa.Table, _pref=pref, _pl=pl) -> pa.Table:
+                hot = ray.get(_pref)
+                q = qt_round(b.column("qt").to_numpy(), _pl)
+                pos = np.searchsorted(hot, q)
+                pos_c = np.clip(pos, 0, max(len(hot) - 1, 0))
+                keep = (pos < len(hot)) & (hot[pos_c] == q)
+                return b.filter(pa.array(keep))
+
+            ds = entities_ds.map_batches(_filter, batch_format="pyarrow")
+        qts, counts = count_tiles(ds, level)
+        if level == levels[-1]:
+            out_q.append(qts)
+            out_n.append(counts)
+            break
+        # cells shallower than this level are the row's own (seam-stopped)
+        # qt — they cannot be refined and are final leaves regardless of
+        # count; only exact-depth hot cells spawn a refinement round
+        depth = qts & 31
+        cold = (counts <= threshold) | (depth < level)
+        out_q.append(qts[cold])
+        out_n.append(counts[cold])
+        hot_prefixes = qts[~cold]
+        prev_level = level
+
+    if not out_q:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    q = np.concatenate(out_q)
+    n = np.concatenate(out_n)
+    order = np.argsort(q, kind="stable")
+    return q[order], n[order]
+
+
 def split_and_allocate(qts, counts, target=DEFAULT_TARGET, minimum=DEFAULT_MINIMUM):
     """Driver-side split rule -> (group_qts, group_counts, QtAllocator)."""
     gq, gt = find_qt_groups(qts, counts, target, minimum, require_count=False)
@@ -80,18 +150,26 @@ def tile_entities(
     target: int = DEFAULT_TARGET,
     minimum: int = DEFAULT_MINIMUM,
     resume: bool = True,
-    concurrency=(1, 8),
+    concurrency=(1, 16),
     state: dict | None = None,
 ):
     """Count -> split -> assign -> partitioned write (+ manifest, lineage).
 
-    Returns dict(tiles=int, total=int, skipped_tiles=int).
+    Returns dict(tiles=int, total=int, skipped_tiles=int, timings=dict).
     """
+    import time
+
     import ray
 
-    qts, counts = count_tiles(entities_ds)
+    timings = {}
+    t0 = time.time()
+    qts, counts = count_tiles_adaptive(entities_ds, target)
+    timings["count"] = round(time.time() - t0, 2)
+    t0 = time.time()
     gq, gt, alloc = split_and_allocate(qts, counts, target, minimum)
+    timings["split"] = round(time.time() - t0, 2)
     alloc_ref = ray.put(alloc)
+    t0 = time.time()
 
     done = mf.completed_tiles(out_dir) if resume else np.zeros(0, np.int64)
     assigned = entities_ds.map_batches(
@@ -100,32 +178,39 @@ def tile_entities(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
-    if len(done):
-        done_set = done
 
-        def _skip_done(t: pa.Table) -> pa.Table:
-            tile = t.column("tile").to_numpy()
-            keep = ~np.isin(tile, done_set)
-            return t.filter(pa.array(keep))
+    # single-exchange boundary-aware shuffle + atomic per-tile files
+    # (stages/write_tiles.py): one file per tile, reference's tile-ordered
+    # layout (writefile.go:50-52), resumable (completed tiles skipped)
+    from ..stages.write_tiles import write_tiled
 
-        assigned = assigned.map_batches(_skip_done, batch_format="pyarrow")
+    n_writers = max(concurrency[1] if isinstance(concurrency, tuple) else 8, 8)
+    write_tiled(assigned, mf.data_dir(out_dir), gq, gt,
+                n_writers=n_writers, skip_tiles=done)
+    timings["assign_write"] = round(time.time() - t0, 2)
+    t0 = time.time()
 
-    assigned.write_parquet(mf.data_dir(out_dir), partition_cols=["tile"])
-
-    # lineage (T5/J10): entity -> tile, drives incremental updates
+    # lineage (T5/J10): entity -> tile, from the written partitions (a
+    # 2-column columnar read + distributed write — no driver materialize)
     if "entity_id" in entities_ds.schema().names:
-        lineage_ds = entities_ds.map_batches(
-            TileAssigner,
-            fn_constructor_args=(alloc_ref,),
-            batch_format="pyarrow",
-            concurrency=concurrency,
-        ).select_columns(["entity_id", "tile"])
-        import pyarrow as _pa
+        import pandas as _pd
 
-        mf.write_lineage(
-            out_dir,
-            _pa.Table.from_pandas(lineage_ds.to_pandas(), preserve_index=False),
+        def _lin_rows(b: pa.Table) -> pa.Table:
+            tile = _pd.to_numeric(b.column("tile").to_pandas()).astype("int64")
+            return pa.table(
+                {"entity_id": b.column("entity_id"),
+                 "tile": pa.array(tile.to_numpy())}
+            )
+
+        lin_file = os.path.join(out_dir, "lineage.parquet")
+        if os.path.exists(lin_file):
+            os.remove(lin_file)  # a fresh tiling invalidates update lineage
+        ray.data.read_parquet(
+            mf.data_dir(out_dir), columns=["entity_id", "tile"]
+        ).map_batches(_lin_rows, batch_format="pyarrow").write_parquet(
+            mf.lineage_dir(out_dir)
         )
+    timings["lineage"] = round(time.time() - t0, 2)
 
     mf.write_manifest(out_dir, gq, gt, state=dict(state or {}, target=target,
                                                   minimum=minimum, seq=0))
@@ -133,6 +218,7 @@ def tile_entities(
         "tiles": int(len(gq)),
         "total": int(gt.sum()),
         "skipped_tiles": int(len(done)),
+        "timings": timings,
     }
 
 
@@ -148,20 +234,30 @@ def tile_pages(
 
     ent_path = os.path.join(out_dir, "entities")
     ent_marker = os.path.join(out_dir, "entities.done")
+    import time
+
+    t_extract = 0.0
     if not (resume and os.path.exists(ent_marker)):
         # a partial previous extraction must not leave appendable files
         import shutil
 
+        t0 = time.time()
         shutil.rmtree(ent_path, ignore_errors=True)
         pages = ray.data.read_parquet(
             pages_path, columns=["url", "warc_ts", "html", "lang"]
         )
         ents = pages_to_entities(pages)
-        ents.write_parquet(ent_path)
+        # coalesce output files: the entities table is re-read several
+        # times (adaptive count rounds + assignment); tiny per-block files
+        # dominate those reads otherwise
+        ents.write_parquet(ent_path, min_rows_per_file=100_000)
         with open(ent_marker, "w") as f:
             f.write("ok\n")
+        t_extract = round(time.time() - t0, 2)
     ents2 = ray.data.read_parquet(ent_path)
-    return tile_entities(ents2, out_dir, target, minimum, resume)
+    res = tile_entities(ents2, out_dir, target, minimum, resume)
+    res["timings"]["extract"] = t_extract
+    return res
 
 
 def tiled_summary(out_dir: str):

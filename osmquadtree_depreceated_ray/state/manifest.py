@@ -67,12 +67,22 @@ def completed_tiles(out_dir: str) -> np.ndarray:
     return np.asarray(ok, dtype=np.int64)
 
 
+def lineage_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "lineage")
+
+
 def write_lineage(out_dir: str, table: pa.Table) -> None:
+    """Single-file lineage write (update path — small tables).  The
+    tiling pipeline writes the ``lineage/`` directory distributed
+    instead; the single file, when present, is the newer state."""
     pq.write_table(table, os.path.join(out_dir, "lineage.parquet"))
 
 
 def read_lineage(out_dir: str) -> pa.Table | None:
     p = os.path.join(out_dir, "lineage.parquet")
-    if not os.path.exists(p):
-        return None
-    return pq.read_table(p)
+    if os.path.exists(p):
+        return pq.read_table(p)
+    d = lineage_dir(out_dir)
+    if os.path.isdir(d) and os.listdir(d):
+        return pq.read_table(d)
+    return None

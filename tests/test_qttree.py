@@ -94,3 +94,27 @@ def test_small_input_goes_to_root():
         np.array([(3 << 61) | 18, (1 << 61) | 18]), np.array([3, 4]),
         target=8000, minimum=500)
     assert gq.tolist() == [0] and gt.tolist() == [7]
+
+
+def test_adaptive_counts_equivalent_to_flat(ray_session):
+    """Hierarchical hot-cell counting must produce the exact same split
+    as flat max-level counting (the refinement-threshold argument)."""
+    import pyarrow as pa
+    import ray
+
+    from osmquadtree_depreceated_ray.pipelines.tile import (
+        count_tiles,
+        count_tiles_adaptive,
+    )
+
+    qts = _random_qts(60_000, seed=41)
+    ds = ray.data.from_arrow(pa.table({"qt": qts})).repartition(8)
+    for target, minimum in [(2000, 100), (500, 40)]:
+        fq, fn = count_tiles(ds)
+        aq, an = count_tiles_adaptive(ds, target, levels=(4, 8, 13, 18))
+        assert an.sum() == fn.sum() == 60_000
+        g1 = dict(zip(*[x.tolist() for x in find_qt_groups(fq, fn, target, minimum,
+                                                           require_count=False)]))
+        g2 = dict(zip(*[x.tolist() for x in find_qt_groups(aq, an, target, minimum,
+                                                           require_count=False)]))
+        assert g1 == g2, (target, minimum)
