@@ -168,12 +168,69 @@ def calculate(minx, miny, maxx, maxy, buffer: float = 0.05, max_level: int = 18)
     return out
 
 
+def _spread2(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.int64)
+    v = (v | (v << 16)) & 0x0000FFFF0000FFFF
+    v = (v | (v << 8)) & 0x00FF00FF00FF00FF
+    v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0F
+    v = (v | (v << 2)) & 0x3333333333333333
+    v = (v | (v << 1)) & 0x5555555555555555
+    return v
+
+
 def calculate_point(lon, lat, buffer: float = 0.05, max_level: int = 18):
     """qt for point features: bbox (lon, lat, lon+1, lat+1) exactly as
-    the reference's node path (/root/reference/calcqts/resortwaynodes.go:705)."""
+    the reference's node path (/root/reference/calcqts/resortwaynodes.go:705).
+
+    Fast path: every arithmetic step of the descent loop is an exact IEEE
+    op (doubling, +-0.5, +-1 on small magnitudes), so the level-L
+    quadrant decisions equal the binary digits of the normalized
+    coordinates.  If BOTH corners of the point box fall in the same
+    finest-level dyadic cell (and strictly in bounds), no quadrant
+    boundary crosses the box at any level, no buffered branch can fire,
+    and the result is exactly the Morton interleave of the cell indices.
+    The ~0.1% of points straddling a finest-level boundary (or out of
+    range / non-finite after the mercator warp) take the exact loop.
+    Pinned against the scalar reference port by tests.
+    """
     lon = np.asarray(lon, dtype=np.int64)
     lat = np.asarray(lat, dtype=np.int64)
-    return calculate(lon, lat, lon + 1, lat + 1, buffer, max_level)
+    L = max_level
+    if L < 1:
+        return calculate(lon, lat, lon + 1, lat + 1, buffer, max_level)
+
+    x0 = to_float(lon) / 180.0
+    x1 = to_float(lon + 1) / 180.0
+    y0 = merc(to_float(lat)) / 90.0
+    y1 = merc(to_float(lat + 1)) / 90.0
+
+    half = np.int64(1) << (L - 1)
+    with np.errstate(invalid="ignore", over="ignore"):
+        fin = np.isfinite(y0) & np.isfinite(y1)
+        x0s = np.where(fin, x0, 0.0)
+        x1s = np.where(fin, x1, 0.0)
+        y0s = np.where(fin, y0, 0.0)
+        y1s = np.where(fin, y1, 0.0)
+        cx0 = np.floor(x0s * half).astype(np.int64) + half
+        cx1 = np.floor(x1s * half).astype(np.int64) + half
+        cy0 = np.floor(y0s * half).astype(np.int64) + half
+        cy1 = np.floor(y1s * half).astype(np.int64) + half
+    n_cells = np.int64(1) << L
+    safe = (
+        fin
+        & (cx0 == cx1) & (cy0 == cy1)
+        & (cx0 >= 0) & (cx0 < n_cells) & (cy0 >= 0) & (cy0 < n_cells)
+    )
+    y_slippy = (n_cells - 1) - cy0
+    inter = _spread2(cx0) | (_spread2(np.where(safe, y_slippy, 0)) << 1)
+    fast = (inter << np.int64(63 - 2 * L)) | np.int64(L)
+
+    out = np.where(safe, fast, np.int64(-1))
+    if not safe.all():
+        idx = np.flatnonzero(~safe)
+        out[idx] = calculate(lon[idx], lat[idx], lon[idx] + 1, lat[idx] + 1,
+                             buffer, max_level)
+    return out
 
 
 def qt_round(qt, level):

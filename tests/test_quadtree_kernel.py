@@ -120,3 +120,21 @@ def test_mercator_roundtrip():
     lon2, lat2 = qt.unmercator(x, y)
     np.testing.assert_allclose(lon, lon2, atol=1e-9)
     np.testing.assert_allclose(lat, lat2, atol=1e-9)
+
+
+def test_fast_point_path_matches_loop():
+    """The closed-form point fast path must equal the exact descent loop,
+    including forced seam/boundary coordinates and poles."""
+    r = np.random.default_rng(99)
+    lon = r.integers(qt.MIN_LON, qt.MAX_LON, size=200_000)
+    lat = r.integers(qt.MIN_LAT, qt.MAX_LAT, size=200_000)
+    # salt in exact dyadic boundaries and their neighbourhoods
+    k = r.integers(0, 1 << 18, size=2000)
+    bound_lon = (k * 3_600_000_000 // (1 << 18)) - 1_800_000_000
+    lon[:2000] = np.clip(bound_lon + r.integers(-2, 3, size=2000), qt.MIN_LON, qt.MAX_LON)
+    lat[2000:4000] = np.asarray([0, 1, -1, 900000000, -900000000] * 400)
+    for buf, lvl in ((0.05, 18), (0.0, 18), (0.05, 13), (0.025, 16)):
+        fast = qt.calculate_point(lon, lat, buf, lvl)
+        loop = qt.calculate(lon, lat, lon + 1, lat + 1, buf, lvl)
+        bad = np.flatnonzero(fast != loop)
+        assert len(bad) == 0, (buf, lvl, bad[:5], lon[bad[:3]], lat[bad[:3]])
