@@ -143,3 +143,16 @@ def test_relation_qt_propagation(geom_out):
     assert len(rel_qt) > 0
     # circular pair + empty rels resolve to 0, not -1
     assert all(v >= 0 for v in rel_qt.values())
+
+
+def test_admin_levels_and_route_list_reducers():
+    from osmquadtree_depreceated_ray.pipelines.geometry import admin_levels, route_list
+
+    t = {}
+    assert admin_levels(t, ["4", "2", "notanum", "8"])
+    assert t == {"min_admin_level": "2", "max_admin_level": "8"}
+    assert not admin_levels({}, ["x"])
+    t2 = {}
+    assert route_list(t2, "bus_routes", ["12", "3", "12", "7"])
+    assert t2 == {"bus_routes": "12;3;7"}
+    assert not route_list({}, "bus_routes", [])
