@@ -14,11 +14,20 @@
       -> features parquet (wkb, geom_type, z_order, area, bbox, qt)
          + optional newline-GeoJSON
 
-Ray-Data shape: every order-dependent trick of the reference (the
-ancestor-tile coord store, subtree watermarks) is replaced by explicit
-hash-bucketed shuffles (stages/shuffle.py); small sides (relation
-metadata, way tags) are broadcast via ray.put; the big sides (node
-coords, way vertices) stream through map_batches.
+Ray-Data shape — every join is a bucketed hash shuffle over keyed rows
+(stages/shuffle.py), so each stage holds only its bucket:
+
+* J2/J5 + M6-M8: union(vertex rows, way-tag rows, admin-donation rows)
+  keyed by way_id -> per-bucket assembly into way-geometry rows
+* A3/J4: union(node rows, parent-way fan-out rows) keyed by entity_id
+  -> per-bucket Common-qt fold + parent-highway reduction
+* J6: way-geometry fan-out to parent relations keyed by rel_id ->
+  per-bucket finishRel; tag-absorption marks flow back to ways through
+  one more bucketed join
+* only RELATION METADATA (tags + ordered member lists) and the
+  way->parent-relations index are broadcast via ray.put (the small side;
+  the geometries themselves always stream through shuffles), and the A4
+  relation-qt propagation runs on the driver over one row per relation.
 """
 
 from __future__ import annotations
@@ -40,6 +49,8 @@ GEOM_POINT = 1
 GEOM_LINESTRING = 2
 GEOM_POLYGON = 3
 GEOM_MULTI = 6
+
+_TAG_COLS = ("highway", "area", "layer", "bridge", "tunnel")
 
 
 def _node_tags_row(kind: str, name: str, entity_id: int) -> dict:
@@ -65,21 +76,9 @@ def _align(t: pa.Table, cols: dict[str, pa.DataType]) -> pa.Table:
     return pa.table(dict(zip(cols.keys(), arrays)))
 
 
-def build_way_vertices(entities_ds, ways_table: pa.Table):
-    """J2: attach per-vertex coords to ways via two bucketed shuffles.
-    Returns Dataset of (way_id, refs, lons, lats) with arrays in ref
-    order."""
-    import ray
-
-    refs_rows = []
-    wid = ways_table.column("way_id").to_numpy()
-    refs = ways_table.column("refs").to_pylist()
-    for w, rr in zip(wid, refs):
-        for pos, r in enumerate(rr):
-            refs_rows.append((int(r), int(w), pos))
-    refs_df = pd.DataFrame(refs_rows, columns=["entity_id", "way_id", "pos"])
-    refs_ds = ray.data.from_pandas(refs_df)
-
+def build_way_vertices(entities_ds, refs_ds):
+    """J2 phase 1: (entity_id, way_id, pos) x (entity_id, lon, lat) ->
+    vertex rows, via one bucketed hash join on entity_id."""
     cols = {
         "entity_id": pa.int64(),
         "way_id": pa.int64(),
@@ -106,38 +105,64 @@ def build_way_vertices(entities_ds, ways_table: pa.Table):
         m = rr.merge(nodes, on="entity_id", how="inner")
         return m[["way_id", "pos", "entity_id", "lon", "lat"]]
 
-    vertices = bucketed_apply(both, ["entity_id"], join_coords)
+    return bucketed_apply(both, ["entity_id"], join_coords)
+
+
+def _way_assembly_fn(style):
+    """Per-bucket way assembly: vertex rows + tag rows + admin-donation
+    rows (all keyed way_id) -> way geometry rows (M6-M8 + A2)."""
 
     def assemble(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["way_id", "pos"])
-        out = g.groupby("way_id", sort=False).agg(
-            refs=("entity_id", list), lons=("lon", list), lats=("lat", list)
-        )
-        return out.reset_index()
+        verts = g[g["kind"] == "vert"].sort_values(["way_id", "pos"])
+        tags_rows = g[g["kind"] == "tags"].set_index("way_id")
+        admin_rows = g[g["kind"] == "admin"].groupby("way_id")["a_val"].agg(list)
 
-    return bucketed_apply(vertices, ["way_id"], assemble)
+        out = {k: [] for k in ("way_id", "geom_type", "refs", "lons", "lats",
+                               "tags", "z_order", "area", "qt")}
+        for w, grp in verts.groupby("way_id", sort=False):
+            refs = grp["entity_id"].to_numpy(np.int64)
+            lons = grp["lon"].to_numpy(np.int64)
+            lats = grp["lat"].to_numpy(np.int64)
+            tags = {}
+            if w in tags_rows.index:
+                row = tags_rows.loc[w]
+                if isinstance(row, pd.DataFrame):
+                    row = row.iloc[0]
+                raw = row["tags_json"]
+                if isinstance(raw, str) and raw:
+                    tags = json.loads(raw)
+            if w in admin_rows.index:  # J5 donation
+                admin_levels(tags, [str(v) for v in admin_rows.loc[w]])
+            zo, isp = TR.way_tags(tags, style)
+            if isp:
+                isp = len(refs) >= 3 and refs[0] == refs[-1]
+            area = 0.0
+            gtype = GEOM_LINESTRING
+            if isp:
+                gtype = GEOM_POLYGON
+                try:
+                    area = G.polygon_area([(lons, lats)])
+                except ValueError:
+                    area = 0.0
+            qt = int(
+                calculate(
+                    np.asarray([lons.min()]), np.asarray([lats.min()]),
+                    np.asarray([lons.max()]), np.asarray([lats.max()]),
+                    0.05, 18,
+                )[0]
+            )
+            out["way_id"].append(int(w))
+            out["geom_type"].append(gtype)
+            out["refs"].append(refs.tolist())
+            out["lons"].append(lons.tolist())
+            out["lats"].append(lats.tolist())
+            out["tags"].append(json.dumps(tags, sort_keys=True))
+            out["z_order"].append(zo)
+            out["area"].append(float(area))
+            out["qt"].append(qt)
+        return pd.DataFrame(out)
 
-
-def _way_tags_map(ways_table: pa.Table) -> dict[int, dict]:
-    out = {}
-    cols = ["highway", "area", "layer", "bridge", "tunnel"]
-    data = {c: ways_table.column(c).to_pylist() for c in cols}
-    wid = ways_table.column("way_id").to_numpy()
-    for i, w in enumerate(wid):
-        tags = {c: data[c][i] for c in cols if data[c][i] is not None}
-        out[int(w)] = tags
-    return out
-
-
-def _relation_ranges(rels_table: pa.Table) -> dict[int, list[str]]:
-    """J5 prep: way_id -> donated admin_level values from boundary rels."""
-    df = rels_table.to_pandas()
-    df = df[(df["rel_type"] == "boundary") & (df["member_type"] == 1)]
-    df = df[df["admin_level"].notna()]
-    out: dict[int, list[str]] = {}
-    for w, al in zip(df["member_ref"], df["admin_level"]):
-        out.setdefault(int(w), []).append(str(al))
-    return out
+    return assemble
 
 
 def admin_levels(tags: dict, values: list[str]) -> bool:
@@ -163,6 +188,109 @@ def route_list(tags: dict, key: str, values: list[str]) -> bool:
     return True
 
 
+def _node_join_fn(style, point_qt_buffer=0.05):
+    """Per-bucket A3/J4: node rows + parent-way fan-out rows keyed
+    entity_id -> node feature rows."""
+
+    def join(g: pd.DataFrame) -> pd.DataFrame:
+        nodes = g[g["kind"] == "node"]
+        parents = g[g["kind"] == "parent"]
+        out = {k: [] for k in ("node_id", "lon", "lat", "tags", "qt", "feature")}
+        if len(parents):
+            pq_min = parents.groupby("entity_id")["p_qt"].min()
+            pq_max = parents.groupby("entity_id")["p_qt"].max()
+            pq_dep = parents.groupby("entity_id")["p_depth"].min()
+            hw_lists = (
+                parents[parents["p_hw"].notna() & (parents["p_hw"] != "")]
+                .groupby("entity_id")["p_hw"].agg(list)
+            )
+        else:
+            pq_min = pq_max = pq_dep = hw_lists = pd.Series(dtype="object")
+        for _, r in nodes.iterrows():
+            e = int(r["entity_id"])
+            tags = _node_tags_row(r["n_kind"], r["n_name"], e)
+            if e in pq_min.index:
+                # A3: Common over parent way qts == round(common(min,max),
+                # min depth) on the qt pre-order (mixed depths handled)
+                c = int(qt_common(np.asarray([int(pq_min.loc[e])]),
+                                  np.asarray([int(pq_max.loc[e])]))[0])
+                lvl = min(int(c & 31), int(pq_dep.loc[e]))
+                q = int(qt_round(np.asarray([c]), lvl)[0])
+            else:
+                q = int(calculate_point(np.asarray([int(r["lon"])]),
+                                        np.asarray([int(r["lat"])]),
+                                        point_qt_buffer, 18)[0])
+            if "highway" in tags:  # J4 parent value reduction
+                hw = G.find_parent_highway(
+                    list(hw_lists.loc[e]) if e in hw_lists.index else []
+                )
+                if hw:
+                    tags["parent_highway"] = hw
+            feat = TR.node_tags(tags, style)
+            out["node_id"].append(e)
+            out["lon"].append(int(r["lon"]))
+            out["lat"].append(int(r["lat"]))
+            out["tags"].append(json.dumps(tags, sort_keys=True))
+            out["qt"].append(q)
+            out["feature"].append(bool(feat))
+        return pd.DataFrame(out)
+
+    return join
+
+
+def _feature_row(fid, orig, gtype, tags, zo, area, lons_all, lats_all, wkb):
+    minx, miny = int(np.min(lons_all)), int(np.min(lats_all))
+    maxx, maxy = int(np.max(lons_all)), int(np.max(lats_all))
+    q = int(calculate(np.asarray([minx]), np.asarray([miny]),
+                      np.asarray([maxx]), np.asarray([maxy]), 0.025, 18)[0])
+    return {
+        "feature_id": int(fid), "orig_type": int(orig), "geom_type": int(gtype),
+        "tags": json.dumps(tags, sort_keys=True) if isinstance(tags, dict) else tags,
+        "z_order": int(zo), "area": float(area), "qt": q,
+        "minx": minx, "miny": miny, "maxx": maxx, "maxy": maxy, "wkb": wkb,
+    }
+
+
+_FEATURE_SCHEMA = pa.schema(
+    [
+        ("feature_id", pa.int64()), ("orig_type", pa.int8()),
+        ("geom_type", pa.int8()), ("tags", pa.string()),
+        ("z_order", pa.int64()), ("area", pa.float64()), ("qt", pa.int64()),
+        ("minx", pa.int64()), ("miny", pa.int64()),
+        ("maxx", pa.int64()), ("maxy", pa.int64()), ("wkb", pa.binary()),
+    ]
+)
+
+
+def _rows_to_table(rows: list[dict]) -> pa.Table:
+    if not rows:
+        return _FEATURE_SCHEMA.empty_table()
+    return pa.Table.from_pylist(rows, schema=_FEATURE_SCHEMA)
+
+
+def _way_feature_batch(b: pa.Table, held: np.ndarray, style) -> pa.Table:
+    """Free-standing way geometries -> feature rows (skips rel-held ways)."""
+    rows = []
+    for i in range(b.num_rows):
+        w = int(b.column("way_id")[i].as_py())
+        p = np.searchsorted(held, w)
+        if p < len(held) and held[p] == w:
+            continue
+        tags = json.loads(b.column("tags")[i].as_py())
+        if not TR.is_feature(tags, style):
+            continue
+        lons = np.asarray(b.column("lons")[i].as_py(), np.int64)
+        lats = np.asarray(b.column("lats")[i].as_py(), np.int64)
+        gtype = int(b.column("geom_type")[i].as_py())
+        wkb = (WKB.polygon_wkb([(lons, lats)]) if gtype == GEOM_POLYGON
+               else WKB.linestring_wkb(lons, lats))
+        rows.append(_feature_row(w, 1, gtype, b.column("tags")[i].as_py(),
+                                 int(b.column("z_order")[i].as_py()),
+                                 float(b.column("area")[i].as_py()),
+                                 lons, lats, wkb))
+    return _rows_to_table(rows)
+
+
 def build_geometries(fixture_dir: str, out_dir: str,
                      style: dict | None = None) -> dict:
     import pyarrow.parquet as pq
@@ -177,146 +305,117 @@ def build_geometries(fixture_dir: str, out_dir: str,
     ways_table = pq.read_table(os.path.join(fixture_dir, "way_segments.parquet"))
     rels_table = pq.read_table(os.path.join(fixture_dir, "rel_members.parquet"))
 
-    # --- J2: way vertices ---------------------------------------------------
-    way_verts = build_way_vertices(entities_ds, ways_table).materialize()
-
-    # --- small-side broadcasts ----------------------------------------------
-    way_tags_map = _way_tags_map(ways_table)
-    rel_ranges = _relation_ranges(rels_table)
-    wt_ref = ray.put({"tags": way_tags_map, "ranges": rel_ranges, "style": style})
-
-    # --- way geometries (M6-M8 + A2 qt) ------------------------------------
-    class MakeWayGeoms:
-        def __init__(self):
-            d = ray.get(wt_ref)
-            self.tags = d["tags"]
-            self.ranges = d["ranges"]
-            self.style = d["style"]
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            rows = {
-                "way_id": [], "geom_type": [], "refs": [], "lons": [], "lats": [],
-                "tags": [], "z_order": [], "area": [], "qt": [],
-            }
-            for i in range(b.num_rows):
-                w = int(b.column("way_id")[i].as_py())
-                refs = np.asarray(b.column("refs")[i].as_py(), dtype=np.int64)
-                lons = np.asarray(b.column("lons")[i].as_py(), dtype=np.int64)
-                lats = np.asarray(b.column("lats")[i].as_py(), dtype=np.int64)
-                tags = dict(self.tags.get(w, {}))
-                if w in self.ranges:  # J5 donation
-                    admin_levels(tags, self.ranges[w])
-                zo, isp = TR.way_tags(tags, self.style)
-                if isp:
-                    isp = len(refs) >= 3 and refs[0] == refs[-1]
-                area = 0.0
-                gtype = GEOM_LINESTRING
-                if isp:
-                    gtype = GEOM_POLYGON
-                    try:
-                        area = G.polygon_area([(lons, lats)])
-                    except ValueError:
-                        area = 0.0
-                # A2: way qt from bbox
-                qt = int(
-                    calculate(
-                        np.asarray([lons.min()]), np.asarray([lats.min()]),
-                        np.asarray([lons.max()]), np.asarray([lats.max()]),
-                        0.05, 18,
-                    )[0]
-                )
-                rows["way_id"].append(w)
-                rows["geom_type"].append(gtype)
-                rows["refs"].append(refs.tolist())
-                rows["lons"].append(lons.tolist())
-                rows["lats"].append(lats.tolist())
-                rows["tags"].append(json.dumps(tags, sort_keys=True))
-                rows["z_order"].append(zo)
-                rows["area"].append(area)
-                rows["qt"].append(qt)
-            return pa.table(
-                {
-                    "way_id": pa.array(rows["way_id"], pa.int64()),
-                    "geom_type": pa.array(rows["geom_type"], pa.int64()),
-                    "refs": pa.array(rows["refs"], pa.list_(pa.int64())),
-                    "lons": pa.array(rows["lons"], pa.list_(pa.int64())),
-                    "lats": pa.array(rows["lats"], pa.list_(pa.int64())),
-                    "tags": pa.array(rows["tags"], pa.string()),
-                    "z_order": pa.array(rows["z_order"], pa.int64()),
-                    "area": pa.array(rows["area"], pa.float64()),
-                    "qt": pa.array(rows["qt"], pa.int64()),
-                }
-            )
-
-    way_geoms = way_verts.map_batches(
-        MakeWayGeoms, batch_format="pyarrow", concurrency=(1, 4)
-    ).materialize()
-
-    # --- A3 + J4: node qt from parent ways; parent_highway ------------------
-    wg_df = way_geoms.to_pandas()  # fixture scale; see docstring note
-    node_parent_qt: dict[int, list[int]] = {}
-    node_parent_hw: dict[int, list[str]] = {}
-    for _, r in wg_df.iterrows():
-        tags = json.loads(r["tags"])
-        hw = tags.get("highway")
-        for ref in r["refs"]:
-            node_parent_qt.setdefault(int(ref), []).append(int(r["qt"]))
-            if hw:
-                node_parent_hw.setdefault(int(ref), []).append(hw)
-    np_ref = ray.put({"qt": node_parent_qt, "hw": node_parent_hw, "style": style})
-
-    class MakeNodeGeoms:
-        def __init__(self):
-            d = ray.get(np_ref)
-            self.parent_qt = d["qt"]
-            self.parent_hw = d["hw"]
-            self.style = d["style"]
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            eid = b.column("entity_id").to_numpy()
-            lon = b.column("lon").to_numpy()
-            lat = b.column("lat").to_numpy()
-            kind = b.column("kind").to_pylist()
-            name = b.column("name").to_pylist()
-            pt_qt = calculate_point(lon, lat, 0.05, 18)
-            out = {k: [] for k in ("node_id", "lon", "lat", "tags", "qt", "feature")}
-            for i, e in enumerate(eid):
-                tags = _node_tags_row(kind[i], name[i], int(e))
-                pq_list = self.parent_qt.get(int(e))
-                if pq_list:  # A3: Common over parent way qts
-                    q = -1
-                    for p in pq_list:
-                        q = int(qt_common(np.asarray([q]), np.asarray([p]))[0])
-                else:
-                    q = int(pt_qt[i])
-                if "highway" in tags:  # J4 parent value reduction
-                    hw = G.find_parent_highway(self.parent_hw.get(int(e), []))
-                    if hw:
-                        tags["parent_highway"] = hw
-                feat = TR.node_tags(tags, self.style)
-                out["node_id"].append(int(e))
-                out["lon"].append(int(lon[i]))
-                out["lat"].append(int(lat[i]))
-                out["tags"].append(json.dumps(tags, sort_keys=True))
-                out["qt"].append(q)
-                out["feature"].append(feat)
-            return pa.table(
-                {
-                    "node_id": pa.array(out["node_id"], pa.int64()),
-                    "lon": pa.array(out["lon"], pa.int64()),
-                    "lat": pa.array(out["lat"], pa.int64()),
-                    "tags": pa.array(out["tags"], pa.string()),
-                    "qt": pa.array(out["qt"], pa.int64()),
-                    "feature": pa.array(out["feature"], pa.bool_()),
-                }
-            )
-
-    node_geoms = entities_ds.map_batches(
-        MakeNodeGeoms, batch_format="pyarrow", concurrency=(1, 4)
+    # --- row sources --------------------------------------------------------
+    wid = ways_table.column("way_id").to_numpy()
+    refs = ways_table.column("refs").to_pylist()
+    refs_rows = [
+        (int(r), int(w), p)
+        for w, rr in zip(wid, refs)
+        for p, r in enumerate(rr)
+    ]
+    refs_ds = ray.data.from_pandas(
+        pd.DataFrame(refs_rows, columns=["entity_id", "way_id", "pos"])
     )
 
-    # --- J6: relation assembly ----------------------------------------------
+    tag_data = {c: ways_table.column(c).to_pylist() for c in _TAG_COLS}
+    way_tag_rows = pd.DataFrame(
+        {
+            "way_id": wid,
+            "tags_json": [
+                json.dumps(
+                    {c: tag_data[c][i] for c in _TAG_COLS if tag_data[c][i] is not None},
+                    sort_keys=True,
+                )
+                for i in range(len(wid))
+            ],
+        }
+    )
     rel_df = rels_table.to_pandas()
+    adm = rel_df[
+        (rel_df["rel_type"] == "boundary") & (rel_df["member_type"] == 1)
+        & rel_df["admin_level"].notna()
+    ]
+    admin_rows = pd.DataFrame(
+        {"way_id": adm["member_ref"].astype("int64"),
+         "a_val": adm["admin_level"].astype(str)}
+    )
+
+    # --- J2 + M6-M8: way geometries (two bucketed shuffles) ----------------
+    verts = build_way_vertices(entities_ds, refs_ds)
+    way_cols = {
+        "way_id": pa.int64(), "pos": pa.int64(), "entity_id": pa.int64(),
+        "lon": pa.int64(), "lat": pa.int64(), "tags_json": pa.string(),
+        "a_val": pa.string(), "kind": pa.string(),
+    }
+
+    def kindify(kind):
+        def fn(b: pa.Table) -> pa.Table:
+            return _align(
+                b.append_column("kind", pa.array([kind] * b.num_rows)), way_cols
+            )
+
+        return fn
+
+    way_inputs = (
+        verts.map_batches(kindify("vert"), batch_format="pyarrow")
+        .union(ray.data.from_pandas(way_tag_rows)
+               .map_batches(kindify("tags"), batch_format="pyarrow"))
+        .union(ray.data.from_pandas(admin_rows)
+               .map_batches(kindify("admin"), batch_format="pyarrow"))
+    )
+    way_geoms = bucketed_apply(
+        way_inputs, ["way_id"], _way_assembly_fn(style)
+    ).materialize()
+
+    # --- A3 + J4: nodes (bucketed join on entity_id) ------------------------
+    def parent_fanout(b: pa.Table) -> pa.Table:
+        e, q, d, hw = [], [], [], []
+        for i in range(b.num_rows):
+            tags = json.loads(b.column("tags")[i].as_py())
+            phw = tags.get("highway", "")
+            wqt = int(b.column("qt")[i].as_py())
+            for r in b.column("refs")[i].as_py():
+                e.append(int(r))
+                q.append(wqt)
+                d.append(wqt & 31)
+                hw.append(phw)
+        return pa.table(
+            {"entity_id": pa.array(e, pa.int64()), "p_qt": pa.array(q, pa.int64()),
+             "p_depth": pa.array(d, pa.int64()), "p_hw": pa.array(hw, pa.string())}
+        )
+
+    node_cols = {
+        "entity_id": pa.int64(), "lon": pa.int64(), "lat": pa.int64(),
+        "n_kind": pa.string(), "n_name": pa.string(),
+        "p_qt": pa.int64(), "p_depth": pa.int64(), "p_hw": pa.string(),
+        "kind": pa.string(),
+    }
+
+    def node_rows(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "entity_id": b.column("entity_id"),
+                "lon": b.column("lon"),
+                "lat": b.column("lat"),
+                "n_kind": b.column("kind"),
+                "n_name": b.column("name"),
+            }
+        ).append_column("kind", pa.array(["node"] * b.num_rows))
+        return _align(t, node_cols)
+
+    def parent_rows(b: pa.Table) -> pa.Table:
+        return _align(
+            b.append_column("kind", pa.array(["parent"] * b.num_rows)), node_cols
+        )
+
+    node_inputs = entities_ds.map_batches(node_rows, batch_format="pyarrow").union(
+        way_geoms.map_batches(parent_fanout, batch_format="pyarrow")
+        .map_batches(parent_rows, batch_format="pyarrow")
+    )
+    node_geoms = bucketed_apply(node_inputs, ["entity_id"],
+                                _node_join_fn(style)).materialize()
+
+    # --- J6: relation assembly ----------------------------------------------
     mp = rel_df[
         rel_df["rel_type"].isin(["boundary", "multipolygon"])
         & (rel_df["member_type"] == 1)
@@ -334,48 +433,141 @@ def build_geometries(fixture_dir: str, out_dir: str,
             t["boundary"] = "administrative"
             if r["admin_level"] is not None and not pd.isna(r["admin_level"]):
                 t["admin_level"] = str(r["admin_level"])
+    held = np.sort(np.asarray(list(way_to_rels), dtype=np.int64))
+    meta_ref = ray.put({"members": rel_members, "tags": rel_tags_map,
+                        "w2r": way_to_rels, "style": style})
 
-    held_ways = set(way_to_rels)
-    rel_geoms = []
-    removed_marks: dict[int, list[str]] = {}
-    ways_for_rel: dict[int, TR.WayGeom] = {}
-    for _, r in wg_df.iterrows():
-        w = int(r["way_id"])
-        if w in held_ways:
-            ways_for_rel[w] = TR.WayGeom(
-                way_id=w,
-                geom_type=int(r["geom_type"]),
-                refs=np.asarray(r["refs"], np.int64),
-                lon=np.asarray(r["lons"], np.int64),
-                lat=np.asarray(r["lats"], np.int64),
-                tags=json.loads(r["tags"]),
-                z_order=int(r["z_order"]),
-                area=float(r["area"]),
+    def rel_fanout(b: pa.Table) -> pa.Table:
+        w2r = ray.get(meta_ref)["w2r"]
+        out_rel, out_payload = [], []
+        for i in range(b.num_rows):
+            w = int(b.column("way_id")[i].as_py())
+            rels = w2r.get(w)
+            if not rels:
+                continue
+            payload = json.dumps(
+                {
+                    "way_id": w,
+                    "geom_type": int(b.column("geom_type")[i].as_py()),
+                    "refs": b.column("refs")[i].as_py(),
+                    "lons": b.column("lons")[i].as_py(),
+                    "lats": b.column("lats")[i].as_py(),
+                    "tags": b.column("tags")[i].as_py(),
+                    "z_order": int(b.column("z_order")[i].as_py()),
+                    "area": float(b.column("area")[i].as_py()),
+                }
             )
-    for rid, members in rel_members.items():
-        gm, removed = TR.finish_rel(
-            rid, rel_tags_map[rid], members, ways_for_rel, style
+            for rid in rels:
+                out_rel.append(rid)
+                out_payload.append(payload)
+        return pa.table(
+            {"rel_id": pa.array(out_rel, pa.int64()),
+             "payload": pa.array(out_payload, pa.string())}
         )
-        if gm is not None:
-            rel_geoms.append(gm)
-        for w, ks in removed.items():
-            removed_marks.setdefault(w, []).extend(ks)
 
-    # release held ways: apply tag absorption, keep if still a feature
-    released = []
-    for w, wy in ways_for_rel.items():
-        tags = dict(wy.tags)
-        for k in removed_marks.get(w, []):
-            tags.pop(k, None)
-        if TR.is_feature(tags, style):
-            released.append((w, wy, tags))
+    def assemble_rels(g: pd.DataFrame) -> pd.DataFrame:
+        meta = ray.get(meta_ref)
+        out = {"row_kind": [], "rel_id": [], "way_id": [], "removed_key": [],
+               "feature": []}
+        for rid, grp in g.groupby("rel_id", sort=False):
+            ways = {}
+            for pj in grp["payload"]:
+                d = json.loads(pj)
+                ways[d["way_id"]] = TR.WayGeom(
+                    way_id=d["way_id"], geom_type=d["geom_type"],
+                    refs=np.asarray(d["refs"], np.int64),
+                    lon=np.asarray(d["lons"], np.int64),
+                    lat=np.asarray(d["lats"], np.int64),
+                    tags=json.loads(d["tags"]),
+                    z_order=d["z_order"], area=d["area"],
+                )
+            gm, removed = TR.finish_rel(
+                int(rid), meta["tags"][int(rid)], meta["members"][int(rid)],
+                ways, meta["style"],
+            )
+            if gm is not None:
+                all_lon = np.concatenate([r[1] for gp in gm["groups"] for r in gp])
+                all_lat = np.concatenate([r[2] for gp in gm["groups"] for r in gp])
+                if gm["geom_type"] == GEOM_POLYGON:
+                    wkb = WKB.polygon_wkb([(r[1], r[2]) for r in gm["groups"][0]])
+                else:
+                    wkb = WKB.multipolygon_wkb(
+                        [[(r[1], r[2]) for r in gp] for gp in gm["groups"]]
+                    )
+                feat = _feature_row(gm["rel_id"], 2, gm["geom_type"], gm["tags"],
+                                    gm["z_order"], gm["area"], all_lon, all_lat,
+                                    wkb)
+                feat["wkb"] = feat["wkb"].hex()
+                out["row_kind"].append("rel_geom")
+                out["rel_id"].append(int(rid))
+                out["way_id"].append(-1)
+                out["removed_key"].append(json.dumps(feat))
+                out["feature"].append(True)
+            for w, ks in removed.items():
+                for k in ks:
+                    out["row_kind"].append("removed")
+                    out["rel_id"].append(int(rid))
+                    out["way_id"].append(int(w))
+                    out["removed_key"].append(k)
+                    out["feature"].append(False)
+        return pd.DataFrame(out)
 
-    # --- A4: relation qt (Common over members + 5 rel->rel rounds) ----------
-    way_qt = {int(r["way_id"]): int(r["qt"]) for _, r in wg_df.iterrows()}
+    # NOTE: a way shared by several relations is fanned out to each; the
+    # rel bucket sees its own copy (geometries are immutable rows here)
+    rel_stream = way_geoms.map_batches(rel_fanout, batch_format="pyarrow")
+    rel_results = bucketed_apply(rel_stream, ["rel_id"], assemble_rels,
+                                 n_buckets=8).materialize()
+    rel_res_df = rel_results.to_pandas() if rel_results.count() else pd.DataFrame(
+        {"row_kind": [], "rel_id": [], "way_id": [], "removed_key": [],
+         "feature": []}
+    )
+    rel_feature_rows = [
+        json.loads(s) for s in rel_res_df[rel_res_df["row_kind"] == "rel_geom"][
+            "removed_key"]
+    ]
+    for fr in rel_feature_rows:
+        fr["wkb"] = bytes.fromhex(fr["wkb"])
+    removed_df = rel_res_df[rel_res_df["row_kind"] == "removed"][
+        ["way_id", "removed_key"]]
+
+    # released held ways: apply absorption marks, keep if still a feature
+    removed_map: dict[int, set] = {}
+    for _, r in removed_df.iterrows():
+        removed_map.setdefault(int(r["way_id"]), set()).add(r["removed_key"])
+    rm_ref = ray.put(removed_map)
+
+    def released_ways(b: pa.Table) -> pa.Table:
+        marks = ray.get(rm_ref)
+        rows = []
+        for i in range(b.num_rows):
+            w = int(b.column("way_id")[i].as_py())
+            p = np.searchsorted(held, w)
+            if not (p < len(held) and held[p] == w):
+                continue
+            tags = json.loads(b.column("tags")[i].as_py())
+            for k in marks.get(w, ()):  # absorption deletions
+                tags.pop(k, None)
+            if not TR.is_feature(tags, style):
+                continue
+            lons = np.asarray(b.column("lons")[i].as_py(), np.int64)
+            lats = np.asarray(b.column("lats")[i].as_py(), np.int64)
+            gtype = int(b.column("geom_type")[i].as_py())
+            wkb = (WKB.polygon_wkb([(lons, lats)]) if gtype == GEOM_POLYGON
+                   else WKB.linestring_wkb(lons, lats))
+            rows.append(_feature_row(w, 1, gtype,
+                                     json.dumps(tags, sort_keys=True),
+                                     int(b.column("z_order")[i].as_py()),
+                                     float(b.column("area")[i].as_py()),
+                                     lons, lats, wkb))
+        return _rows_to_table(rows)
+
+    # --- A4: relation qt (small driver graph over distributed member qts) ---
+    way_qt_df = way_geoms.select_columns(["way_id", "qt"]).to_pandas()
+    way_qt = dict(zip(way_qt_df["way_id"].astype(int),
+                      way_qt_df["qt"].astype(int)))
     rel_qt: dict[int, int] = {}
-    all_rels = rel_df.groupby("rel_id")
     rel_rel_edges = []
-    for rid, grp in all_rels:
+    for rid, grp in rel_df.groupby("rel_id"):
         q = -1
         for _, m in grp.iterrows():
             if m["member_type"] == 1 and int(m["member_ref"]) in way_qt:
@@ -388,104 +580,49 @@ def build_geometries(fixture_dir: str, out_dir: str,
         for k, v in rel_rel_edges:
             if v in rel_qt:
                 rel_qt[k] = int(
-                    qt_common(np.asarray([rel_qt[k]]), np.asarray([rel_qt.get(v, -1)]))[0]
+                    qt_common(np.asarray([rel_qt[k]]),
+                              np.asarray([rel_qt.get(v, -1)]))[0]
                 )
     rel_qt = {k: (0 if v == -1 else v) for k, v in rel_qt.items()}
 
-    # --- final feature table -------------------------------------------------
-    feats = {k: [] for k in (
-        "feature_id", "orig_type", "geom_type", "tags", "z_order", "area",
-        "qt", "minx", "miny", "maxx", "maxy", "wkb",
-    )}
+    # --- final features (distributed per-batch construction + write) -------
+    def node_features(b: pa.Table) -> pa.Table:
+        rows = []
+        for i in range(b.num_rows):
+            if not b.column("feature")[i].as_py():
+                continue
+            lon = int(b.column("lon")[i].as_py())
+            lat = int(b.column("lat")[i].as_py())
+            rows.append(_feature_row(int(b.column("node_id")[i].as_py()), 0,
+                                     GEOM_POINT, b.column("tags")[i].as_py(),
+                                     0, 0.0, np.asarray([lon]), np.asarray([lat]),
+                                     WKB.point_wkb(lon, lat)))
+        return _rows_to_table(rows)
 
-    def add_feature(fid, orig, gtype, tags, zo, area, lons_all, lats_all, wkb):
-        minx, miny = int(np.min(lons_all)), int(np.min(lats_all))
-        maxx, maxy = int(np.max(lons_all)), int(np.max(lats_all))
-        # geometry re-calc qt: buffer 0.025 (geometry.go:311-317)
-        q = int(calculate(np.asarray([minx]), np.asarray([miny]),
-                          np.asarray([maxx]), np.asarray([maxy]), 0.025, 18)[0])
-        feats["feature_id"].append(fid)
-        feats["orig_type"].append(orig)
-        feats["geom_type"].append(gtype)
-        feats["tags"].append(json.dumps(tags, sort_keys=True))
-        feats["z_order"].append(zo)
-        feats["area"].append(area)
-        feats["qt"].append(q)
-        feats["minx"].append(minx)
-        feats["miny"].append(miny)
-        feats["maxx"].append(maxx)
-        feats["maxy"].append(maxy)
-        feats["wkb"].append(wkb)
-
-    # nodes (distributed part collected: feature nodes only)
-    node_df = node_geoms.to_pandas()
-    for _, r in node_df[node_df["feature"]].iterrows():
-        add_feature(
-            int(r["node_id"]), 0, GEOM_POINT, json.loads(r["tags"]), 0, 0.0,
-            np.asarray([r["lon"]]), np.asarray([r["lat"]]),
-            WKB.point_wkb(int(r["lon"]), int(r["lat"])),
-        )
-    # free-standing ways (not held by any relation)
-    for _, r in wg_df.iterrows():
-        w = int(r["way_id"])
-        if w in held_ways:
-            continue
-        tags = json.loads(r["tags"])
-        if not TR.is_feature(tags, style):
-            continue
-        lons = np.asarray(r["lons"], np.int64)
-        lats = np.asarray(r["lats"], np.int64)
-        if int(r["geom_type"]) == GEOM_POLYGON:
-            wkb = WKB.polygon_wkb([(lons, lats)])
-        else:
-            wkb = WKB.linestring_wkb(lons, lats)
-        add_feature(w, 1, int(r["geom_type"]), tags, int(r["z_order"]),
-                    float(r["area"]), lons, lats, wkb)
-    # released relation member ways
-    for w, wy, tags in released:
-        if wy.geom_type == GEOM_POLYGON:
-            wkb = WKB.polygon_wkb([(wy.lon, wy.lat)])
-        else:
-            wkb = WKB.linestring_wkb(wy.lon, wy.lat)
-        add_feature(w, 1, wy.geom_type, tags, wy.z_order, wy.area,
-                    wy.lon, wy.lat, wkb)
-    # relations
-    for gm in rel_geoms:
-        all_lon = np.concatenate([r[1] for grp in gm["groups"] for r in grp])
-        all_lat = np.concatenate([r[2] for grp in gm["groups"] for r in grp])
-        if gm["geom_type"] == GEOM_POLYGON:
-            wkb = WKB.polygon_wkb([(r[1], r[2]) for r in gm["groups"][0]])
-        else:
-            wkb = WKB.multipolygon_wkb(
-                [[(r[1], r[2]) for r in grp] for grp in gm["groups"]]
-            )
-        add_feature(int(gm["rel_id"]), 2, gm["geom_type"], gm["tags"],
-                    gm["z_order"], gm["area"], all_lon, all_lat, wkb)
-
-    table = pa.table(
-        {
-            "feature_id": pa.array(feats["feature_id"], pa.int64()),
-            "orig_type": pa.array(feats["orig_type"], pa.int8()),
-            "geom_type": pa.array(feats["geom_type"], pa.int8()),
-            "tags": pa.array(feats["tags"], pa.string()),
-            "z_order": pa.array(feats["z_order"], pa.int64()),
-            "area": pa.array(feats["area"], pa.float64()),
-            "qt": pa.array(feats["qt"], pa.int64()),
-            "minx": pa.array(feats["minx"], pa.int64()),
-            "miny": pa.array(feats["miny"], pa.int64()),
-            "maxx": pa.array(feats["maxx"], pa.int64()),
-            "maxy": pa.array(feats["maxy"], pa.int64()),
-            "wkb": pa.array(feats["wkb"], pa.binary()),
-        }
+    feats = (
+        node_geoms.map_batches(node_features, batch_format="pyarrow")
+        .union(way_geoms.map_batches(
+            lambda b: _way_feature_batch(b, held, style), batch_format="pyarrow"))
+        .union(way_geoms.map_batches(released_ways, batch_format="pyarrow"))
     )
+    parts = [
+        b.cast(_FEATURE_SCHEMA)
+        for b in feats.iter_batches(batch_format="pyarrow", batch_size=None)
+        if b.num_rows
+    ]
+    feats_tbl = pa.concat_tables(parts) if parts else _FEATURE_SCHEMA.empty_table()
+    rel_tbl = _rows_to_table(rel_feature_rows)
+    table = pa.concat_tables([feats_tbl, rel_tbl])
+
     import pyarrow.parquet as pq2
 
     pq2.write_table(table, os.path.join(out_dir, "features.parquet"))
+    ot = table.column("orig_type").to_numpy()
     return {
         "features": table.num_rows,
-        "nodes": int(node_df["feature"].sum()),
-        "ways": int(sum(1 for t in feats["orig_type"] if t == 1)),
-        "relations": len(rel_geoms),
+        "nodes": int((ot == 0).sum()),
+        "ways": int((ot == 1).sum()),
+        "relations": int((ot == 2).sum()),
         "rel_qt": rel_qt,
         "out": os.path.join(out_dir, "features.parquet"),
     }
