@@ -509,3 +509,43 @@ def q_pip_poly(sf_dir: str):
 QUERIES["tile_split"] = q_tile_split
 QUERIES["pip_poly"] = q_pip_poly
 # (both intentionally absent from ORACLES -> driver rows-only check)
+
+
+def q_cells(sf_dir: str):
+    """Companion cell indexes (north_rule: H3/S2-style) per derived
+    entity: S2 level-16 id (from-scratch Hilbert implementation) + hex
+    cell.  Rows-only (the trig/table pipeline is not practical to
+    replicate in SQL); determinism + properties pinned by
+    tests/test_cells_geom.py."""
+    ds = derived_entities(sf_dir)
+    return ds.select_columns(["doc_id", "cell_s2", "cell_h3"])
+
+
+def q_sample(sf_dir: str):
+    """O8: systematic sampling of the events stream (deterministic
+    modulo sample so the oracle is exact)."""
+    import ray
+
+    def fn(b: pa.Table) -> pa.Table:
+        eid = b.column("event_id").to_numpy()
+        keep = (eid % 20) == 3
+        t = b.filter(pa.array(keep))
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "event_type": t.column("event_type"),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type"]
+    )
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+QUERIES["cells"] = q_cells
+QUERIES["sample"] = q_sample
+ORACLES["sample"] = (
+    "SELECT event_id, user_id, event_type FROM events WHERE event_id % 20 = 3"
+)

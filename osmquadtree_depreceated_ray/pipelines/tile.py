@@ -184,33 +184,18 @@ def tile_entities(
     # layout (writefile.go:50-52), resumable (completed tiles skipped)
     from ..stages.write_tiles import write_tiled
 
+    has_entity_id = "entity_id" in entities_ds.schema().names
+    lin_file = os.path.join(out_dir, "lineage.parquet")
+    if has_entity_id and os.path.exists(lin_file):
+        os.remove(lin_file)  # a fresh tiling invalidates update lineage
     n_writers = max(concurrency[1] if isinstance(concurrency, tuple) else 8, 8)
     write_tiled(assigned, mf.data_dir(out_dir), gq, gt,
-                n_writers=n_writers, skip_tiles=done)
+                n_writers=n_writers, skip_tiles=done,
+                lineage_dir=mf.lineage_dir(out_dir) if has_entity_id else None)
     timings["assign_write"] = round(time.time() - t0, 2)
     t0 = time.time()
 
-    # lineage (T5/J10): entity -> tile, from the written partitions (a
-    # 2-column columnar read + distributed write — no driver materialize)
-    if "entity_id" in entities_ds.schema().names:
-        import pandas as _pd
-
-        def _lin_rows(b: pa.Table) -> pa.Table:
-            tile = _pd.to_numeric(b.column("tile").to_pandas()).astype("int64")
-            return pa.table(
-                {"entity_id": b.column("entity_id"),
-                 "tile": pa.array(tile.to_numpy())}
-            )
-
-        lin_file = os.path.join(out_dir, "lineage.parquet")
-        if os.path.exists(lin_file):
-            os.remove(lin_file)  # a fresh tiling invalidates update lineage
-        ray.data.read_parquet(
-            mf.data_dir(out_dir), columns=["entity_id", "tile"]
-        ).map_batches(_lin_rows, batch_format="pyarrow").write_parquet(
-            mf.lineage_dir(out_dir)
-        )
-    timings["lineage"] = round(time.time() - t0, 2)
+    timings["lineage"] = 0.0  # folded into write_tiled
 
     mf.write_manifest(out_dir, gq, gt, state=dict(state or {}, target=target,
                                                   minimum=minimum, seq=0))

@@ -40,8 +40,13 @@ def _writer_ranges(tile_order: np.ndarray, tile_counts: np.ndarray,
 
 def write_tiled(assigned_ds, out_dir: str, tile_order: np.ndarray,
                 tile_counts: np.ndarray, n_writers: int = 16,
-                skip_tiles: np.ndarray | None = None) -> int:
-    """Shuffle-by-known-boundaries write.  Returns rows written."""
+                skip_tiles: np.ndarray | None = None,
+                lineage_dir: str | None = None) -> int:
+    """Shuffle-by-known-boundaries write.  Returns rows written.
+
+    When ``lineage_dir`` is given, each writer also emits its
+    (entity_id, tile) lineage part — the writers hold exactly that data,
+    so the separate lineage pass disappears."""
     import ray
 
     order = np.argsort(tile_order, kind="stable")
@@ -74,6 +79,13 @@ def write_tiled(assigned_ds, out_dir: str, tile_order: np.ndarray,
         order2 = np.argsort(tile, kind="stable")
         tbl = tbl.take(pa.array(order2))
         tile = tile[order2]
+        if lineage_dir is not None and "entity_id" in tbl.column_names:
+            os.makedirs(lineage_dir, exist_ok=True)
+            lin = pa.table({"entity_id": tbl.column("entity_id"),
+                            "tile": pa.array(tile)})
+            ltmp = os.path.join(lineage_dir, f".part-{writer_id}.parquet.tmp")
+            pq.write_table(lin, ltmp)
+            os.replace(ltmp, os.path.join(lineage_dir, f"part-{writer_id}.parquet"))
         starts = np.concatenate([[0], np.flatnonzero(tile[1:] != tile[:-1]) + 1])
         ends = np.append(starts[1:], len(tile))
         for s, e in zip(starts, ends):
