@@ -189,3 +189,75 @@ def read_snapshot(out_dir: str):
         return keep[["entity_id", "lon", "lat", "qt", "tile"]]
 
     return bucketed_apply(both, ["entity_id"], overlay)
+
+
+def compact(out_dir: str) -> dict:
+    """Merge accumulated change batches INTO the tile partitions —
+    the reference's partial re-read/re-write (update.go:343-738 +
+    readfile/partial.go): ONLY tiles named in change files are rewritten
+    (tmp+rename per tile), everything else is untouched; change files
+    are then retired.
+
+    After compaction ``read_snapshot`` over the bare data dir equals the
+    pre-compaction overlay.
+    """
+    import ray
+
+    cdir = _changes_dir(out_dir)
+    if not (os.path.isdir(cdir) and os.listdir(cdir)):
+        return {"rewritten_tiles": 0, "retired_files": 0}
+    ch = pq.read_table(cdir)
+    affected = np.unique(ch.column("tile").to_numpy())
+    ch_df = ch.to_pandas()
+
+    data_dir = mf.data_dir(out_dir)
+    rewritten = 0
+    for t in affected:
+        tdir = os.path.join(data_dir, f"tile={int(t)}")
+        parts = []
+        if os.path.isdir(tdir):
+            base = pq.read_table(tdir)
+            bdf = base.to_pandas()
+            bdf["change"] = 0
+            bdf["seq"] = -1
+            parts.append(bdf[["entity_id", "lon", "lat", "qt", "change", "seq"]])
+        sub = ch_df[ch_df["tile"] == t][
+            ["entity_id", "lon", "lat", "qt", "change", "seq"]]
+        parts.append(sub)
+        allr = pd.concat(parts, ignore_index=True)
+        allr = allr.sort_values(["entity_id", "seq", "change"])
+        last = allr.groupby("entity_id", as_index=False).last()
+        keep = last[(last["change"] == 0) | (last["change"] > 2)][
+            ["entity_id", "lon", "lat", "qt"]]
+        os.makedirs(tdir, exist_ok=True)
+        # base rows carry extra columns (url/name/cells); compacted tiles
+        # carry the core schema — readers select shared columns
+        tmp = os.path.join(tdir, ".compact.parquet.tmp")
+        pq.write_table(pa.Table.from_pandas(keep, preserve_index=False), tmp)
+        for f in os.listdir(tdir):
+            if not f.startswith(".") and f.endswith(".parquet"):
+                os.remove(os.path.join(tdir, f))
+        os.replace(tmp, os.path.join(tdir, "part-compacted.parquet"))
+        rewritten += 1
+
+    retired = 0
+    for f in list(os.listdir(cdir)):
+        os.remove(os.path.join(cdir, f))
+        retired += 1
+    # refresh manifest counts for rewritten tiles
+    man = mf.read_manifest(out_dir).to_pandas()
+    for t in affected:
+        tdir = os.path.join(data_dir, f"tile={int(t)}")
+        n = pq.read_table(tdir, columns=["entity_id"]).num_rows if os.path.isdir(tdir) else 0
+        if (man["tile"] == t).any():
+            man.loc[man["tile"] == t, "count"] = n
+        else:
+            man = pd.concat(
+                [man, pd.DataFrame({"tile": [int(t)], "count": [n]})],
+                ignore_index=True,
+            )
+    state = mf.read_state(out_dir)
+    state["compacted_seq"] = state.get("seq", 0)
+    mf.write_manifest(out_dir, man["tile"].to_numpy(), man["count"].to_numpy(),
+                      state=state)
+    return {"rewritten_tiles": rewritten, "retired_files": retired}

@@ -66,3 +66,18 @@ def test_affected_tiles_bounded(updated):
     man = mf.read_manifest(out).to_pandas()
     for s in stats:
         assert 0 < s["affected_tiles"] <= len(man)
+
+
+def test_compaction_preserves_snapshot(updated):
+    out, changes, _ = updated
+    before = up.read_snapshot(out).to_pandas().set_index("entity_id").sort_index()
+    res = up.compact(out)
+    assert res["rewritten_tiles"] > 0 and res["retired_files"] > 0
+    after = up.read_snapshot(out).to_pandas().set_index("entity_id").sort_index()
+    assert len(after) == len(before)
+    assert (after.index == before.index).all()
+    for c in ("lon", "lat", "qt"):
+        assert (after[c].to_numpy() == before[c].to_numpy()).all()
+    # second compaction is a no-op
+    res2 = up.compact(out)
+    assert res2 == {"rewritten_tiles": 0, "retired_files": 0}
