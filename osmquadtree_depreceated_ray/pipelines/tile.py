@@ -152,8 +152,13 @@ def tile_entities(
     resume: bool = True,
     concurrency=(1, 16),
     state: dict | None = None,
+    allocator=None,
 ):
     """Count -> split -> assign -> partitioned write (+ manifest, lineage).
+
+    ``allocator`` (reference §2.9 pluggable ``Allocater``,
+    blocksort/blocksort.go:185): any object with ``assign(qts) ->
+    tile array``; defaults to the QtAllocator built from the split rule.
 
     Returns dict(tiles=int, total=int, skipped_tiles=int, timings=dict).
     """
@@ -167,6 +172,8 @@ def tile_entities(
     timings["count"] = round(time.time() - t0, 2)
     t0 = time.time()
     gq, gt, alloc = split_and_allocate(qts, counts, target, minimum)
+    if allocator is not None:
+        alloc = allocator
     timings["split"] = round(time.time() - t0, 2)
     alloc_ref = ray.put(alloc)
     t0 = time.time()

@@ -129,3 +129,25 @@ def test_find_parent_highway():
     assert geom.find_parent_highway([]) == ""
     assert geom.find_parent_highway(["weird"]) == "weird"
     assert geom.find_parent_highway(["weird", "weird", "odd"]) == "weird"
+
+
+def test_string_utils():
+    from osmquadtree_depreceated_ray.functions.strutils import (
+        date_string,
+        parse_string_int,
+        read_date_string,
+        timestamp_string,
+    )
+
+    assert parse_string_int("42") == (42, True)
+    assert parse_string_int("-17") == (-17, True)
+    assert parse_string_int("1.5") == (15000000, False)
+    assert parse_string_int("-0.25") == (-2500000, False)
+    with pytest.raises(ValueError):
+        parse_string_int("nope")
+    ts = read_date_string("2006-01-02T15:04:05")
+    assert timestamp_string(ts) == "2006-01-02T15:04:05"
+    ts2 = read_date_string("20060102")
+    assert date_string(ts2) == "20060102"
+    with pytest.raises(ValueError):
+        read_date_string("2006/01/02")
