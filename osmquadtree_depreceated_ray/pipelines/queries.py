@@ -484,6 +484,24 @@ def q_tile_split(sf_dir: str):
     return pd.DataFrame({"tile": gq, "n": gt})
 
 
+_POLY_INDEX_REF = None
+
+
+def _poly_index_ref():
+    """Build + broadcast the concave/hole polygon index once per process."""
+    global _POLY_INDEX_REF
+    if _POLY_INDEX_REF is None:
+        import ray
+
+        from ..sources.fixtures import gen_admin_polys
+        from ..stages.spatial import PolygonIndex
+
+        _POLY_INDEX_REF = ray.put(
+            PolygonIndex.from_table(gen_admin_polys(n_scatter=250))
+        )
+    return _POLY_INDEX_REF
+
+
 def q_pip_poly(sf_dir: str):
     """PIP against REAL concave/hole polygons (fixture admin_polys) over
     derived entities — exercises the full PolygonIndex path (bbox buckets,
@@ -491,11 +509,9 @@ def q_pip_poly(sf_dir: str):
     scalar reference port in tests; rows-only here (no SQL pnpoly)."""
     import ray
 
-    from ..sources.fixtures import gen_admin_polys
-    from ..stages.spatial import PIPActor, PolygonIndex
+    from ..stages.spatial import PIPActor
 
-    index = PolygonIndex.from_table(gen_admin_polys(n_scatter=250))
-    ref = ray.put(index)
+    ref = _poly_index_ref()
     ds = derived_entities(sf_dir)
     pairs = ds.map_batches(
         PIPActor,
