@@ -379,3 +379,54 @@ def sql_sqlish_surface() -> str:
 
 QUERIES["sqlish_surface"] = q_sqlish_surface
 ORACLES["sqlish_surface"] = sql_sqlish_surface()
+
+
+# 9. native Dataset.join (hash-partitioned) ---------------------------------
+
+def q_join_native(sf_dir: str):
+    """J11 via Ray's native hash-partitioned Dataset.join (the non-
+    broadcast path for when BOTH sides are large), followed by the
+    bucketed grouped aggregation."""
+    import ray
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    joined = orders.join(
+        cust, join_type="inner", on=("o_custkey",), right_on=("c_custkey",),
+        num_partitions=8,
+    )
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_nationkey": pc.cast(b.column("c_nationkey"), pa.int64()),
+                "total_c": pa.array(_cents(b.column("o_totalprice").to_numpy())),
+            }
+        )
+
+    from ..stages.shuffle import grouped_agg
+
+    return grouped_agg(
+        joined.map_batches(to_cents, batch_format="pyarrow"),
+        ["c_nationkey"],
+        {"total_c": ("total_c", "sum"), "n": ("total_c", "size")},
+        n_buckets=8,
+    )
+
+
+def sql_join_native() -> str:
+    cents = SQL_CENTS.format(col="o_totalprice")
+    return (
+        f"SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, "
+        f"SUM({cents}) AS total_c, COUNT(*) AS n "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY c_nationkey"
+    )
+
+
+QUERIES["sql_join_native"] = q_join_native
+ORACLES["sql_join_native"] = sql_join_native()

@@ -251,3 +251,78 @@ ORACLES = {
     "embed_neardup": sql_embed_neardup(),
     "embed_lsh_buckets": sql_embed_lsh_buckets(),
 }
+
+
+N_CENTROIDS = 16
+
+
+def q_embed_ivf(sf_dir: str):
+    """IVF-style ANN scale path: deterministic coarse quantizer
+    (centroids = the first N_CENTROIDS vectors), each vector assigned to its
+    nearest centroid by integer-quantized cosine; queries then search
+    ONLY their centroid's inverted list (top-3 within the list).
+    Integer dots keep both assignment and ranking bit-exact in SQL.
+    """
+    import ray
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t_c = t.filter(pa.compute.less(t.column("vec_id"), N_CENTROIDS))
+    c_ids, c_mat = _embed_matrix(t_c)
+    order = np.argsort(c_ids)
+    c_ids, c_mat = c_ids[order], c_mat[order]
+    cref = ray.put({"ids": c_ids, "mat": c_mat})
+
+    class Assign:
+        def __init__(self):
+            d = ray.get(cref)
+            self.c_ids = d["ids"]
+            self.c_mat = d["mat"].astype(np.float64)
+            self.c_n2 = (self.c_mat**2).sum(axis=1)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids, mat = _embed_matrix(b)
+            matf = mat.astype(np.float64)
+            n2 = (matf**2).sum(axis=1)
+            sims = (self.c_mat @ matf.T) / np.sqrt(
+                self.c_n2[:, None] * n2[None, :]
+            )
+            # nearest centroid; ties -> smaller centroid id (argmax picks
+            # the first maximum, and c_ids are sorted ascending)
+            best = np.argmax(sims, axis=0)
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids),
+                    "centroid": pa.array(self.c_ids[best]),
+                    "sim_c": pa.array(sims[best, np.arange(len(ids))]),
+                }
+            )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return ds.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def sql_embed_ivf() -> str:
+    quant = "CAST(floor(CAST({e}[i] AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)"
+    ev = quant.format(e="e.embedding")
+    ec = quant.format(e="c.embedding")
+    return (
+        f"WITH cents AS (SELECT vec_id AS cid, embedding FROM embeddings "
+        f"WHERE vec_id < {N_CENTROIDS}), "
+        f"dots AS (SELECT e.vec_id, c.cid, "
+        f"SUM({ev} * {ec}) AS dot, SUM({ev} * {ev}) AS ne, SUM({ec} * {ec}) AS nc "
+        f"FROM embeddings e CROSS JOIN cents c, "
+        f"UNNEST(range(1, {EMBED_DIM + 1})) AS t(i) GROUP BY e.vec_id, c.cid), "
+        f"sims AS (SELECT vec_id, cid, CAST(dot AS DOUBLE) / "
+        f"sqrt(CAST(ne AS DOUBLE) * CAST(nc AS DOUBLE)) AS sim FROM dots) "
+        f"SELECT vec_id, cid AS centroid, sim AS sim_c FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY vec_id "
+        f"ORDER BY sim DESC, cid) AS rn FROM sims) WHERE rn = 1"
+    )
+
+
+QUERIES["embed_ivf"] = q_embed_ivf
+ORACLES["embed_ivf"] = sql_embed_ivf()
