@@ -565,3 +565,83 @@ QUERIES["sample"] = q_sample
 ORACLES["sample"] = (
     "SELECT event_id, user_id, event_type FROM events WHERE event_id % 20 = 3"
 )
+
+
+def q_way_assembly(sf_dir: str):
+    """J2 + M8 in the oracle gate: 'ways' are lineitem orders — refs are
+    the line rows ordered by linenumber, vertices are the derived
+    entity coords; orders divisible by 5 close their ring (the closure
+    vertex repeats the first ref).  Returns per-way geometry facts that
+    are integer-exact: vertex count, ring-closure decision, bbox.
+    The full tag/area path is pinned by the fixture pipeline tests."""
+    import ray
+
+    from ..stages.shuffle import bucketed_apply
+
+    def rows(b: pa.Table) -> pa.Table:
+        okey = b.column("l_orderkey").to_numpy().astype(np.int64)
+        lnum = b.column("l_linenumber").to_numpy().astype(np.int64)
+        key = okey * 8 + lnum
+        lon, lat = derive.derive_lonlat(key)
+        return pa.table(
+            {
+                "way_id": pa.array(okey),
+                "pos": pa.array(lnum),
+                "ref": pa.array(key),
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+            }
+        )
+
+    def assemble(g):
+        import pandas as pd
+
+        g = g.sort_values(["way_id", "pos"])
+        out = {k: [] for k in ("way_id", "n_vertices", "is_ring",
+                               "minx", "miny", "maxx", "maxy")}
+        for w, grp in g.groupby("way_id", sort=False):
+            refs = grp["ref"].to_numpy()
+            lon = grp["lon"].to_numpy()
+            lat = grp["lat"].to_numpy()
+            if int(w) % 5 == 0:  # closure vertex repeats the first ref
+                refs = np.append(refs, refs[0])
+                lon = np.append(lon, lon[0])
+                lat = np.append(lat, lat[0])
+            is_ring = len(refs) >= 4 and refs[0] == refs[-1]
+            out["way_id"].append(int(w))
+            out["n_vertices"].append(int(len(refs)))
+            out["is_ring"].append(bool(is_ring))
+            out["minx"].append(int(lon.min()))
+            out["miny"].append(int(lat.min()))
+            out["maxx"].append(int(lon.max()))
+            out["maxy"].append(int(lat.max()))
+        return pd.DataFrame(out)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
+    )
+    return bucketed_apply(ds.map_batches(rows, batch_format="pyarrow"),
+                          ["way_id"], assemble)
+
+
+def sql_way_assembly() -> str:
+    key = "(CAST(l_orderkey AS BIGINT) * 8 + l_linenumber)"
+    lon, lat = derive.sql_lonlat_expr(key)
+    return (
+        f"SELECT l_orderkey AS way_id, "
+        f"CAST(COUNT(*) + CASE WHEN l_orderkey % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) "
+        f"AS n_vertices, "
+        # ring rule: closed by ref equality — the %5 closure always closes;
+        # otherwise first==last only when ALL linenumbers coincide (the
+        # synthetic data contains such duplicate-linenumber orders)
+        f"(CASE WHEN l_orderkey % 5 = 0 THEN COUNT(*) + 1 >= 4 "
+        f"ELSE COUNT(*) >= 4 AND MIN(l_linenumber) = MAX(l_linenumber) END) "
+        f"AS is_ring, "
+        f"MIN({lon}) AS minx, MIN({lat}) AS miny, "
+        f"MAX({lon}) AS maxx, MAX({lat}) AS maxy "
+        f"FROM lineitem GROUP BY l_orderkey"
+    )
+
+
+QUERIES["way_assembly"] = q_way_assembly
+ORACLES["way_assembly"] = sql_way_assembly()
