@@ -99,7 +99,15 @@ def write_tiled(assigned_ds, out_dir: str, tile_order: np.ndarray,
             sub = tbl.slice(s, e - s).drop_columns(["tile"])
             tmp = os.path.join(d, f".part-{writer_id}.parquet.tmp")
             pq.write_table(sub, tmp)
-            os.replace(tmp, os.path.join(d, f"part-{writer_id}.parquet"))
+            final = f"part-{writer_id}.parquet"
+            os.replace(tmp, os.path.join(d, final))
+            # a tile belongs to exactly one writer per run: retire any
+            # stale files a crashed run with a different writer layout
+            # left behind (the manifest is the commit point, so an
+            # unmanifested tile dir may hold partial state)
+            for fn in os.listdir(d):
+                if fn != final and not fn.startswith("."):
+                    os.remove(os.path.join(d, fn))
             rows += e - s
         return rows
 

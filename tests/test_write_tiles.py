@@ -44,3 +44,28 @@ def test_write_tiled_empty(ray_session, tmp_path):
     n = write_tiled(ray.data.from_arrow(t), str(tmp_path / "e"),
                     np.array([5], dtype=np.int64), np.array([0], dtype=np.int64))
     assert n == 0
+
+
+def test_write_tiled_retires_stale_layout(ray_session, tmp_path):
+    """A crashed run with a different writer layout must not leave stale
+    part files behind (the manifest is the commit point)."""
+    import ray
+
+    from osmquadtree_depreceated_ray.stages.write_tiles import write_tiled
+
+    tiles = np.array([10, 20, 30, 40], dtype=np.int64)
+    counts = np.array([50, 50, 50, 50], dtype=np.int64)
+    rows_tile = np.repeat(tiles, counts)
+    t = pa.table({"tile": rows_tile, "v": np.arange(len(rows_tile))})
+    out = str(tmp_path / "d")
+    # "crashed" run with 4 writers
+    write_tiled(ray.data.from_arrow(t).repartition(4), out, tiles, counts,
+                n_writers=4)
+    # fresh run with 1 writer — stale part files must be retired
+    write_tiled(ray.data.from_arrow(t).repartition(4), out, tiles, counts,
+                n_writers=1)
+    for tl, c in zip(tiles, counts):
+        d = os.path.join(out, f"tile={tl}")
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, files
+        assert pq.read_table(d).num_rows == c
