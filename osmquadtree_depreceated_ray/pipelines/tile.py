@@ -281,3 +281,27 @@ def resort_by_id(out_dir: str, group_size: int = 8000):
     path = os.path.join(out_dir, "byid")
     out.write_parquet(path)
     return path
+
+
+def read_tiled_ordered(out_dir: str, columns=None):
+    """Read the tiled output in NUMERIC tile (qt pre-order) order — the
+    reference's block-order invariant (writefile.go:50-52).  Hive paths
+    sort lexicographically, so the file list is ordered explicitly; with
+    ``preserve_order`` the stream yields tiles in ascending qt order."""
+    import ray
+
+    dd = mf.data_dir(out_dir)
+    tiles = sorted(
+        (int(name.split("=", 1)[1]) for name in os.listdir(dd)
+         if name.startswith("tile=")),
+    )
+    paths = []
+    for t in tiles:
+        d = os.path.join(dd, f"tile={t}")
+        paths.extend(
+            os.path.join(d, f) for f in sorted(os.listdir(d))
+            if f.endswith(".parquet")
+        )
+    ctx = ray.data.DataContext.get_current()
+    ctx.execution_options.preserve_order = True
+    return ray.data.read_parquet(paths, columns=columns), tiles

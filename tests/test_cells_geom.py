@@ -151,3 +151,18 @@ def test_string_utils():
     assert date_string(ts2) == "20060102"
     with pytest.raises(ValueError):
         read_date_string("2006/01/02")
+
+
+def test_hex_cell_parent():
+    from osmquadtree_depreceated_ray.functions.cells import hex_cell_id, hex_cell_parent
+
+    lon = rng.uniform(-170, 170, 2000)
+    lat = rng.uniform(-80, 80, 2000)
+    child = hex_cell_id(lon, lat, 9)
+    parent = hex_cell_parent(child, 5)
+    assert ((parent >> 58) == 5).all()
+    # a cell's parent is (almost always) the coarse cell of its own center;
+    # hex-grid misalignment can shift a small fraction at the seams
+    direct = hex_cell_id(lon, lat, 5)
+    agree = (parent == direct).mean()
+    assert agree > 0.9

@@ -118,3 +118,19 @@ def test_qts_writer_and_resort(ray_session, tiled, tmp_path):
         part = pq.read_table(os.path.join(byid, f), columns=["entity_id"])
         arr = part.column("entity_id").to_numpy()
         assert (np.diff(arr) >= 0).all()
+
+
+def test_read_tiled_ordered(ray_session, tiled):
+    import numpy as np
+
+    from osmquadtree_depreceated_ray.pipelines import tile as tp
+
+    out, res = tiled
+    ds, tiles = tp.read_tiled_ordered(out, columns=["qt"])
+    assert tiles == sorted(tiles)
+    assert ds.count() == res["total"]
+    # qt pre-order invariant: each tile's qts are >= the previous tile id
+    prev = -1
+    for t in tiles:
+        assert t >= prev
+        prev = t
