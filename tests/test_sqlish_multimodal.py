@@ -67,3 +67,28 @@ def test_sqlish_expressions(ray_session):
     q2 = Query(ds).select(v=col("a").coalesce(lit(0)))
     n = q1.union(q2).run().count()
     assert n == 10
+
+
+def test_query_tiles_partition_pruned(ray_session, fixture_dir, tmp_path_factory):
+    """The reference execution model: SQL after spatial pruning — the
+    sqlish surface over a tiled output directory."""
+    import os
+
+    from osmquadtree_depreceated_ray.pipelines import tile as tp
+    from osmquadtree_depreceated_ray.pipelines.spatial_filter import BboxTest
+    from osmquadtree_depreceated_ray.pipelines.sqlish import col, query_tiles
+
+    out = str(tmp_path_factory.mktemp("qt_sql"))
+    tp.tile_pages(os.path.join(fixture_dir, "pages.parquet"), out,
+                  target=300, minimum=20)
+    bt = BboxTest(-800_000_000, 300_000_000, -600_000_000, 500_000_000)
+    q = (
+        query_tiles(out, bt, columns=["entity_id", "lon", "lat", "qt"])
+        .where(col("lon") < 0)
+        .select(entity_id=col("entity_id"), lon2=col("lon") * 2)
+        .order_by("entity_id")
+    )
+    got = q.run().to_pandas()
+    assert len(got) > 0
+    assert (got["lon2"] % 2 == 0).all()
+    assert got["entity_id"].is_monotonic_increasing
