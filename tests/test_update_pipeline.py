@@ -81,3 +81,31 @@ def test_compaction_preserves_snapshot(updated):
     # second compaction is a no-op
     res2 = up.compact(out)
     assert res2 == {"rewritten_tiles": 0, "retired_files": 0}
+
+
+def test_interleaved_compaction(ray_session, fixture_dir, tmp_path_factory):
+    """apply seq1 -> compact -> apply seq2..3 -> snapshot must still equal
+    the recompute golden (compaction is transparent to later batches)."""
+    import pyarrow.parquet as pq2
+
+    from osmquadtree_depreceated_ray.pipelines import tile as tp
+
+    out = str(tmp_path_factory.mktemp("upd2"))
+    tp.tile_pages(os.path.join(fixture_dir, "pages.parquet"), out,
+                  target=300, minimum=20)
+    changes = pq2.read_table(os.path.join(fixture_dir, "changes.parquet"))
+    seqs = sorted(set(changes.column("seq").to_pylist()))
+    up.apply_change_batch(out, changes, seqs[0])
+    up.compact(out)
+    for seq in seqs[1:]:
+        up.apply_change_batch(out, changes, seq)
+    snap = up.read_snapshot(out).to_pandas().set_index("entity_id").sort_index()
+    golden = _golden_entities(fixture_dir, changes)
+    assert len(snap) == len(golden)
+    assert (snap.index == golden.index).all()
+    assert (snap["lon"].to_numpy() == golden["lon"].to_numpy()).all()
+    # final compaction converges too
+    up.compact(out)
+    snap2 = up.read_snapshot(out).to_pandas().set_index("entity_id").sort_index()
+    assert (snap2.index == snap.index).all()
+    assert (snap2["lon"].to_numpy() == snap["lon"].to_numpy()).all()
