@@ -75,7 +75,9 @@ def run_headline(num_cpus: int) -> dict:
 
     index = PolygonIndex.from_table(gen_admin_polys())
     ref = ray.put(index)
-    ents = ray.data.read_parquet(os.path.join(out, "entities"))
+    ents = res.pop("entities_ds", None)
+    if ents is None:
+        ents = ray.data.read_parquet(os.path.join(out, "entities"))
     t0 = time.time()
     n_pairs = ents.map_batches(
         PIPActor,

@@ -229,6 +229,7 @@ def tile_pages(
     import time
 
     t_extract = 0.0
+    ents2 = None
     if not (resume and os.path.exists(ent_marker)):
         # a partial previous extraction must not leave appendable files
         import shutil
@@ -238,17 +239,21 @@ def tile_pages(
         pages = ray.data.read_parquet(
             pages_path, columns=["url", "warc_ts", "html", "lang"]
         )
-        ents = pages_to_entities(pages)
-        # coalesce output files: the entities table is re-read several
-        # times (adaptive count rounds + assignment); tiny per-block files
-        # dominate those reads otherwise
-        ents.write_parquet(ent_path, min_rows_per_file=100_000)
+        # materialize once: the entities table is consumed several times
+        # (adaptive count rounds + assignment) — keep it in the object
+        # store instead of re-reading parquet each pass; the parquet
+        # checkpoint (coalesced files) is still written for resume and
+        # downstream consumers
+        ents2 = pages_to_entities(pages).materialize()
+        ents2.write_parquet(ent_path, min_rows_per_file=100_000)
         with open(ent_marker, "w") as f:
             f.write("ok\n")
         t_extract = round(time.time() - t0, 2)
-    ents2 = ray.data.read_parquet(ent_path)
+    if ents2 is None:
+        ents2 = ray.data.read_parquet(ent_path)
     res = tile_entities(ents2, out_dir, target, minimum, resume)
     res["timings"]["extract"] = t_extract
+    res["entities_ds"] = ents2  # reusable in-memory handle for callers
     return res
 
 
