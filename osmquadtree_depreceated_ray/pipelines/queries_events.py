@@ -32,7 +32,9 @@ def q_window_tumbling(sf_dir: str):
 
     def partial(b: pa.Table) -> pa.Table:
         ts = b.column("ts").to_numpy()
-        hour = ts.astype("datetime64[h]").astype("datetime64[us]")
+        # epoch-second integers, not timestamps: representation-identical
+        # across engines (timestamp unit/zone handling varies by harness)
+        hour = ts.astype("datetime64[h]").astype("datetime64[s]").astype(np.int64)
         df = pd.DataFrame(
             {
                 "user_id": b.column("user_id").to_numpy(),
@@ -59,7 +61,7 @@ def q_window_tumbling(sf_dir: str):
 
 def sql_window_tumbling() -> str:
     return (
-        "SELECT user_id, date_trunc('hour', ts) AS hour, "
+        "SELECT user_id, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour, "
         f"SUM({SQL_VALUE_M}) AS value_m, COUNT(*) AS n "
         "FROM events GROUP BY user_id, date_trunc('hour', ts)"
     )
@@ -81,7 +83,11 @@ def q_sessionize(sf_dir: str):
             session_end=("ts", "max"),
             n_events=("event_id", "size"),
         )
-        return out.drop(columns=["sid"])
+        out = out.drop(columns=["sid"])
+        # epoch-microsecond integers for cross-engine exactness
+        out["session_start"] = out["session_start"].astype("datetime64[us]").astype("int64")
+        out["session_end"] = out["session_end"].astype("datetime64[us]").astype("int64")
+        return out
 
     from ..stages.shuffle import bucketed_apply
 
@@ -99,7 +105,8 @@ def sql_sessionize() -> str:
         "s AS (SELECT user_id, ts, "
         "SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id "
         "ROWS UNBOUNDED PRECEDING) AS sid FROM g) "
-        "SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end, "
+        "SELECT user_id, epoch_us(MIN(ts)) AS session_start, "
+        "epoch_us(MAX(ts)) AS session_end, "
         "COUNT(*) AS n_events FROM s GROUP BY user_id, sid"
     )
 
