@@ -79,11 +79,10 @@ def run_headline(num_cpus: int) -> dict:
     if ents is None:
         ents = ray.data.read_parquet(os.path.join(out, "entities"))
     t0 = time.time()
+    from osmquadtree_depreceated_ray.stages.spatial import pip_map_fn
+
     n_pairs = ents.map_batches(
-        PIPActor,
-        fn_constructor_args=(ref, ("name",)),
-        batch_format="pyarrow",
-        concurrency=(1, min(12, max(2, num_cpus - 2))),
+        pip_map_fn(ref, ("name",)), batch_format="pyarrow"
     ).count()
     t_pip = time.time() - t0
     return {

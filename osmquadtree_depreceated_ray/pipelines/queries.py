@@ -211,15 +211,12 @@ def q_pip_join(sf_dir: str):
 
     from ..stages.spatial import PIPActor, PolygonIndex
 
+    from ..stages.spatial import pip_map_fn
+
     index = PolygonIndex.from_table(rect_polys_table())
     ref = ray.put(index)
     ds = derived_entities(sf_dir)
-    pairs = ds.map_batches(
-        PIPActor,
-        fn_constructor_args=(ref, ("doc_id",)),
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-    )
+    pairs = ds.map_batches(pip_map_fn(ref, ("doc_id",)), batch_format="pyarrow")
     return pairs.select_columns(["doc_id", "poly_id", "admin_level"])
 
 
@@ -511,14 +508,11 @@ def q_pip_poly(sf_dir: str):
 
     from ..stages.spatial import PIPActor
 
+    from ..stages.spatial import pip_map_fn
+
     ref = _poly_index_ref()
     ds = derived_entities(sf_dir)
-    pairs = ds.map_batches(
-        PIPActor,
-        fn_constructor_args=(ref, ("doc_id",)),
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-    )
+    pairs = ds.map_batches(pip_map_fn(ref, ("doc_id",)), batch_format="pyarrow")
     return pairs.select_columns(["doc_id", "poly_id", "admin_level"])
 
 

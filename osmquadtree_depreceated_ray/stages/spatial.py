@@ -254,3 +254,29 @@ class RasterLookupActor:
         val[ok] = self.values[tile[ok], cell[ok]]
         out = batch.append_column("raster_value", pa.array(val))
         return out
+
+
+# Per-worker-process state cache for TASK-based stateful stages.  Ray
+# worker processes persist across tasks, so a module-level cache gives
+# once-per-worker init (like an actor pool) with elastic task
+# scheduling and no pool spin-up.  Keyed by the broadcast ref so
+# several indexes can coexist in one process.
+_WORKER_STATE: dict = {}
+
+
+def pip_map_fn(index_ref, key_cols=("entity_id",)):
+    """Task-based PIP stage: map_batches(pip_map_fn(ref, cols)).
+
+    Prefer this over the PIPActor pool when the stage is short-lived
+    (query workloads): same once-per-worker index load, zero pool
+    startup, elastic width."""
+    key = (index_ref.hex(), tuple(key_cols))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        actor = _WORKER_STATE.get(key)
+        if actor is None:
+            actor = PIPActor(index_ref, key_cols)
+            _WORKER_STATE[key] = actor
+        return actor(batch)
+
+    return fn
