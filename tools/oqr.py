@@ -1,0 +1,142 @@
+"""Command-line entry points — the analogue of the reference's binaries
+(calcqts / sortblocks / makegeometries / update / filter flows).
+
+Usage:
+    python tools/oqr.py tile      --pages DIR --out DIR [--target N --minimum N]
+    python tools/oqr.py geometry  --fixtures DIR --out DIR
+    python tools/oqr.py update    --out DIR --changes FILE --seq N
+    python tools/oqr.py compact   --out DIR
+    python tools/oqr.py geojson   --features FILE --out FILE
+    python tools/oqr.py filter    --out DIR --bbox minx,miny,maxx,maxy --dest DIR
+    python tools/oqr.py qts       --out DIR --dest DIR
+
+Owns its Ray session (scripts must, per the driver contract the library
+itself never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _init_ray():
+    import logging
+
+    import ray
+
+    if not ray.is_initialized():
+        logging.getLogger("ray.data").setLevel(logging.ERROR)
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+        import ray.data
+
+        ray.data.DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="oqr")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("tile", help="pages parquet -> tiled entities")
+    t.add_argument("--pages", required=True)
+    t.add_argument("--out", required=True)
+    t.add_argument("--target", type=int, default=8000)
+    t.add_argument("--minimum", type=int, default=500)
+    t.add_argument("--no-resume", action="store_true")
+
+    g = sub.add_parser("geometry", help="fixture tables -> features parquet")
+    g.add_argument("--fixtures", required=True)
+    g.add_argument("--out", required=True)
+
+    u = sub.add_parser("update", help="apply one change batch")
+    u.add_argument("--out", required=True)
+    u.add_argument("--changes", required=True)
+    u.add_argument("--seq", type=int, required=True)
+
+    c = sub.add_parser("compact", help="merge change batches into tiles")
+    c.add_argument("--out", required=True)
+
+    gj = sub.add_parser("geojson", help="features parquet -> geojsonl")
+    gj.add_argument("--features", required=True)
+    gj.add_argument("--out", required=True)
+
+    f = sub.add_parser("filter", help="bbox-filtered extract of a tiled dir")
+    f.add_argument("--out", required=True)
+    f.add_argument("--bbox", required=True, help="minx,miny,maxx,maxy (1e-7 deg)")
+    f.add_argument("--dest", required=True)
+
+    q = sub.add_parser("qts", help="write the qts-only artifact")
+    q.add_argument("--out", required=True)
+    q.add_argument("--dest", required=True)
+
+    args = p.parse_args(argv)
+
+    _init_ray()
+    import ray
+
+    try:
+        if args.cmd == "tile":
+            from osmquadtree_depreceated_ray.pipelines.tile import tile_pages
+
+            res = tile_pages(args.pages, args.out, args.target, args.minimum,
+                             resume=not args.no_resume)
+            res.pop("entities_ds", None)
+            print(json.dumps(res))
+        elif args.cmd == "geometry":
+            from osmquadtree_depreceated_ray.pipelines.geometry import build_geometries
+
+            res = build_geometries(args.fixtures, args.out)
+            res.pop("rel_qt", None)
+            print(json.dumps(res))
+        elif args.cmd == "update":
+            import pyarrow.parquet as pq
+
+            from osmquadtree_depreceated_ray.pipelines.update import apply_change_batch
+
+            res = apply_change_batch(args.out, pq.read_table(args.changes), args.seq)
+            print(json.dumps(res))
+        elif args.cmd == "compact":
+            from osmquadtree_depreceated_ray.pipelines.update import compact
+
+            print(json.dumps(compact(args.out)))
+        elif args.cmd == "geojson":
+            from osmquadtree_depreceated_ray.pipelines.geometry import write_geojson
+
+            print(json.dumps({"features": write_geojson(args.features, args.out)}))
+        elif args.cmd == "filter":
+            from osmquadtree_depreceated_ray.pipelines.spatial_filter import (
+                BboxTest,
+                read_tiles_pruned,
+            )
+
+            minx, miny, maxx, maxy = (int(v) for v in args.bbox.split(","))
+            ds, pruned = read_tiles_pruned(args.out, BboxTest(minx, miny, maxx, maxy))
+            n = 0
+            if ds is not None:
+                ds.write_parquet(args.dest)
+                n = sum(1 for _ in os.listdir(args.dest))
+            print(json.dumps({"files": n, **pruned}))
+        elif args.cmd == "qts":
+            import ray.data
+
+            from osmquadtree_depreceated_ray.pipelines.tile import write_qts
+
+            ents = ray.data.read_parquet(os.path.join(args.out, "entities"))
+            write_qts(ents, args.dest)
+            print(json.dumps({"dest": args.dest}))
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
