@@ -278,3 +278,38 @@ ORACLES = {
     "dedup_lastwins": sql_dedup_lastwins(),
     "change_apply": sql_change_apply(),
 }
+
+
+# 12. semi-structured props extraction (the engine's JSON-tag analogue of
+# the reference's other_tags fold, makegeometries.go:23-41)
+
+def q_props_extract(sf_dir: str):
+    import json as _json
+
+    import ray
+
+    def fn(b: pa.Table) -> pa.Table:
+        props = b.column("props").to_pylist()
+        k = [int(_json.loads(p)["k"]) for p in props]
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "k": pa.array(k, pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "props"]
+    )
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def sql_props_extract() -> str:
+    return (
+        "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k "
+        "FROM events"
+    )
+
+
+QUERIES["props_extract"] = q_props_extract
+ORACLES["props_extract"] = sql_props_extract()
