@@ -171,7 +171,8 @@ def q_join_agg(sf_dir: str):
 def sql_join_agg() -> str:
     cents = SQL_CENTS.format(col="o_totalprice")
     return (
-        f"SELECT n_name, o_orderpriority, SUM({cents}) AS total_c, "
+        f"SELECT n_name, o_orderpriority, "
+        f"CAST(SUM({cents}) AS BIGINT) AS total_c, "
         "COUNT(*) AS n FROM orders "
         "JOIN customer ON o_custkey = c_custkey "
         "JOIN nation ON c_nationkey = n_nationkey "
@@ -300,8 +301,8 @@ def sql_agg_group() -> str:
     )
     return (
         "SELECT l_returnflag, l_linestatus, "
-        "SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS sum_qty, "
-        f"SUM({rev}) AS sum_rev_c, COUNT(*) AS n "
+        "CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty, "
+        f"CAST(SUM({rev}) AS BIGINT) AS sum_rev_c, COUNT(*) AS n "
         "FROM lineitem GROUP BY l_returnflag, l_linestatus"
     )
 
@@ -422,7 +423,7 @@ def sql_join_native() -> str:
     cents = SQL_CENTS.format(col="o_totalprice")
     return (
         f"SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, "
-        f"SUM({cents}) AS total_c, COUNT(*) AS n "
+        f"CAST(SUM({cents}) AS BIGINT) AS total_c, COUNT(*) AS n "
         "FROM orders JOIN customer ON o_custkey = c_custkey "
         "GROUP BY c_nationkey"
     )

@@ -235,7 +235,7 @@ def sql_embed_lsh_buckets() -> str:
         f"WITH planes(p, i, c) AS (VALUES {values}), "
         f"dots AS (SELECT vec_id, p, SUM({quant} * c) AS d "
         f"FROM embeddings, planes GROUP BY vec_id, p) "
-        f"SELECT vec_id, SUM(CASE WHEN d > 0 THEN 1 << p ELSE 0 END) AS bucket "
+        f"SELECT vec_id, CAST(SUM(CASE WHEN d > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket "
         f"FROM dots GROUP BY vec_id"
     )
 

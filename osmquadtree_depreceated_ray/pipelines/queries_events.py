@@ -62,7 +62,7 @@ def q_window_tumbling(sf_dir: str):
 def sql_window_tumbling() -> str:
     return (
         "SELECT user_id, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour, "
-        f"SUM({SQL_VALUE_M}) AS value_m, COUNT(*) AS n "
+        f"CAST(SUM({SQL_VALUE_M}) AS BIGINT) AS value_m, COUNT(*) AS n "
         "FROM events GROUP BY user_id, date_trunc('hour', ts)"
     )
 

@@ -48,6 +48,11 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
     g, w = canon(got), canon(want)
     n = min(len(g), len(w))
     for c in g.columns:
+        # The driver's value-hash is dtype-sensitive (int64 vs float64
+        # hash differently even when values are equal) — flag it here.
+        if g[c].dtype != w[c].dtype:
+            issues.append(f"dtype[{c}]: engine {g[c].dtype} != oracle {w[c].dtype}")
+    for c in g.columns:
         a, b = g[c].iloc[:n], w[c].iloc[:n]
         if a.dtype.kind == "f" or b.dtype.kind == "f":
             neq = ~((a == b) | (a.isna() & b.isna()))
