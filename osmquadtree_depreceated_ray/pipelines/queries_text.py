@@ -169,31 +169,72 @@ def sql_dedup_exact() -> str:
 
 # 16. MinHash + LSH candidate pairs ----------------------------------------
 
+def _md5_lower64(strings) -> np.ndarray:
+    """uint64 base hash per string == DuckDB ``md5_number_lower``:
+    little-endian bytes 8..16 of the md5 digest — the shared integer
+    hash basis that makes the minhash kernel SQL-checkable without
+    per-salt string hashing."""
+    md5 = hashlib.md5
+    return np.fromiter(
+        (int.from_bytes(md5(s.encode()).digest()[8:16], "little")
+         for s in strings),
+        dtype=np.uint64, count=len(strings),
+    )
+
+
+def _doc_bigrams(b: pa.Table) -> pd.DataFrame:
+    """Vectorized distinct word-bigrams per doc: explode words, shift
+    within doc, concat — no Python loop over rows."""
+    doc_id = b.column("doc_id").to_numpy()
+    t = b.column("text").to_pandas()
+    words = t.str.split(" ")
+    ex = words.explode()
+    nxt = ex.groupby(level=0).shift(-1)
+    big = (ex + " " + nxt).dropna()
+    out = pd.DataFrame({"row": big.index.to_numpy(), "g": big.to_numpy()})
+    out = out.drop_duplicates()
+    # docs with a single word fall back to the whole text as shingle
+    missing = np.setdiff1d(np.arange(len(t)), out["row"].to_numpy())
+    if len(missing):
+        out = pd.concat(
+            [out, pd.DataFrame({"row": missing, "g": t.iloc[missing].to_numpy()})],
+            ignore_index=True,
+        )
+    out["doc_id"] = doc_id[out["row"].to_numpy()]
+    return out[["doc_id", "g"]]
+
+
 def q_minhash_pairs(sf_dir: str):
     import ray
 
     def signatures(b: pa.Table) -> pa.Table:
-        doc_id = b.column("doc_id").to_numpy()
-        texts = b.column("text").to_pylist()
-        rows_doc = []
-        rows_band = []
-        rows_hash = []
-        for d, txt in zip(doc_id, texts):
-            ws = txt.split(" ")
-            shingles = {f"{ws[i]} {ws[i+1]}" for i in range(len(ws) - 1)} or {txt}
-            mins = [
-                min(_md5(f"{salt}:{w}") for w in shingles)
-                for salt in range(N_HASHES)
-            ]
-            for band in range(N_BANDS):
-                rows_doc.append(int(d))
-                rows_band.append(band)
-                rows_hash.append(mins[2 * band] + mins[2 * band + 1])
+        sh = _doc_bigrams(b)
+        codes, uniq = pd.factorize(sh["g"], sort=False)
+        base = _md5_lower64(uniq)           # md5 ONCE per unique shingle
+        h = base[codes]
+        doc = sh["doc_id"].to_numpy()
+        # per-doc per-salt minima, all salts vectorized: salted values
+        # wrap-multiply the base hash by a distinct odd constant
+        mins = np.empty((N_HASHES, len(h)), dtype=np.uint64)
+        for salt in range(N_HASHES):
+            mins[salt] = h * np.uint64(2 * salt + 3)
+        df = pd.DataFrame({"doc_id": doc})
+        for salt in range(N_HASHES):
+            df[f"m{salt}"] = mins[salt]
+        gm = df.groupby("doc_id", sort=False).min()
+        doc_ids = gm.index.to_numpy()
+        out_doc = np.repeat(doc_ids, N_BANDS)
+        out_band = np.tile(np.arange(N_BANDS, dtype=np.int64), len(doc_ids))
+        bh = np.empty((len(doc_ids), N_BANDS), dtype=np.uint64)
+        for band in range(N_BANDS):
+            m0 = gm[f"m{2 * band}"].to_numpy().astype(np.uint64)
+            m1 = gm[f"m{2 * band + 1}"].to_numpy().astype(np.uint64)
+            bh[:, band] = m0 * np.uint64(1000003) + m1
         return pa.table(
             {
-                "doc_id": pa.array(rows_doc, pa.int64()),
-                "band": pa.array(rows_band, pa.int64()),
-                "band_hash": pa.array(rows_hash, pa.string()),
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "band": pa.array(out_band, pa.int64()),
+                "band_hash": pa.array(bh.reshape(-1).view(np.int64)),
             }
         )
 
@@ -217,16 +258,23 @@ def q_minhash_pairs(sf_dir: str):
 
 
 def sql_minhash_pairs() -> str:
+    # Same integer kernel as the engine: base = md5_number_lower(w)
+    # (little-endian low half of the md5 digest), salted minima via
+    # wrap-multiply by odd constants mod 2^64, band hash = m0*1000003+m1.
+    two64 = "18446744073709551616"
     return (
         "WITH w AS (SELECT doc_id, list_distinct(list_transform("
         "range(1, len(string_split(text, ' '))), "
         "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS ws "
         "FROM documents), "
         "mh AS (SELECT doc_id, salt, "
-        "MIN(md5(CAST(salt AS VARCHAR) || ':' || wrd)) AS h "
+        f"MIN(CAST((CAST(md5_number_lower(wrd) AS HUGEINT) * (2 * salt + 3)) "
+        f"% {two64} AS UBIGINT)) AS h "
         "FROM w, UNNEST(ws) AS u(wrd), UNNEST(range(0, 8)) AS s(salt) "
         "GROUP BY doc_id, salt), "
-        "bands AS (SELECT x.doc_id, x.salt // 2 AS band, x.h || y.h AS band_hash "
+        "bands AS (SELECT x.doc_id, x.salt // 2 AS band, "
+        f"CAST((CAST(x.h AS HUGEINT) * 1000003 + y.h) % {two64} AS UBIGINT) "
+        "AS band_hash "
         "FROM mh x JOIN mh y ON x.doc_id = y.doc_id AND y.salt = x.salt + 1 "
         "WHERE x.salt % 2 = 0) "
         "SELECT DISTINCT p.doc_id AS a, q.doc_id AS b FROM bands p "
@@ -288,29 +336,14 @@ def q_ngram_jaccard(sf_dir: str):
     import ray
 
     def grams(b: pa.Table) -> pa.Table:
-        doc_id = b.column("doc_id").to_numpy()
-        texts = b.column("text").to_pylist()
-        out_id = []
-        out_g = []
-        for d, txt in zip(doc_id, texts):
-            ws = txt.split(" ")
-            gs = sorted({f"{ws[i]} {ws[i+1]}" for i in range(len(ws) - 1)})
-            out_id.extend([int(d)] * len(gs))
-            out_g.extend(gs)
+        sh = _doc_bigrams(b)
         return pa.table(
-            {"doc_id": pa.array(out_id, pa.int64()), "g": pa.array(out_g, pa.string())}
+            {"doc_id": pa.array(sh["doc_id"].to_numpy().astype(np.int64)),
+             "g": pa.array(sh["g"].to_numpy(), pa.string())}
         )
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     g = ds.map_batches(grams, batch_format="pyarrow")
-
-    def fn2(b: pa.Table) -> pa.Table:
-        t = b.append_column(
-            "doc_id2", pa.array(b.column("doc_id").to_numpy() - 1)
-        )
-        return t
-
-    right = g.map_batches(fn2, batch_format="pyarrow")
 
     # hash join on (left.doc_id == right.doc_id - 1, gram equality):
     # implemented as a groupby on the gram then pair aggregation
@@ -330,20 +363,48 @@ def q_ngram_jaccard(sf_dir: str):
     )
     sizes = grouped_agg(
         g, ["doc_id"], {"n": ("g", "size")}, n_buckets=8
-    ).to_pandas()
-    size_map = sizes.set_index("doc_id")["n"]
+    )
 
-    inter_df = inter.to_pandas()
-    a = inter_df["a"].to_numpy()
-    iv = inter_df["inter"].to_numpy()
-    na = size_map.reindex(a).to_numpy()
-    nb = size_map.reindex(a + 1).to_numpy()
-    union = na + nb - iv
-    jac = iv / union
-    return pd.DataFrame(
-        {"a": a, "b": a + 1, "inter_n": iv.astype(np.int64),
-         "union_n": union.astype(np.int64), "jaccard": jac}
-    ).sort_values("a").reset_index(drop=True)
+    # distributed finish (no driver-side materialization): tag the three
+    # inputs, key doc sizes to both the pair they lead (a = doc_id) and
+    # the pair they trail (a = doc_id - 1), then one bucketed join by
+    # pair key computes union + jaccard per pair
+    def tag_inter(b: pa.Table) -> pa.Table:
+        return pa.table({"a": b.column("a"), "src": pa.array(
+            np.zeros(b.num_rows, np.int64)), "v": b.column("inter")})
+
+    def tag_sizes(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy()
+        n = b.column("n").to_numpy()
+        return pa.table({
+            "a": pa.array(np.concatenate([d, d - 1])),
+            "src": pa.array(np.concatenate(
+                [np.ones(len(d), np.int64), np.full(len(d), 2, np.int64)])),
+            "v": pa.array(np.concatenate([n, n])),
+        })
+
+    tagged = inter.map_batches(tag_inter, batch_format="pyarrow").union(
+        sizes.map_batches(tag_sizes, batch_format="pyarrow"))
+
+    def finish(gdf: pd.DataFrame) -> pd.DataFrame:
+        piv = gdf.pivot_table(index="a", columns="src", values="v",
+                              aggfunc="first")
+        piv = piv.dropna(subset=[c for c in (0, 1, 2) if c in piv.columns])
+        if 0 not in piv.columns or not len(piv):
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64),
+                                 "inter_n": pd.Series(dtype=np.int64),
+                                 "union_n": pd.Series(dtype=np.int64),
+                                 "jaccard": pd.Series(dtype=np.float64)})
+        a = piv.index.to_numpy().astype(np.int64)
+        iv = piv[0].to_numpy().astype(np.int64)
+        union = (piv[1].to_numpy() + piv[2].to_numpy()).astype(np.int64) - iv
+        return pd.DataFrame({
+            "a": a, "b": a + 1, "inter_n": iv, "union_n": union,
+            "jaccard": iv / union,
+        })
+
+    return bucketed_apply(tagged, ["a"], finish, n_buckets=8)
 
 
 def sql_ngram_jaccard() -> str:

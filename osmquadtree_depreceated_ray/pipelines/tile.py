@@ -138,6 +138,151 @@ def count_tiles_adaptive(
     return q[order], n[order]
 
 
+def ladder_prune(q: np.ndarray, n: np.ndarray, levels: tuple,
+                 threshold: int) -> tuple[np.ndarray, np.ndarray]:
+    """Prune merged (qt, count) totals to the adaptive count ladder.
+
+    ``q`` must be unique and sorted at the deepest ladder level; returns
+    exactly what :func:`count_tiles_adaptive` would emit for these rows:
+    at each ladder level, a cell is a leaf if its total <= threshold or
+    its own depth is shallower than the level; only exact-depth hot
+    cells are refined (pinned by tests/test_qttree.py).
+    """
+    out_q: list[np.ndarray] = []
+    out_n: list[np.ndarray] = []
+    cur_q, cur_n = q, n
+    for level in levels[:-1]:
+        if not len(cur_q):
+            break
+        qr = qt_round(cur_q, level)
+        starts = np.concatenate([[0], np.flatnonzero(qr[1:] != qr[:-1]) + 1])
+        tot = np.add.reduceat(cur_n, starts)
+        gq = qr[starts]
+        depth = gq & 31
+        cold = (tot <= threshold) | (depth < level)
+        out_q.append(gq[cold])
+        out_n.append(tot[cold])
+        grp = np.searchsorted(starts, np.arange(len(cur_q)), side="right") - 1
+        keep = ~cold[grp]
+        cur_q, cur_n = cur_q[keep], cur_n[keep]
+    out_q.append(cur_q)
+    out_n.append(cur_n)
+    q = np.concatenate(out_q)
+    n = np.concatenate(out_n)
+    order = np.argsort(q, kind="stable")
+    return q[order], n[order]
+
+
+def _part_counts_impl(n_red, levels, *blocks):
+    qts = [
+        (b.column("qt").to_numpy() if hasattr(b, "column")
+         else b["qt"].to_numpy())
+        for b in blocks
+    ]
+    qt = qts[0] if len(qts) == 1 else np.concatenate(qts)
+    qt = qt_round(qt, levels[-1])
+    vals, counts = np.unique(qt, return_counts=True)
+    root = qt_round(vals, levels[0]).astype(np.uint64)
+    dest = ((root * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) \
+        % np.uint64(n_red)
+    outs = []
+    for i in range(n_red):
+        m = dest == i
+        outs.append((vals[m], counts[m].astype(np.int64)))
+    return tuple(outs) if n_red > 1 else outs[0]
+
+
+def _reduce_ladder_impl(levels, threshold, *pieces):
+    qs = [p[0] for p in pieces if len(p[0])]
+    ns = [p[1] for p in pieces if len(p[0])]
+    if not qs:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    q = np.concatenate(qs)
+    n = np.concatenate(ns)
+    order = np.argsort(q, kind="stable")
+    q, n = q[order], n[order]
+    starts = np.concatenate([[0], np.flatnonzero(q[1:] != q[:-1]) + 1])
+    q = q[starts]
+    n = np.add.reduceat(n, starts)
+    return ladder_prune(q, n, levels, threshold)
+
+
+def _get_remote_fns():
+    """Module-level remote functions, exported to the cluster once per
+    session (defining them inside the driver function re-pickles and
+    re-exports them on every call — measured ~1.5 s of fixed cost)."""
+    global _part_counts, _reduce_ladder
+    if _part_counts is None:
+        import ray
+
+        _part_counts = ray.remote(_part_counts_impl)
+        _reduce_ladder = ray.remote(_reduce_ladder_impl)
+    return _part_counts, _reduce_ladder
+
+
+_part_counts = None
+_reduce_ladder = None
+
+
+def count_tiles_onepass(
+    entities_ds,
+    target: int = DEFAULT_TARGET,
+    levels: tuple = (6, 12, QT_MAX_LEVEL),
+    n_reducers: int | None = None,
+):
+    """One-pass distributed replacement for :func:`count_tiles_adaptive`.
+
+    One scan emits per-block partial (qt, n) counts at the deepest
+    ladder level; a raw-Ray exchange routes partials by level-``levels[0]``
+    root (so every root's rows co-locate), and each reducer merges its
+    partials and applies :func:`ladder_prune` locally.  The driver
+    receives only the pruned ladder — O(output tiles), same as the
+    adaptive version, but in 1 scan + 1 small shuffle instead of
+    ``len(levels)`` sequential full scans with driver-side merges.
+    Partial counts (not rows) are what shuffles, exactly the word-count
+    shape; at 10^12 docs each reducer holds one hash-slice of cell
+    counts, never rows.
+    """
+    import ray
+
+    threshold = target + 50
+    block_refs = [
+        ref
+        for bundle in entities_ds.iter_internal_ref_bundles()
+        for ref in bundle.block_refs
+    ]
+    if n_reducers is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        n_reducers = int(min(ncpu, max(1, len(block_refs))))
+    n_red = n_reducers
+
+    _part_counts, _reduce_ladder = _get_remote_fns()
+    # group blocks so the exchange stays at ~n_red x n_red objects
+    n_tasks = max(1, min(len(block_refs), n_red))
+    groups = [block_refs[i::n_tasks] for i in range(n_tasks)]
+    pieces = [
+        _part_counts.options(num_returns=n_red).remote(
+            n_red, levels, *g)
+        for g in groups if g
+    ]
+    if n_red == 1:
+        pieces = [[p] for p in pieces]
+    outs = ray.get([
+        _reduce_ladder.remote(
+            levels, threshold,
+            *[pieces[b][r] for b in range(len(pieces))])
+        for r in range(n_red)
+    ])
+    qs = [o[0] for o in outs if len(o[0])]
+    ns = [o[1] for o in outs if len(o[0])]
+    if not qs:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    q = np.concatenate(qs)
+    n = np.concatenate(ns)
+    order = np.argsort(q, kind="stable")
+    return q[order], n[order]
+
+
 def split_and_allocate(qts, counts, target=DEFAULT_TARGET, minimum=DEFAULT_MINIMUM):
     """Driver-side split rule -> (group_qts, group_counts, QtAllocator)."""
     gq, gt = find_qt_groups(qts, counts, target, minimum, require_count=False)
@@ -168,7 +313,7 @@ def tile_entities(
 
     timings = {}
     t0 = time.time()
-    qts, counts = count_tiles_adaptive(entities_ds, target)
+    qts, counts = count_tiles_onepass(entities_ds, target)
     timings["count"] = round(time.time() - t0, 2)
     t0 = time.time()
     gq, gt, alloc = split_and_allocate(qts, counts, target, minimum)
@@ -179,26 +324,25 @@ def tile_entities(
     t0 = time.time()
 
     done = mf.completed_tiles(out_dir) if resume else np.zeros(0, np.int64)
-    assigned = entities_ds.map_batches(
-        TileAssigner,
-        fn_constructor_args=(alloc_ref,),
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
 
     # single-exchange boundary-aware shuffle + atomic per-tile files
     # (stages/write_tiles.py): one file per tile, reference's tile-ordered
-    # layout (writefile.go:50-52), resumable (completed tiles skipped)
+    # layout (writefile.go:50-52), resumable (completed tiles skipped).
+    # Tile assignment is fused into the exchange's split tasks
+    # (alloc_ref), so assign+shuffle+write is ONE pass over the entities.
     from ..stages.write_tiles import write_tiled
 
     has_entity_id = "entity_id" in entities_ds.schema().names
     lin_file = os.path.join(out_dir, "lineage.parquet")
     if has_entity_id and os.path.exists(lin_file):
         os.remove(lin_file)  # a fresh tiling invalidates update lineage
-    n_writers = max(concurrency[1] if isinstance(concurrency, tuple) else 8, 8)
-    write_tiled(assigned, mf.data_dir(out_dir), gq, gt,
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    n_writers = max(concurrency[1] if isinstance(concurrency, tuple) else 8,
+                    ncpu)
+    write_tiled(entities_ds, mf.data_dir(out_dir), gq, gt,
                 n_writers=n_writers, skip_tiles=done,
-                lineage_dir=mf.lineage_dir(out_dir) if has_entity_id else None)
+                lineage_dir=mf.lineage_dir(out_dir) if has_entity_id else None,
+                alloc_ref=alloc_ref)
     timings["assign_write"] = round(time.time() - t0, 2)
     t0 = time.time()
 
@@ -220,8 +364,16 @@ def tile_pages(
     target: int = DEFAULT_TARGET,
     minimum: int = DEFAULT_MINIMUM,
     resume: bool = True,
+    checkpoint_entities: bool = True,
 ):
-    """Full flagship: pages parquet -> tiled entity parquet + manifest."""
+    """Full flagship: pages parquet -> tiled entity parquet + manifest.
+
+    ``checkpoint_entities=False`` skips the intermediate entities
+    parquet: the extracted table lives only in the (spillable) object
+    store and the tiled output is the sole durable artifact — the right
+    trade when extraction is cheaper than writing the corpus twice;
+    resume granularity is then per-tile (skip_tiles) rather than
+    per-stage."""
     import ray
 
     ent_path = os.path.join(out_dir, "entities")
@@ -230,24 +382,30 @@ def tile_pages(
 
     t_extract = 0.0
     ents2 = None
-    if not (resume and os.path.exists(ent_marker)):
+    if not (checkpoint_entities and resume and os.path.exists(ent_marker)):
         # a partial previous extraction must not leave appendable files
         import shutil
 
         t0 = time.time()
         shutil.rmtree(ent_path, ignore_errors=True)
+        # ~4 read+extract tasks per core: enough for balance, few enough
+        # that per-task scheduling overhead stays proportional to the
+        # cluster size (a fixed task count penalizes small clusters)
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
         pages = ray.data.read_parquet(
-            pages_path, columns=["url", "warc_ts", "html", "lang"]
+            pages_path, columns=["url", "warc_ts", "html", "lang"],
+            override_num_blocks=4 * ncpu,
         )
         # materialize once: the entities table is consumed several times
-        # (adaptive count rounds + assignment) — keep it in the object
-        # store instead of re-reading parquet each pass; the parquet
-        # checkpoint (coalesced files) is still written for resume and
-        # downstream consumers
+        # (count pass + assignment pass) — keep it in the object store
+        # instead of re-reading parquet each pass; the parquet checkpoint
+        # (coalesced files) is written for resume and downstream
+        # consumers unless checkpoint_entities=False
         ents2 = pages_to_entities(pages).materialize()
-        ents2.write_parquet(ent_path, min_rows_per_file=100_000)
-        with open(ent_marker, "w") as f:
-            f.write("ok\n")
+        if checkpoint_entities:
+            ents2.write_parquet(ent_path, min_rows_per_file=100_000)
+            with open(ent_marker, "w") as f:
+                f.write("ok\n")
         t_extract = round(time.time() - t0, 2)
     if ents2 is None:
         ents2 = ray.data.read_parquet(ent_path)

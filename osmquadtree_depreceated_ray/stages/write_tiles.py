@@ -38,17 +38,108 @@ def _writer_ranges(tile_order: np.ndarray, tile_counts: np.ndarray,
     return wid
 
 
+def _split_impl(tiles_sorted, wid, n_writers_eff, alloc, *blocks):
+    # ``alloc`` arrives as an ObjectRef argument that Ray resolves from
+    # plasma (zero-copy, shared across every task on a node) — the
+    # broadcast-small-side pattern.
+    tbls = [b if isinstance(b, pa.Table) else pa.Table.from_pandas(b)
+            for b in blocks]
+    block = tbls[0] if len(tbls) == 1 else pa.concat_tables(
+        tbls, promote_options="default")
+    if alloc is not None:
+        tile = alloc.assign(block.column("qt").to_numpy())
+        block = block.append_column("tile", pa.array(tile))
+    else:
+        tile = block.column("tile").to_numpy()
+    pos = np.searchsorted(tiles_sorted, tile)
+    pos = np.clip(pos, 0, max(len(tiles_sorted) - 1, 0))
+    w = wid[pos]
+    outs = []
+    for i in range(n_writers_eff):
+        m = w == i
+        outs.append(block.filter(pa.array(m)) if m.any() else block.slice(0, 0))
+    return tuple(outs) if n_writers_eff > 1 else outs[0]
+
+
+def _write_range_impl(writer_id, out_dir, lineage_dir, skip, *pieces):
+    rows = 0
+    tbl = pa.concat_tables([p for p in pieces if p.num_rows],
+                           promote_options="default") \
+        if any(p.num_rows for p in pieces) else None
+    if tbl is None:
+        return 0
+    tile = tbl.column("tile").to_numpy()
+    order2 = np.argsort(tile, kind="stable")
+    tbl = tbl.take(pa.array(order2))
+    tile = tile[order2]
+    if lineage_dir is not None and "entity_id" in tbl.column_names:
+        os.makedirs(lineage_dir, exist_ok=True)
+        lin = pa.table({"entity_id": tbl.column("entity_id"),
+                        "tile": pa.array(tile)})
+        ltmp = os.path.join(lineage_dir, f".part-{writer_id}.parquet.tmp")
+        pq.write_table(lin, ltmp)
+        os.replace(ltmp, os.path.join(lineage_dir, f"part-{writer_id}.parquet"))
+    starts = np.concatenate([[0], np.flatnonzero(tile[1:] != tile[:-1]) + 1])
+    ends = np.append(starts[1:], len(tile))
+    for s, e in zip(starts, ends):
+        t = int(tile[s])
+        if skip is not None:
+            p = np.searchsorted(skip, t)
+            if p < len(skip) and skip[p] == t:
+                continue
+        d = os.path.join(out_dir, f"tile={t}")
+        os.makedirs(d, exist_ok=True)
+        sub = tbl.slice(s, e - s).drop_columns(["tile"])
+        tmp = os.path.join(d, f".part-{writer_id}.parquet.tmp")
+        pq.write_table(sub, tmp)
+        final = f"part-{writer_id}.parquet"
+        os.replace(tmp, os.path.join(d, final))
+        # a tile belongs to exactly one writer per run: retire any
+        # stale files a crashed run with a different writer layout
+        # left behind (the manifest is the commit point, so an
+        # unmanifested tile dir may hold partial state)
+        for fn in os.listdir(d):
+            if fn != final and not fn.startswith("."):
+                os.remove(os.path.join(d, fn))
+        rows += e - s
+    return rows
+
+
+_split = None
+_write_range = None
+
+
+def _get_remote_fns():
+    """Export the exchange's remote functions once per session (defining
+    them per call re-pickles + re-registers them — measured fixed cost)."""
+    global _split, _write_range
+    if _split is None:
+        import ray
+
+        _split = ray.remote(_split_impl)
+        _write_range = ray.remote(_write_range_impl)
+    return _split, _write_range
+
+
 def write_tiled(assigned_ds, out_dir: str, tile_order: np.ndarray,
                 tile_counts: np.ndarray, n_writers: int = 16,
                 skip_tiles: np.ndarray | None = None,
-                lineage_dir: str | None = None) -> int:
+                lineage_dir: str | None = None,
+                alloc_ref=None) -> int:
     """Shuffle-by-known-boundaries write.  Returns rows written.
 
     When ``lineage_dir`` is given, each writer also emits its
     (entity_id, tile) lineage part — the writers hold exactly that data,
-    so the separate lineage pass disappears."""
+    so the separate lineage pass disappears.
+
+    When ``alloc_ref`` (ObjectRef to a QtAllocator) is given, the input
+    needs no ``tile`` column: each split task assigns tiles from ``qt``
+    itself (zero-copy plasma read of the broadcast allocator), fusing the
+    TileAssigner stage into the exchange — one fewer pass + no actor
+    pool on the flagship hot path."""
     import ray
 
+    split, write_range = _get_remote_fns()
     order = np.argsort(tile_order, kind="stable")
     tiles_sorted = tile_order[order]
     counts_sorted = tile_counts[order]
@@ -56,70 +147,26 @@ def write_tiled(assigned_ds, out_dir: str, tile_order: np.ndarray,
     n_writers_eff = int(wid.max()) + 1 if len(wid) else 1
     skip = np.sort(skip_tiles) if skip_tiles is not None and len(skip_tiles) else None
 
-    @ray.remote(num_returns=n_writers_eff)
-    def split(block: pa.Table):
-        tile = block.column("tile").to_numpy()
-        pos = np.searchsorted(tiles_sorted, tile)
-        pos = np.clip(pos, 0, max(len(tiles_sorted) - 1, 0))
-        w = wid[pos]
-        outs = []
-        for i in range(n_writers_eff):
-            m = w == i
-            outs.append(block.filter(pa.array(m)) if m.any() else block.slice(0, 0))
-        return tuple(outs) if n_writers_eff > 1 else outs[0]
-
-    @ray.remote
-    def write_range(writer_id: int, *pieces):
-        rows = 0
-        tbl = pa.concat_tables([p for p in pieces if p.num_rows], promote_options="default") \
-            if any(p.num_rows for p in pieces) else None
-        if tbl is None:
-            return 0
-        tile = tbl.column("tile").to_numpy()
-        order2 = np.argsort(tile, kind="stable")
-        tbl = tbl.take(pa.array(order2))
-        tile = tile[order2]
-        if lineage_dir is not None and "entity_id" in tbl.column_names:
-            os.makedirs(lineage_dir, exist_ok=True)
-            lin = pa.table({"entity_id": tbl.column("entity_id"),
-                            "tile": pa.array(tile)})
-            ltmp = os.path.join(lineage_dir, f".part-{writer_id}.parquet.tmp")
-            pq.write_table(lin, ltmp)
-            os.replace(ltmp, os.path.join(lineage_dir, f"part-{writer_id}.parquet"))
-        starts = np.concatenate([[0], np.flatnonzero(tile[1:] != tile[:-1]) + 1])
-        ends = np.append(starts[1:], len(tile))
-        for s, e in zip(starts, ends):
-            t = int(tile[s])
-            if skip is not None:
-                p = np.searchsorted(skip, t)
-                if p < len(skip) and skip[p] == t:
-                    continue
-            d = os.path.join(out_dir, f"tile={t}")
-            os.makedirs(d, exist_ok=True)
-            sub = tbl.slice(s, e - s).drop_columns(["tile"])
-            tmp = os.path.join(d, f".part-{writer_id}.parquet.tmp")
-            pq.write_table(sub, tmp)
-            final = f"part-{writer_id}.parquet"
-            os.replace(tmp, os.path.join(d, final))
-            # a tile belongs to exactly one writer per run: retire any
-            # stale files a crashed run with a different writer layout
-            # left behind (the manifest is the commit point, so an
-            # unmanifested tile dir may hold partial state)
-            for fn in os.listdir(d):
-                if fn != final and not fn.startswith("."):
-                    os.remove(os.path.join(d, fn))
-            rows += e - s
-        return rows
-
     block_refs = [
-        bundle.block_refs[0]
+        ref
         for bundle in assigned_ds.iter_internal_ref_bundles()
+        for ref in bundle.block_refs
     ]
-    pieces = [split.remote(b) for b in block_refs]
+    # bound the exchange's object count at ~n_tasks x n_writers: group
+    # input blocks so there are about n_writers split tasks (each task
+    # concats its group once — far cheaper than 4x the plasma objects)
+    n_tasks = max(1, min(len(block_refs), n_writers_eff))
+    groups = [block_refs[i::n_tasks] for i in range(n_tasks)]
+    pieces = [
+        split.options(num_returns=n_writers_eff).remote(
+            tiles_sorted, wid, n_writers_eff, alloc_ref, *g)
+        for g in groups if g
+    ]
     if n_writers_eff == 1:
         pieces = [[p] for p in pieces]
     writes = [
-        write_range.remote(w, *[pieces[b][w] for b in range(len(pieces))])
+        write_range.remote(w, out_dir, lineage_dir, skip,
+                           *[pieces[b][w] for b in range(len(pieces))])
         for w in range(n_writers_eff)
     ]
     return int(sum(ray.get(writes)))

@@ -118,3 +118,38 @@ def test_adaptive_counts_equivalent_to_flat(ray_session):
         g2 = dict(zip(*[x.tolist() for x in find_qt_groups(aq, an, target, minimum,
                                                            require_count=False)]))
         assert g1 == g2, (target, minimum)
+
+
+def test_onepass_counts_equal_adaptive(ray_session):
+    """The one-pass exchange count must emit the exact same pruned
+    ladder as the sequential adaptive version (same leaves, same
+    totals), for several targets and reducer widths."""
+    import pyarrow as pa
+    import ray
+
+    from osmquadtree_depreceated_ray.pipelines.tile import (
+        count_tiles_adaptive,
+        count_tiles_onepass,
+    )
+
+    qts = _random_qts(60_000, seed=43)
+    ds = ray.data.from_arrow(pa.table({"qt": qts})).repartition(8).materialize()
+    for target in (500, 2000, 8000):
+        for levels in ((4, 8, 13, 18), (6, 12, 18)):
+            aq, an = count_tiles_adaptive(ds, target, levels=levels)
+            for n_red in (1, 5):
+                oq, on = count_tiles_onepass(ds, target, levels=levels,
+                                             n_reducers=n_red)
+                assert oq.tolist() == aq.tolist(), (target, levels, n_red)
+                assert on.tolist() == an.tolist(), (target, levels, n_red)
+
+
+def test_onepass_counts_empty(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from osmquadtree_depreceated_ray.pipelines.tile import count_tiles_onepass
+
+    ds = ray.data.from_arrow(pa.table({"qt": pa.array([], pa.int64())}))
+    q, n = count_tiles_onepass(ds, 1000)
+    assert len(q) == 0 and len(n) == 0
