@@ -184,65 +184,75 @@ def q_change_apply(sf_dir: str):
         df = df.sort_values(["ts", "event_id"]).groupby("key", as_index=False).last()
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    def chg_last(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        out = g.groupby("key", as_index=False).last()
-        return out[["key", "code", "new_c"]]
-
     from ..stages.shuffle import bucketed_apply
 
     events = ray.data.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["user_id", "event_type", "ts", "event_id", "value"],
     )
-    last_change = bucketed_apply(
-        events.map_batches(chg_partial, batch_format="pyarrow"),
-        ["key"], chg_last,
-    ).to_pandas()  # small: one row per user
 
-    import ray as _ray
+    # fully distributed apply: tag change partials (src=1) and base rows
+    # (src=0) into one keyed stream, bucket by key, and resolve the
+    # lattice per bucket — no driver-side materialization, no broadcast
+    # (the reference's orig (+) change merge is a co-partitioned zip,
+    # update/update.go:343-738)
+    def tag_chg(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": b.column("key"),
+            "code": pa.compute.cast(b.column("code"), pa.int64()),
+            "new_c": b.column("new_c"),
+            "ts": pa.compute.cast(b.column("ts"), pa.int64()),
+            "event_id": b.column("event_id"),
+            "bal_c": pa.array(np.zeros(b.num_rows, np.int64)),
+            "src": pa.array(np.ones(b.num_rows, np.int64)),
+        })
 
-    chg_ref = _ray.put(last_change.set_index("key"))
+    def tag_base(b: pa.Table) -> pa.Table:
+        bal_c = np.floor(
+            b.column("c_acctbal").to_numpy() * 100.0 + 0.5).astype(np.int64)
+        n = b.num_rows
+        return pa.table({
+            "key": b.column("c_custkey"),
+            "code": pa.array(np.zeros(n, np.int64)),
+            "new_c": pa.array(np.zeros(n, np.int64)),
+            "ts": pa.array(np.zeros(n, np.int64)),
+            "event_id": pa.array(np.zeros(n, np.int64)),
+            "bal_c": pa.array(bal_c),
+            "src": pa.array(np.zeros(n, np.int64)),
+        })
 
-    class Apply:
-        def __init__(self):
-            self.chg = _ray.get(chg_ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            key = b.column("c_custkey").to_numpy()
-            bal_c = np.floor(b.column("c_acctbal").to_numpy() * 100.0 + 0.5).astype(np.int64)
-            sub = self.chg.reindex(key)
-            code = sub["code"].fillna(0).to_numpy()
-            new_c = sub["new_c"].to_numpy()
-            keep = code != 1  # Delete drops
-            out_val = np.where(code == 0, bal_c, np.where(np.isnan(new_c), bal_c, new_c))
-            df = pd.DataFrame({"key": key[keep],
-                               "bal_c": out_val[keep].astype(np.int64),
-                               "src": "base"})
-            return pa.Table.from_pandas(df, preserve_index=False)
-
+    chg_tagged = events.map_batches(
+        chg_partial, batch_format="pyarrow").map_batches(
+        tag_chg, batch_format="pyarrow")
     base = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
-    )
-    applied = base.map_batches(Apply, batch_format="pyarrow", concurrency=(1, 4))
+    ).map_batches(tag_base, batch_format="pyarrow")
 
-    # Creates: last-change code 5 for keys NOT in base
-    base_keys = pd.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
-    )["c_custkey"].to_numpy()
-    creates = last_change[
-        (last_change["code"] == 5) & (~last_change["key"].isin(base_keys))
-    ]
-    created = pa.table(
-        {
-            "key": pa.array(creates["key"].to_numpy().astype(np.int64)),
-            "bal_c": pa.array(creates["new_c"].to_numpy().astype(np.int64)),
-            "src": pa.array(["created"] * len(creates)),
-        }
-    )
-    import ray.data as rd
+    def apply_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        chg = g[g["src"] == 1].sort_values(["ts", "event_id"])
+        chg = chg.groupby("key", as_index=False).last()[["key", "code", "new_c"]]
+        basep = g[g["src"] == 0][["key", "bal_c"]]
+        m = basep.merge(chg, on="key", how="left")
+        code = m["code"].fillna(0).to_numpy()
+        keep = code != 1  # Delete drops
+        upd = (code == 4) | (code == 5)
+        new_c = m["new_c"].to_numpy(dtype=np.float64, na_value=0.0)
+        val = np.where(upd, new_c, m["bal_c"].to_numpy()).astype(np.int64)
+        out_base = pd.DataFrame({
+            "key": m["key"].to_numpy()[keep],
+            "bal_c": val[keep],
+            "src": "base",
+        })
+        creates = chg[(chg["code"] == 5)
+                      & (~chg["key"].isin(basep["key"]))]
+        out_cr = pd.DataFrame({
+            "key": creates["key"].to_numpy().astype(np.int64),
+            "bal_c": creates["new_c"].to_numpy().astype(np.int64),
+            "src": "created",
+        })
+        return pd.concat([out_base, out_cr], ignore_index=True)
 
-    return applied.union(rd.from_arrow(created))
+    return bucketed_apply(chg_tagged.union(base), ["key"], apply_bucket)
 
 
 def sql_change_apply() -> str:

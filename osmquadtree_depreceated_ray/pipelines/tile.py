@@ -334,8 +334,15 @@ def tile_entities(
 
     has_entity_id = "entity_id" in entities_ds.schema().names
     lin_file = os.path.join(out_dir, "lineage.parquet")
-    if has_entity_id and os.path.exists(lin_file):
-        os.remove(lin_file)  # a fresh tiling invalidates update lineage
+    if has_entity_id:
+        # a fresh tiling invalidates update lineage (legacy file + any
+        # stale bucket parts from a previous writer layout)
+        if os.path.exists(lin_file):
+            os.remove(lin_file)
+        if len(done) == 0:
+            import shutil
+
+            shutil.rmtree(mf.lineage_dir(out_dir), ignore_errors=True)
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     n_writers = max(concurrency[1] if isinstance(concurrency, tuple) else 8,
                     ncpu)

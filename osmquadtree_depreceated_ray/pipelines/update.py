@@ -41,94 +41,126 @@ def _changes_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "changes")
 
 
+def _migrate_legacy_lineage(out_dir: str) -> None:
+    """One-time migration of a legacy single-file lineage.parquet into
+    the bucketed store (a stale legacy file would shadow bucket state)."""
+    legacy = os.path.join(out_dir, "lineage.parquet")
+    if not os.path.exists(legacy):
+        return
+    t = pq.read_table(legacy)
+    eids = t.column("entity_id").to_numpy()
+    bks = mf.lineage_bucket(eids)
+    for b in np.unique(bks):
+        mf.write_lineage_bucket(out_dir, int(b), t.filter(pa.array(bks == b)))
+    os.remove(legacy)
+
+
 def apply_change_batch(out_dir: str, changes: pa.Table, seq: int) -> dict:
     """Compute per-tile change records for one batch and update lineage.
 
     Only the affected tiles appear in the change file — the reference's
     partial re-read (S3/J10) becomes partition pruning over these tiles.
+
+    Scale shape: the lineage store is bucketed by entity id
+    (state/manifest.py LINEAGE_BUCKETS); a batch reads and rewrites ONLY
+    its ids' buckets, so per-increment state IO is O(batch + touched
+    buckets), never O(corpus) — the LocationsCache indexed-store
+    semantics (locationscache/pbfindex.go:34-305).  The emit logic is a
+    vectorized numpy case-when over the lattice, no per-row loop.
     """
     man = mf.read_manifest(out_dir)
     if man is None:
         raise FileNotFoundError(f"no manifest in {out_dir}")
     alloc = QtAllocator(man.column("tile").to_numpy())
-
-    lineage_t = mf.read_lineage(out_dir)
-    lineage = (
-        lineage_t.to_pandas().set_index("entity_id")["tile"]
-        if lineage_t is not None
-        else pd.Series(dtype="int64")
-    )
+    _migrate_legacy_lineage(out_dir)
 
     df = changes.to_pandas()
     df = df[df["seq"] == seq]
     # last-wins within the batch (J9 semantics, defensive)
     df = df.drop_duplicates(subset=["entity_id"], keep="last")
 
-    eid = df["entity_id"].to_numpy()
+    eid = df["entity_id"].to_numpy().astype(np.int64)
     code = df["change"].to_numpy()
-    lon = df["lon"].to_numpy()
-    lat = df["lat"].to_numpy()
+    lon = df["lon"].to_numpy().astype(np.int64)
+    lat = df["lat"].to_numpy().astype(np.int64)
     qt = calculate_point(lon, lat, 0.05, 18)
     new_tile = alloc.assign(qt)
-    # NB: keep tile ids as Python ints — a float64 round-trip (e.g. via
-    # reindex-with-NaN) silently destroys the low depth bits of 63-bit ids
-    old_map = {int(k): int(v) for k, v in lineage.items()}
 
-    rec = {k: [] for k in ("tile", "entity_id", "change", "lon", "lat", "qt", "seq")}
+    # old tile lookup from ONLY the affected lineage buckets
+    buckets = np.unique(mf.lineage_bucket(eid))
+    lin_t = mf.read_lineage_buckets(out_dir, buckets.tolist())
+    if lin_t is not None and lin_t.num_rows:
+        o_ids = lin_t.column("entity_id").to_numpy().astype(np.int64)
+        o_tiles = lin_t.column("tile").to_numpy().astype(np.int64)
+        order = np.argsort(o_ids, kind="stable")
+        o_ids, o_tiles = o_ids[order], o_tiles[order]
+    else:
+        o_ids = np.zeros(0, np.int64)
+        o_tiles = np.zeros(0, np.int64)
+    pos = np.searchsorted(o_ids, eid)
+    pos_c = np.clip(pos, 0, max(len(o_ids) - 1, 0))
+    has_old = (pos < len(o_ids)) & (len(o_ids) > 0)
+    if len(o_ids):
+        has_old &= o_ids[pos_c] == eid
+    old_tile = o_tiles[pos_c] if len(o_ids) else np.zeros(len(eid), np.int64)
 
-    def emit(tile, e, ch, lo=0, la=0, q=-1):
-        rec["tile"].append(int(tile))
-        rec["entity_id"].append(int(e))
-        rec["change"].append(int(ch))
-        rec["lon"].append(int(lo))
-        rec["lat"].append(int(la))
-        rec["qt"].append(int(q))
-        rec["seq"].append(seq)
+    is_del = code == CH_DELETE
+    is_mod = code == CH_MODIFY
+    is_cre = code == CH_CREATE
+    del_hit = is_del & has_old
+    mod_same = is_mod & has_old & (old_tile == new_tile)
+    mod_move = is_mod & has_old & (old_tile != new_tile)
+    creates = is_cre | (is_mod & ~has_old)
+    n_missing_delete = int((is_del & ~has_old).sum())
 
-    new_lineage = dict(old_map)
-    n_missing_delete = 0
-    for i in range(len(df)):
-        e = int(eid[i])
-        old = old_map.get(e)
-        has_old = old is not None
-        if code[i] == CH_DELETE:
-            if has_old:
-                emit(int(old), e, CH_DELETE)
-                new_lineage.pop(e, None)
-            else:
-                n_missing_delete += 1  # tolerated (update.go delete-of-missing)
-        elif code[i] == CH_MODIFY:
-            if has_old and int(old) == int(new_tile[i]):
-                emit(int(old), e, CH_MODIFY, lon[i], lat[i], qt[i])
-            elif has_old:
-                # cross-tile move: Remove from old + Unchanged into new
-                emit(int(old), e, CH_REMOVE)
-                emit(int(new_tile[i]), e, CH_UNCHANGED, lon[i], lat[i], qt[i])
-            else:
-                emit(int(new_tile[i]), e, CH_CREATE, lon[i], lat[i], qt[i])
-            new_lineage[e] = int(new_tile[i])
-        elif code[i] == CH_CREATE:
-            emit(int(new_tile[i]), e, CH_CREATE, lon[i], lat[i], qt[i])
-            new_lineage[e] = int(new_tile[i])
+    zero = np.zeros_like(eid)
+    neg1 = np.full_like(eid, -1)
 
+    def rows(mask, tile, ch, lo, la, q):
+        n = int(mask.sum())
+        return (tile[mask], eid[mask],
+                np.full(n, ch, np.int8), lo[mask], la[mask], q[mask])
+
+    groups = [
+        rows(del_hit, old_tile, CH_DELETE, zero, zero, neg1),
+        rows(mod_same, old_tile, CH_MODIFY, lon, lat, qt),
+        rows(mod_move, old_tile, CH_REMOVE, zero, zero, neg1),
+        rows(mod_move, new_tile, CH_UNCHANGED, lon, lat, qt),
+        rows(creates, new_tile, CH_CREATE, lon, lat, qt),
+    ]
+    cat = [np.concatenate([g[i] for g in groups]) for i in range(6)]
     out = pa.table(
         {
-            "tile": pa.array(rec["tile"], pa.int64()),
-            "entity_id": pa.array(rec["entity_id"], pa.int64()),
-            "change": pa.array(rec["change"], pa.int8()),
-            "lon": pa.array(rec["lon"], pa.int64()),
-            "lat": pa.array(rec["lat"], pa.int64()),
-            "qt": pa.array(rec["qt"], pa.int64()),
-            "seq": pa.array(rec["seq"], pa.int64()),
+            "tile": pa.array(cat[0]),
+            "entity_id": pa.array(cat[1]),
+            "change": pa.array(cat[2]),
+            "lon": pa.array(cat[3]),
+            "lat": pa.array(cat[4]),
+            "qt": pa.array(cat[5]),
+            "seq": pa.array(np.full(len(cat[0]), seq, np.int64)),
         }
     )
     os.makedirs(_changes_dir(out_dir), exist_ok=True)
     pq.write_table(out, os.path.join(_changes_dir(out_dir), f"change_{seq:06d}.parquet"))
 
-    lin = pd.Series(new_lineage, name="tile")
-    lin.index.name = "entity_id"
-    mf.write_lineage(out_dir, pa.Table.from_pandas(lin.reset_index(),
-                                                   preserve_index=False))
+    # rewrite ONLY the affected lineage buckets: drop deleted ids, upsert
+    # modified/created ids
+    upd_mask = mod_same | mod_move | creates
+    upd = pd.DataFrame({"entity_id": eid[upd_mask], "tile": new_tile[upd_mask]})
+    dropped = set(eid[del_hit].tolist())
+    old_df = (lin_t.to_pandas() if lin_t is not None
+              else pd.DataFrame({"entity_id": [], "tile": []}))
+    old_df = old_df[["entity_id", "tile"]].astype(np.int64)
+    merged = pd.concat([old_df, upd], ignore_index=True)
+    merged = merged.drop_duplicates(subset=["entity_id"], keep="last")
+    if dropped:
+        merged = merged[~merged["entity_id"].isin(dropped)]
+    bks = mf.lineage_bucket(merged["entity_id"].to_numpy())
+    for b in buckets:
+        sub = merged[bks == b]
+        mf.write_lineage_bucket(
+            out_dir, int(b),
+            pa.Table.from_pandas(sub, preserve_index=False))
     state = mf.read_state(out_dir)
     state["seq"] = seq
     man_df = man.to_pandas()
@@ -136,7 +168,7 @@ def apply_change_batch(out_dir: str, changes: pa.Table, seq: int) -> dict:
                       state=state)
     return {
         "records": out.num_rows,
-        "affected_tiles": int(pd.Series(rec["tile"]).nunique()),
+        "affected_tiles": int(pd.Series(cat[0]).nunique()),
         "missing_deletes": n_missing_delete,
     }
 
@@ -191,6 +223,45 @@ def read_snapshot(out_dir: str):
     return bucketed_apply(both, ["entity_id"], overlay)
 
 
+def _compact_tile_impl(data_dir: str, t: int, sub: pd.DataFrame):
+    tdir = os.path.join(data_dir, f"tile={int(t)}")
+    parts = []
+    if os.path.isdir(tdir):
+        base = pq.read_table(tdir)
+        bdf = base.to_pandas()
+        bdf["change"] = 0
+        bdf["seq"] = -1
+        parts.append(bdf[["entity_id", "lon", "lat", "qt", "change", "seq"]])
+    parts.append(sub)
+    allr = pd.concat(parts, ignore_index=True)
+    allr = allr.sort_values(["entity_id", "seq", "change"])
+    last = allr.groupby("entity_id", as_index=False).last()
+    keep = last[(last["change"] == 0) | (last["change"] > 2)][
+        ["entity_id", "lon", "lat", "qt"]]
+    os.makedirs(tdir, exist_ok=True)
+    # base rows carry extra columns (url/name/cells); compacted tiles
+    # carry the core schema — readers select shared columns
+    tmp = os.path.join(tdir, ".compact.parquet.tmp")
+    pq.write_table(pa.Table.from_pandas(keep, preserve_index=False), tmp)
+    for f in os.listdir(tdir):
+        if not f.startswith(".") and f.endswith(".parquet"):
+            os.remove(os.path.join(tdir, f))
+    os.replace(tmp, os.path.join(tdir, "part-compacted.parquet"))
+    return int(t), int(len(keep))
+
+
+_compact_tile_remote = None
+
+
+def _get_compact_remote():
+    global _compact_tile_remote
+    if _compact_tile_remote is None:
+        import ray
+
+        _compact_tile_remote = ray.remote(_compact_tile_impl)
+    return _compact_tile_remote
+
+
 def compact(out_dir: str) -> dict:
     """Merge accumulated change batches INTO the tile partitions —
     the reference's partial re-read/re-write (update.go:343-738 +
@@ -207,38 +278,22 @@ def compact(out_dir: str) -> dict:
     if not (os.path.isdir(cdir) and os.listdir(cdir)):
         return {"rewritten_tiles": 0, "retired_files": 0}
     ch = pq.read_table(cdir)
-    affected = np.unique(ch.column("tile").to_numpy())
     ch_df = ch.to_pandas()
-
     data_dir = mf.data_dir(out_dir)
-    rewritten = 0
-    for t in affected:
-        tdir = os.path.join(data_dir, f"tile={int(t)}")
-        parts = []
-        if os.path.isdir(tdir):
-            base = pq.read_table(tdir)
-            bdf = base.to_pandas()
-            bdf["change"] = 0
-            bdf["seq"] = -1
-            parts.append(bdf[["entity_id", "lon", "lat", "qt", "change", "seq"]])
-        sub = ch_df[ch_df["tile"] == t][
-            ["entity_id", "lon", "lat", "qt", "change", "seq"]]
-        parts.append(sub)
-        allr = pd.concat(parts, ignore_index=True)
-        allr = allr.sort_values(["entity_id", "seq", "change"])
-        last = allr.groupby("entity_id", as_index=False).last()
-        keep = last[(last["change"] == 0) | (last["change"] > 2)][
-            ["entity_id", "lon", "lat", "qt"]]
-        os.makedirs(tdir, exist_ok=True)
-        # base rows carry extra columns (url/name/cells); compacted tiles
-        # carry the core schema — readers select shared columns
-        tmp = os.path.join(tdir, ".compact.parquet.tmp")
-        pq.write_table(pa.Table.from_pandas(keep, preserve_index=False), tmp)
-        for f in os.listdir(tdir):
-            if not f.startswith(".") and f.endswith(".parquet"):
-                os.remove(os.path.join(tdir, f))
-        os.replace(tmp, os.path.join(tdir, "part-compacted.parquet"))
-        rewritten += 1
+
+    # one Ray task per affected tile (the reference rewrites tiles on
+    # independent goroutines, update.go:343-738); each task overlays its
+    # tile's base rows with its slice of the change stream and rewrites
+    # atomically, returning the new row count for the manifest refresh
+    _compact_tile = _get_compact_remote()
+    groups = {int(t): g for t, g in ch_df.groupby("tile")}
+    tasks = [
+        _compact_tile.remote(
+            data_dir, t,
+            ray.put(g[["entity_id", "lon", "lat", "qt", "change", "seq"]]))
+        for t, g in groups.items()
+    ]
+    results = ray.get(tasks)
 
     retired = 0
     for f in list(os.listdir(cdir)):
@@ -246,9 +301,7 @@ def compact(out_dir: str) -> dict:
         retired += 1
     # refresh manifest counts for rewritten tiles
     man = mf.read_manifest(out_dir).to_pandas()
-    for t in affected:
-        tdir = os.path.join(data_dir, f"tile={int(t)}")
-        n = pq.read_table(tdir, columns=["entity_id"]).num_rows if os.path.isdir(tdir) else 0
+    for t, n in results:
         if (man["tile"] == t).any():
             man.loc[man["tile"] == t, "count"] = n
         else:
@@ -260,4 +313,4 @@ def compact(out_dir: str) -> dict:
     state["compacted_seq"] = state.get("seq", 0)
     mf.write_manifest(out_dir, man["tile"].to_numpy(), man["count"].to_numpy(),
                       state=state)
-    return {"rewritten_tiles": rewritten, "retired_files": retired}
+    return {"rewritten_tiles": len(results), "retired_files": retired}

@@ -73,12 +73,22 @@ def _write_range_impl(writer_id, out_dir, lineage_dir, skip, *pieces):
     tbl = tbl.take(pa.array(order2))
     tile = tile[order2]
     if lineage_dir is not None and "entity_id" in tbl.column_names:
-        os.makedirs(lineage_dir, exist_ok=True)
-        lin = pa.table({"entity_id": tbl.column("entity_id"),
+        # bucketed lineage store (manifest.LINEAGE_BUCKETS): the update
+        # path reads/rewrites only its batch's buckets, never the whole
+        # corpus's lineage
+        from ..state import manifest as _mf
+
+        eids = tbl.column("entity_id").to_numpy()
+        bks = _mf.lineage_bucket(eids)
+        lin = pa.table({"entity_id": pa.array(eids),
                         "tile": pa.array(tile)})
-        ltmp = os.path.join(lineage_dir, f".part-{writer_id}.parquet.tmp")
-        pq.write_table(lin, ltmp)
-        os.replace(ltmp, os.path.join(lineage_dir, f"part-{writer_id}.parquet"))
+        for b in np.unique(bks):
+            d = os.path.join(lineage_dir, f"bucket={int(b)}")
+            os.makedirs(d, exist_ok=True)
+            sub = lin.filter(pa.array(bks == b))
+            ltmp = os.path.join(d, f".part-{writer_id}.parquet.tmp")
+            pq.write_table(sub, ltmp)
+            os.replace(ltmp, os.path.join(d, f"part-{writer_id}.parquet"))
     starts = np.concatenate([[0], np.flatnonzero(tile[1:] != tile[:-1]) + 1])
     ends = np.append(starts[1:], len(tile))
     for s, e in zip(starts, ends):

@@ -67,15 +67,72 @@ def completed_tiles(out_dir: str) -> np.ndarray:
     return np.asarray(ok, dtype=np.int64)
 
 
+LINEAGE_BUCKETS = 16
+
+
 def lineage_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "lineage")
 
 
+def lineage_bucket(entity_id):
+    """Bucket assignment for the lineage store (entity_id -> bucket).
+    An update batch reads/rewrites ONLY its ids' buckets — the indexed
+    LocationsCache analogue (locationscache/pbfindex.go:34-305): state
+    touched per increment is O(batch), not O(corpus)."""
+    return entity_id % LINEAGE_BUCKETS
+
+
+def lineage_bucket_dir(out_dir: str, bucket: int) -> str:
+    return os.path.join(lineage_dir(out_dir), f"bucket={int(bucket)}")
+
+
 def write_lineage(out_dir: str, table: pa.Table) -> None:
-    """Single-file lineage write (update path — small tables).  The
-    tiling pipeline writes the ``lineage/`` directory distributed
-    instead; the single file, when present, is the newer state."""
+    """Legacy single-file lineage write (kept for small callers).  The
+    tiling writers and the update path use the bucketed ``lineage/``
+    store instead; the single file, when present, is the newer state."""
     pq.write_table(table, os.path.join(out_dir, "lineage.parquet"))
+
+
+def write_lineage_bucket(out_dir: str, bucket: int, table: pa.Table) -> None:
+    """Atomically replace one lineage bucket with a consolidated file."""
+    d = lineage_bucket_dir(out_dir, bucket)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, ".consolidated.parquet.tmp")
+    pq.write_table(table, tmp)
+    final = "consolidated.parquet"
+    os.replace(tmp, os.path.join(d, final))
+    for f in os.listdir(d):
+        if f != final and not f.startswith("."):
+            os.remove(os.path.join(d, f))
+
+
+def read_lineage_buckets(out_dir: str, buckets) -> pa.Table | None:
+    """Read ONLY the given buckets of the lineage store (the per-batch
+    update path).  Falls back to filtering the legacy single file."""
+    d = lineage_dir(out_dir)
+    tables = []
+    for b in buckets:
+        bd = lineage_bucket_dir(out_dir, b)
+        if os.path.isdir(bd):
+            for f in sorted(os.listdir(bd)):
+                if f.endswith(".parquet"):
+                    tables.append(pq.read_table(os.path.join(bd, f)))
+    if tables:
+        return pa.concat_tables(tables, promote_options="default")
+    p = os.path.join(out_dir, "lineage.parquet")
+    if os.path.exists(p):
+        t = pq.read_table(p)
+        bs = np.asarray(sorted(int(b) for b in buckets))
+        m = np.isin(lineage_bucket(t.column("entity_id").to_numpy()), bs)
+        return t.filter(pa.array(m))
+    if os.path.isdir(d) and not any(
+            name.startswith("bucket=") for name in os.listdir(d)):
+        # legacy flat writer parts: filter the whole dir
+        t = pq.read_table(d)
+        bs = np.asarray(sorted(int(b) for b in buckets))
+        m = np.isin(lineage_bucket(t.column("entity_id").to_numpy()), bs)
+        return t.filter(pa.array(m))
+    return None
 
 
 def read_lineage(out_dir: str) -> pa.Table | None:
@@ -84,5 +141,8 @@ def read_lineage(out_dir: str) -> pa.Table | None:
         return pq.read_table(p)
     d = lineage_dir(out_dir)
     if os.path.isdir(d) and os.listdir(d):
-        return pq.read_table(d)
+        t = pq.read_table(d)
+        if "bucket" in t.column_names:  # hive partition column
+            t = t.drop_columns(["bucket"])
+        return t
     return None

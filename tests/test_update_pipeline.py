@@ -109,3 +109,56 @@ def test_interleaved_compaction(ray_session, fixture_dir, tmp_path_factory):
     snap2 = up.read_snapshot(out).to_pandas().set_index("entity_id").sort_index()
     assert (snap2.index == snap.index).all()
     assert (snap2["lon"].to_numpy() == snap["lon"].to_numpy()).all()
+
+
+def test_bucketed_lineage_touches_only_affected(ray_session, tmp_path):
+    """Applying a batch against a large lineage must read/rewrite ONLY
+    the batch's entity-id buckets — untouched bucket files stay
+    byte-identical (mtime+size), i.e. the store is never loaded whole
+    (reference: locationscache/pbfindex.go:34-305)."""
+    import pyarrow as pa
+
+    out = str(tmp_path / "big")
+    os.makedirs(out, exist_ok=True)
+    n = 1_000_000
+    eids = np.arange(n, dtype=np.int64)
+    # a single root tile keeps the allocator trivial; lineage is what's
+    # under test
+    tiles = np.zeros(n, dtype=np.int64)
+    for b in range(mf.LINEAGE_BUCKETS):
+        m = mf.lineage_bucket(eids) == b
+        mf.write_lineage_bucket(
+            out, b, pa.table({"entity_id": pa.array(eids[m]),
+                              "tile": pa.array(tiles[m])}))
+    mf.write_manifest(out, np.array([0]), np.array([n]), state={})
+
+    touched = [int(mf.lineage_bucket(np.int64(7))),
+               int(mf.lineage_bucket(np.int64(7 + mf.LINEAGE_BUCKETS)))]
+    before = {}
+    for b in range(mf.LINEAGE_BUCKETS):
+        d = mf.lineage_bucket_dir(out, b)
+        f = os.path.join(d, "consolidated.parquet")
+        before[b] = (os.path.getmtime(f), os.path.getsize(f))
+
+    changes = pa.table({
+        "entity_id": pa.array([7, 7 + mf.LINEAGE_BUCKETS], pa.int64()),
+        "change": pa.array([4, 1], pa.int8()),
+        "lon": pa.array([1000, 0], pa.int64()),
+        "lat": pa.array([2000, 0], pa.int64()),
+        "seq": pa.array([1, 1], pa.int64()),
+    })
+    res = up.apply_change_batch(out, changes, 1)
+    assert res["records"] == 2
+
+    for b in range(mf.LINEAGE_BUCKETS):
+        d = mf.lineage_bucket_dir(out, b)
+        f = os.path.join(d, "consolidated.parquet")
+        after = (os.path.getmtime(f), os.path.getsize(f))
+        if b in touched:
+            assert after != before[b], b
+        else:
+            assert after == before[b], b
+    # deleted id gone, modified id retained
+    lt = mf.read_lineage_buckets(out, touched).to_pandas()
+    assert 7 in lt["entity_id"].values
+    assert (7 + mf.LINEAGE_BUCKETS) not in lt["entity_id"].values
