@@ -268,31 +268,47 @@ def _rows_to_table(rows: list[dict]) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=_FEATURE_SCHEMA)
 
 
+def _way_cols_bulk(b: pa.Table):
+    """Bulk-extract the way-geometry columns once per batch (single C
+    calls instead of per-row ``.as_py()``)."""
+    return {
+        "way_id": b.column("way_id").to_numpy(),
+        "geom_type": b.column("geom_type").to_numpy(),
+        "tags": b.column("tags").to_pylist(),
+        "z_order": b.column("z_order").to_numpy(),
+        "area": b.column("area").to_numpy(),
+        "lons": b.column("lons").to_pylist(),
+        "lats": b.column("lats").to_pylist(),
+    }
+
+
 def _way_feature_batch(b: pa.Table, held: np.ndarray, style) -> pa.Table:
     """Free-standing way geometries -> feature rows (skips rel-held ways)."""
+    c = _way_cols_bulk(b)
+    wid = c["way_id"]
+    pos = np.clip(np.searchsorted(held, wid), 0, max(len(held) - 1, 0))
+    is_held = (len(held) > 0) & (held[pos] == wid) if len(held) else \
+        np.zeros(len(wid), bool)
     rows = []
-    for i in range(b.num_rows):
-        w = int(b.column("way_id")[i].as_py())
-        p = np.searchsorted(held, w)
-        if p < len(held) and held[p] == w:
+    for i in np.flatnonzero(~is_held):
+        tags_s = c["tags"][i]
+        if not TR.is_feature(json.loads(tags_s), style):
             continue
-        tags = json.loads(b.column("tags")[i].as_py())
-        if not TR.is_feature(tags, style):
-            continue
-        lons = np.asarray(b.column("lons")[i].as_py(), np.int64)
-        lats = np.asarray(b.column("lats")[i].as_py(), np.int64)
-        gtype = int(b.column("geom_type")[i].as_py())
+        lons = np.asarray(c["lons"][i], np.int64)
+        lats = np.asarray(c["lats"][i], np.int64)
+        gtype = int(c["geom_type"][i])
         wkb = (WKB.polygon_wkb([(lons, lats)]) if gtype == GEOM_POLYGON
                else WKB.linestring_wkb(lons, lats))
-        rows.append(_feature_row(w, 1, gtype, b.column("tags")[i].as_py(),
-                                 int(b.column("z_order")[i].as_py()),
-                                 float(b.column("area")[i].as_py()),
+        rows.append(_feature_row(int(wid[i]), 1, gtype, tags_s,
+                                 int(c["z_order"][i]), float(c["area"][i]),
                                  lons, lats, wkb))
     return _rows_to_table(rows)
 
 
 def build_geometries(fixture_dir: str, out_dir: str,
-                     style: dict | None = None) -> dict:
+                     style: dict | None = None,
+                     feature_target: int = 2000,
+                     feature_minimum: int = 50) -> dict:
     import pyarrow.parquet as pq
     import ray
 
@@ -369,19 +385,29 @@ def build_geometries(fixture_dir: str, out_dir: str,
 
     # --- A3 + J4: nodes (bucketed join on entity_id) ------------------------
     def parent_fanout(b: pa.Table) -> pa.Table:
-        e, q, d, hw = [], [], [], []
-        for i in range(b.num_rows):
-            tags = json.loads(b.column("tags")[i].as_py())
-            phw = tags.get("highway", "")
-            wqt = int(b.column("qt")[i].as_py())
-            for r in b.column("refs")[i].as_py():
-                e.append(int(r))
-                q.append(wqt)
-                d.append(wqt & 31)
-                hw.append(phw)
+        """Explode way refs to (ref, way_qt, depth, highway) rows via the
+        Arrow list offsets — vectorized, no per-row .as_py()."""
+        if not b.num_rows:
+            return pa.table(
+                {"entity_id": pa.array([], pa.int64()),
+                 "p_qt": pa.array([], pa.int64()),
+                 "p_depth": pa.array([], pa.int64()),
+                 "p_hw": pa.array([], pa.string())})
+        refs_col = b.column("refs").combine_chunks()
+        if isinstance(refs_col, pa.ChunkedArray):
+            refs_col = refs_col.chunk(0)
+        flat = refs_col.flatten().to_numpy().astype(np.int64)
+        counts = pa.compute.list_value_length(refs_col).to_numpy()
+        qts = b.column("qt").to_numpy()
+        phw = np.asarray(
+            [json.loads(t).get("highway", "") for t in
+             b.column("tags").to_pylist()], dtype=object)
+        rep = np.repeat(np.arange(b.num_rows), counts)
         return pa.table(
-            {"entity_id": pa.array(e, pa.int64()), "p_qt": pa.array(q, pa.int64()),
-             "p_depth": pa.array(d, pa.int64()), "p_hw": pa.array(hw, pa.string())}
+            {"entity_id": pa.array(flat),
+             "p_qt": pa.array(qts[rep]),
+             "p_depth": pa.array(qts[rep] & 31),
+             "p_hw": pa.array(phw[rep], pa.string())}
         )
 
     node_cols = {
@@ -415,61 +441,112 @@ def build_geometries(fixture_dir: str, out_dir: str,
     node_geoms = bucketed_apply(node_inputs, ["entity_id"],
                                 _node_join_fn(style)).materialize()
 
-    # --- J6: relation assembly ----------------------------------------------
+    # --- J6: relation assembly (bucketed joins, no broadcast state) ---------
     mp = rel_df[
         rel_df["rel_type"].isin(["boundary", "multipolygon"])
         & (rel_df["member_type"] == 1)
     ]
     rel_members: dict[int, list] = {}
     rel_tags_map: dict[int, dict] = {}
-    way_to_rels: dict[int, list[int]] = {}
     for _, r in mp.iterrows():
         rid = int(r["rel_id"])
         w = int(r["member_ref"])
         rel_members.setdefault(rid, []).append((w, r["role"]))
-        way_to_rels.setdefault(w, []).append(rid)
         t = rel_tags_map.setdefault(rid, {"type": r["rel_type"]})
         if r["rel_type"] == "boundary":
             t["boundary"] = "administrative"
             if r["admin_level"] is not None and not pd.isna(r["admin_level"]):
                 t["admin_level"] = str(r["admin_level"])
-    held = np.sort(np.asarray(list(way_to_rels), dtype=np.int64))
-    meta_ref = ray.put({"members": rel_members, "tags": rel_tags_map,
-                        "w2r": way_to_rels, "style": style})
+    held = np.sort(mp["member_ref"].astype("int64").unique())
 
-    def rel_fanout(b: pa.Table) -> pa.Table:
-        w2r = ray.get(meta_ref)["w2r"]
-        out_rel, out_payload = [], []
-        for i in range(b.num_rows):
-            w = int(b.column("way_id")[i].as_py())
-            rels = w2r.get(w)
-            if not rels:
-                continue
-            payload = json.dumps(
-                {
-                    "way_id": w,
-                    "geom_type": int(b.column("geom_type")[i].as_py()),
-                    "refs": b.column("refs")[i].as_py(),
-                    "lons": b.column("lons")[i].as_py(),
-                    "lats": b.column("lats")[i].as_py(),
-                    "tags": b.column("tags")[i].as_py(),
-                    "z_order": int(b.column("z_order")[i].as_py()),
-                    "area": float(b.column("area")[i].as_py()),
-                }
-            )
-            for rid in rels:
-                out_rel.append(rid)
-                out_payload.append(payload)
-        return pa.table(
-            {"rel_id": pa.array(out_rel, pa.int64()),
-             "payload": pa.array(out_payload, pa.string())}
-        )
+    # relation state as ROWS, not broadcast dicts: the way->rel index and
+    # per-rel metadata flow through the same bucketed shuffles as the
+    # geometry payloads (geometry.go:318-327 keeps these co-streamed too)
+    w2r_rows = pd.DataFrame({
+        "way_id": mp["member_ref"].astype("int64").to_numpy(),
+        "rel_id": mp["rel_id"].astype("int64").to_numpy(),
+    })
+    meta_rows = pd.DataFrame({
+        "rel_id": np.asarray(sorted(rel_members), np.int64),
+        "meta_json": [
+            json.dumps({"tags": rel_tags_map[r], "members": rel_members[r]})
+            for r in sorted(rel_members)
+        ],
+    })
+
+    def _held_mask(wid: np.ndarray) -> np.ndarray:
+        if not len(held):
+            return np.zeros(len(wid), bool)
+        pos = np.clip(np.searchsorted(held, wid), 0, len(held) - 1)
+        return held[pos] == wid
+
+    def way_payloads(b: pa.Table) -> pa.Table:
+        """Held ways only -> one JSON payload row per way (the join
+        side shipped into the rel buckets)."""
+        c = _way_cols_bulk(b)
+        refs = b.column("refs").to_pylist()
+        keep = np.flatnonzero(_held_mask(c["way_id"]))
+        wids, payloads = [], []
+        for i in keep:
+            wids.append(int(c["way_id"][i]))
+            payloads.append(json.dumps({
+                "way_id": int(c["way_id"][i]),
+                "geom_type": int(c["geom_type"][i]),
+                "refs": refs[i], "lons": c["lons"][i], "lats": c["lats"][i],
+                "tags": c["tags"][i], "z_order": int(c["z_order"][i]),
+                "area": float(c["area"][i]),
+            }))
+        return pa.table({"way_id": pa.array(wids, pa.int64()),
+                         "payload": pa.array(payloads, pa.string())})
+
+    pay_cols = {"way_id": pa.int64(), "rel_id": pa.int64(),
+                "payload": pa.string(), "kind": pa.string()}
+
+    def pay_kind(kind):
+        def fn(b: pa.Table) -> pa.Table:
+            return _align(
+                b.append_column("kind", pa.array([kind] * b.num_rows)), pay_cols)
+
+        return fn
+
+    held_payloads = way_geoms.map_batches(way_payloads, batch_format="pyarrow")
+    fan_in = held_payloads.map_batches(pay_kind("pay"), batch_format="pyarrow") \
+        .union(ray.data.from_pandas(w2r_rows)
+               .map_batches(pay_kind("w2r"), batch_format="pyarrow"))
+
+    def fan_join(g: pd.DataFrame) -> pd.DataFrame:
+        pays = g[g["kind"] == "pay"][["way_id", "payload"]]
+        idx = g[g["kind"] == "w2r"][["way_id", "rel_id"]]
+        m = idx.merge(pays, on="way_id", how="inner")
+        return m[["rel_id", "payload"]]
+
+    # NOTE: a way shared by several relations is fanned out to each; the
+    # rel bucket sees its own copy (geometries are immutable rows here)
+    rel_stream = bucketed_apply(fan_in, ["way_id"], fan_join, n_buckets=8)
+
+    rel_cols = {"rel_id": pa.int64(), "payload": pa.string(),
+                "meta_json": pa.string(), "kind": pa.string()}
+
+    def rel_kind(kind):
+        def fn(b: pa.Table) -> pa.Table:
+            return _align(
+                b.append_column("kind", pa.array([kind] * b.num_rows)), rel_cols)
+
+        return fn
+
+    rel_in = rel_stream.map_batches(rel_kind("pay"), batch_format="pyarrow") \
+        .union(ray.data.from_pandas(meta_rows)
+               .map_batches(rel_kind("meta"), batch_format="pyarrow"))
 
     def assemble_rels(g: pd.DataFrame) -> pd.DataFrame:
-        meta = ray.get(meta_ref)
+        metas = g[g["kind"] == "meta"].set_index("rel_id")["meta_json"]
+        pays = g[g["kind"] == "pay"]
         out = {"row_kind": [], "rel_id": [], "way_id": [], "removed_key": [],
                "feature": []}
-        for rid, grp in g.groupby("rel_id", sort=False):
+        for rid, grp in pays.groupby("rel_id", sort=False):
+            if rid not in metas.index:
+                continue
+            meta = json.loads(metas.loc[rid])
             ways = {}
             for pj in grp["payload"]:
                 d = json.loads(pj)
@@ -482,8 +559,9 @@ def build_geometries(fixture_dir: str, out_dir: str,
                     z_order=d["z_order"], area=d["area"],
                 )
             gm, removed = TR.finish_rel(
-                int(rid), meta["tags"][int(rid)], meta["members"][int(rid)],
-                ways, meta["style"],
+                int(rid), meta["tags"],
+                [(int(w), role) for w, role in meta["members"]],
+                ways, style,
             )
             if gm is not None:
                 all_lon = np.concatenate([r[1] for gp in gm["groups"] for r in gp])
@@ -512,70 +590,118 @@ def build_geometries(fixture_dir: str, out_dir: str,
                     out["feature"].append(False)
         return pd.DataFrame(out)
 
-    # NOTE: a way shared by several relations is fanned out to each; the
-    # rel bucket sees its own copy (geometries are immutable rows here)
-    rel_stream = way_geoms.map_batches(rel_fanout, batch_format="pyarrow")
-    rel_results = bucketed_apply(rel_stream, ["rel_id"], assemble_rels,
+    rel_results = bucketed_apply(rel_in, ["rel_id"], assemble_rels,
                                  n_buckets=8).materialize()
-    rel_res_df = rel_results.to_pandas() if rel_results.count() else pd.DataFrame(
-        {"row_kind": [], "rel_id": [], "way_id": [], "removed_key": [],
-         "feature": []}
-    )
-    rel_feature_rows = [
-        json.loads(s) for s in rel_res_df[rel_res_df["row_kind"] == "rel_geom"][
-            "removed_key"]
-    ]
-    for fr in rel_feature_rows:
-        fr["wkb"] = bytes.fromhex(fr["wkb"])
-    removed_df = rel_res_df[rel_res_df["row_kind"] == "removed"][
-        ["way_id", "removed_key"]]
 
-    # released held ways: apply absorption marks, keep if still a feature
-    removed_map: dict[int, set] = {}
-    for _, r in removed_df.iterrows():
-        removed_map.setdefault(int(r["way_id"]), set()).add(r["removed_key"])
-    rm_ref = ray.put(removed_map)
-
-    def released_ways(b: pa.Table) -> pa.Table:
-        marks = ray.get(rm_ref)
+    def rel_geom_features(b: pa.Table) -> pa.Table:
+        kinds = b.column("row_kind").to_pylist()
         rows = []
-        for i in range(b.num_rows):
-            w = int(b.column("way_id")[i].as_py())
-            p = np.searchsorted(held, w)
-            if not (p < len(held) and held[p] == w):
+        for i, k in enumerate(kinds):
+            if k != "rel_geom":
                 continue
-            tags = json.loads(b.column("tags")[i].as_py())
-            for k in marks.get(w, ()):  # absorption deletions
-                tags.pop(k, None)
-            if not TR.is_feature(tags, style):
-                continue
-            lons = np.asarray(b.column("lons")[i].as_py(), np.int64)
-            lats = np.asarray(b.column("lats")[i].as_py(), np.int64)
-            gtype = int(b.column("geom_type")[i].as_py())
-            wkb = (WKB.polygon_wkb([(lons, lats)]) if gtype == GEOM_POLYGON
-                   else WKB.linestring_wkb(lons, lats))
-            rows.append(_feature_row(w, 1, gtype,
-                                     json.dumps(tags, sort_keys=True),
-                                     int(b.column("z_order")[i].as_py()),
-                                     float(b.column("area")[i].as_py()),
-                                     lons, lats, wkb))
+            fr = json.loads(b.column("removed_key")[i].as_py())
+            fr["wkb"] = bytes.fromhex(fr["wkb"])
+            rows.append(fr)
         return _rows_to_table(rows)
 
-    # --- A4: relation qt (small driver graph over distributed member qts) ---
-    way_qt_df = way_geoms.select_columns(["way_id", "qt"]).to_pandas()
-    way_qt = dict(zip(way_qt_df["way_id"].astype(int),
-                      way_qt_df["qt"].astype(int)))
-    rel_qt: dict[int, int] = {}
-    rel_rel_edges = []
-    for rid, grp in rel_df.groupby("rel_id"):
-        q = -1
-        for _, m in grp.iterrows():
-            if m["member_type"] == 1 and int(m["member_ref"]) in way_qt:
-                q = int(qt_common(np.asarray([q]),
-                                  np.asarray([way_qt[int(m["member_ref"])]]))[0])
-            elif m["member_type"] == 2:
-                rel_rel_edges.append((int(rid), int(m["member_ref"])))
-        rel_qt[int(rid)] = q
+    def removed_rows(b: pa.Table) -> pa.Table:
+        kinds = np.asarray(b.column("row_kind").to_pylist(), dtype=object)
+        m = kinds == "removed"
+        sub = b.filter(pa.array(m))
+        return pa.table({"way_id": sub.column("way_id").cast(pa.int64()),
+                         "removed_key": sub.column("removed_key")})
+
+    # released held ways: absorption marks join back by way_id (one more
+    # bucketed stage), keep if still a feature
+    rel_cols2 = {"way_id": pa.int64(), "payload": pa.string(),
+                 "removed_key": pa.string(), "kind": pa.string()}
+
+    def rel2_kind(kind):
+        def fn(b: pa.Table) -> pa.Table:
+            return _align(
+                b.append_column("kind", pa.array([kind] * b.num_rows)), rel_cols2)
+
+        return fn
+
+    released_in = held_payloads.map_batches(rel2_kind("pay"),
+                                            batch_format="pyarrow").union(
+        rel_results.map_batches(removed_rows, batch_format="pyarrow")
+        .map_batches(rel2_kind("rm"), batch_format="pyarrow"))
+
+    def released_join(g: pd.DataFrame) -> pd.DataFrame:
+        pays = g[g["kind"] == "pay"]
+        marks = (g[g["kind"] == "rm"].groupby("way_id")["removed_key"]
+                 .agg(lambda s: set(s)))
+        rows = []
+        for _, r in pays.iterrows():
+            d = json.loads(r["payload"])
+            w = int(d["way_id"])
+            tags = json.loads(d["tags"])
+            for k in marks.loc[w] if w in marks.index else ():
+                tags.pop(k, None)  # absorption deletions
+            if not TR.is_feature(tags, style):
+                continue
+            lons = np.asarray(d["lons"], np.int64)
+            lats = np.asarray(d["lats"], np.int64)
+            gtype = int(d["geom_type"])
+            wkb = (WKB.polygon_wkb([(lons, lats)]) if gtype == GEOM_POLYGON
+                   else WKB.linestring_wkb(lons, lats))
+            fr = _feature_row(w, 1, gtype, json.dumps(tags, sort_keys=True),
+                              int(d["z_order"]), float(d["area"]),
+                              lons, lats, wkb)
+            rows.append(fr)
+        df = _rows_to_table(rows).to_pandas()
+        df["wkb"] = df["wkb"].map(bytes)
+        return df
+
+    released_feats = bucketed_apply(released_in, ["way_id"], released_join,
+                                    n_buckets=8)
+
+    # --- A4: relation qt — distributed member-qt fold, tiny driver graph ---
+    # the deepest common ancestor of a qt SET equals common(min, max) in
+    # pre-order (a node's subtree is a contiguous pre-order interval), so
+    # the fold is a grouped min/max, not a sequential loop
+    w2r_all = rel_df[rel_df["member_type"] == 1]
+    w2r_all_rows = pd.DataFrame({
+        "way_id": w2r_all["member_ref"].astype("int64").to_numpy(),
+        "rel_id": w2r_all["rel_id"].astype("int64").to_numpy(),
+    })
+    qt_cols = {"way_id": pa.int64(), "rel_id": pa.int64(), "qt": pa.int64(),
+               "kind": pa.string()}
+
+    def qt_kind(kind):
+        def fn(b: pa.Table) -> pa.Table:
+            return _align(
+                b.append_column("kind", pa.array([kind] * b.num_rows)), qt_cols)
+
+        return fn
+
+    qt_in = way_geoms.select_columns(["way_id", "qt"]).map_batches(
+        qt_kind("wq"), batch_format="pyarrow").union(
+        ray.data.from_pandas(w2r_all_rows)
+        .map_batches(qt_kind("w2r"), batch_format="pyarrow"))
+
+    def qt_join(g: pd.DataFrame) -> pd.DataFrame:
+        wq = g[g["kind"] == "wq"][["way_id", "qt"]]
+        idx = g[g["kind"] == "w2r"][["way_id", "rel_id"]]
+        m = idx.merge(wq, on="way_id", how="inner")
+        return m.groupby("rel_id", as_index=False).agg(
+            qmin=("qt", "min"), qmax=("qt", "max"))
+
+    rel_qt_parts = bucketed_apply(qt_in, ["way_id"], qt_join).to_pandas()
+    # re-fold across buckets (a rel's ways may span way-id buckets), then
+    # one common(min, max) per relation — driver state is O(relations)
+    rel_qt: dict[int, int] = {int(r): -1 for r in rel_df["rel_id"].unique()}
+    if len(rel_qt_parts):
+        fold = rel_qt_parts.groupby("rel_id").agg(
+            qmin=("qmin", "min"), qmax=("qmax", "max"))
+        commons = qt_common(fold["qmin"].to_numpy(), fold["qmax"].to_numpy())
+        for rid, c in zip(fold.index, commons):
+            rel_qt[int(rid)] = int(c)
+    rel_rel_edges = [
+        (int(r["rel_id"]), int(r["member_ref"]))
+        for _, r in rel_df[rel_df["member_type"] == 2].iterrows()
+    ]
     for _ in range(5):  # fixed 5 propagation rounds (resortwaynodes.go:767-824)
         for k, v in rel_rel_edges:
             if v in rel_qt:
@@ -585,47 +711,101 @@ def build_geometries(fixture_dir: str, out_dir: str,
                 )
     rel_qt = {k: (0 if v == -1 else v) for k, v in rel_qt.items()}
 
-    # --- final features (distributed per-batch construction + write) -------
+    # --- final features: stream -> count -> split -> tiled write -----------
     def node_features(b: pa.Table) -> pa.Table:
-        rows = []
-        for i in range(b.num_rows):
-            if not b.column("feature")[i].as_py():
-                continue
-            lon = int(b.column("lon")[i].as_py())
-            lat = int(b.column("lat")[i].as_py())
-            rows.append(_feature_row(int(b.column("node_id")[i].as_py()), 0,
-                                     GEOM_POINT, b.column("tags")[i].as_py(),
-                                     0, 0.0, np.asarray([lon]), np.asarray([lat]),
-                                     WKB.point_wkb(lon, lat)))
+        feat = b.column("feature").to_numpy()
+        nid = b.column("node_id").to_numpy()
+        lon = b.column("lon").to_numpy()
+        lat = b.column("lat").to_numpy()
+        tags = b.column("tags").to_pylist()
+        rows = [
+            _feature_row(int(nid[i]), 0, GEOM_POINT, tags[i], 0, 0.0,
+                         np.asarray([lon[i]]), np.asarray([lat[i]]),
+                         WKB.point_wkb(int(lon[i]), int(lat[i])))
+            for i in np.flatnonzero(feat)
+        ]
         return _rows_to_table(rows)
+
+    def to_schema(b: pa.Table) -> pa.Table:
+        return b.cast(_FEATURE_SCHEMA) if b.num_rows else \
+            _FEATURE_SCHEMA.empty_table()
 
     feats = (
         node_geoms.map_batches(node_features, batch_format="pyarrow")
         .union(way_geoms.map_batches(
             lambda b: _way_feature_batch(b, held, style), batch_format="pyarrow"))
-        .union(way_geoms.map_batches(released_ways, batch_format="pyarrow"))
-    )
-    parts = [
-        b.cast(_FEATURE_SCHEMA)
-        for b in feats.iter_batches(batch_format="pyarrow", batch_size=None)
-        if b.num_rows
-    ]
-    feats_tbl = pa.concat_tables(parts) if parts else _FEATURE_SCHEMA.empty_table()
-    rel_tbl = _rows_to_table(rel_feature_rows)
-    table = pa.concat_tables([feats_tbl, rel_tbl])
+        .union(released_feats.map_batches(to_schema, batch_format="pyarrow"))
+        .union(rel_results.map_batches(rel_geom_features, batch_format="pyarrow"))
+    ).map_batches(to_schema, batch_format="pyarrow").materialize()
 
-    import pyarrow.parquet as pq2
+    # tile-partitioned features output (writefile.go:155-205 /
+    # geometry.go:318-327): count -> split-rule -> boundary-aware
+    # exchange; the manifest makes the output prunable
+    from ..state import manifest as mf
+    from ..stages.write_tiles import write_tiled
+    from .tile import count_tiles_onepass, split_and_allocate
 
-    pq2.write_table(table, os.path.join(out_dir, "features.parquet"))
-    ot = table.column("orig_type").to_numpy()
+    qts, counts = count_tiles_onepass(feats, feature_target)
+    gq, gt, alloc = split_and_allocate(qts, counts, feature_target,
+                                       feature_minimum)
+    alloc_ref = ray.put(alloc)
+    n_rows = write_tiled(feats, mf.data_dir(out_dir), gq, gt,
+                         n_writers=8, alloc_ref=alloc_ref)
+    mf.write_manifest(out_dir, gq, gt, state={"kind": "features"})
+
+    ot_counts = {0: 0, 1: 0, 2: 0}
+    for b in feats.select_columns(["orig_type"]).iter_batches(
+            batch_size=None, batch_format="pyarrow"):
+        v, c = np.unique(b.column("orig_type").to_numpy(), return_counts=True)
+        for vi, ci in zip(v, c):
+            ot_counts[int(vi)] = ot_counts.get(int(vi), 0) + int(ci)
     return {
-        "features": table.num_rows,
-        "nodes": int((ot == 0).sum()),
-        "ways": int((ot == 1).sum()),
-        "relations": int((ot == 2).sum()),
+        "features": int(n_rows),
+        "nodes": ot_counts.get(0, 0),
+        "ways": ot_counts.get(1, 0),
+        "relations": ot_counts.get(2, 0),
         "rel_qt": rel_qt,
-        "out": os.path.join(out_dir, "features.parquet"),
+        "tiles": int(len(gq)),
+        "out": mf.data_dir(out_dir),
     }
+
+
+def read_features_pruned(out_dir: str, bbox: tuple, columns=None):
+    """S3 over the tiled features output: read only tiles whose buffered
+    bounds intersect ``bbox = (minx, miny, maxx, maxy)`` (the manifest is
+    the partition index), then exact-filter by feature-bbox intersection.
+    Returns (dataset | None, pruning stats)."""
+    import ray
+
+    from ..state import manifest as mf
+    from .spatial_filter import BboxTest
+
+    minx, miny, maxx, maxy = (int(v) for v in bbox)
+    man = mf.read_manifest(out_dir)
+    tiles = man.column("tile").to_numpy()
+    keep = BboxTest(minx, miny, maxx, maxy).intersects_qt(tiles)
+    paths = []
+    for t in tiles[keep]:
+        d = os.path.join(mf.data_dir(out_dir), f"tile={t}")
+        if os.path.isdir(d):
+            paths.extend(
+                os.path.join(d, f) for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            )
+    pruned = {"tiles_total": len(tiles), "tiles_read": int(keep.sum()),
+              "files_read": len(paths)}
+    if not paths:
+        return None, pruned
+    ds = ray.data.read_parquet(paths, columns=columns)
+
+    def exact(b: pa.Table) -> pa.Table:
+        m = ((b.column("minx").to_numpy() <= maxx)
+             & (b.column("maxx").to_numpy() >= minx)
+             & (b.column("miny").to_numpy() <= maxy)
+             & (b.column("maxy").to_numpy() >= miny))
+        return b.filter(pa.array(m))
+
+    return ds.map_batches(exact, batch_format="pyarrow"), pruned
 
 
 def write_geojson(features_path: str, out_path: str) -> int:

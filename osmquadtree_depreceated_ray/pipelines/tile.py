@@ -174,11 +174,16 @@ def ladder_prune(q: np.ndarray, n: np.ndarray, levels: tuple,
 
 
 def _part_counts_impl(n_red, levels, *blocks):
-    qts = [
-        (b.column("qt").to_numpy() if hasattr(b, "column")
-         else b["qt"].to_numpy())
-        for b in blocks
-    ]
+    qts = []
+    for b in blocks:
+        if hasattr(b, "column"):  # pyarrow
+            if b.num_rows and "qt" in b.column_names:
+                qts.append(b.column("qt").to_numpy())
+        else:  # pandas (empty union blocks may carry no schema at all)
+            if len(b) and "qt" in b.columns:
+                qts.append(b["qt"].to_numpy())
+    if not qts:
+        qts = [np.zeros(0, np.int64)]
     qt = qts[0] if len(qts) == 1 else np.concatenate(qts)
     qt = qt_round(qt, levels[-1])
     vals, counts = np.unique(qt, return_counts=True)

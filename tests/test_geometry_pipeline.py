@@ -156,3 +156,42 @@ def test_admin_levels_and_route_list_reducers():
     assert route_list(t2, "bus_routes", ["12", "3", "12", "7"])
     assert t2 == {"bus_routes": "12;3;7"}
     assert not route_list({}, "bus_routes", [])
+
+
+def test_features_output_tiled_and_prunable(geom_out):
+    """The features output is Hive-partitioned by tile with a manifest,
+    and read_features_pruned reads a strict subset of tiles for a small
+    bbox (writefile.go:155-205 tile-ordered indexed output)."""
+    import os
+
+    from osmquadtree_depreceated_ray.pipelines.geometry import (
+        read_features_pruned,
+    )
+    from osmquadtree_depreceated_ray.state import manifest as mf
+
+    out, res = geom_out
+    assert res["tiles"] >= 1
+    dd = mf.data_dir(out)
+    tile_dirs = [d for d in os.listdir(dd) if d.startswith("tile=")]
+    assert len(tile_dirs) == res["tiles"]
+    man = mf.read_manifest(out)
+    assert man is not None and man.num_rows == res["tiles"]
+
+    # whole-world read returns every feature
+    world = (-1800000000, -900000000, 1800000000, 900000000)
+    ds, stats = read_features_pruned(out, world)
+    assert ds.count() == res["features"]
+
+    # a small bbox prunes tiles (when there is more than one tile) and
+    # every returned feature's bbox intersects the query
+    t = pq.read_table(dd).to_pandas()
+    qx = int(t["minx"].median())
+    qy = int(t["miny"].median())
+    small = (qx - 10000, qy - 10000, qx + 10000, qy + 10000)
+    ds2, stats2 = read_features_pruned(out, small)
+    if res["tiles"] > 1:
+        assert stats2["tiles_read"] < stats2["tiles_total"]
+    if ds2 is not None:
+        f = ds2.to_pandas()
+        assert (f["minx"] <= small[2]).all() and (f["maxx"] >= small[0]).all()
+        assert (f["miny"] <= small[3]).all() and (f["maxy"] >= small[1]).all()
