@@ -225,7 +225,8 @@ def sql_pip_join() -> str:
     return (
         f"WITH {sql_rects_cte()}, e AS (SELECT doc_id, {lon} AS lon, {lat} AS lat "
         f"FROM documents) "
-        f"SELECT e.doc_id, r.poly_id, CAST(r.admin_level AS BIGINT) AS admin_level "
+        f"SELECT e.doc_id, CAST(r.poly_id AS BIGINT) AS poly_id, "
+        f"CAST(r.admin_level AS BIGINT) AS admin_level "
         f"FROM e JOIN rects r ON e.lon >= r.minx AND e.lon < r.maxx "
         f"AND e.lat >= r.miny AND e.lat < r.maxy"
     )
@@ -236,15 +237,14 @@ def q_knn(sf_dir: str):
     candidates per batch + global top-k groupby)."""
     import ray
 
-    from ..stages.spatial import KnnActor
+    from ..stages.spatial import KnnActor, worker_cached
 
     qref = ray.put(_knn_queries())
     ds = derived_entities(sf_dir)
     cands = ds.map_batches(
-        KnnActor,
-        fn_constructor_args=(qref, KNN_K, "doc_id"),
+        worker_cached(("knn", qref.hex()),
+                      lambda: KnnActor(qref, KNN_K, "doc_id")),
         batch_format="pyarrow",
-        concurrency=(1, 4),
     )
 
     from ..stages.shuffle import bucketed_apply
@@ -261,7 +261,7 @@ def sql_knn() -> str:
     return (
         f"WITH {sql_knn_queries_cte()}, e AS (SELECT doc_id, {lon} AS lon, "
         f"{lat} AS lat FROM documents) "
-        f"SELECT query_id, doc_id, dist2 FROM ("
+        f"SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, dist2 FROM ("
         f"  SELECT q.query_id, e.doc_id, "
         f"  CAST(e.lon - q.qlon AS DOUBLE) * CAST(e.lon - q.qlon AS DOUBLE) + "
         f"  CAST(e.lat - q.qlat AS DOUBLE) * CAST(e.lat - q.qlat AS DOUBLE) AS dist2, "
@@ -300,16 +300,15 @@ def q_raster_lookup(sf_dir: str):
     derived entity via the qt->slippy mapping (broadcast grid actor)."""
     import ray
 
-    from ..stages.spatial import RasterLookupActor
+    from ..stages.spatial import RasterLookupActor, worker_cached
 
     gref = _raster_grid_ref()
 
     ds = derived_entities(sf_dir)
     out = ds.map_batches(
-        RasterLookupActor,
-        fn_constructor_args=(gref,),
+        worker_cached(("raster", gref.hex()),
+                      lambda: RasterLookupActor(gref)),
         batch_format="pyarrow",
-        concurrency=(1, 4),
     )
 
     def finish(b: pa.Table) -> pa.Table:
@@ -478,6 +477,17 @@ def q_tile_split(sf_dir: str):
     qts, counts = count_tiles(ents)
     gq, gt = find_qt_groups(qts, counts, target=2000, minimum=100,
                             require_count=False)
+    # executable invariants (the rows-only check carries these): total
+    # conservation and every input qt allocated to exactly one group
+    from ..functions.qttree import QtAllocator
+
+    assert int(gt.sum()) == int(counts.sum()), "split lost/duplicated rows"
+    assigned = QtAllocator(gq).assign(qts)
+    assert (assigned >= 0).all(), "unallocated input qt"
+    recount = pd.Series(counts).groupby(pd.Series(assigned)).sum()
+    got = pd.Series(gt, index=pd.Series(gq))
+    assert got.sort_index().equals(recount.sort_index().astype(got.dtype)), \
+        "group totals disagree with re-assignment"
     return pd.DataFrame({"tile": gq, "n": gt})
 
 
@@ -639,3 +649,38 @@ def sql_way_assembly() -> str:
 
 QUERIES["way_assembly"] = q_way_assembly
 ORACLES["way_assembly"] = sql_way_assembly()
+
+
+# --- SQL string front-end (sqlselect/sql.go goyacc grammar; parsed by
+# pipelines/sqlparse.py and compiled onto the sqlish Expr layer) ------------
+
+SQL_PARSE_TEXT = (
+    "SELECT c_custkey, n_name, substr(n_name, 1, 3) AS pre, "
+    "CASE WHEN c_acctbal >= 0 THEN 'pos' ELSE 'neg' END AS sign "
+    "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+    "WHERE c_mktsegment LIKE 'BUI%' AND c_custkey BETWEEN 1 AND 1500 "
+    "ORDER BY c_custkey LIMIT 200"
+)
+
+
+def q_sql_parse(sf_dir: str):
+    """Execute a raw SQL string through the parser front-end; the oracle
+    is the IDENTICAL string run by DuckDB."""
+    import ray
+
+    from .sqlparse import parse_sql
+
+    tables = {
+        "customer": ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"],
+        ),
+        "nation": ray.data.read_parquet(
+            f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+        ),
+    }
+    return parse_sql(SQL_PARSE_TEXT, tables)
+
+
+QUERIES["sql_parse"] = q_sql_parse
+ORACLES["sql_parse"] = SQL_PARSE_TEXT

@@ -161,7 +161,11 @@ def q_join_agg(sf_dir: str):
     )
     from ..stages.shuffle import grouped_agg
 
-    partial = ds.map_batches(JoinAgg, batch_format="pyarrow", concurrency=(1, 4))
+    from ..stages.spatial import worker_cached
+
+    partial = ds.map_batches(
+        worker_cached(("join_agg", ref.hex()), JoinAgg),
+        batch_format="pyarrow")
     return grouped_agg(
         partial, ["n_name", "o_orderpriority"],
         {"total_c": ("total_c", "sum"), "n": ("n", "sum")},

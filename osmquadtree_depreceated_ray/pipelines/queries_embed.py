@@ -95,8 +95,11 @@ def q_embed_knn(sf_dir: str):
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
+    from ..stages.spatial import worker_cached
+
     cands = ds.map_batches(
-        Scorer, batch_format="pyarrow", concurrency=(1, 4), batch_size=4096
+        worker_cached(("embed_knn", qref.hex()), Scorer),
+        batch_format="pyarrow", batch_size=4096,
     )
 
     from ..stages.shuffle import bucketed_apply
@@ -253,7 +256,11 @@ def q_embed_lsh_buckets(sf_dir: str):
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    return ds.map_batches(Bucket, batch_format="pyarrow", concurrency=(1, 4))
+    from ..stages.spatial import worker_cached
+
+    return ds.map_batches(
+        worker_cached(("embed_lsh", pref.hex()), Bucket),
+        batch_format="pyarrow")
 
 
 def sql_embed_lsh_buckets() -> str:
@@ -331,7 +338,11 @@ def q_embed_ivf(sf_dir: str):
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    return ds.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 4))
+    from ..stages.spatial import worker_cached
+
+    return ds.map_batches(
+        worker_cached(("embed_ivf", cref.hex()), Assign),
+        batch_format="pyarrow")
 
 
 def sql_embed_ivf() -> str:

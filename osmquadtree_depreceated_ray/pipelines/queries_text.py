@@ -426,16 +426,16 @@ def sql_ngram_jaccard() -> str:
 # 19/20. SimHash + rolling-hash fingerprints (no SQL oracle: rows-only) -----
 
 def simhash64(words: list[str]) -> int:
-    acc = np.zeros(64, dtype=np.int64)
+    """64-bit SimHash over the word multiset; hash basis is
+    md5_number_lower (little-endian low half of the md5 digest) so the
+    DuckDB oracle can reproduce it exactly."""
+    if not words:
+        return 0
+    h = _md5_lower64(words)
     shifts = np.arange(64, dtype=np.uint64)
-    for w in words:
-        h = np.uint64(int(_md5(w)[:16], 16))
-        bits = (h >> shifts) & np.uint64(1)
-        acc += np.where(bits == 1, 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
+    bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+    acc = (2 * bits - 1).sum(axis=0)
+    out = int(((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
     return out - (1 << 64) if out >= (1 << 63) else out  # two's complement
 
 
@@ -467,6 +467,37 @@ def q_simhash(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def sql_simhash() -> str:
+    """Exact DuckDB oracle for SimHash + rolling fingerprint: the same
+    md5_number_lower word hashes, per-bit +-1 accumulation, and a
+    list_reduce Horner fold over the text's code points (ASCII fixture:
+    unicode(char) == byte value, matching the engine's .encode())."""
+    one = "CAST(1 AS HUGEINT)"
+    mod = str((1 << 61) - 1)
+    fp = (
+        "CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), "
+        "list_transform(range(1, length(text) + 1), "
+        "i -> CAST(unicode(substr(text, i, 1)) AS HUGEINT))), "
+        f"(a, b) -> (a * 257 + b) % {mod}) AS BIGINT)"
+    )
+    return (
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws "
+        "FROM documents), "
+        "h AS (SELECT doc_id, md5_number_lower(wrd) AS h "
+        "FROM w, UNNEST(ws) AS u(wrd)), "
+        "bits AS (SELECT doc_id, bit, "
+        "SUM(CASE WHEN (h >> CAST(bit AS UBIGINT)) & 1 = 1 THEN 1 ELSE -1 END) AS acc "
+        "FROM h, UNNEST(range(0, 64)) AS b(bit) GROUP BY doc_id, bit), "
+        f"s AS (SELECT doc_id, SUM(CASE WHEN acc > 0 THEN ({one} << CAST(bit AS INTEGER)) "
+        "ELSE 0 END) AS u FROM bits GROUP BY doc_id) "
+        "SELECT d.doc_id, "
+        f"CAST(CASE WHEN s.u >= ({one} << 63) THEN s.u - ({one} << 64) "
+        "ELSE s.u END AS BIGINT) AS simhash, "
+        f"{fp} AS fingerprint "
+        "FROM documents d JOIN s ON d.doc_id = s.doc_id"
+    )
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "lang_score": q_lang_score,
@@ -486,5 +517,5 @@ ORACLES = {
     "minhash_pairs": sql_minhash_pairs(),
     "quality": sql_quality(),
     "ngram_jaccard": sql_ngram_jaccard(),
-    # simhash: rows-only (md5-bit arithmetic not SQL-expressible cleanly)
+    "simhash": sql_simhash(),
 }

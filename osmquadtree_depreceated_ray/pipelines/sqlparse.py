@@ -1,0 +1,432 @@
+"""SQL string front-end for the sqlish surface (reference sqlselect
+grammar, sqlselect/sql.go:1-977 goyacc + altlex.go:1-509 ``Parse`` at
+:501-509).  A user with a raw SQL string gets the same entry point the
+reference exposes: the string is parsed here and compiled onto the
+existing :mod:`.sqlish` Expr/Query layer (pyarrow.compute kernels inside
+``map_batches``), so execution is identical to the combinator API.
+
+Surface (the reference's grammar, plus LIMIT):
+
+    SELECT expr [AS name], ...            projection + scalar functions
+    FROM table [JOIN table ON a = b]      equi-join (bucketed hash join)
+    WHERE expr                            AND/OR/NOT, comparisons, LIKE,
+                                          BETWEEN, IN (...), IS [NOT] NULL
+    ORDER BY col [DESC], ... / LIMIT n
+    <select> UNION ALL <select>
+
+Scalar functions: coalesce nullif replace substr char_length/length
+concat lower/upper-free arithmetic + - * / and || concatenation, CASE
+WHEN ... THEN ... [ELSE ...] END.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .sqlish import Expr, Query, case_when, col, lit
+
+_TOKEN_RE = re.compile(
+    r"\s*(?:"
+    r"(?P<num>\d+\.\d+|\d+)"
+    r"|(?P<str>'(?:[^']|'')*')"
+    r"|(?P<op>\|\||<=|>=|<>|!=|=|<|>|\(|\)|,|\+|-|\*|/|\.)"
+    r"|(?P<ident>[A-Za-z_][A-Za-z_0-9]*)"
+    r")"
+)
+
+_KEYWORDS = {
+    "select", "from", "where", "order", "by", "limit", "union", "all",
+    "join", "on", "as", "and", "or", "not", "like", "between", "in",
+    "is", "null", "case", "when", "then", "else", "end", "asc", "desc",
+    "distinct",
+}
+
+
+def _tokenize(sql: str) -> list[tuple[str, str]]:
+    out = []
+    i = 0
+    while i < len(sql):
+        m = _TOKEN_RE.match(sql, i)
+        if not m:
+            if sql[i:].strip() == "":
+                break
+            raise ValueError(f"SQL tokenize error at: {sql[i:i+20]!r}")
+        i = m.end()
+        if m.lastgroup == "num":
+            out.append(("num", m.group("num")))
+        elif m.lastgroup == "str":
+            out.append(("str", m.group("str")[1:-1].replace("''", "'")))
+        elif m.lastgroup == "op":
+            out.append(("op", m.group("op")))
+        else:
+            word = m.group("ident")
+            if word.lower() in _KEYWORDS:
+                out.append(("kw", word.lower()))
+            else:
+                out.append(("ident", word))
+    out.append(("eof", ""))
+    return out
+
+
+class _Parser:
+    def __init__(self, tokens):
+        self.toks = tokens
+        self.i = 0
+
+    # -- token helpers -------------------------------------------------------
+    def peek(self):
+        return self.toks[self.i]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def accept(self, kind, value=None):
+        k, v = self.peek()
+        if k == kind and (value is None or v == value):
+            return self.next()
+        return None
+
+    def expect(self, kind, value=None):
+        t = self.accept(kind, value)
+        if t is None:
+            raise ValueError(
+                f"SQL parse error: expected {value or kind}, got {self.peek()}")
+        return t
+
+    # -- grammar -------------------------------------------------------------
+    def parse_query(self):
+        """query := select (UNION ALL select)* [ORDER BY ...] [LIMIT n]"""
+        selects = [self.parse_select()]
+        while self.accept("kw", "union"):
+            self.expect("kw", "all")
+            selects.append(self.parse_select())
+        order, desc = None, False
+        if self.accept("kw", "order"):
+            self.expect("kw", "by")
+            order = []
+            while True:
+                order.append(self.expect("ident")[1])
+                if self.accept("kw", "desc"):
+                    desc = True
+                else:
+                    self.accept("kw", "asc")
+                if not self.accept("op", ","):
+                    break
+        limit = None
+        if self.accept("kw", "limit"):
+            limit = int(self.expect("num")[1])
+        self.expect("eof")
+        return {"selects": selects, "order": order, "desc": desc,
+                "limit": limit}
+
+    def parse_select(self):
+        self.expect("kw", "select")
+        distinct = bool(self.accept("kw", "distinct"))
+        items = []
+        if self.accept("op", "*"):
+            items = None  # SELECT *
+        else:
+            while True:
+                e = self.parse_expr()
+                name = None
+                if self.accept("kw", "as"):
+                    name = self.expect("ident")[1]
+                items.append((e, name))
+                if not self.accept("op", ","):
+                    break
+        self.expect("kw", "from")
+        table = self.expect("ident")[1]
+        join = None
+        if self.accept("kw", "join"):
+            jt = self.expect("ident")[1]
+            self.expect("kw", "on")
+            lcol = self.expect("ident")[1]
+            self.expect("op", "=")
+            rcol = self.expect("ident")[1]
+            join = (jt, lcol, rcol)
+        where = None
+        if self.accept("kw", "where"):
+            where = self.parse_expr()
+        return {"items": items, "table": table, "join": join,
+                "where": where, "distinct": distinct}
+
+    # expression precedence: or < and < not < comparison < add < mul < unary
+    def parse_expr(self):
+        e = self.parse_and()
+        while self.accept("kw", "or"):
+            e = ("or", e, self.parse_and())
+        return e
+
+    def parse_and(self):
+        e = self.parse_not()
+        while self.accept("kw", "and"):
+            e = ("and", e, self.parse_not())
+        return e
+
+    def parse_not(self):
+        if self.accept("kw", "not"):
+            return ("not", self.parse_not())
+        return self.parse_cmp()
+
+    def parse_cmp(self):
+        e = self.parse_add()
+        k, v = self.peek()
+        if k == "op" and v in ("=", "<>", "!=", "<", "<=", ">", ">="):
+            self.next()
+            return ({"=": "eq", "<>": "ne", "!=": "ne", "<": "lt",
+                     "<=": "le", ">": "gt", ">=": "ge"}[v],
+                    e, self.parse_add())
+        if k == "kw" and v == "like":
+            self.next()
+            return ("like", e, self.expect("str")[1])
+        if k == "kw" and v == "between":
+            self.next()
+            lo = self.parse_add()
+            self.expect("kw", "and")
+            hi = self.parse_add()
+            return ("between", e, lo, hi)
+        if k == "kw" and v == "in":
+            self.next()
+            self.expect("op", "(")
+            vals = []
+            while True:
+                tk, tv = self.next()
+                vals.append(float(tv) if tk == "num" and "." in tv
+                            else int(tv) if tk == "num" else tv)
+                if not self.accept("op", ","):
+                    break
+            self.expect("op", ")")
+            return ("in", e, vals)
+        if k == "kw" and v == "is":
+            self.next()
+            neg = bool(self.accept("kw", "not"))
+            self.expect("kw", "null")
+            return ("notnull" if neg else "isnull", e)
+        return e
+
+    def parse_add(self):
+        e = self.parse_mul()
+        while True:
+            if self.accept("op", "+"):
+                e = ("add", e, self.parse_mul())
+            elif self.accept("op", "-"):
+                e = ("sub", e, self.parse_mul())
+            elif self.accept("op", "||"):
+                e = ("concat2", e, self.parse_mul())
+            else:
+                return e
+
+    def parse_mul(self):
+        e = self.parse_unary()
+        while True:
+            if self.accept("op", "*"):
+                e = ("mul", e, self.parse_unary())
+            elif self.accept("op", "/"):
+                e = ("div", e, self.parse_unary())
+            else:
+                return e
+
+    def parse_unary(self):
+        if self.accept("op", "-"):
+            return ("neg", self.parse_unary())
+        return self.parse_primary()
+
+    def parse_primary(self):
+        k, v = self.peek()
+        if k == "num":
+            self.next()
+            return ("lit", float(v) if "." in v else int(v))
+        if k == "str":
+            self.next()
+            return ("lit", v)
+        if k == "kw" and v == "case":
+            return self.parse_case()
+        if k == "kw" and v == "null":
+            self.next()
+            return ("lit", None)
+        if k == "op" and v == "(":
+            self.next()
+            e = self.parse_expr()
+            self.expect("op", ")")
+            return e
+        if k == "ident":
+            self.next()
+            if self.accept("op", "("):
+                args = []
+                if not self.accept("op", ")"):
+                    while True:
+                        args.append(self.parse_expr())
+                        if not self.accept("op", ","):
+                            break
+                    self.expect("op", ")")
+                return ("call", v.lower(), args)
+            return ("col", v)
+        raise ValueError(f"SQL parse error at {self.peek()}")
+
+    def parse_case(self):
+        self.expect("kw", "case")
+        branches = []
+        while self.accept("kw", "when"):
+            c = self.parse_expr()
+            self.expect("kw", "then")
+            branches.append((c, self.parse_expr()))
+        default = None
+        if self.accept("kw", "else"):
+            default = self.parse_expr()
+        self.expect("kw", "end")
+        return ("case", branches, default)
+
+
+# -- compilation to the sqlish Expr layer -----------------------------------
+
+def _compile_expr(node) -> Expr:
+    if not isinstance(node, tuple):
+        raise ValueError(f"bad expr node {node!r}")
+    op = node[0]
+    if op == "lit":
+        return lit(node[1])
+    if op == "col":
+        return col(node[1])
+    if op in ("add", "sub", "mul", "div", "eq", "ne", "lt", "le", "gt",
+              "ge", "and", "or"):
+        a, b = _compile_expr(node[1]), _compile_expr(node[2])
+        return {
+            "add": a.__add__, "sub": a.__sub__, "mul": a.__mul__,
+            "div": a.__truediv__, "eq": a.__eq__, "ne": a.__ne__,
+            "lt": a.__lt__, "le": a.__le__, "gt": a.__gt__,
+            "ge": a.__ge__, "and": a.__and__, "or": a.__or__,
+        }[op](b)
+    if op == "not":
+        return ~_compile_expr(node[1])
+    if op == "neg":
+        return lit(0) - _compile_expr(node[1])
+    if op == "like":
+        return _compile_expr(node[1]).like(node[2])
+    if op == "between":
+        return _compile_expr(node[1]).between(
+            _compile_expr(node[2]), _compile_expr(node[3]))
+    if op == "in":
+        return _compile_expr(node[1]).isin(node[2])
+    if op == "isnull":
+        return _compile_expr(node[1]).is_null()
+    if op == "notnull":
+        return ~_compile_expr(node[1]).is_null()
+    if op == "concat2":
+        return _compile_expr(node[1]).concat(_compile_expr(node[2]))
+    if op == "case":
+        branches = [(_compile_expr(c), _compile_expr(v))
+                    for c, v in node[1]]
+        default = _compile_expr(node[2]) if node[2] is not None else None
+        return case_when(branches, default)
+    if op == "call":
+        name, args = node[1], [_compile_expr(a) for a in node[2]]
+        if name == "coalesce":
+            return args[0].coalesce(*args[1:])
+        if name == "nullif":
+            return args[0].nullif(node[2][1][1])
+        if name == "replace":
+            return args[0].replace(node[2][1][1], node[2][2][1])
+        if name in ("char_length", "length"):
+            return args[0].char_length()
+        if name == "substr":
+            return args[0].substr(int(node[2][1][1]), int(node[2][2][1]))
+        if name == "concat":
+            return args[0].concat(*args[1:])
+        if name == "make_integer":
+            return args[0].make_integer()
+        if name == "make_float":
+            return args[0].make_float()
+        raise ValueError(f"unknown SQL function {name}")
+    raise ValueError(f"unknown SQL op {op}")
+
+
+def _expr_name(node, idx) -> str:
+    if node[0] == "col":
+        return node[1]
+    return f"expr{idx}"
+
+
+def _join_on(ds_a, ds_b, lcol: str, rcol: str, n_buckets: int = 16):
+    """Inner equi-join of two datasets as one bucketed hash shuffle."""
+    from ..stages.shuffle import bucketed_apply
+
+    a_names = ds_a.schema().names
+    b_names = ds_b.schema().names
+    overlap = set(a_names) & set(b_names)
+    # int columns come back float64 from the union's null-padding (NaN
+    # contamination in pandas) — restore the declared arrow dtypes after
+    # the per-bucket merge
+    int_cols = set()
+    for sch in (ds_a.schema(), ds_b.schema()):
+        for name, typ in zip(sch.names, sch.types):
+            if pa.types.is_integer(typ):
+                int_cols.add(name)
+
+    def tag(src, key):
+        def fn(b: pa.Table) -> pa.Table:
+            t = b.append_column("__src", pa.array(
+                np.full(b.num_rows, src, np.int8)))
+            return t.append_column("__jk", t.column(key))
+
+        return fn
+
+    both = ds_a.map_batches(tag(0, lcol), batch_format="pyarrow").union(
+        ds_b.map_batches(tag(1, rcol), batch_format="pyarrow"))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["__src"] == 0].dropna(axis=1, how="all")[
+            [c for c in a_names if c in g.columns] + ["__jk"]]
+        b = g[g["__src"] == 1].dropna(axis=1, how="all")[
+            [c for c in b_names if c in g.columns] + ["__jk"]]
+        m = a.merge(b, on="__jk", how="inner",
+                    suffixes=("", "_r"))
+        drop = ["__jk"] + [f"{c}_r" for c in overlap if f"{c}_r" in m.columns]
+        m = m.drop(columns=[c for c in drop if c in m.columns])
+        for c in m.columns:
+            if c in int_cols and m[c].dtype != np.int64:
+                m[c] = m[c].astype(np.int64)
+        return m
+
+    return bucketed_apply(both, ["__jk"], merge, n_buckets=n_buckets)
+
+
+def parse_sql(sql: str, tables: dict) -> "ray.data.Dataset":  # noqa: F821
+    """Parse a SQL string and execute it over the given name->Dataset
+    map, returning a Dataset (the reference's ``Parse`` entry,
+    altlex.go:501-509)."""
+    ast = _Parser(_tokenize(sql)).parse_query()
+
+    runs = []
+    for sel in ast["selects"]:
+        ds = tables[sel["table"]]
+        if sel["join"] is not None:
+            jt, lcol, rcol = sel["join"]
+            ds = _join_on(ds, tables[jt], lcol, rcol)
+        q = Query(ds)
+        if sel["where"] is not None:
+            q = q.where(_compile_expr(sel["where"]))
+        if sel["items"] is not None:
+            proj = {}
+            for idx, (e, name) in enumerate(sel["items"]):
+                proj[name or _expr_name(e, idx)] = _compile_expr(e)
+            q = q.select(**proj)
+        out = q.run()
+        if sel["distinct"]:
+            from ..stages.shuffle import distinct as _distinct
+
+            out = _distinct(out, out.schema().names)
+        runs.append(out)
+    ds = runs[0]
+    for other in runs[1:]:
+        ds = ds.union(other)
+    if ast["order"]:
+        ds = ds.sort(ast["order"], descending=ast["desc"])
+    if ast["limit"] is not None:
+        ds = ds.limit(ast["limit"])
+    return ds

@@ -478,5 +478,13 @@ def read_tiled_ordered(out_dir: str, columns=None):
             if f.endswith(".parquet")
         )
     ctx = ray.data.DataContext.get_current()
+    prev = ctx.execution_options.preserve_order
     ctx.execution_options.preserve_order = True
-    return ray.data.read_parquet(paths, columns=columns), tiles
+    try:
+        # materialize under preserve_order so block order is pinned in
+        # the returned handle, then restore the flag — leaving it set
+        # would silently serialize every later pipeline in the process
+        ds = ray.data.read_parquet(paths, columns=columns).materialize()
+    finally:
+        ctx.execution_options.preserve_order = prev
+    return ds, tiles

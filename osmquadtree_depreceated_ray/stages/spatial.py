@@ -264,6 +264,23 @@ class RasterLookupActor:
 _WORKER_STATE: dict = {}
 
 
+def worker_cached(key, factory):
+    """Generic task-based stateful stage: ``map_batches(worker_cached(
+    key, lambda: SomeActor(ref)))`` gives once-per-worker-process init
+    (the actor-pool semantics) with zero pool spin-up and elastic task
+    scheduling — shared by every stateful query stage so short query
+    workloads never pay ~2 s of actor-pool startup."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        inst = _WORKER_STATE.get(key)
+        if inst is None:
+            inst = factory()
+            _WORKER_STATE[key] = inst
+        return inst(batch)
+
+    return fn
+
+
 def pip_map_fn(index_ref, key_cols=("entity_id",)):
     """Task-based PIP stage: map_batches(pip_map_fn(ref, cols)).
 

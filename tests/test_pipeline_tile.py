@@ -134,3 +134,18 @@ def test_read_tiled_ordered(ray_session, tiled):
     for t in tiles:
         assert t >= prev
         prev = t
+
+
+def test_read_tiled_ordered_restores_context(ray_session, tiled):
+    """The ordered read must not leave preserve_order set globally — a
+    later pipeline in the same process would silently serialize."""
+    import ray
+
+    from osmquadtree_depreceated_ray.pipelines import tile as tp
+
+    out, _ = tiled
+    ctx = ray.data.DataContext.get_current()
+    before = ctx.execution_options.preserve_order
+    ds, tiles = tp.read_tiled_ordered(out)
+    assert ctx.execution_options.preserve_order == before
+    assert ds.count() > 0 and len(tiles) > 0

@@ -1,0 +1,79 @@
+"""SQL string front-end (pipelines/sqlparse.py): every grammar construct
+is checked against DuckDB running the IDENTICAL SQL string over the same
+table (the reference's Parse entry, sqlselect/altlex.go:501-509)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from osmquadtree_depreceated_ray.pipelines.sqlparse import parse_sql
+
+
+@pytest.fixture(scope="module")
+def t1():
+    rng = np.random.default_rng(7)
+    n = 500
+    return pa.table({
+        "k": pa.array(np.arange(n, dtype=np.int64)),
+        "v": pa.array(rng.integers(-50, 50, n).astype(np.int64)),
+        "s": pa.array([f"name_{i % 7}" for i in range(n)]),
+        "f": pa.array(rng.normal(size=n).round(3)),
+    })
+
+
+@pytest.fixture(scope="module")
+def t2():
+    return pa.table({
+        "g": pa.array(np.arange(7, dtype=np.int64)),
+        "label": pa.array([f"grp{j}" for j in range(7)]),
+        "gkey": pa.array([f"name_{j}" for j in range(7)]),
+    })
+
+
+def _run_both(sql, tabs, arrow_tabs):
+    import ray
+
+    ds_tabs = {k: ray.data.from_arrow(v) for k, v in arrow_tabs.items()}
+    got = parse_sql(sql, ds_tabs).to_pandas()
+    con = duckdb.connect()
+    for name, tbl in arrow_tabs.items():
+        con.register(name, tbl)
+    want = con.execute(sql).df()
+    g = got[sorted(got.columns)].sort_values(
+        sorted(got.columns), kind="stable").reset_index(drop=True)
+    w = want[sorted(want.columns)].sort_values(
+        sorted(want.columns), kind="stable").reset_index(drop=True)
+    assert list(g.columns) == list(w.columns), (g.columns, w.columns)
+    assert len(g) == len(w), (len(g), len(w), sql)
+    for c in g.columns:
+        assert g[c].dtype == w[c].dtype, (c, g[c].dtype, w[c].dtype, sql)
+        if g[c].dtype.kind == "f":
+            assert np.allclose(g[c], w[c], equal_nan=True), (c, sql)
+        else:
+            assert (g[c].to_numpy() == w[c].to_numpy()).all(), (c, sql)
+
+
+CASES = [
+    "SELECT k, v + 10 AS v10, v * 2 AS v2 FROM t1 WHERE v >= 0",
+    "SELECT k FROM t1 WHERE s LIKE 'name_3' AND v BETWEEN -10 AND 10",
+    "SELECT k, s FROM t1 WHERE s IN ('name_1', 'name_2') ORDER BY k LIMIT 25",
+    "SELECT k, CASE WHEN v > 0 THEN 'pos' WHEN v < 0 THEN 'neg' "
+    "ELSE 'zero' END AS sign FROM t1",
+    "SELECT k, substr(s, 1, 4) AS pre, length(s) AS ln, "
+    "replace(s, 'name', 'n') AS rep, s || '!' AS bang FROM t1 WHERE k < 50",
+    "SELECT k, coalesce(nullif(s, 'name_0'), 'zero') AS cz FROM t1 "
+    "WHERE k < 30",
+    "SELECT k FROM t1 WHERE v > 40 UNION ALL SELECT k FROM t1 WHERE v < -40",
+    "SELECT DISTINCT s FROM t1",
+    "SELECT k, s, label FROM t1 JOIN t2 ON s = gkey WHERE v > 20 "
+    "ORDER BY k LIMIT 40",
+    "SELECT k FROM t1 WHERE NOT (v > 0) AND f IS NOT NULL ORDER BY k DESC "
+    "LIMIT 10",
+]
+
+
+@pytest.mark.parametrize("sql", CASES)
+def test_sql_parse_matches_duckdb(ray_session, t1, t2, sql):
+    _run_both(sql, None, {"t1": t1, "t2": t2})

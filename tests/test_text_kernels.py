@@ -47,7 +47,9 @@ def test_simhash_bit_math_against_reference_formula():
 
     acc = [0] * 64
     for w in words:
-        h = int(hashlib.md5(w.encode()).hexdigest()[:16], 16)
+        # hash basis == DuckDB md5_number_lower: little-endian low half
+        # of the digest (matches sql_simhash, oracle-verified)
+        h = int.from_bytes(hashlib.md5(w.encode()).digest()[8:16], "little")
         for i in range(64):
             acc[i] += 1 if (h >> i) & 1 else -1
     want = 0
