@@ -51,12 +51,16 @@ def _entity_coords(n: int, rng: np.random.Generator):
     return lon, lat
 
 
-def gen_pages(n_pages: int, seed: int = 42):
-    """F1 pages + F2 geo_entities golden tables (pyarrow)."""
+def gen_pages(n_pages: int, seed: int = 42, page_offset: int = 0,
+              entity_offset: int = 0):
+    """F1 pages + F2 geo_entities golden tables (pyarrow).
+
+    ``page_offset``/``entity_offset`` let large corpora be generated in
+    parallel chunks with globally unique page and entity ids."""
     import pandas as pd
 
     rng = np.random.default_rng(seed)
-    i = np.arange(n_pages, dtype=np.int64)
+    i = np.arange(n_pages, dtype=np.int64) + page_offset
     url = np.char.add(
         np.char.add("https://site", (i % 997).astype("U4")),
         np.char.add(".example/", i.astype("U12")),
@@ -66,8 +70,9 @@ def gen_pages(n_pages: int, seed: int = 42):
 
     n_ent = rng.integers(0, 6, size=n_pages)
     total = int(n_ent.sum())
-    page_of = np.repeat(i, n_ent)
-    entity_id = np.arange(total, dtype=np.int64)
+    page_idx = np.repeat(np.arange(n_pages), n_ent)  # 0-based array index
+    page_of = i[page_idx]                            # global page id
+    entity_id = np.arange(total, dtype=np.int64) + entity_offset
     lon, lat = _entity_coords(total, rng)
     name = np.char.add("POI_", entity_id.astype("U12"))
     kind = np.asarray(KINDS)[entity_id % 3]
@@ -103,7 +108,7 @@ def gen_pages(n_pages: int, seed: int = 42):
     entities = pa.table(
         {
             "entity_id": pa.array(entity_id),
-            "url": pa.array(url[page_of].tolist(), pa.string()),
+            "url": pa.array(url[page_idx].tolist(), pa.string()),
             "lon": pa.array(lon),
             "lat": pa.array(lat),
             "kind": pa.array(kind.tolist(), pa.string()),
