@@ -355,27 +355,24 @@ def q_ngram_jaccard(sf_dir: str):
         out = m.groupby("doc_id", as_index=False).size()
         return out.rename(columns={"doc_id": "a", "size": "inter"})
 
-    from ..stages.shuffle import bucketed_apply, grouped_agg
+    from ..stages.shuffle import bucketed_apply
 
-    inter = grouped_agg(
-        bucketed_apply(g, ["g"], pair_counts),
-        ["a"], {"inter": ("inter", "sum")}, n_buckets=8,
-    )
-    sizes = grouped_agg(
-        g, ["doc_id"], {"n": ("g", "size")}, n_buckets=8
-    )
+    inter = bucketed_apply(g, ["g"], pair_counts)
 
-    # distributed finish (no driver-side materialization): tag the three
-    # inputs, key doc sizes to both the pair they lead (a = doc_id) and
-    # the pair they trail (a = doc_id - 1), then one bucketed join by
-    # pair key computes union + jaccard per pair
+    # distributed finish in ONE more bucketed stage: intersection
+    # partials (src=0, summed per pair) union doc sizes computed
+    # MAP-SIDE from the documents pass (a doc's grams never split across
+    # batches), keyed to the pair they lead (a = doc_id) and trail
+    # (a = doc_id - 1)
     def tag_inter(b: pa.Table) -> pa.Table:
         return pa.table({"a": b.column("a"), "src": pa.array(
             np.zeros(b.num_rows, np.int64)), "v": b.column("inter")})
 
-    def tag_sizes(b: pa.Table) -> pa.Table:
-        d = b.column("doc_id").to_numpy()
-        n = b.column("n").to_numpy()
+    def doc_sizes(b: pa.Table) -> pa.Table:
+        sh = _doc_bigrams(b)
+        counts = sh.groupby("doc_id", sort=False).size()
+        d = counts.index.to_numpy().astype(np.int64)
+        n = counts.to_numpy().astype(np.int64)
         return pa.table({
             "a": pa.array(np.concatenate([d, d - 1])),
             "src": pa.array(np.concatenate(
@@ -384,11 +381,11 @@ def q_ngram_jaccard(sf_dir: str):
         })
 
     tagged = inter.map_batches(tag_inter, batch_format="pyarrow").union(
-        sizes.map_batches(tag_sizes, batch_format="pyarrow"))
+        ds.map_batches(doc_sizes, batch_format="pyarrow"))
 
     def finish(gdf: pd.DataFrame) -> pd.DataFrame:
         piv = gdf.pivot_table(index="a", columns="src", values="v",
-                              aggfunc="first")
+                              aggfunc="sum")
         piv = piv.dropna(subset=[c for c in (0, 1, 2) if c in piv.columns])
         if 0 not in piv.columns or not len(piv):
             return pd.DataFrame({"a": pd.Series(dtype=np.int64),

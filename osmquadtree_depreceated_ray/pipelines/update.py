@@ -173,6 +173,41 @@ def apply_change_batch(out_dir: str, changes: pa.Table, seq: int) -> dict:
     }
 
 
+def merge_change_files(tables: list[pa.Table], seq: int | None = None) -> pa.Table:
+    """J9 multi-file k-way change merge (readfile/parallel.go:16-101 +
+    change/changefiles.go:156-230): k change tables ordered by their
+    start date are aligned and collapsed to one last-wins batch — the
+    later FILE wins per entity, and within a file the later record wins.
+
+    Applying the merged batch once is equivalent to applying the files
+    sequentially: the ChangeType lattice composes left-to-right into its
+    final element (Create∘Modify ≡ Create-with-new-payload handled by
+    the modify-without-lineage -> Create rule; X∘Delete ≡ Delete;
+    Delete∘Create ≡ Create), which tests pin against sequential apply.
+    """
+    parts = []
+    for k, t in enumerate(tables):
+        parts.append(t.append_column(
+            "_file", pa.array(np.full(t.num_rows, k, np.int64))))
+    allc = pa.concat_tables(parts, promote_options="default")
+    df = allc.to_pandas()
+    order_cols = ["_file"] + (["seq"] if "seq" in df.columns else [])
+    df = df.sort_values(order_cols, kind="stable")
+    df = df.drop_duplicates(subset=["entity_id"], keep="last")
+    df = df.drop(columns=["_file"])
+    if seq is not None:
+        df["seq"] = seq
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def apply_change_files(out_dir: str, paths: list[str], seq: int) -> dict:
+    """Read k change files (each may hold several seqs), k-way merge,
+    apply as one batch against the bucketed lineage."""
+    tables = [pq.read_table(p) for p in paths]
+    merged = merge_change_files(tables, seq=seq)
+    return apply_change_batch(out_dir, merged, seq)
+
+
 def read_snapshot(out_dir: str):
     """Base (+) all change batches — the J8/J9 overlay, Ray-Data shaped.
 

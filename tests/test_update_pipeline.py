@@ -162,3 +162,45 @@ def test_bucketed_lineage_touches_only_affected(ray_session, tmp_path):
     lt = mf.read_lineage_buckets(out, touched).to_pandas()
     assert 7 in lt["entity_id"].values
     assert (7 + mf.LINEAGE_BUCKETS) not in lt["entity_id"].values
+
+
+def test_multifile_merge_equals_sequential(ray_session, fixture_dir,
+                                           tmp_path_factory):
+    """k-way change-file merge (J9, changefiles.go:156-230): applying
+    the merged batch once equals applying the files sequentially."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    from osmquadtree_depreceated_ray.pipelines import tile as tp
+
+    changes = pq2.read_table(os.path.join(fixture_dir, "changes.parquet"))
+    seqs = sorted(set(changes.column("seq").to_pylist()))
+    files = [
+        changes.filter(
+            pa.compute.equal(changes.column("seq"), pa.scalar(s)))
+        for s in seqs
+    ]
+
+    out_a = str(tmp_path_factory.mktemp("seq_apply"))
+    tp.tile_pages(os.path.join(fixture_dir, "pages.parquet"), out_a,
+                  target=300, minimum=20)
+    for s in seqs:
+        up.apply_change_batch(out_a, changes, s)
+    snap_a = up.read_snapshot(out_a).to_pandas().set_index(
+        "entity_id").sort_index()
+
+    out_b = str(tmp_path_factory.mktemp("merged_apply"))
+    tp.tile_pages(os.path.join(fixture_dir, "pages.parquet"), out_b,
+                  target=300, minimum=20)
+    merged = up.merge_change_files(files, seq=99)
+    up.apply_change_batch(out_b, merged, 99)
+    snap_b = up.read_snapshot(out_b).to_pandas().set_index(
+        "entity_id").sort_index()
+
+    assert (snap_a.index == snap_b.index).all()
+    for c in ("lon", "lat", "qt"):
+        assert (snap_a[c].to_numpy() == snap_b[c].to_numpy()).all()
+    # lineage agrees too
+    la = mf.read_lineage(out_a).to_pandas().set_index("entity_id")["tile"]
+    lb = mf.read_lineage(out_b).to_pandas().set_index("entity_id")["tile"]
+    assert la.sort_index().equals(lb.sort_index())
