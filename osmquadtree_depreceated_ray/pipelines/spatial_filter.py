@@ -146,57 +146,53 @@ def complete_ways_closure(
 ) -> dict:
     """O9: id-closure semi-joins.  Returns dict with sorted id arrays
     (nodes, ways, relations) and the trimmed relation member table."""
+    def _isin_sorted(vals: np.ndarray, sorted_ids: np.ndarray) -> np.ndarray:
+        if not len(sorted_ids):
+            return np.zeros(len(vals), bool)
+        pos = np.clip(np.searchsorted(sorted_ids, vals), 0,
+                      len(sorted_ids) - 1)
+        return sorted_ids[pos] == vals
+
     eid = entities.column("entity_id").to_numpy()
     lon = entities.column("lon").to_numpy()
     lat = entities.column("lat").to_numpy()
     in_region = loctest.contains(lon, lat)
-    node_ids = set(eid[in_region].tolist())
+    node_ids = np.unique(eid[in_region])
 
+    # exploded (way_id, ref) rows via Arrow list offsets — vectorized
     wid = ways.column("way_id").to_numpy()
-    wrefs = ways.column("refs").to_pylist()
-    way_ids = set()
-    for w, rr in zip(wid, wrefs):
-        if any(r in node_ids for r in rr):
-            way_ids.add(int(w))
+    refs_col = ways.column("refs").combine_chunks()
+    if isinstance(refs_col, pa.ChunkedArray):
+        refs_col = refs_col.chunk(0)
+    flat = refs_col.flatten().to_numpy().astype(np.int64)
+    counts = pa.compute.list_value_length(refs_col).to_numpy()
+    way_of = np.repeat(np.arange(len(wid)), counts)
+    hit = _isin_sorted(flat, node_ids)
+    way_ids = np.unique(wid[np.unique(way_of[hit])])
     # complete ways: pull in the other nodes of kept ways
-    for w, rr in zip(wid, wrefs):
-        if int(w) in way_ids:
-            node_ids.update(int(r) for r in rr)
+    kept_way = _isin_sorted(wid[way_of], way_ids)
+    node_ids = np.unique(np.concatenate([node_ids, flat[kept_way]]))
 
     rel_df = rels.to_pandas()
-    rel_ids: set[int] = set()
+    rid = rel_df["rel_id"].to_numpy().astype(np.int64)
+    mt = rel_df["member_type"].to_numpy().astype(np.int64)
+    ref = rel_df["member_ref"].to_numpy().astype(np.int64)
+    rel_ids = np.zeros(0, np.int64)
+    base_hit = ((mt == 0) & _isin_sorted(ref, node_ids)) | \
+               ((mt == 1) & _isin_sorted(ref, way_ids))
     for _ in range(5):  # 5 rounds for rel->rel membership (filter.go:282-345)
-        for rid, grp in rel_df.groupby("rel_id"):
-            if int(rid) in rel_ids:
-                continue
-            for _, m in grp.iterrows():
-                mt, ref = int(m["member_type"]), int(m["member_ref"])
-                if (
-                    (mt == 0 and ref in node_ids)
-                    or (mt == 1 and ref in way_ids)
-                    or (mt == 2 and ref in rel_ids)
-                ):
-                    rel_ids.add(int(rid))
-                    break
+        m = base_hit | ((mt == 2) & _isin_sorted(ref, rel_ids))
+        rel_ids = np.unique(rid[m])
 
     # filter pass: trim relation members to retained ids
-    keep_rows = []
-    for i, r in rel_df.iterrows():
-        if int(r["rel_id"]) not in rel_ids:
-            continue
-        mt, ref = int(r["member_type"]), int(r["member_ref"])
-        if (
-            (mt == 0 and ref in node_ids)
-            or (mt == 1 and ref in way_ids)
-            or (mt == 2 and ref in rel_ids)
-        ):
-            keep_rows.append(i)
-    trimmed = rel_df.loc[keep_rows]
+    keep = _isin_sorted(rid, rel_ids) & (
+        base_hit | ((mt == 2) & _isin_sorted(ref, rel_ids)))
+    trimmed = rel_df[keep]
 
     return {
-        "nodes": np.asarray(sorted(node_ids), np.int64),
-        "ways": np.asarray(sorted(way_ids), np.int64),
-        "relations": np.asarray(sorted(rel_ids), np.int64),
+        "nodes": node_ids.astype(np.int64),
+        "ways": way_ids.astype(np.int64),
+        "relations": rel_ids.astype(np.int64),
         "rel_members": pa.Table.from_pandas(trimmed, preserve_index=False),
     }
 
