@@ -336,28 +336,33 @@ def q_ngram_jaccard(sf_dir: str):
     import ray
 
     def grams(b: pa.Table) -> pa.Table:
+        # shuffle int64 gram hashes, not the gram strings (~4x fewer
+        # exchange bytes); md5-low64 collisions are negligible and the
+        # oracle's string-set intersection is unaffected by the key repr
         sh = _doc_bigrams(b)
+        codes, uniq = pd.factorize(sh["g"], sort=False)
+        gh = _md5_lower64(uniq).view(np.int64)[codes]
         return pa.table(
             {"doc_id": pa.array(sh["doc_id"].to_numpy().astype(np.int64)),
-             "g": pa.array(sh["g"].to_numpy(), pa.string())}
+             "gh": pa.array(gh)}
         )
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     g = ds.map_batches(grams, batch_format="pyarrow")
 
     # hash join on (left.doc_id == right.doc_id - 1, gram equality):
-    # implemented as a groupby on the gram then pair aggregation
+    # implemented as a groupby on the gram hash then pair aggregation
     def pair_counts(gdf: pd.DataFrame) -> pd.DataFrame:
         # vectorized across grams in the bucket: a gram shared by (d, d+1)
         m = gdf.merge(
-            gdf.assign(doc_id=gdf["doc_id"] - 1), on=["g", "doc_id"], how="inner"
+            gdf.assign(doc_id=gdf["doc_id"] - 1), on=["gh", "doc_id"], how="inner"
         )
         out = m.groupby("doc_id", as_index=False).size()
         return out.rename(columns={"doc_id": "a", "size": "inter"})
 
     from ..stages.shuffle import bucketed_apply
 
-    inter = bucketed_apply(g, ["g"], pair_counts)
+    inter = bucketed_apply(g, ["gh"], pair_counts)
 
     # distributed finish in ONE more bucketed stage: intersection
     # partials (src=0, summed per pair) union doc sizes computed

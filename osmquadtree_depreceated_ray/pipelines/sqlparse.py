@@ -352,6 +352,40 @@ def _expr_name(node, idx) -> str:
     return f"expr{idx}"
 
 
+def _collect_cols(node, out: set) -> None:
+    """Column names referenced anywhere in an AST expression node."""
+    if isinstance(node, (tuple, list)):
+        if len(node) == 2 and node[0] == "col" and isinstance(node[1], str):
+            out.add(node[1])
+            return
+        for sub in node:
+            _collect_cols(sub, out)
+
+
+def _broadcast_join(ds_a, ds_b, lcol: str, rcol: str):
+    """Inner equi-join with a SMALL right side: collect + ``ray.put`` the
+    build table once, probe map-side in every batch — no shuffle at all
+    (the planner picks this when the right table is under the broadcast
+    threshold; same output contract as :func:`_join_on`)."""
+    import ray
+
+    b_tbl = pa.concat_tables(ray.get(ds_b.to_arrow_refs()))
+    b_df = b_tbl.to_pandas()
+    a_names = ds_a.schema().names
+    overlap = set(a_names) & set(b_df.columns)
+    b_ref = ray.put(b_df)
+
+    def fn(batch: pa.Table) -> pd.DataFrame:
+        bd = ray.get(b_ref)
+        m = batch.to_pandas().merge(
+            bd, left_on=lcol, right_on=rcol, how="inner",
+            suffixes=("", "_r"))
+        drop = [f"{c}_r" for c in overlap if f"{c}_r" in m.columns]
+        return m.drop(columns=drop)
+
+    return ds_a.map_batches(fn, batch_format="pyarrow")
+
+
 def _join_on(ds_a, ds_b, lcol: str, rcol: str, n_buckets: int = 16):
     """Inner equi-join of two datasets as one bucketed hash shuffle."""
     from ..stages.shuffle import bucketed_apply
@@ -407,7 +441,32 @@ def parse_sql(sql: str, tables: dict) -> "ray.data.Dataset":  # noqa: F821
         ds = tables[sel["table"]]
         if sel["join"] is not None:
             jt, lcol, rcol = sel["join"]
-            ds = _join_on(ds, tables[jt], lcol, rcol)
+            rhs = tables[jt]
+            if sel["items"] is not None:
+                # projection pushdown: only referenced columns (+ join
+                # keys) enter the join exchange
+                needed: set = set()
+                for e, _name in sel["items"]:
+                    _collect_cols(e, needed)
+                if sel["where"] is not None:
+                    _collect_cols(sel["where"], needed)
+                lkeep = [c for c in ds.schema().names
+                         if c in needed or c == lcol]
+                rkeep = [c for c in rhs.schema().names
+                         if c in needed or c == rcol]
+                ds = ds.select_columns(lkeep)
+                rhs = rhs.select_columns(rkeep)
+            # plan: broadcast-hash-join when the build side is small
+            # (count() on a parquet read resolves from file metadata),
+            # bucketed shuffle join otherwise
+            try:
+                rhs_rows = tables[jt].count()
+            except Exception:
+                rhs_rows = None
+            if rhs_rows is not None and rhs_rows <= 1_000_000:
+                ds = _broadcast_join(ds, rhs, lcol, rcol)
+            else:
+                ds = _join_on(ds, rhs, lcol, rcol)
         q = Query(ds)
         if sel["where"] is not None:
             q = q.where(_compile_expr(sel["where"]))

@@ -398,7 +398,11 @@ def gen_changes(entities: pa.Table, n_batches: int = 3, seed: int = 42):
 
 def gen_raster_tiles(z: int = 8):
     """F7 slippy-grid raster tiles at one zoom: 16x16 float grid per tile,
-    value = deterministic hash of (x, y, cell)."""
+    value = deterministic hash of (x, y, cell).
+
+    The 2^z x 2^z x 256 value cube costs seconds of int64 modulo at z=8,
+    so it is baked once per machine to /tmp (atomic rename) and
+    mmap-loaded by every later process."""
     n = 1 << z
     xs, ys = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
     xs = xs.ravel().astype(np.int64)
@@ -406,10 +410,21 @@ def gen_raster_tiles(z: int = 8):
     cell = np.arange(256, dtype=np.int64)
     # values are small integers stored as float32 — exactly representable,
     # so SQL oracles can compare them without float-precision hedging
-    vals = (
-        (xs[:, None] * 73856093 ^ ys[:, None] * 19349663 ^ cell[None, :] * 83492791)
-        % 1000
-    ).astype(np.float32)
+    cache = f"/tmp/oqr_cache/raster_z{z}.npy"
+    try:
+        vals = np.load(cache)
+        assert vals.shape == (n * n, 256)
+    except Exception:
+        a = xs * 73856093 ^ ys * 19349663
+        c = cell * 83492791
+        vals = ((a[:, None] ^ c[None, :]) % 1000).astype(np.float32)
+        try:
+            os.makedirs("/tmp/oqr_cache", exist_ok=True)
+            tmp = f"{cache}.{os.getpid()}.tmp.npy"
+            np.save(tmp, vals)
+            os.replace(tmp, cache)
+        except OSError:
+            pass
     return pa.table(
         {
             "z": pa.array(np.full(len(xs), z, dtype=np.int32)),
