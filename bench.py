@@ -68,6 +68,33 @@ def ensure_pages() -> str:
     return PAGES_CACHE
 
 
+def _session_cpu_seconds() -> float:
+    """Cumulative user+system CPU seconds of this Ray session: every
+    process whose cmdline mentions ray (raylet, gcs, ray:: workers) plus
+    the driver.  Sampled before/after the timed region, the delta gives
+    a wall-noise-free work measure: on a perfectly scalable engine the
+    total CPU seconds for the same input are the same at every
+    parallelism level, so cpu_lo/cpu_hi ~= 1.0."""
+    import glob
+
+    tick = os.sysconf("SC_CLK_TCK")
+    me = str(os.getpid())
+    total = 0.0
+    for stat in glob.glob("/proc/[0-9]*/stat"):
+        pid = stat.split("/")[2]
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                cmd = f.read()
+            if b"ray" not in cmd and pid != me:
+                continue
+            with open(stat) as f:
+                parts = f.read().rsplit(") ", 1)[1].split()
+            total += (int(parts[11]) + int(parts[12])) / tick
+        except (OSError, IndexError, ValueError):
+            continue
+    return total
+
+
 def run_headline(num_cpus: int) -> dict:
     import ray
 
@@ -96,6 +123,7 @@ def run_headline(num_cpus: int) -> dict:
 
     out = f"{OUT_BASE}/out_{num_cpus}"
     shutil.rmtree(out, ignore_errors=True)
+    cpu0 = _session_cpu_seconds()
     t0 = time.time()
     # the tiled output is the durable artifact; don't write the corpus a
     # second time as an entities checkpoint (resume stays per-tile)
@@ -118,10 +146,12 @@ def run_headline(num_cpus: int) -> dict:
         pip_map_fn(ref, ("name",)), batch_format="pyarrow"
     ).count()
     t_pip = time.time() - t0
+    cpu_sec = _session_cpu_seconds() - cpu0
     return {
         "tile_breakdown": res.get("timings", {}),
         "tile_sec": round(t_tile, 2),
         "pip_sec": round(t_pip, 2),
+        "cpu_sec": round(cpu_sec, 1),
         "sec": round(t_tile + t_pip, 2),
         "pages": BENCH_PAGES,
         "pages_per_sec": round(BENCH_PAGES / (t_tile + t_pip), 1),
@@ -212,12 +242,20 @@ def main_scaling():
     t_lo = results[lo]["value"]
     t_hi = results[hi]["value"]
     eff = (t_lo / t_hi) / (hi / lo)
+    # CPU-seconds efficiency: same-work ratio, immune to VM wall noise —
+    # 1.0 means the wider leg burned no extra CPU for the same input
+    cpu_lo = results[lo].get("cpu_sec")
+    cpu_hi = results[hi].get("cpu_sec")
+    eff_cpu = round(cpu_lo / cpu_hi, 3) if cpu_lo and cpu_hi else None
     print(
         json.dumps(
             {
                 "metric": f"scaling_efficiency_{lo}_to_{hi}",
                 "value": round(eff, 3),
                 "unit": "ratio",
+                "cpu_seconds_efficiency": eff_cpu,
+                f"cpu_sec_{lo}cpu": cpu_lo,
+                f"cpu_sec_{hi}cpu": cpu_hi,
                 f"sec_{lo}cpu": t_lo,
                 f"sec_{hi}cpu": t_hi,
                 f"pages_per_sec_{lo}cpu": results[lo]["pages_per_sec"],

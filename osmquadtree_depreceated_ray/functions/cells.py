@@ -5,10 +5,13 @@ cell-ID algorithm (quadratic ST projection + Hilbert curve position, as
 documented for s2geometry): lon/lat -> unit xyz -> cube face + (u,v) ->
 (s,t) -> 30-bit (i,j) -> Hilbert position via 4-bit lookup tables ->
 64-bit cell id, truncatable to any level 0..30.  The north_rule requires
-an H3/S2-style cell index; the real H3 library is not available in this
-environment, so ``hex_cell_id`` provides a genuine hexagonal binning
-(axial coordinates + cube rounding on an equirectangular projection)
-with the same interface — a documented stand-in, not ISEA H3.
+an H3/S2-style cell index; ``icosa_cell_id`` is a from-scratch
+icosahedral aperture-7 hex index built exactly as the public H3 design
+describes (gnomonic projection per icosahedron face, sqrt(7) scale +
+19.1066-degree rotation per resolution) — same geometry as H3, different
+orientation/numbering.  ``hex_cell_id`` remains as a cheap planar
+hexagonal binning (axial coordinates + cube rounding on an
+equirectangular projection) with the same interface.
 
 These ids serve as companion partition keys next to the osmquadtree
 ``qt`` (SURVEY §1.2): same deepest-cell prefix-join patterns apply.
@@ -136,6 +139,146 @@ def s2_level(cell_id) -> np.ndarray:
         tz[big] += s
         v = np.where(big, v >> np.uint64(s), v)
     return 30 - tz // 2
+
+
+def _cube_round(qf: np.ndarray, rf: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Round fractional axial hex coordinates to the nearest hex center
+    (cube rounding)."""
+    xf, zf = qf, rf
+    yf = -xf - zf
+    rx, ry, rz = np.round(xf), np.round(yf), np.round(zf)
+    dx, dy, dz = np.abs(rx - xf), np.abs(ry - yf), np.abs(rz - zf)
+    fix_x = (dx > dy) & (dx > dz)
+    fix_z = ~fix_x & (dz > dy)
+    rx = np.where(fix_x, -ry - rz, rx)
+    rz = np.where(fix_z, -rx - ry, rz)
+    return rx.astype(np.int64), rz.astype(np.int64)
+
+
+# --------------------------------------------------------------------------
+# Icosahedral aperture-7 hex index (the H3 construction, from scratch)
+# --------------------------------------------------------------------------
+#
+# Genuine icosahedral hexagonal DGGS exactly as the public H3 design
+# documents describe the construction: project each point gnomonically
+# onto the tangent plane of its nearest icosahedron face, lay a hexagonal
+# lattice on that plane, and refine by aperture 7 — each resolution
+# shrinks the lattice by sqrt(7) and rotates it by
+# alpha = atan(sqrt(3)/5) ~= 19.1066 degrees (the argument of the
+# Eisenstein integer 2 + omega whose norm is 7).  Orientation and cell
+# numbering differ from Uber's library (different icosahedron rotation,
+# no pentagon base-cell table); the geometry of the index is the same.
+
+_PHI = (1.0 + np.sqrt(5.0)) / 2.0
+_ICO_VERTS = np.array(
+    [
+        (-1, _PHI, 0), (1, _PHI, 0), (-1, -_PHI, 0), (1, -_PHI, 0),
+        (0, -1, _PHI), (0, 1, _PHI), (0, -1, -_PHI), (0, 1, -_PHI),
+        (_PHI, 0, -1), (_PHI, 0, 1), (-_PHI, 0, -1), (-_PHI, 0, 1),
+    ],
+    dtype=np.float64,
+)
+_ICO_VERTS /= np.linalg.norm(_ICO_VERTS, axis=1, keepdims=True)
+_ICO_FACES = np.array(
+    [
+        (0, 11, 5), (0, 5, 1), (0, 1, 7), (0, 7, 10), (0, 10, 11),
+        (1, 5, 9), (5, 11, 4), (11, 10, 2), (10, 7, 6), (7, 1, 8),
+        (3, 9, 4), (3, 4, 2), (3, 2, 6), (3, 6, 8), (3, 8, 9),
+        (4, 9, 5), (2, 4, 11), (6, 2, 10), (8, 6, 7), (9, 8, 1),
+    ],
+    dtype=np.int64,
+)
+_FACE_CENTERS = _ICO_VERTS[_ICO_FACES].mean(axis=1)
+_FACE_CENTERS /= np.linalg.norm(_FACE_CENTERS, axis=1, keepdims=True)
+# per-face orthonormal tangent basis: x-axis toward the face's first
+# vertex, y-axis = center x x-axis
+_FACE_AX = _ICO_VERTS[_ICO_FACES[:, 0]] - (
+    (_ICO_VERTS[_ICO_FACES[:, 0]] * _FACE_CENTERS).sum(axis=1, keepdims=True)
+    * _FACE_CENTERS
+)
+_FACE_AX /= np.linalg.norm(_FACE_AX, axis=1, keepdims=True)
+_FACE_AY = np.cross(_FACE_CENTERS, _FACE_AX)
+
+_AP7_ALPHA = np.arctan2(np.sqrt(3.0), 5.0)  # 19.1066 deg
+_SQRT7 = np.sqrt(7.0)
+# res-0 lattice size: the face circumradius maps to tan(~37.38 deg) on
+# the gnomonic plane; one res-0 hexagon comfortably covers a face
+_ICOSA_SIZE0 = 1.0
+_ICOSA_MAX_RES = 15  # |q|,|r| < 2^23 holds through res 15
+
+
+def icosa_cell_id(lon_deg, lat_deg, res: int = 9) -> np.ndarray:
+    """Icosahedral aperture-7 hex cell id at ``res`` (0..15), vectorized.
+
+    Packs (res, face, q, r) into an int64:
+    ``res << 54 | face << 48 | (q + 2^23) << 24 | (r + 2^23)``.
+    """
+    if not 0 <= res <= _ICOSA_MAX_RES:
+        raise ValueError(f"res must be 0..{_ICOSA_MAX_RES}")
+    x, y, z = _lonlat_to_xyz(
+        np.asarray(lon_deg, np.float64), np.asarray(lat_deg, np.float64)
+    )
+    p = np.stack([x, y, z], axis=-1)
+    dots = p @ _FACE_CENTERS.T
+    face = np.argmax(dots, axis=-1)
+    pc = np.take_along_axis(dots, face[..., None], axis=-1)[..., 0]
+    ax = _FACE_AX[face]
+    ay = _FACE_AY[face]
+    # gnomonic projection onto the face tangent plane
+    u = (p * ax).sum(axis=-1) / pc
+    v = (p * ay).sum(axis=-1) / pc
+    # aperture-7 refinement: rotate by res*alpha, scale by sqrt(7)^res
+    theta = res * _AP7_ALPHA
+    ct, st = np.cos(theta), np.sin(theta)
+    ur = u * ct + v * st
+    vr = -u * st + v * ct
+    size = _ICOSA_SIZE0 / _SQRT7**res
+    qf = (np.sqrt(3.0) / 3.0 * ur - vr / 3.0) / size
+    rf = (2.0 / 3.0 * vr) / size
+    q, r = _cube_round(qf, rf)
+    return (
+        (np.int64(res) << np.int64(54))
+        | (face.astype(np.int64) << np.int64(48))
+        | ((q + np.int64(1 << 23)) << np.int64(24))
+        | (r + np.int64(1 << 23))
+    )
+
+
+def icosa_cell_decode(cell_id) -> tuple[np.ndarray, ...]:
+    """(res, face, q, r) components of an icosa cell id."""
+    cell_id = np.asarray(cell_id, dtype=np.int64)
+    res = (cell_id >> np.int64(54)) & np.int64(63)
+    face = (cell_id >> np.int64(48)) & np.int64(63)
+    q = ((cell_id >> np.int64(24)) & np.int64((1 << 24) - 1)) - (1 << 23)
+    r = (cell_id & np.int64((1 << 24) - 1)) - (1 << 23)
+    return res, face, q, r
+
+
+def icosa_cell_parent(cell_id, parent_res: int) -> np.ndarray:
+    """Parent cell at ``parent_res``: re-bin the cell center's face-plane
+    coordinates at the coarser resolution (same face, exact inverse of
+    the child binning — no trigonometry reruns)."""
+    cell_id = np.asarray(cell_id, dtype=np.int64)
+    res, face, q, r = icosa_cell_decode(cell_id)
+    size = _ICOSA_SIZE0 / _SQRT7**res.astype(np.float64)
+    # axial -> face-plane cartesian at the child resolution
+    ur = size * np.sqrt(3.0) * (q + r / 2.0)
+    vr = size * 1.5 * r
+    # undo the child rotation, apply the parent rotation
+    theta = parent_res * _AP7_ALPHA - res.astype(np.float64) * _AP7_ALPHA
+    ct, st = np.cos(theta), np.sin(theta)
+    up = ur * ct + vr * st
+    vp = -ur * st + vr * ct
+    psize = _ICOSA_SIZE0 / _SQRT7**parent_res
+    qf = (np.sqrt(3.0) / 3.0 * up - vp / 3.0) / psize
+    rf = (2.0 / 3.0 * vp) / psize
+    pq, pr = _cube_round(qf, rf)
+    return (
+        (np.int64(parent_res) << np.int64(54))
+        | (face << np.int64(48))
+        | ((pq + np.int64(1 << 23)) << np.int64(24))
+        | (pr + np.int64(1 << 23))
+    )
 
 
 _HEX_BASE_DEG = 360.0  # res 0 hexagons span the whole longitude range

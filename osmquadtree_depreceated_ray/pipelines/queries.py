@@ -145,7 +145,8 @@ def derived_entities(sf_dir: str, table: str = "documents", key_col: str = "doc_
 
     ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=[key_col])
     return ds.map_batches(
-        lambda b: assign_cells(_derive_batch(b, key_col)), batch_format="pyarrow"
+        lambda b: assign_cells(_derive_batch(b, key_col), include_icosa=True),
+        batch_format="pyarrow",
     )
 
 
@@ -533,12 +534,13 @@ QUERIES["pip_poly"] = q_pip_poly
 
 def q_cells(sf_dir: str):
     """Companion cell indexes (north_rule: H3/S2-style) per derived
-    entity: S2 level-16 id (from-scratch Hilbert implementation) + hex
-    cell.  Rows-only (the trig/table pipeline is not practical to
-    replicate in SQL); determinism + properties pinned by
-    tests/test_cells_geom.py."""
+    entity: S2 level-16 id (from-scratch Hilbert implementation), planar
+    hex cell, and the icosahedral aperture-7 hex cell (the H3
+    construction, functions/cells.py).  Rows-only (the trig/table
+    pipeline is not practical to replicate in SQL); determinism +
+    properties pinned by tests/test_cells_geom.py."""
     ds = derived_entities(sf_dir)
-    return ds.select_columns(["doc_id", "cell_s2", "cell_h3"])
+    return ds.select_columns(["doc_id", "cell_s2", "cell_h3", "cell_icosa"])
 
 
 def q_sample(sf_dir: str):

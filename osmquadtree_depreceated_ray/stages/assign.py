@@ -14,7 +14,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..functions.cells import hex_cell_id, s2_cell_id
+from ..functions.cells import hex_cell_id, icosa_cell_id, s2_cell_id
 from ..functions.quadtree import calculate_point, qt_round
 
 
@@ -26,7 +26,8 @@ HEX_RES = 9
 
 
 def assign_cells(batch: pa.Table, buffer: float = QT_BUFFER,
-                 max_level: int = QT_MAX_LEVEL) -> pa.Table:
+                 max_level: int = QT_MAX_LEVEL,
+                 include_icosa: bool = False) -> pa.Table:
     lon = batch.column("lon").to_numpy()
     lat = batch.column("lat").to_numpy()
     qt = calculate_point(lon, lat, buffer, max_level)
@@ -34,11 +35,18 @@ def assign_cells(batch: pa.Table, buffer: float = QT_BUFFER,
     lat_deg = lat * 1e-7
     s2 = s2_cell_id(lon_deg, lat_deg, S2_LEVEL)
     hx = hex_cell_id(lon_deg, lat_deg, HEX_RES)
-    return (
+    out = (
         batch.append_column("qt", pa.array(qt))
         .append_column("cell_s2", pa.array(s2))
         .append_column("cell_h3", pa.array(hx))
     )
+    if include_icosa:
+        # the icosahedral aperture-7 index (20-face matmul + trig) is
+        # opt-in: query surfaces request it; the flagship tiling hot
+        # path keeps the cheaper qt/s2/planar-hex triple
+        ic = icosa_cell_id(lon_deg, lat_deg, HEX_RES)
+        out = out.append_column("cell_icosa", pa.array(ic))
+    return out
 
 
 def qt_prefix_counts(batch: pa.Table, level: int = QT_MAX_LEVEL) -> pa.Table:

@@ -166,3 +166,64 @@ def test_hex_cell_parent():
     direct = hex_cell_id(lon, lat, 5)
     agree = (parent == direct).mean()
     assert agree > 0.9
+
+
+def test_icosa_cell_properties():
+    from osmquadtree_depreceated_ray.functions.cells import (
+        icosa_cell_decode,
+        icosa_cell_id,
+        icosa_cell_parent,
+    )
+
+    lon = rng.uniform(-180, 180, 20000)
+    lat = np.degrees(np.arcsin(rng.uniform(-1, 1, 20000)))
+
+    # res 0 = exactly one hexagon per icosahedron face
+    c0 = icosa_cell_id(lon, lat, 0)
+    assert len(np.unique(c0)) == 20
+    res, face, q, r = icosa_cell_decode(c0)
+    assert (res == 0).all() and (q == 0).all() and (r == 0).all()
+    assert len(np.unique(face)) == 20
+
+    # determinism + component bounds at the deepest resolution
+    c15 = icosa_cell_id(lon, lat, 15)
+    assert (icosa_cell_id(lon[:100], lat[:100], 15) == c15[:100]).all()
+    res, face, q, r = icosa_cell_decode(c15)
+    assert (res == 15).all()
+    assert (np.abs(q) < (1 << 23)).all() and (np.abs(r) < (1 << 23)).all()
+
+    # aperture 7: the lattice refines by sqrt(7) per resolution, so the
+    # axial-coordinate extent over a fixed point set grows 7x per two
+    # resolutions (deterministic, unlike occupied-cell counts which are
+    # boundary- and sampling-dominated at low res)
+    _, _, q7, _ = icosa_cell_decode(icosa_cell_id(lon, lat, 7))
+    _, _, q9, _ = icosa_cell_decode(icosa_cell_id(lon, lat, 9))
+    growth = np.abs(q9).max() / np.abs(q7).max()
+    assert 6.5 < growth < 7.5
+
+    with pytest.raises(ValueError):
+        icosa_cell_id(lon[:1], lat[:1], 16)
+
+
+def test_icosa_cell_parent():
+    from osmquadtree_depreceated_ray.functions.cells import (
+        icosa_cell_decode,
+        icosa_cell_id,
+        icosa_cell_parent,
+    )
+
+    lon = rng.uniform(-180, 180, 5000)
+    lat = np.degrees(np.arcsin(rng.uniform(-1, 1, 5000)))
+    child = icosa_cell_id(lon, lat, 9)
+    parent = icosa_cell_parent(child, 8)
+    pres, pface, _, _ = icosa_cell_decode(parent)
+    cres, cface, _, _ = icosa_cell_decode(child)
+    assert (pres == 8).all()
+    assert (pface == cface).all()  # parenting never crosses faces
+    # aperture-7 hex hierarchies nest only approximately (true of H3
+    # too): the parent of a point's child cell is the point's own
+    # coarse cell for the vast majority of points
+    direct = icosa_cell_id(lon, lat, 8)
+    assert (parent == direct).mean() > 0.85
+    # parent at the same res is the identity
+    assert (icosa_cell_parent(child, 9) == child).all()
