@@ -69,26 +69,45 @@ def ensure_pages() -> str:
 
 
 def _session_cpu_seconds() -> float:
-    """Cumulative user+system CPU seconds of this Ray session: every
-    process whose cmdline mentions ray (raylet, gcs, ray:: workers) plus
-    the driver.  Sampled before/after the timed region, the delta gives
-    a wall-noise-free work measure: on a perfectly scalable engine the
+    """Cumulative user+system CPU seconds of THIS Ray session: every
+    process whose cmdline mentions this session's temp dir (raylet, gcs,
+    ray:: workers — their socket paths embed it) plus the driver.
+    Sampled before/after the timed region, the delta gives a
+    wall-noise-free work measure: on a perfectly scalable engine the
     total CPU seconds for the same input are the same at every
-    parallelism level, so cpu_lo/cpu_hi ~= 1.0."""
+    parallelism level, so cpu_lo/cpu_hi ~= 1.0.  Scoping to the session
+    dir keeps concurrent Ray sessions (another bench, a test run) out of
+    the count."""
     import glob
 
+    import ray
+
+    try:
+        sdir = ray._private.worker._global_node.get_session_dir_path().encode()
+    except Exception:
+        sdir = b"/tmp/ray/session_"
     tick = os.sysconf("SC_CLK_TCK")
     me = str(os.getpid())
+    # pass 1: session daemons by cmdline (raylet/gcs keep their argv);
+    # ray:: workers rewrite their argv via setproctitle, so catch them
+    # in pass 2 as children of the session's daemons
+    session_pids = {me}
+    for cl in glob.glob("/proc/[0-9]*/cmdline"):
+        pid = cl.split("/")[2]
+        try:
+            with open(cl, "rb") as f:
+                if sdir in f.read():
+                    session_pids.add(pid)
+        except OSError:
+            continue
     total = 0.0
     for stat in glob.glob("/proc/[0-9]*/stat"):
         pid = stat.split("/")[2]
         try:
-            with open(f"/proc/{pid}/cmdline", "rb") as f:
-                cmd = f.read()
-            if b"ray" not in cmd and pid != me:
-                continue
             with open(stat) as f:
                 parts = f.read().rsplit(") ", 1)[1].split()
+            if pid not in session_pids and parts[1] not in session_pids:
+                continue
             total += (int(parts[11]) + int(parts[12])) / tick
         except (OSError, IndexError, ValueError):
             continue

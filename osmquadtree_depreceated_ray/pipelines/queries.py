@@ -513,8 +513,9 @@ def _poly_index_ref():
 def q_pip_poly(sf_dir: str):
     """PIP against REAL concave/hole polygons (fixture admin_polys) over
     derived entities — exercises the full PolygonIndex path (bbox buckets,
-    even-odd pnpoly, hole subtraction).  pnpoly is pinned against the
-    scalar reference port in tests; rows-only here (no SQL pnpoly)."""
+    even-odd pnpoly, hole subtraction).  Exact DuckDB oracle: the
+    crossing-number test generated per fixture polygon by
+    :func:`sql_pip_poly` (bit-identical IEEE edge interpolation)."""
     import ray
 
     from ..stages.spatial import PIPActor
@@ -527,9 +528,70 @@ def q_pip_poly(sf_dir: str):
     return pairs.select_columns(["doc_id", "poly_id", "admin_level"])
 
 
+def _sql_pnpoly_expr(lon_col: str, lat_col: str, ring) -> str:
+    """Crossing-number point-in-ring as SQL, replicating the engine's
+    pnpoly (functions/geom.py:42-64) op-for-op: the per-edge interpolant
+    ``(xj-xi)*(lat-yi)/(yj-yi)+xi`` is evaluated in the same IEEE-double
+    order, so the comparison is bit-identical to numpy."""
+    terms = []
+    n = len(ring)
+    j = n - 1
+    for i in range(n):
+        xi, yi = ring[i]
+        xj, yj = ring[j]
+        j = i
+        if yi == yj:
+            continue  # horizontal edge can never satisfy the crossing test
+        terms.append(
+            f"CASE WHEN ({yi} > {lat_col}) <> ({yj} > {lat_col}) AND "
+            f"CAST({lon_col} AS DOUBLE) < (CAST({xj - xi} AS DOUBLE) * "
+            f"CAST({lat_col} - {yi} AS DOUBLE) / CAST({yj - yi} AS DOUBLE) + "
+            f"CAST({xi} AS DOUBLE)) THEN 1 ELSE 0 END"
+        )
+    if not terms:
+        return "FALSE"
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+def sql_pip_poly() -> str:
+    """Exact oracle for the concave/hole PIP join: one UNION ALL arm per
+    fixture polygon — inclusive bbox prefilter, even-odd outer ring,
+    AND NOT each hole (stages/spatial.py:116-141 semantics)."""
+    from ..sources.fixtures import gen_admin_polys
+
+    polys = gen_admin_polys(n_scatter=250)
+    rings_py = polys.column("rings").to_pylist()
+    pids = polys.column("poly_id").to_pylist()
+    levels = polys.column("admin_level").to_pylist()
+    lon, lat = derive.sql_lonlat_expr("doc_id")
+    arms = []
+    for pid, al, rings in zip(pids, levels, rings_py):
+        outer = [(p["lon"], p["lat"]) for p in rings[0]]
+        xs = [p[0] for p in outer]
+        ys = [p[1] for p in outer]
+        cond = (
+            f"lon >= {min(xs)} AND lat >= {min(ys)} AND "
+            f"lon <= {max(xs)} AND lat <= {max(ys)} AND "
+            + _sql_pnpoly_expr("lon", "lat", outer)
+        )
+        for hole in rings[1:]:
+            hr = [(p["lon"], p["lat"]) for p in hole]
+            cond += f" AND NOT {_sql_pnpoly_expr('lon', 'lat', hr)}"
+        arms.append(
+            f"SELECT doc_id, CAST({pid} AS BIGINT) AS poly_id, "
+            f"CAST({al} AS BIGINT) AS admin_level FROM e WHERE {cond}"
+        )
+    return (
+        f"WITH e AS MATERIALIZED (SELECT doc_id, {lon} AS lon, {lat} AS lat "
+        f"FROM documents) " + " UNION ALL ".join(arms)
+    )
+
+
 QUERIES["tile_split"] = q_tile_split
 QUERIES["pip_poly"] = q_pip_poly
-# (both intentionally absent from ORACLES -> driver rows-only check)
+ORACLES["pip_poly"] = sql_pip_poly()
+# (tile_split intentionally absent from ORACLES -> driver rows-only
+# check; it carries in-query conservation asserts instead)
 
 
 def q_cells(sf_dir: str):
