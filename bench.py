@@ -68,16 +68,16 @@ def ensure_pages() -> str:
     return PAGES_CACHE
 
 
-def _session_cpu_seconds() -> float:
-    """Cumulative user+system CPU seconds of THIS Ray session: every
-    process whose cmdline mentions this session's temp dir (raylet, gcs,
-    ray:: workers — their socket paths embed it) plus the driver.
-    Sampled before/after the timed region, the delta gives a
-    wall-noise-free work measure: on a perfectly scalable engine the
-    total CPU seconds for the same input are the same at every
-    parallelism level, so cpu_lo/cpu_hi ~= 1.0.  Scoping to the session
-    dir keeps concurrent Ray sessions (another bench, a test run) out of
-    the count."""
+def _session_cpu_sample() -> dict:
+    """Per-pid cumulative user+system CPU seconds of THIS Ray session:
+    every process whose cmdline mentions this session's temp dir
+    (raylet, gcs — ray:: workers rewrite their argv, so they are caught
+    as children of those daemons) plus the driver.  Two samples around
+    the timed region give a wall-noise-free work measure: on a perfectly
+    scalable engine the total CPU seconds for the same input are the
+    same at every parallelism level, so cpu_lo/cpu_hi ~= 1.0.  The
+    caller diffs per pid (``_cpu_delta``) so workers reaped between the
+    samples never produce a negative delta."""
     import glob
 
     import ray
@@ -88,9 +88,6 @@ def _session_cpu_seconds() -> float:
         sdir = b"/tmp/ray/session_"
     tick = os.sysconf("SC_CLK_TCK")
     me = str(os.getpid())
-    # pass 1: session daemons by cmdline (raylet/gcs keep their argv);
-    # ray:: workers rewrite their argv via setproctitle, so catch them
-    # in pass 2 as children of the session's daemons
     session_pids = {me}
     for cl in glob.glob("/proc/[0-9]*/cmdline"):
         pid = cl.split("/")[2]
@@ -100,7 +97,7 @@ def _session_cpu_seconds() -> float:
                     session_pids.add(pid)
         except OSError:
             continue
-    total = 0.0
+    out = {}
     for stat in glob.glob("/proc/[0-9]*/stat"):
         pid = stat.split("/")[2]
         try:
@@ -108,10 +105,17 @@ def _session_cpu_seconds() -> float:
                 parts = f.read().rsplit(") ", 1)[1].split()
             if pid not in session_pids and parts[1] not in session_pids:
                 continue
-            total += (int(parts[11]) + int(parts[12])) / tick
+            out[pid] = (int(parts[11]) + int(parts[12])) / tick
         except (OSError, IndexError, ValueError):
             continue
-    return total
+    return out
+
+
+def _cpu_delta(before: dict, after: dict) -> float:
+    """CPU seconds burned between two samples, summed over processes
+    still alive at the end (a worker reaped mid-run loses its tail —
+    a small undercount, never a negative)."""
+    return sum(v - before.get(pid, 0.0) for pid, v in after.items())
 
 
 def run_headline(num_cpus: int) -> dict:
@@ -136,13 +140,32 @@ def run_headline(num_cpus: int) -> dict:
     ray.data.read_parquet(pages_path, columns=["url"]).count()
     # warm the raw-task worker pool (untimed): the exchange stages run as
     # raw Ray tasks whose worker processes are long-lived on a real
-    # cluster but cold-spawned on first use in a fresh local session
-    noop = ray.remote(lambda i: i)
-    ray.get([noop.remote(i) for i in range(num_cpus)])
+    # cluster but cold-spawned on first use in a fresh local session.
+    # Each warm task IMPORTS the hot modules — a fresh Ray worker pays
+    # ~1-2 CPU-s of numpy/pandas/pyarrow import on its first real task,
+    # a per-worker fixed cost that a long-running cluster amortizes to
+    # zero but that would otherwise bill ~2s x num_cpus to the wider leg
+    def _warm(i):
+        import time as _t
+
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+        import pyarrow  # noqa: F401
+        import pyarrow.parquet  # noqa: F401
+
+        from osmquadtree_depreceated_ray.pipelines import tile  # noqa: F401
+        from osmquadtree_depreceated_ray.stages import (  # noqa: F401
+            assign, extract, write_tiles,
+        )
+        _t.sleep(0.2)  # hold the worker so every slot spawns + imports
+        return i
+
+    warm = ray.remote(num_cpus=1)(_warm)
+    ray.get([warm.remote(i) for i in range(num_cpus)])
 
     out = f"{OUT_BASE}/out_{num_cpus}"
     shutil.rmtree(out, ignore_errors=True)
-    cpu0 = _session_cpu_seconds()
+    cpu0 = _session_cpu_sample()
     t0 = time.time()
     # the tiled output is the durable artifact; don't write the corpus a
     # second time as an entities checkpoint (resume stays per-tile)
@@ -165,7 +188,7 @@ def run_headline(num_cpus: int) -> dict:
         pip_map_fn(ref, ("name",)), batch_format="pyarrow"
     ).count()
     t_pip = time.time() - t0
-    cpu_sec = _session_cpu_seconds() - cpu0
+    cpu_sec = _cpu_delta(cpu0, _session_cpu_sample())
     return {
         "tile_breakdown": res.get("timings", {}),
         "tile_sec": round(t_tile, 2),
@@ -279,6 +302,8 @@ def main_scaling():
                 f"sec_{hi}cpu": t_hi,
                 f"pages_per_sec_{lo}cpu": results[lo]["pages_per_sec"],
                 f"pages_per_sec_{hi}cpu": results[hi]["pages_per_sec"],
+                f"breakdown_{lo}cpu": results[lo].get("tile_breakdown"),
+                f"breakdown_{hi}cpu": results[hi].get("tile_breakdown"),
                 f"queries_{lo}cpu": results[lo]["queries"],
                 f"queries_{hi}cpu": results[hi]["queries"],
             }

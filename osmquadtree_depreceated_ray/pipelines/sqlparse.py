@@ -40,7 +40,7 @@ _TOKEN_RE = re.compile(
 
 _KEYWORDS = {
     "select", "from", "where", "order", "by", "limit", "union", "all",
-    "join", "on", "as", "and", "or", "not", "like", "between", "in",
+    "join", "on", "using", "as", "and", "or", "not", "like", "between", "in",
     "is", "null", "case", "when", "then", "else", "end", "asc", "desc",
     "distinct",
 }
@@ -145,11 +145,19 @@ class _Parser:
         join = None
         if self.accept("kw", "join"):
             jt = self.expect("ident")[1]
-            self.expect("kw", "on")
-            lcol = self.expect("ident")[1]
-            self.expect("op", "=")
-            rcol = self.expect("ident")[1]
-            join = (jt, lcol, rcol)
+            if self.accept("kw", "using"):
+                # JOIN t USING (col) — the reference grammar's join form
+                # (sqlselect/sql.go): both sides share the column name
+                self.expect("op", "(")
+                col = self.expect("ident")[1]
+                self.expect("op", ")")
+                join = (jt, col, col)
+            else:
+                self.expect("kw", "on")
+                lcol = self.expect("ident")[1]
+                self.expect("op", "=")
+                rcol = self.expect("ident")[1]
+                join = (jt, lcol, rcol)
         where = None
         if self.accept("kw", "where"):
             where = self.parse_expr()
@@ -430,7 +438,8 @@ def _join_on(ds_a, ds_b, lcol: str, rcol: str, n_buckets: int = 16):
     return bucketed_apply(both, ["__jk"], merge, n_buckets=n_buckets)
 
 
-def parse_sql(sql: str, tables: dict) -> "ray.data.Dataset":  # noqa: F821
+def parse_sql(sql: str, tables: dict,
+              broadcast_threshold: int = 1_000_000) -> "ray.data.Dataset":  # noqa: F821
     """Parse a SQL string and execute it over the given name->Dataset
     map, returning a Dataset (the reference's ``Parse`` entry,
     altlex.go:501-509)."""
@@ -463,7 +472,7 @@ def parse_sql(sql: str, tables: dict) -> "ray.data.Dataset":  # noqa: F821
                 rhs_rows = tables[jt].count()
             except Exception:
                 rhs_rows = None
-            if rhs_rows is not None and rhs_rows <= 1_000_000:
+            if rhs_rows is not None and rhs_rows <= broadcast_threshold:
                 ds = _broadcast_join(ds, rhs, lcol, rcol)
             else:
                 ds = _join_on(ds, rhs, lcol, rcol)

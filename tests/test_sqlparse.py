@@ -77,3 +77,35 @@ CASES = [
 @pytest.mark.parametrize("sql", CASES)
 def test_sql_parse_matches_duckdb(ray_session, t1, t2, sql):
     _run_both(sql, None, {"t1": t1, "t2": t2})
+
+
+def test_join_using(ray_session, t1):
+    """JOIN ... USING (col) — the reference grammar's join form — against
+    DuckDB on the identical string (shared column appears once)."""
+    t3 = pa.table({
+        "s": pa.array([f"name_{j}" for j in range(7)]),
+        "label3": pa.array([f"L{j}" for j in range(7)]),
+    })
+    _run_both(
+        "SELECT k, v, s, label3 FROM t1 JOIN t3 USING (s) WHERE v > 25",
+        None, {"t1": t1, "t3": t3},
+    )
+
+
+def test_join_shuffle_and_broadcast_paths_agree(ray_session, t1, t2):
+    """The planner picks broadcast for small build sides; force the
+    bucketed shuffle join (broadcast_threshold=0) and check both paths
+    produce the identical join result."""
+    import ray
+
+    sql = ("SELECT k, v, s, label FROM t1 JOIN t2 ON s = gkey "
+           "WHERE v > 10")
+    tabs = {"t1": ray.data.from_arrow(t1), "t2": ray.data.from_arrow(t2)}
+    bc = parse_sql(sql, tabs).to_pandas()
+    tabs = {"t1": ray.data.from_arrow(t1), "t2": ray.data.from_arrow(t2)}
+    sh = parse_sql(sql, tabs, broadcast_threshold=0).to_pandas()
+    key = ["k"]
+    bc = bc.sort_values(key).reset_index(drop=True)
+    sh = sh.sort_values(key).reset_index(drop=True)
+    assert list(bc.columns) == list(sh.columns)
+    pd.testing.assert_frame_equal(bc, sh)
