@@ -748,3 +748,34 @@ def q_sql_parse(sf_dir: str):
 
 QUERIES["sql_parse"] = q_sql_parse
 ORACLES["sql_parse"] = SQL_PARSE_TEXT
+
+
+SQL_PARSE_AGG_TEXT = (
+    "SELECT n_name, COUNT(*) AS n, CAST(SUM(c_custkey) AS BIGINT) AS sk "
+    "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+    "WHERE c_acctbal >= 0 GROUP BY n_name ORDER BY n_name"
+)
+
+
+def q_sql_parse_agg(sf_dir: str):
+    """GROUP BY through the SQL string front-end (parser -> broadcast
+    join -> bucketed grouped_agg exchange); oracle = the IDENTICAL
+    string in DuckDB."""
+    import ray
+
+    from .sqlparse import parse_sql
+
+    tables = {
+        "customer": ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_nationkey", "c_acctbal"],
+        ),
+        "nation": ray.data.read_parquet(
+            f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+        ),
+    }
+    return parse_sql(SQL_PARSE_AGG_TEXT, tables)
+
+
+QUERIES["sql_parse_agg"] = q_sql_parse_agg
+ORACLES["sql_parse_agg"] = SQL_PARSE_AGG_TEXT

@@ -42,7 +42,7 @@ _KEYWORDS = {
     "select", "from", "where", "order", "by", "limit", "union", "all",
     "join", "on", "using", "as", "and", "or", "not", "like", "between", "in",
     "is", "null", "case", "when", "then", "else", "end", "asc", "desc",
-    "distinct",
+    "distinct", "group", "cast",
 }
 
 
@@ -161,8 +161,16 @@ class _Parser:
         where = None
         if self.accept("kw", "where"):
             where = self.parse_expr()
+        group = None
+        if self.accept("kw", "group"):
+            self.expect("kw", "by")
+            group = []
+            while True:
+                group.append(self.expect("ident")[1])
+                if not self.accept("op", ","):
+                    break
         return {"items": items, "table": table, "join": join,
-                "where": where, "distinct": distinct}
+                "where": where, "distinct": distinct, "group": group}
 
     # expression precedence: or < and < not < comparison < add < mul < unary
     def parse_expr(self):
@@ -255,6 +263,14 @@ class _Parser:
             return ("lit", v)
         if k == "kw" and v == "case":
             return self.parse_case()
+        if k == "kw" and v == "cast":
+            self.next()
+            self.expect("op", "(")
+            e = self.parse_expr()
+            self.expect("kw", "as")
+            typ = self.expect("ident")[1].lower()
+            self.expect("op", ")")
+            return ("cast", e, typ)
         if k == "kw" and v == "null":
             self.next()
             return ("lit", None)
@@ -267,7 +283,11 @@ class _Parser:
             self.next()
             if self.accept("op", "("):
                 args = []
-                if not self.accept("op", ")"):
+                if self.accept("op", "*"):
+                    # COUNT(*)
+                    args.append(("star",))
+                    self.expect("op", ")")
+                elif not self.accept("op", ")"):
                     while True:
                         args.append(self.parse_expr())
                         if not self.accept("op", ","):
@@ -310,6 +330,14 @@ def _compile_expr(node) -> Expr:
             "lt": a.__lt__, "le": a.__le__, "gt": a.__gt__,
             "ge": a.__ge__, "and": a.__and__, "or": a.__or__,
         }[op](b)
+    if op == "cast":
+        inner = _compile_expr(node[1])
+        typ = node[2]
+        if typ in ("bigint", "integer", "int", "hugeint"):
+            return inner.make_integer()
+        if typ in ("double", "float", "real"):
+            return inner.make_float()
+        raise ValueError(f"unsupported CAST type {typ}")
     if op == "not":
         return ~_compile_expr(node[1])
     if op == "neg":
@@ -358,6 +386,66 @@ def _expr_name(node, idx) -> str:
     if node[0] == "col":
         return node[1]
     return f"expr{idx}"
+
+
+_AGG_FUNCS = {"sum", "count", "min", "max", "avg"}
+_AGG_HOW = {"sum": "sum", "count": "count", "min": "min", "max": "max",
+            "avg": "mean"}
+
+
+def _extract_aggs(node, aggs: list):
+    """Replace every aggregate call in an item expression with a
+    synthetic column ref, collecting (key, fname, args); the rewritten
+    expression is then a plain post-aggregation projection."""
+    if isinstance(node, tuple):
+        if node[0] == "call" and node[1] in _AGG_FUNCS:
+            key = f"__agg{len(aggs)}"
+            aggs.append((key, node[1], node[2]))
+            return ("col", key)
+        return tuple(
+            _extract_aggs(s, aggs) if isinstance(s, (tuple, list)) else s
+            for s in node
+        )
+    if isinstance(node, list):
+        return [
+            _extract_aggs(s, aggs) if isinstance(s, (tuple, list)) else s
+            for s in node
+        ]
+    return node
+
+
+def _run_grouped_select(ds, sel) -> "ray.data.Dataset":  # noqa: F821
+    """GROUP BY execution: WHERE filter -> pre-project (group cols +
+    aggregate inputs) -> one bucketed grouped_agg exchange -> post-project
+    the item expressions over the aggregated table.  (Exceeds the
+    reference grammar, which has no GROUP BY — sqlselect/sql.go — but a
+    SQL front-end without aggregation is not usable standalone.)"""
+    from ..stages.shuffle import grouped_agg
+
+    group_cols = sel["group"]
+    if sel["items"] is None:
+        raise ValueError("SELECT * is not valid with GROUP BY")
+    aggs: list = []
+    post_items = []
+    for idx, (e, name) in enumerate(sel["items"]):
+        ne = _extract_aggs(e, aggs)
+        post_items.append((ne, name or _expr_name(e, idx)))
+
+    q = Query(ds)
+    if sel["where"] is not None:
+        q = q.where(_compile_expr(sel["where"]))
+    pre_cols = {c: col(c) for c in group_cols}
+    spec = {}
+    for key, fname, args in aggs:
+        if fname == "count" and (not args or args[0] == ("star",)):
+            spec[key] = (group_cols[0], "size")
+            continue
+        argcol = f"{key}_in"
+        pre_cols[argcol] = _compile_expr(args[0])
+        spec[key] = (argcol, _AGG_HOW[fname])
+    agg_ds = grouped_agg(q.select(**pre_cols).run(), group_cols, spec)
+    proj = {name: _compile_expr(ne) for ne, name in post_items}
+    return Query(agg_ds).select(**proj).run()
 
 
 def _collect_cols(node, out: set) -> None:
@@ -459,6 +547,8 @@ def parse_sql(sql: str, tables: dict,
                     _collect_cols(e, needed)
                 if sel["where"] is not None:
                     _collect_cols(sel["where"], needed)
+                if sel.get("group"):
+                    needed |= set(sel["group"])
                 lkeep = [c for c in ds.schema().names
                          if c in needed or c == lcol]
                 rkeep = [c for c in rhs.schema().names
@@ -476,6 +566,9 @@ def parse_sql(sql: str, tables: dict,
                 ds = _broadcast_join(ds, rhs, lcol, rcol)
             else:
                 ds = _join_on(ds, rhs, lcol, rcol)
+        if sel.get("group"):
+            runs.append(_run_grouped_select(ds, sel))
+            continue
         q = Query(ds)
         if sel["where"] is not None:
             q = q.where(_compile_expr(sel["where"]))

@@ -71,6 +71,15 @@ CASES = [
     "ORDER BY k LIMIT 40",
     "SELECT k FROM t1 WHERE NOT (v > 0) AND f IS NOT NULL ORDER BY k DESC "
     "LIMIT 10",
+    # GROUP BY + aggregates (+ CAST to pin the sum dtype on both engines)
+    "SELECT s, CAST(SUM(v) AS BIGINT) AS sv, COUNT(*) AS n FROM t1 "
+    "GROUP BY s ORDER BY s",
+    "SELECT s, MIN(v) AS mn, MAX(v) AS mx, AVG(f) AS af FROM t1 "
+    "WHERE k < 300 GROUP BY s",
+    "SELECT s, CAST(SUM(v) + COUNT(*) AS BIGINT) AS tot, COUNT(k) AS nk "
+    "FROM t1 GROUP BY s",
+    "SELECT s, label, CAST(SUM(v) AS BIGINT) AS sv FROM t1 "
+    "JOIN t2 ON s = gkey GROUP BY s, label ORDER BY s",
 ]
 
 
