@@ -14,21 +14,44 @@ def test_multimodal_pipeline(ray_session):
         media_pipeline,
     )
 
+    from osmquadtree_depreceated_ray.functions.media_codecs import (
+        block_resize, png_decode,
+    )
+    from osmquadtree_depreceated_ray.stages.multimodal import _image_array
+
     media = gen_media_table(50)
-    out = media_pipeline(media).to_pandas()
+    out = media_pipeline(media).to_pandas().sort_values(
+        "media_id").reset_index(drop=True)
     assert len(out) == 50
     assert len(out["feature"].iloc[0]) == 64
-    # deterministic fake: same payload -> same feature
-    out2 = media_pipeline(media).to_pandas()
+    # REAL image decode: row 0 is an image; its feature must equal the
+    # 8x8 area-resample of the actual PNG pixels
+    meta0 = media.column("meta")[0].as_py()
+    expect = block_resize(
+        _image_array(0 + 42, meta0["width"], meta0["height"]), 8, 8
+    ).astype(np.float32).ravel()
+    assert np.array_equal(np.asarray(out["feature"].iloc[0]), expect)
+    # REAL audio decode: row 1 is audio; RMS envelope is positive
+    assert out["kind"].iloc[1] == "audio"
+    assert np.asarray(out["feature"].iloc[1]).mean() > 100
+    # determinism
+    out2 = media_pipeline(media).to_pandas().sort_values(
+        "media_id").reset_index(drop=True)
     assert (out["mean_px"].to_numpy() == out2["mean_px"].to_numpy()).all()
 
-    # strict mode marks the genuinely-stubbed codec path
+    # strict mode marks the one genuinely-stubbed path (video)
     actor = DecodeFeatureActor(strict=True)
     with pytest.raises(NotImplementedError):
-        actor(media)
+        actor(media)  # the batch contains video rows
+    image_only = media.filter(
+        pa.compute.equal(media.column("kind"), "image"))
+    actor(image_only)  # strict is fine when every row is decodable
 
     resized = ResizeActor(128, 128)(media)
     assert resized.column("meta")[0].as_py()["width"] == 128
+    # the resized payload is a genuine PNG at the target size
+    img = png_decode(resized.column("payload")[0].as_py())
+    assert img.shape == (128, 128)
 
     frames = FrameSampleActor(every_ms=5000)(media)
     assert frames.num_rows >= media.num_rows  # videos expand to frames
