@@ -77,6 +77,47 @@ def grouped_agg(
     return bucketed_apply(ds, keys, agg, n_buckets)
 
 
+_SALT_MERGE = {"sum": "sum", "min": "min", "max": "max", "size": "sum",
+               "count": "sum", "first": "first"}
+
+
+def salted_agg(
+    ds,
+    keys: list[str],
+    agg_spec: dict[str, tuple[str, str]],
+    n_salts: int = 16,
+    n_buckets: int = 32,
+):
+    """Skew-immune grouped aggregation for ASSOCIATIVE aggregates
+    (sum/min/max/size/count/first).
+
+    A key receiving a large share of all rows turns the plain
+    hash-bucket shuffle into one straggler bucket.  Phase 1 groups by
+    (keys + salt) — the hot key's rows spread across ``n_salts``
+    partial groups that land in different buckets; phase 2 is a second
+    (tiny) grouped_agg over the partials.  Exchange volume for phase 2
+    is O(distinct keys x n_salts), independent of row skew."""
+    unsupported = [h for _, (_, h) in agg_spec.items()
+                   if h not in _SALT_MERGE]
+    if unsupported:
+        raise ValueError(f"non-associative aggs cannot be salted: "
+                         f"{unsupported}")
+
+    def add_salt(b: pa.Table) -> pa.Table:
+        # deterministic, uniform within every batch
+        salt = np.arange(b.num_rows, dtype=np.int64) % n_salts
+        return b.append_column("__salt", pa.array(salt))
+
+    phase1 = grouped_agg(
+        ds.map_batches(add_salt, batch_format="pyarrow"),
+        list(keys) + ["__salt"], agg_spec, n_buckets,
+    )
+    merge_spec = {
+        out: (out, _SALT_MERGE[how]) for out, (_, how) in agg_spec.items()
+    }
+    return grouped_agg(phase1, list(keys), merge_spec, n_buckets)
+
+
 def distinct(ds, keys: list[str], n_buckets: int = 32):
     """Exact distributed distinct over ``keys`` (map-side pre-dedup +
     per-bucket dedup)."""

@@ -79,6 +79,15 @@ def main(argv=None):
     q.add_argument("--out", required=True)
     q.add_argument("--dest", required=True)
 
+    sv = sub.add_parser(
+        "serve", help="T6 per-tile serving store query (PackedDataStore.Filter)")
+    sv.add_argument("--out", required=True)
+    sv.add_argument("--bbox", help="minx,miny,maxx,maxy (1e-7 deg)")
+    sv.add_argument("--columns", help="comma-separated projection")
+    sv.add_argument("--sort-by", dest="sort_by")
+    sv.add_argument("--limit", type=int)
+    sv.add_argument("--dest", help="write result parquet here (else count only)")
+
     args = p.parse_args(argv)
 
     _init_ray()
@@ -134,6 +143,22 @@ def main(argv=None):
             ents = ray.data.read_parquet(os.path.join(args.out, "entities"))
             write_qts(ents, args.dest)
             print(json.dumps({"dest": args.dest}))
+        elif args.cmd == "serve":
+            import pyarrow.parquet as pq
+
+            from osmquadtree_depreceated_ray.stages.serve import TileServer
+
+            srv = TileServer(args.out)
+            bbox = ([int(v) for v in args.bbox.split(",")]
+                    if args.bbox else None)
+            cols = args.columns.split(",") if args.columns else None
+            res = srv.filter(bbox=bbox, columns=cols,
+                             sort_by=args.sort_by, limit=args.limit)
+            if args.dest:
+                pq.write_table(res, args.dest)
+            print(json.dumps({"rows": res.num_rows,
+                              "columns": res.column_names,
+                              **srv.stats()}))
     finally:
         ray.shutdown()
 
