@@ -170,19 +170,28 @@ def q_change_apply(sf_dir: str):
     import ray
 
     def chg_partial(b: pa.Table) -> pa.Table:
-        et = b.column("event_type").to_pandas()
-        code = np.where(et == "error", 1, np.where(et == "purchase", 5, 4)).astype(np.int8)
-        df = pd.DataFrame(
-            {
-                "key": b.column("user_id").to_numpy(),
-                "code": code,
-                "new_c": _value_m(b.column("value").to_numpy()),
-                "ts": b.column("ts").to_numpy(),
-                "event_id": b.column("event_id").to_numpy(),
-            }
-        )
-        df = df.sort_values(["ts", "event_id"]).groupby("key", as_index=False).last()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # map-side last-wins partial: lexsort (key, ts, event_id), keep
+        # each key's final row, THEN derive code/value for just those
+        # rows — pure numpy, no pandas sort/groupby in the hot path
+        key = b.column("user_id").to_numpy()
+        ts = b.column("ts").to_numpy()
+        eid = b.column("event_id").to_numpy()
+        order = np.lexsort((eid, ts, key))
+        k_s = key[order]
+        last_pos = np.flatnonzero(
+            np.concatenate([k_s[1:] != k_s[:-1], [True]]))
+        idx = order[last_pos]
+        et = b.column("event_type").take(pa.array(idx)).to_pandas()
+        code = np.where(
+            et == "error", 1, np.where(et == "purchase", 5, 4)
+        ).astype(np.int8)
+        return pa.table({
+            "key": pa.array(key[idx]),
+            "code": pa.array(code),
+            "new_c": pa.array(_value_m(b.column("value").to_numpy()[idx])),
+            "ts": pa.array(ts[idx]),
+            "event_id": pa.array(eid[idx]),
+        })
 
     from ..stages.shuffle import bucketed_apply
 
