@@ -264,6 +264,93 @@ def q_change_apply(sf_dir: str):
     return bucketed_apply(chg_tagged.union(base), ["key"], apply_bucket)
 
 
+def q_asof_join(sf_dir: str):
+    """As-of join — the brief's named custom operator Ray Data lacks:
+    each purchase event joined to its user's latest click at-or-before
+    the purchase timestamp.  Partitioning assumption: co-locate by
+    user_id (one bucketed shuffle), then per-bucket sorted backward
+    search (pandas merge_asof, C-speed).  Ties on (user, ts) in the
+    click stream are pre-collapsed to the max event_id so the match is
+    deterministic on both engines.  Oracle: DuckDB's native ASOF JOIN."""
+    import ray
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["event_type"] == "purchase"][
+            ["user_id", "event_id", "ts"]]
+        right = g[g["event_type"] == "click"][
+            ["user_id", "event_id", "ts", "value_m"]]
+        if not len(left) or not len(right):
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype=np.int64),
+                "event_id": pd.Series(dtype=np.int64),
+                "ts_us": pd.Series(dtype=np.int64),
+                "click_ts_us": pd.Series(dtype=np.int64),
+                "click_value_m": pd.Series(dtype=np.int64),
+                "gap_us": pd.Series(dtype=np.int64),
+            })
+        # deterministic tie-break: one click per (user, ts), max event_id
+        right = right.sort_values(["user_id", "ts", "event_id"]).groupby(
+            ["user_id", "ts"], as_index=False).last()
+        right = right.rename(columns={"ts": "click_ts"})
+        right["ts"] = right["click_ts"]
+        m = pd.merge_asof(
+            left.sort_values("ts"),
+            right[["user_id", "ts", "click_ts", "value_m"]].sort_values("ts"),
+            on="ts", by="user_id", direction="backward",
+            allow_exact_matches=True,
+        )
+        m = m.dropna(subset=["click_ts"])
+        ts_us = m["ts"].astype("datetime64[us]").astype("int64")
+        ct_us = m["click_ts"].astype("datetime64[us]").astype("int64")
+        return pd.DataFrame({
+            "user_id": m["user_id"].to_numpy(np.int64),
+            "event_id": m["event_id"].to_numpy(np.int64),
+            "ts_us": ts_us.to_numpy(),
+            "click_ts_us": ct_us.to_numpy(),
+            "click_value_m": m["value_m"].to_numpy(np.int64),
+            "gap_us": (ts_us - ct_us).to_numpy(),
+        })
+
+    def pre(b: pa.Table) -> pa.Table:
+        keep = pa.compute.is_in(
+            b.column("event_type"),
+            value_set=pa.array(["purchase", "click"]))
+        t = b.filter(keep)
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "event_id": t.column("event_id"),
+            "ts": t.column("ts"),
+            "event_type": t.column("event_type"),
+            "value_m": pa.array(_value_m(t.column("value").to_numpy())),
+        })
+
+    from ..stages.shuffle import bucketed_apply
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type", "value"],
+    )
+    return bucketed_apply(
+        ds.map_batches(pre, batch_format="pyarrow"), ["user_id"], asof)
+
+
+def sql_asof_join() -> str:
+    return (
+        "WITH r0 AS (SELECT user_id, ts, event_id, "
+        f"{SQL_VALUE_M} AS value_m, "
+        "ROW_NUMBER() OVER (PARTITION BY user_id, ts "
+        "ORDER BY event_id DESC) AS rn "
+        "FROM events WHERE event_type = 'click'), "
+        "r AS (SELECT user_id, ts, value_m FROM r0 WHERE rn = 1), "
+        "l AS (SELECT user_id, event_id, ts FROM events "
+        "WHERE event_type = 'purchase') "
+        "SELECT l.user_id, l.event_id, epoch_us(l.ts) AS ts_us, "
+        "epoch_us(r.ts) AS click_ts_us, r.value_m AS click_value_m, "
+        "epoch_us(l.ts) - epoch_us(r.ts) AS gap_us "
+        "FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"
+    )
+
+
 def sql_change_apply() -> str:
     return (
         "WITH lastchg AS (SELECT user_id AS key, "
@@ -289,6 +376,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "dedup_lastwins": q_dedup_lastwins,
     "change_apply": q_change_apply,
+    "asof_join": q_asof_join,
 }
 
 ORACLES = {
@@ -296,6 +384,7 @@ ORACLES = {
     "sessionize": sql_sessionize(),
     "dedup_lastwins": sql_dedup_lastwins(),
     "change_apply": sql_change_apply(),
+    "asof_join": sql_asof_join(),
 }
 
 
