@@ -351,6 +351,113 @@ def sql_asof_join() -> str:
     )
 
 
+RANGE_HOUR_US = 3_600_000_000
+
+
+def q_range_join(sf_dir: str):
+    """Range (interval) join — the brief's other named custom operator:
+    each error event joined to the session interval containing it.
+    Sessions (gap rule, disjoint intervals) are computed by the same
+    logic as q_sessionize; the interval join tiles the time axis into
+    hour buckets — a session fans out one row per covered hour, an
+    event lands in exactly its own hour — so co-location is a plain
+    (user_id, hour) bucketed shuffle and the exact containment filter
+    runs vectorized per bucket.  Partitioning assumption: intervals are
+    bounded (sessions span few hours); unbounded intervals would need a
+    broadcast side instead."""
+    import ray
+
+    def sessions_fanout(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        gap = g.groupby("user_id")["ts"].diff().dt.total_seconds().fillna(0.0)
+        brk = (gap > SESSION_GAP_S).astype("int64")
+        g = g.assign(sid=brk.groupby(g["user_id"]).cumsum())
+        s = g.groupby(["user_id", "sid"], as_index=False).agg(
+            session_start=("ts", "min"), session_end=("ts", "max"))
+        start = s["session_start"].astype("datetime64[us]").astype("int64")
+        end = s["session_end"].astype("datetime64[us]").astype("int64")
+        h0 = (start // RANGE_HOUR_US).to_numpy()
+        h1 = (end // RANGE_HOUR_US).to_numpy()
+        reps = (h1 - h0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(s)), reps)
+        hour = np.concatenate(
+            [np.arange(a, b + 1) for a, b in zip(h0, h1)]
+        ) if len(s) else np.zeros(0, np.int64)
+        return pd.DataFrame({
+            "user_id": s["user_id"].to_numpy(np.int64)[idx],
+            "hour": hour,
+            "session_start": start.to_numpy()[idx],
+            "session_end": end.to_numpy()[idx],
+            "kind": np.zeros(len(idx), np.int64),
+            "event_id": np.zeros(len(idx), np.int64),
+            "ts_us": np.zeros(len(idx), np.int64),
+        })
+
+    def errors(b: pa.Table) -> pa.Table:
+        t = b.filter(pa.compute.equal(b.column("event_type"), "error"))
+        ts_us = t.column("ts").cast(pa.timestamp("us")).cast(
+            pa.int64()).to_numpy()
+        n = t.num_rows
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "hour": pa.array(ts_us // RANGE_HOUR_US),
+            "session_start": pa.array(np.zeros(n, np.int64)),
+            "session_end": pa.array(np.zeros(n, np.int64)),
+            "kind": pa.array(np.ones(n, np.int64)),
+            "event_id": t.column("event_id"),
+            "ts_us": pa.array(ts_us),
+        })
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g[g["kind"] == 0]
+        e = g[g["kind"] == 1]
+        if not len(s) or not len(e):
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype=np.int64),
+                "event_id": pd.Series(dtype=np.int64),
+                "ts_us": pd.Series(dtype=np.int64),
+                "session_start": pd.Series(dtype=np.int64),
+                "session_end": pd.Series(dtype=np.int64),
+            })
+        m = e[["user_id", "hour", "event_id", "ts_us"]].merge(
+            s[["user_id", "hour", "session_start", "session_end"]],
+            on=["user_id", "hour"])
+        m = m[(m["ts_us"] >= m["session_start"])
+              & (m["ts_us"] <= m["session_end"])]
+        return m[["user_id", "event_id", "ts_us",
+                  "session_start", "session_end"]]
+
+    from ..stages.shuffle import bucketed_apply
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id",
+                                             "event_type"])
+    sess = bucketed_apply(
+        ds.select_columns(["user_id", "ts", "event_id"]),
+        ["user_id"], sessions_fanout)
+    errs = ds.map_batches(errors, batch_format="pyarrow")
+    return bucketed_apply(sess.union(errs), ["user_id", "hour"], join_bucket)
+
+
+def sql_range_join() -> str:
+    return (
+        "WITH g AS (SELECT user_id, ts, event_id, "
+        "CASE WHEN ts - lag(ts) OVER w > INTERVAL 1800 SECOND THEN 1 "
+        "ELSE 0 END AS brk "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, "
+        "event_id)), "
+        "x AS (SELECT user_id, ts, SUM(brk) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM g), "
+        "s AS (SELECT user_id, epoch_us(MIN(ts)) AS session_start, "
+        "epoch_us(MAX(ts)) AS session_end FROM x GROUP BY user_id, sid) "
+        "SELECT s.user_id, e.event_id, epoch_us(e.ts) AS ts_us, "
+        "s.session_start, s.session_end "
+        "FROM s JOIN events e ON e.user_id = s.user_id "
+        "AND epoch_us(e.ts) BETWEEN s.session_start AND s.session_end "
+        "WHERE e.event_type = 'error'"
+    )
+
+
 def sql_change_apply() -> str:
     return (
         "WITH lastchg AS (SELECT user_id AS key, "
@@ -377,6 +484,7 @@ QUERIES = {
     "dedup_lastwins": q_dedup_lastwins,
     "change_apply": q_change_apply,
     "asof_join": q_asof_join,
+    "range_join": q_range_join,
 }
 
 ORACLES = {
@@ -385,6 +493,7 @@ ORACLES = {
     "dedup_lastwins": sql_dedup_lastwins(),
     "change_apply": sql_change_apply(),
     "asof_join": sql_asof_join(),
+    "range_join": sql_range_join(),
 }
 
 
