@@ -1,0 +1,73 @@
+"""Mergeable cardinality sketch (HyperLogLog) — the 100 TB aggregation
+pattern: map-side fixed-size register partials, associative max-merge,
+O(2^p) driver state regardless of input rows.
+
+Deterministic by construction: the element hash is the same
+md5-low-64 basis the dedup family uses (queries_text._md5_lower64), so
+the estimate is reproducible run-to-run and pinned by unit goldens.
+Standard HLL estimator (Flajolet et al.) with the linear-counting
+small-range correction.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+HLL_P = 12  # 4096 registers, ~1.04/sqrt(m) ~= 1.6% standard error
+HLL_M = 1 << HLL_P
+
+
+def _md5_lower64_bytes(strings) -> np.ndarray:
+    md5 = hashlib.md5
+    return np.fromiter(
+        (int.from_bytes(md5(s).digest()[8:16], "little") for s in strings),
+        dtype=np.uint64, count=len(strings),
+    )
+
+
+def hll_partial(values: np.ndarray) -> np.ndarray:
+    """Register partial (uint8[m]) for one batch of values (any dtype;
+    hashed via md5 of the string form for determinism across engines)."""
+    if len(values) == 0:
+        return np.zeros(HLL_M, dtype=np.uint8)
+    strs = [str(v).encode() for v in values]
+    h = _md5_lower64_bytes(strs)
+    j = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    rest = h << np.uint64(HLL_P)  # low 64-p bits shifted to the top
+    # rho = leading-zero count of `rest` + 1, capped at 64-p+1 for rest==0
+    rho = np.full(len(h), 64 - HLL_P + 1, dtype=np.uint8)
+    nz = rest != 0
+    if nz.any():
+        r = rest[nz]
+        lz = np.zeros(r.shape, dtype=np.int64)
+        v = r.copy()
+        for s in (32, 16, 8, 4, 2, 1):
+            top_clear = v < (np.uint64(1) << np.uint64(64 - s))
+            lz[top_clear] += s
+            v = np.where(top_clear, v << np.uint64(s), v)
+        rho[nz] = (lz + 1).astype(np.uint8)
+    regs = np.zeros(HLL_M, dtype=np.uint8)
+    np.maximum.at(regs, j, rho)
+    return regs
+
+
+def hll_merge(partials) -> np.ndarray:
+    """Associative merge: elementwise max over register partials."""
+    out = np.zeros(HLL_M, dtype=np.uint8)
+    for p in partials:
+        np.maximum(out, p, out=out)
+    return out
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimate with linear-counting small-range
+    correction."""
+    m = float(HLL_M)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.power(2.0, -regs.astype(np.float64)).sum()
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)

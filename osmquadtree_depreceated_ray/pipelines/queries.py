@@ -779,3 +779,48 @@ def q_sql_parse_agg(sf_dir: str):
 
 QUERIES["sql_parse_agg"] = q_sql_parse_agg
 ORACLES["sql_parse_agg"] = SQL_PARSE_AGG_TEXT
+
+
+def q_hll_distinct(sf_dir: str):
+    """Mergeable-sketch aggregation (the brief's 'novel sketch' class):
+    HyperLogLog distinct-user estimate over events.  Map-side fixed-size
+    register partials (one uint8[4096] row per batch), associative max
+    merge, O(4096) driver state however large the input.  Rows-only for
+    the driver (no SQL can reproduce the estimator); accuracy and
+    determinism pinned by tests/test_sketch.py, and the exact distinct
+    (computed by the engine's own bucketed distinct) rides along for an
+    in-row error invariant."""
+    import ray
+
+    from ..functions.sketch import (
+        HLL_M, hll_estimate, hll_merge, hll_partial,
+    )
+    from ..stages.shuffle import distinct as _distinct
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        regs = hll_partial(b.column("user_id").to_numpy())
+        return pa.table({
+            "regs": pa.FixedSizeListArray.from_arrays(
+                pa.array(regs, pa.uint8()), HLL_M)
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    regs = np.zeros(HLL_M, dtype=np.uint8)
+    for b in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        flat = np.asarray(b.column("regs").combine_chunks().flatten())
+        np.maximum(regs, flat.reshape(-1, HLL_M).max(axis=0), out=regs)
+    est = hll_estimate(regs)
+    exact = _distinct(ds, ["user_id"]).count()
+    return pa.table({
+        "distinct_est": pa.array([int(round(est))], pa.int64()),
+        "exact_distinct": pa.array([int(exact)], pa.int64()),
+        "registers_used": pa.array([int((regs > 0).sum())], pa.int64()),
+    })
+
+
+QUERIES["hll_distinct"] = q_hll_distinct
+# rows-only: no SQL reproduces the estimator; tests/test_sketch.py pins
+# accuracy (<5% vs exact) and byte-determinism of the registers

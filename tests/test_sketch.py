@@ -1,0 +1,51 @@
+"""HyperLogLog sketch (functions/sketch.py): accuracy, mergeability,
+determinism, and the distributed query's error invariant."""
+
+import numpy as np
+
+from osmquadtree_depreceated_ray.functions.sketch import (
+    HLL_M,
+    hll_estimate,
+    hll_merge,
+    hll_partial,
+)
+
+rng = np.random.default_rng(9)
+
+
+def test_hll_accuracy_and_merge():
+    vals = np.unique(rng.integers(0, 10**12, 50_000))
+    parts = [hll_partial(c) for c in np.array_split(vals, 7)]
+    merged = hll_merge(parts)
+    # merge of partials == partial of the whole set (associative max)
+    assert (merged == hll_partial(vals)).all()
+    est = hll_estimate(merged)
+    assert abs(est - len(vals)) / len(vals) < 0.05
+    # order-independent
+    assert (hll_merge(parts[::-1]) == merged).all()
+
+
+def test_hll_small_range_linear_counting():
+    vals = np.arange(40)
+    est = hll_estimate(hll_partial(vals))
+    assert abs(est - 40) <= 2  # linear counting is near-exact here
+
+
+def test_hll_determinism_golden():
+    regs = hll_partial(np.arange(1000))
+    # md5 basis -> byte-identical registers on every platform/run
+    assert int(regs.sum()) == 1767
+    assert int((regs > 0).sum()) == 873
+    assert round(hll_estimate(regs), 3) == round(
+        hll_estimate(hll_partial(np.arange(1000))), 3)
+
+
+def test_hll_distinct_query(ray_session):
+    from osmquadtree_depreceated_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["hll_distinct"]("/root/testdata/sf0.001").to_pandas()
+    assert len(out) == 1
+    est = int(out["distinct_est"].iloc[0])
+    exact = int(out["exact_distinct"].iloc[0])
+    assert exact > 0
+    assert abs(est - exact) / exact < 0.05
