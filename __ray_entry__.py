@@ -43,4 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from osmquadtree_depreceated_ray.pipelines.queries import ORACLES
 
-    return dict(ORACLES)
+    # callable entries are lazy SQL generators (e.g. pip_poly's
+    # fixture-derived crossing-number oracle) — resolve them here so
+    # module import stays cheap for every Ray worker
+    return {k: (v() if callable(v) else v) for k, v in ORACLES.items()}

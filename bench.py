@@ -288,7 +288,8 @@ def main_scaling():
     # 1.0 means the wider leg burned no extra CPU for the same input
     cpu_lo = results[lo].get("cpu_sec")
     cpu_hi = results[hi].get("cpu_sec")
-    eff_cpu = round(cpu_lo / cpu_hi, 3) if cpu_lo and cpu_hi else None
+    eff_cpu = (round(cpu_lo / cpu_hi, 3)
+               if cpu_lo is not None and cpu_hi else None)
     print(
         json.dumps(
             {

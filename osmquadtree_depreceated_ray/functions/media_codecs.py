@@ -147,19 +147,23 @@ def block_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     else:
         squeeze = False
     h, w, c = img.shape
-    ys = (np.arange(out_h + 1) * h) // out_h
-    xs = (np.arange(out_w + 1) * w) // out_w
+    # per-output-pixel source block [lo, hi): hi is clamped to lo+1 so
+    # an UPSAMPLED axis (out > in, duplicate integer bin edges) still
+    # reads one real pixel instead of a zero-area (black) block
+    y0 = (np.arange(out_h) * h) // out_h
+    y1 = np.maximum((np.arange(1, out_h + 1) * h) // out_h, y0 + 1)
+    x0 = (np.arange(out_w) * w) // out_w
+    x1 = np.maximum((np.arange(1, out_w + 1) * w) // out_w, x0 + 1)
     acc = img.astype(np.float64).cumsum(axis=0).cumsum(axis=1)
     acc = np.pad(acc, ((1, 0), (1, 0), (0, 0)))
-    a = acc[ys[1:]][:, xs[1:]]
-    b = acc[ys[:-1]][:, xs[1:]]
-    d = acc[ys[1:]][:, xs[:-1]]
-    e = acc[ys[:-1]][:, xs[:-1]]
+    a = acc[y1][:, x1]
+    b = acc[y0][:, x1]
+    d = acc[y1][:, x0]
+    e = acc[y0][:, x0]
     area = (
-        (ys[1:] - ys[:-1]).reshape(-1, 1, 1)
-        * (xs[1:] - xs[:-1]).reshape(1, -1, 1)
+        (y1 - y0).reshape(-1, 1, 1) * (x1 - x0).reshape(1, -1, 1)
     ).astype(np.float64)
-    out = np.clip((a - b - d + e) / np.maximum(area, 1), 0, 255)
+    out = np.clip((a - b - d + e) / area, 0, 255)
     out = out.astype(np.uint8)
     return out[:, :, 0] if squeeze else out
 

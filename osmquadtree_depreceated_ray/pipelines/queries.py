@@ -137,15 +137,19 @@ def _derive_batch(batch: pa.Table, key_col: str) -> pa.Table:
     )
 
 
-def derived_entities(sf_dir: str, table: str = "documents", key_col: str = "doc_id"):
-    """Dataset of (key, lon, lat, qt, cells) derived from an sf table."""
+def derived_entities(sf_dir: str, table: str = "documents",
+                     key_col: str = "doc_id", include_icosa: bool = False):
+    """Dataset of (key, lon, lat, qt, cells) derived from an sf table.
+    The icosahedral cell (the costliest kernel: 20-face matmul + trig)
+    is opt-in — only surfaces that keep the column request it."""
     import ray
 
     from ..stages.assign import assign_cells
 
     ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=[key_col])
     return ds.map_batches(
-        lambda b: assign_cells(_derive_batch(b, key_col), include_icosa=True),
+        lambda b: assign_cells(_derive_batch(b, key_col),
+                               include_icosa=include_icosa),
         batch_format="pyarrow",
     )
 
@@ -589,7 +593,11 @@ def sql_pip_poly() -> str:
 
 QUERIES["tile_split"] = q_tile_split
 QUERIES["pip_poly"] = q_pip_poly
-ORACLES["pip_poly"] = sql_pip_poly()
+# lazy: generating the 250-polygon crossing-number SQL costs ~0.4 s and
+# 575 KB — pay it only when oracle_sql() is actually requested, not on
+# every worker import of this module (callable entries are resolved by
+# __ray_entry__.oracle_sql)
+ORACLES["pip_poly"] = sql_pip_poly
 # (tile_split intentionally absent from ORACLES -> driver rows-only
 # check; it carries in-query conservation asserts instead)
 
@@ -601,7 +609,7 @@ def q_cells(sf_dir: str):
     construction, functions/cells.py).  Rows-only (the trig/table
     pipeline is not practical to replicate in SQL); determinism +
     properties pinned by tests/test_cells_geom.py."""
-    ds = derived_entities(sf_dir)
+    ds = derived_entities(sf_dir, include_icosa=True)
     return ds.select_columns(["doc_id", "cell_s2", "cell_h3", "cell_icosa"])
 
 

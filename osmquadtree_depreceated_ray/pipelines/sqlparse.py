@@ -555,11 +555,18 @@ def parse_sql(sql: str, tables: dict,
                          if c in needed or c == rcol]
                 ds = ds.select_columns(lkeep)
                 rhs = rhs.select_columns(rkeep)
-            # plan: broadcast-hash-join when the build side is small
-            # (count() on a parquet read resolves from file metadata),
-            # bucketed shuffle join otherwise
+            # plan: broadcast-hash-join when the build side is small.
+            # Probe count() ONLY for pure read / in-memory sources
+            # (metadata-cheap); for derived pipelines counting would
+            # execute them once just to pick a strategy and then the
+            # join would execute them again — default those to the
+            # shuffle join instead
+            rhs_rows = None
             try:
-                rhs_rows = tables[jt].count()
+                dag_kind = type(tables[jt]._logical_plan.dag).__name__
+                if dag_kind in ("Read", "FromArrow", "FromPandas",
+                                "FromItems", "FromNumpy", "InputData"):
+                    rhs_rows = tables[jt].count()
             except Exception:
                 rhs_rows = None
             if rhs_rows is not None and rhs_rows <= broadcast_threshold:

@@ -410,10 +410,14 @@ def gen_raster_tiles(z: int = 8):
     cell = np.arange(256, dtype=np.int64)
     # values are small integers stored as float32 — exactly representable,
     # so SQL oracles can compare them without float-precision hedging
-    cache = f"/tmp/oqr_cache/raster_z{z}.npy"
+    # cache name embeds the value formula's constants: a stale file from
+    # an older formula (or another checkout) can never be mistaken for
+    # this one.  mmap read — consumers copy what they slice.
+    cache = (f"/tmp/oqr_cache/raster_z{z}_"
+             f"{73856093:x}-{19349663:x}-{83492791:x}-1000_f32.npy")
     try:
-        vals = np.load(cache)
-        assert vals.shape == (n * n, 256)
+        vals = np.load(cache, mmap_mode="r")
+        assert vals.shape == (n * n, 256) and vals.dtype == np.float32
     except Exception:
         a = xs * 73856093 ^ ys * 19349663
         c = cell * 83492791

@@ -95,6 +95,12 @@ def test_block_resize_properties():
     assert abs(d.mean() - even.mean()) < 1.0
     up = block_resize(g, 64, 96)
     assert up.shape == (64, 96)
+    # regression: upsampling must NOT produce zero-area (black) blocks —
+    # a constant image upsampled stays constant
+    const_up = block_resize(np.full((32, 48), 200, dtype=np.uint8), 64, 96)
+    assert (const_up == 200).all()
+    # identity resize is exact
+    assert np.array_equal(block_resize(g, 32, 48), g)
 
 
 def test_wav_roundtrip():

@@ -41,9 +41,16 @@ def test_hll_determinism_golden():
 
 
 def test_hll_distinct_query(ray_session):
+    import os
+
+    import pytest
+
     from osmquadtree_depreceated_ray.pipelines.queries import QUERIES
 
-    out = QUERIES["hll_distinct"]("/root/testdata/sf0.001").to_pandas()
+    sf = os.environ.get("GRAFT_SF_SMOKE", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf):
+        pytest.skip(f"test data not found at {sf}")
+    out = QUERIES["hll_distinct"](sf).to_pandas()
     assert len(out) == 1
     est = int(out["distinct_est"].iloc[0])
     exact = int(out["exact_distinct"].iloc[0])
