@@ -366,3 +366,109 @@ def sql_embed_ivf() -> str:
 
 QUERIES["embed_ivf"] = q_embed_ivf
 ORACLES["embed_ivf"] = sql_embed_ivf()
+
+
+# --- distributed iterative k-means (Lloyd) ---------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def kmeans_embeddings(sf_dir: str, k: int = KMEANS_K,
+                      iters: int = KMEANS_ITERS):
+    """Distributed Lloyd k-means over the quantized embeddings — the
+    brief's 'iterative algorithm' class.  Per iteration: centroids are
+    ``ray.put``-broadcast, each batch emits integer PARTIAL SUMS
+    (k x dim int64 + counts — order-independent, so the run is
+    deterministic), the driver merges O(k*dim) state and recomputes
+    means.  Init = the first k vectors by vec_id (deterministic).
+    Returns (centroids float64 [k,dim], per-iteration inertia list).
+    """
+    import ray
+
+    _, init = _load_small_side(sf_dir, k)
+    centroids = init.astype(np.float64)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    inertia = []
+    for _ in range(iters):
+        cref = ray.put(centroids)
+
+        def partial(b: pa.Table, _cref=cref) -> pa.Table:
+            c = ray.get(_cref)
+            ids, mat = _embed_matrix(b)
+            matf = mat.astype(np.float64)
+            d2 = (
+                (matf * matf).sum(axis=1)[:, None]
+                - 2.0 * (matf @ c.T)
+                + (c * c).sum(axis=1)[None, :]
+            )
+            best = np.argmin(d2, axis=1)
+            kk, dim = c.shape
+            sums = np.zeros((kk, dim), dtype=np.int64)
+            np.add.at(sums, best, mat)
+            counts = np.bincount(best, minlength=kk).astype(np.int64)
+            sse = d2[np.arange(len(ids)), best].sum()
+            return pa.table({
+                "cluster": pa.array(np.arange(kk, dtype=np.int64)),
+                "sums": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sums.ravel(), pa.int64()), dim),
+                "n": pa.array(counts),
+                "sse": pa.array(np.full(kk, sse / kk, np.float64)),
+            })
+
+        parts = ds.map_batches(partial, batch_format="pyarrow")
+        kk, dim = centroids.shape
+        sums = np.zeros((kk, dim), dtype=np.int64)
+        counts = np.zeros(kk, dtype=np.int64)
+        sse_total = 0.0
+        for b in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+            cl = b.column("cluster").to_numpy()
+            s = np.asarray(b.column("sums").combine_chunks().flatten()
+                           ).reshape(-1, dim)
+            np.add.at(sums, cl, s)
+            np.add.at(counts, cl, b.column("n").to_numpy())
+            sse_total += float(b.column("sse").to_numpy().sum())
+        nonempty = counts > 0
+        centroids = centroids.copy()
+        centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
+        inertia.append(sse_total)
+    return centroids, inertia
+
+
+def q_kmeans(sf_dir: str):
+    """Final assignment pass after kmeans_embeddings: (vec_id, cluster).
+    Rows-only for the driver (iterative float means are not
+    SQL-expressible); determinism + monotone-inertia invariants pinned
+    by tests/test_kmeans.py."""
+    import ray
+
+    centroids, _ = kmeans_embeddings(sf_dir)
+    cref = ray.put(centroids)
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        ids, mat = _embed_matrix(b)
+        matf = mat.astype(np.float64)
+        d2 = (
+            (matf * matf).sum(axis=1)[:, None]
+            - 2.0 * (matf @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+        best = np.argmin(d2, axis=1)
+        return pa.table({
+            "vec_id": pa.array(ids),
+            "cluster": pa.array(best.astype(np.int64)),
+        })
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+QUERIES["kmeans"] = q_kmeans
+# rows-only: iterative algorithm (brief's named non-SQL-expressible
+# class); tests/test_kmeans.py pins determinism + inertia descent
