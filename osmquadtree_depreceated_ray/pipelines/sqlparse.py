@@ -448,6 +448,22 @@ def _run_grouped_select(ds, sel) -> "ray.data.Dataset":  # noqa: F821
     return Query(agg_ds).select(**proj).run()
 
 
+def _split_conjuncts(node) -> list:
+    """Flatten a WHERE tree's top-level AND chain into conjuncts."""
+    if isinstance(node, tuple) and node and node[0] == "and":
+        return _split_conjuncts(node[1]) + _split_conjuncts(node[2])
+    return [node]
+
+
+def _and_fold(conjuncts):
+    if not conjuncts:
+        return None
+    out = conjuncts[0]
+    for c in conjuncts[1:]:
+        out = ("and", out, c)
+    return out
+
+
 def _collect_cols(node, out: set) -> None:
     """Column names referenced anywhere in an AST expression node."""
     if isinstance(node, (tuple, list)):
@@ -555,6 +571,25 @@ def parse_sql(sql: str, tables: dict,
                          if c in needed or c == rcol]
                 ds = ds.select_columns(lkeep)
                 rhs = rhs.select_columns(rkeep)
+            # predicate pushdown: WHERE conjuncts whose columns live
+            # entirely on one side filter BEFORE the join (fewer rows
+            # enter the exchange / probe); the residual runs post-join.
+            # A conjunct on an overlap column pushes to the LEFT only —
+            # join output carries left values for shared names.
+            if sel["where"] is not None:
+                l_names = set(ds.schema().names)
+                r_names = set(rhs.schema().names)
+                residual = []
+                for conj in _split_conjuncts(sel["where"]):
+                    cc: set = set()
+                    _collect_cols(conj, cc)
+                    if cc and cc <= l_names:
+                        ds = Query(ds).where(_compile_expr(conj)).run()
+                    elif cc and cc <= r_names:
+                        rhs = Query(rhs).where(_compile_expr(conj)).run()
+                    else:
+                        residual.append(conj)
+                sel = dict(sel, where=_and_fold(residual))
             # plan: broadcast-hash-join when the build side is small.
             # Probe count() ONLY for pure read / in-memory sources
             # (metadata-cheap); for derived pipelines counting would

@@ -80,6 +80,10 @@ CASES = [
     "FROM t1 GROUP BY s",
     "SELECT s, label, CAST(SUM(v) AS BIGINT) AS sv FROM t1 "
     "JOIN t2 ON s = gkey GROUP BY s, label ORDER BY s",
+    # pushdown mix: left-only (v), right-only (label), and cross-side
+    # residual (k + g) conjuncts in one WHERE
+    "SELECT k, s, label FROM t1 JOIN t2 ON s = gkey "
+    "WHERE v > 0 AND label LIKE 'grp%' AND k + g < 400 ORDER BY k",
 ]
 
 
