@@ -42,7 +42,7 @@ _KEYWORDS = {
     "select", "from", "where", "order", "by", "limit", "union", "all",
     "join", "on", "using", "as", "and", "or", "not", "like", "between", "in",
     "is", "null", "case", "when", "then", "else", "end", "asc", "desc",
-    "distinct", "group", "cast",
+    "distinct", "group", "cast", "having",
 }
 
 
@@ -162,6 +162,7 @@ class _Parser:
         if self.accept("kw", "where"):
             where = self.parse_expr()
         group = None
+        having = None
         if self.accept("kw", "group"):
             self.expect("kw", "by")
             group = []
@@ -169,8 +170,11 @@ class _Parser:
                 group.append(self.expect("ident")[1])
                 if not self.accept("op", ","):
                     break
+            if self.accept("kw", "having"):
+                having = self.parse_expr()
         return {"items": items, "table": table, "join": join,
-                "where": where, "distinct": distinct, "group": group}
+                "where": where, "distinct": distinct, "group": group,
+                "having": having}
 
     # expression precedence: or < and < not < comparison < add < mul < unary
     def parse_expr(self):
@@ -430,6 +434,13 @@ def _run_grouped_select(ds, sel) -> "ray.data.Dataset":  # noqa: F821
     for idx, (e, name) in enumerate(sel["items"]):
         ne = _extract_aggs(e, aggs)
         post_items.append((ne, name or _expr_name(e, idx)))
+    # HAVING aggregates join the same spec so ONE aggregation pass
+    # computes everything; the rewritten predicate filters the
+    # aggregated table before the final projection
+    having_node = (
+        _extract_aggs(sel["having"], aggs)
+        if sel.get("having") is not None else None
+    )
 
     q = Query(ds)
     if sel["where"] is not None:
@@ -444,8 +455,11 @@ def _run_grouped_select(ds, sel) -> "ray.data.Dataset":  # noqa: F821
         pre_cols[argcol] = _compile_expr(args[0])
         spec[key] = (argcol, _AGG_HOW[fname])
     agg_ds = grouped_agg(q.select(**pre_cols).run(), group_cols, spec)
+    q2 = Query(agg_ds)
+    if having_node is not None:
+        q2 = q2.where(_compile_expr(having_node))
     proj = {name: _compile_expr(ne) for ne, name in post_items}
-    return Query(agg_ds).select(**proj).run()
+    return q2.select(**proj).run()
 
 
 def _split_conjuncts(node) -> list:

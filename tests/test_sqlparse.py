@@ -84,6 +84,10 @@ CASES = [
     # residual (k + g) conjuncts in one WHERE
     "SELECT k, s, label FROM t1 JOIN t2 ON s = gkey "
     "WHERE v > 0 AND label LIKE 'grp%' AND k + g < 400 ORDER BY k",
+    # HAVING: aggregate appearing only in the predicate, and one shared
+    # with the SELECT list
+    "SELECT s, CAST(SUM(v) AS BIGINT) AS sv FROM t1 GROUP BY s "
+    "HAVING COUNT(*) > 60 AND SUM(v) < 500 ORDER BY s",
 ]
 
 
