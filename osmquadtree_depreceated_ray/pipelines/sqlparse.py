@@ -106,16 +106,17 @@ class _Parser:
         while self.accept("kw", "union"):
             self.expect("kw", "all")
             selects.append(self.parse_select())
-        order, desc = None, False
+        order, desc = None, None
         if self.accept("kw", "order"):
             self.expect("kw", "by")
-            order = []
+            order, desc = [], []
             while True:
                 order.append(self.expect("ident")[1])
                 if self.accept("kw", "desc"):
-                    desc = True
+                    desc.append(True)
                 else:
                     self.accept("kw", "asc")
+                    desc.append(False)
                 if not self.accept("op", ","):
                     break
         limit = None

@@ -88,6 +88,8 @@ CASES = [
     # with the SELECT list
     "SELECT s, CAST(SUM(v) AS BIGINT) AS sv FROM t1 GROUP BY s "
     "HAVING COUNT(*) > 60 AND SUM(v) < 500 ORDER BY s",
+    # mixed per-column sort directions
+    "SELECT k, v, s FROM t1 WHERE k < 60 ORDER BY s ASC, v DESC, k LIMIT 30",
 ]
 
 
