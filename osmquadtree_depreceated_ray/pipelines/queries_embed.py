@@ -379,10 +379,15 @@ def kmeans_embeddings(sf_dir: str, k: int = KMEANS_K,
     """Distributed Lloyd k-means over the quantized embeddings — the
     brief's 'iterative algorithm' class.  Per iteration: centroids are
     ``ray.put``-broadcast, each batch emits integer PARTIAL SUMS
-    (k x dim int64 + counts — order-independent, so the run is
-    deterministic), the driver merges O(k*dim) state and recomputes
-    means.  Init = the first k vectors by vec_id (deterministic).
-    Returns (centroids float64 [k,dim], per-iteration inertia list).
+    (k x dim int64 + counts — order-independent, so centroids are
+    deterministic; float inertia partials are summed in SORTED order so
+    the returned inertia is too), the driver merges O(k*dim) state and
+    recomputes means.  Init = the first k vectors by vec_id
+    (deterministic).  The input is materialized ONCE — decoded blocks
+    sit in the (spillable) object store instead of re-scanning the
+    parquet every iteration.
+    Returns (centroids float64 [k,dim], per-iteration inertia list,
+    the materialized dataset for reuse by the assignment pass).
     """
     import ray
 
@@ -391,7 +396,7 @@ def kmeans_embeddings(sf_dir: str, k: int = KMEANS_K,
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
+    ).materialize()
     inertia = []
     for _ in range(iters):
         cref = ray.put(centroids)
@@ -423,19 +428,23 @@ def kmeans_embeddings(sf_dir: str, k: int = KMEANS_K,
         kk, dim = centroids.shape
         sums = np.zeros((kk, dim), dtype=np.int64)
         counts = np.zeros(kk, dtype=np.int64)
-        sse_total = 0.0
+        sse_parts = []
         for b in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
             cl = b.column("cluster").to_numpy()
             s = np.asarray(b.column("sums").combine_chunks().flatten()
                            ).reshape(-1, dim)
             np.add.at(sums, cl, s)
             np.add.at(counts, cl, b.column("n").to_numpy())
-            sse_total += float(b.column("sse").to_numpy().sum())
+            sse_parts.append(b.column("sse").to_numpy())
+        # batches arrive in nondeterministic order; sorting the float
+        # partials before summing makes the inertia value reproducible
+        sse_all = (np.sort(np.concatenate(sse_parts))
+                   if sse_parts else np.zeros(0))
         nonempty = counts > 0
         centroids = centroids.copy()
         centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
-        inertia.append(sse_total)
-    return centroids, inertia
+        inertia.append(float(sse_all.sum()))
+    return centroids, inertia, ds
 
 
 def q_kmeans(sf_dir: str):
@@ -445,7 +454,7 @@ def q_kmeans(sf_dir: str):
     by tests/test_kmeans.py."""
     import ray
 
-    centroids, _ = kmeans_embeddings(sf_dir)
+    centroids, _, ds = kmeans_embeddings(sf_dir)
     cref = ray.put(centroids)
 
     def assign(b: pa.Table) -> pa.Table:
@@ -463,9 +472,7 @@ def q_kmeans(sf_dir: str):
             "cluster": pa.array(best.astype(np.int64)),
         })
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
+    # reuse the dataset kmeans_embeddings already materialized
     return ds.map_batches(assign, batch_format="pyarrow")
 
 

@@ -401,9 +401,15 @@ _AGG_HOW = {"sum": "sum", "count": "count", "min": "min", "max": "max",
 def _extract_aggs(node, aggs: list):
     """Replace every aggregate call in an item expression with a
     synthetic column ref, collecting (key, fname, args); the rewritten
-    expression is then a plain post-aggregation projection."""
+    expression is then a plain post-aggregation projection.  Identical
+    aggregate calls (e.g. SUM(v) in both SELECT and HAVING) share one
+    synthetic column, so the spec computes each distinct aggregate
+    once."""
     if isinstance(node, tuple):
         if node[0] == "call" and node[1] in _AGG_FUNCS:
+            for key, fname, args in aggs:
+                if fname == node[1] and args == node[2]:
+                    return ("col", key)
             key = f"__agg{len(aggs)}"
             aggs.append((key, node[1], node[2]))
             return ("col", key)
@@ -578,6 +584,8 @@ def parse_sql(sql: str, tables: dict,
                     _collect_cols(e, needed)
                 if sel["where"] is not None:
                     _collect_cols(sel["where"], needed)
+                if sel.get("having") is not None:
+                    _collect_cols(sel["having"], needed)
                 if sel.get("group"):
                     needed |= set(sel["group"])
                 lkeep = [c for c in ds.schema().names
@@ -594,16 +602,28 @@ def parse_sql(sql: str, tables: dict,
             if sel["where"] is not None:
                 l_names = set(ds.schema().names)
                 r_names = set(rhs.schema().names)
-                residual = []
+                l_conjs, r_conjs, residual = [], [], []
                 for conj in _split_conjuncts(sel["where"]):
                     cc: set = set()
                     _collect_cols(conj, cc)
                     if cc and cc <= l_names:
-                        ds = Query(ds).where(_compile_expr(conj)).run()
-                    elif cc and cc <= r_names:
-                        rhs = Query(rhs).where(_compile_expr(conj)).run()
+                        # overlap columns are fine here: join output
+                        # carries LEFT values for shared names
+                        l_conjs.append(conj)
+                    elif cc and cc <= r_names and not (cc & l_names):
+                        # right push only when NO column is shared with
+                        # the left — a shared name evaluated right-side
+                        # would use right values, but post-join the
+                        # predicate sees left values
+                        r_conjs.append(conj)
                     else:
                         residual.append(conj)
+                if l_conjs:
+                    ds = Query(ds).where(
+                        _compile_expr(_and_fold(l_conjs))).run()
+                if r_conjs:
+                    rhs = Query(rhs).where(
+                        _compile_expr(_and_fold(r_conjs))).run()
                 sel = dict(sel, where=_and_fold(residual))
             # plan: broadcast-hash-join when the build side is small.
             # Probe count() ONLY for pure read / in-memory sources

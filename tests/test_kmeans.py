@@ -16,15 +16,16 @@ def test_kmeans_invariants(ray_session):
     import pyarrow.parquet as pq
 
     from osmquadtree_depreceated_ray.pipelines.queries_embed import (
-        _embed_matrix, _quant, kmeans_embeddings, q_kmeans,
+        _embed_matrix, kmeans_embeddings, q_kmeans,
     )
 
-    cents, inertia = kmeans_embeddings(SF, k=8, iters=3)
+    cents, inertia, _ = kmeans_embeddings(SF, k=8, iters=3)
     assert cents.shape[0] == 8
     # Lloyd's algorithm never increases inertia
     assert all(b <= a + 1e-6 for a, b in zip(inertia, inertia[1:])), inertia
-    # deterministic across runs (int64 partial sums are order-free)
-    cents2, inertia2 = kmeans_embeddings(SF, k=8, iters=3)
+    # deterministic across runs (int64 partial sums are order-free;
+    # inertia partials are sorted before summing)
+    cents2, inertia2, _ = kmeans_embeddings(SF, k=8, iters=3)
     assert np.array_equal(cents, cents2)
     assert inertia == inertia2
 

@@ -90,6 +90,10 @@ CASES = [
     "HAVING COUNT(*) > 60 AND SUM(v) < 500 ORDER BY s",
     # mixed per-column sort directions
     "SELECT k, v, s FROM t1 WHERE k < 60 ORDER BY s ASC, v DESC, k LIMIT 30",
+    # HAVING aggregate over a column that appears nowhere else — the
+    # join projection pushdown must keep it (regression)
+    "SELECT s, CAST(SUM(v) AS BIGINT) AS sv FROM t1 JOIN t2 ON s = gkey "
+    "GROUP BY s HAVING MAX(g) >= 0 ORDER BY s",
 ]
 
 
@@ -109,6 +113,32 @@ def test_join_using(ray_session, t1):
         "SELECT k, v, s, label3 FROM t1 JOIN t3 USING (s) WHERE v > 25",
         None, {"t1": t1, "t3": t3},
     )
+
+
+def test_pushdown_overlap_column_uses_left_values(ray_session):
+    """A conjunct mixing an overlap column with a right-only column must
+    NOT be pushed to the right side (where the shared name would bind to
+    right values); join output carries LEFT values for shared names."""
+    import ray
+
+    a = pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "c": pa.array([10, 20, 30], pa.int64()),
+    })
+    b = pa.table({
+        "bk": pa.array([1, 2, 3], pa.int64()),
+        "g": pa.array([0, 0, 0], pa.int64()),
+        "c": pa.array([100, 100, 0], pa.int64()),  # right c differs
+    })
+    tabs = {"a": ray.data.from_arrow(a), "b": ray.data.from_arrow(b)}
+    got = parse_sql(
+        "SELECT k, c, g FROM a JOIN b ON k = bk WHERE g + c < 25",
+        tabs).to_pandas().sort_values("k").reset_index(drop=True)
+    # left c values are 10,20,30; g=0 -> keep k=1 (10) and k=2 (20).
+    # If the predicate were wrongly pushed right (c=100,100,0) only k=3
+    # would survive.
+    assert got["k"].tolist() == [1, 2]
+    assert got["c"].tolist() == [10, 20]
 
 
 def test_join_shuffle_and_broadcast_paths_agree(ray_session, t1, t2):
