@@ -547,9 +547,13 @@ def _join_on(ds_a, ds_b, lcol: str, rcol: str, n_buckets: int = 16):
         ds_b.map_batches(tag(1, rcol), batch_format="pyarrow"))
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        a = g[g["__src"] == 0].dropna(axis=1, how="all")[
+        # select each side's declared columns directly — the union's
+        # null-padding columns are simply not selected (never
+        # dropna(how="all"): a legitimately all-null column within one
+        # bucket would vanish and the selection would raise)
+        a = g[g["__src"] == 0][
             [c for c in a_names if c in g.columns] + ["__jk"]]
-        b = g[g["__src"] == 1].dropna(axis=1, how="all")[
+        b = g[g["__src"] == 1][
             [c for c in b_names if c in g.columns] + ["__jk"]]
         m = a.merge(b, on="__jk", how="inner",
                     suffixes=("", "_r"))
@@ -557,7 +561,10 @@ def _join_on(ds_a, ds_b, lcol: str, rcol: str, n_buckets: int = 16):
         m = m.drop(columns=[c for c in drop if c in m.columns])
         for c in m.columns:
             if c in int_cols and m[c].dtype != np.int64:
-                m[c] = m[c].astype(np.int64)
+                # nullable-safe: fall back to pandas Int64 when the
+                # column carries genuine nulls
+                m[c] = (m[c].astype("Int64") if m[c].isna().any()
+                        else m[c].astype(np.int64))
         return m
 
     return bucketed_apply(both, ["__jk"], merge, n_buckets=n_buckets)

@@ -1,23 +1,39 @@
 """Explicit hash-partitioned grouped aggregation.
 
-Ray Data's sort-based ``groupby(...).aggregate(...)`` carries a large
-constant overhead per distinct key in this version; the engine instead
-uses the classic explicit pattern (also what the reference's
-AllocBlockStore shuffle is, /root/reference/blocksort/blocksort.go:63-98):
+Ray Data's sort-based ``groupby(...)`` carries a large constant overhead
+(sample + range-partition + merge passes) that this engine's workloads
+never need: hash-bucket boundaries are known a priori, so the shuffle
+reduces to ONE raw exchange — exactly the pattern ``write_tiles.py``
+uses for the tile writer, and what the reference's AllocBlockStore
+shuffle is (/root/reference/blocksort/blocksort.go:63-98 — the shuffle
+IS the allocator-keyed exchange, not a sort):
 
-    1. map-side: add ``bucket = stable_hash(keys) % n_buckets``
-    2. one cheap single-int-key shuffle co-locates each bucket
-    3. per-bucket VECTORIZED pandas/polars groupby does the real work
+    1. split tasks: each takes a group of input blocks, hashes the key
+       columns, and returns ``num_returns=n_buckets`` pieces
+    2. one reduce task per bucket concats its pieces and runs the
+       caller's VECTORIZED pandas fn once over the whole bucket
+    3. the reduce results are re-wrapped as a Dataset
+       (``ray.data.from_arrow_refs``) so pipelines keep chaining
 
 This keeps the all-to-all exchange at n_buckets granularity (not
 per-key), handles arbitrarily many distinct keys, and the per-bucket
 aggregation runs at C speed.  Buckets are the unit of parallelism —
-size ``n_buckets`` ≥ cluster cores for full width; skewed keys can be
-salted by passing extra key columns.
+size ``n_buckets`` >= cluster cores for full width; skewed keys can be
+salted (``salted_agg``).
+
+Contract for ``fn``: it must group by the key columns itself
+(vectorized), must not depend on bucket boundaries beyond key
+co-location, and must accept an EMPTY correctly-typed DataFrame
+(returning a correctly-typed empty result) — empty buckets receive
+zero-row frames carrying the input schema.
+
+Set ``GRAFT_SHUFFLE_IMPL=dsapi`` to fall back to the Dataset-API
+``groupby().map_groups`` path (kept for A/B measurement).
 """
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 import numpy as np
@@ -30,16 +46,123 @@ def _stable_bucket(df: pd.DataFrame, keys: list[str], n_buckets: int) -> np.ndar
     return (h % np.uint64(n_buckets)).astype(np.int64)
 
 
+# ---------------------------------------------------------------- raw exchange
+
+def _split_impl(keys, n_buckets, combine, *blocks):
+    tbls = [b if isinstance(b, pa.Table) else pa.Table.from_pandas(b)
+            for b in blocks]
+    # unions can emit schema-less zero-row blocks; drop them (a zero-row
+    # block WITH the key columns is kept so empty buckets stay typed)
+    live = [t for t in tbls
+            if t.num_rows or all(k in t.column_names for k in keys)]
+    if not live:
+        empty = tbls[0].slice(0, 0)
+        return tuple(empty for _ in range(n_buckets)) if n_buckets > 1 else empty
+    block = live[0] if len(live) == 1 else pa.concat_tables(
+        live, promote_options="default")
+    if combine is not None:
+        # map-side combiner: shrink per-key BEFORE the exchange (the
+        # classic partial-aggregation pattern — exchange volume becomes
+        # O(distinct keys per split task), not O(rows))
+        block = pa.Table.from_pandas(
+            combine(block.to_pandas()), preserve_index=False)
+    df = block.select(list(keys)).to_pandas()
+    bk = _stable_bucket(df, list(keys), n_buckets)
+    outs = []
+    for i in range(n_buckets):
+        m = bk == i
+        # zero-row slices keep the schema so empty buckets still see
+        # correctly-typed frames
+        outs.append(block.filter(pa.array(m)) if m.any() else block.slice(0, 0))
+    return tuple(outs) if n_buckets > 1 else outs[0]
+
+
+def _reduce_impl(fn, *pieces):
+    live = [p for p in pieces if p.num_columns]
+    tbl = pa.concat_tables(live, promote_options="default") if live \
+        else pa.table({})
+    out = fn(tbl.to_pandas())
+    if not isinstance(out, pa.Table):
+        out = pa.Table.from_pandas(out, preserve_index=False)
+    # second return: row count, so the driver can drop empty blocks
+    # (an empty pandas frame infers null-typed columns — unioning those
+    # into the result dataset triggers schema-mismatch hazards)
+    return out, out.num_rows
+
+
+_split = None
+_reduce = None
+
+
+def _get_remote_fns():
+    """Export the exchange's remote functions once per session (defining
+    them per call re-pickles + re-registers them — measured fixed cost)."""
+    global _split, _reduce
+    if _split is None:
+        import ray
+
+        _split = ray.remote(_split_impl)
+        _reduce = ray.remote(_reduce_impl)
+    return _split, _reduce
+
+
 def bucketed_apply(
     ds,
     keys: list[str],
     fn: Callable[[pd.DataFrame], pd.DataFrame],
     n_buckets: int = 32,
+    combine: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
 ):
     """Apply ``fn`` to each hash bucket (a pandas DataFrame containing
-    every row of every key hashed there).  ``fn`` must group by ``keys``
-    itself (vectorized) and must not depend on bucket boundaries beyond
-    key co-location."""
+    every row of every key hashed there).  See module docstring for the
+    ``fn`` contract.  ``combine``, if given, is a per-key shrink applied
+    inside each split task before the exchange (must be safe on partial
+    per-key data, e.g. a partial aggregation).  Returns a Dataset of the
+    concatenated results."""
+    if os.environ.get("GRAFT_SHUFFLE_IMPL") == "dsapi":
+        return _bucketed_apply_dsapi(ds, keys, fn, n_buckets, combine)
+
+    import ray
+    import ray.data
+
+    split, reduce_ = _get_remote_fns()
+    block_refs = [
+        ref
+        for bundle in ds.iter_internal_ref_bundles()
+        for ref in bundle.block_refs
+    ]
+    if not block_refs:
+        # empty input: run fn driver-side on an empty typed frame
+        return ds.map_batches(
+            lambda df: fn(df), batch_format="pandas", batch_size=None)
+    # bound the exchange's object count at ~n_tasks x n_buckets: group
+    # input blocks so there are about n_buckets split tasks
+    n_tasks = max(1, min(len(block_refs), n_buckets))
+    groups = [block_refs[i::n_tasks] for i in range(n_tasks)]
+    pieces = [
+        split.options(num_returns=n_buckets).remote(
+            tuple(keys), n_buckets, combine, *g)
+        for g in groups if g
+    ]
+    if n_buckets == 1:
+        pieces = [[p] for p in pieces]
+    outs = [
+        reduce_.options(num_returns=2).remote(
+            fn, *[pieces[t][b] for t in range(len(pieces))])
+        for b in range(n_buckets)
+    ]
+    counts = ray.get([c for _, c in outs])
+    keep = [t for (t, _), c in zip(outs, counts) if c > 0]
+    if not keep:
+        keep = [outs[0][0]]
+    return ray.data.from_arrow_refs(keep)
+
+
+def _bucketed_apply_dsapi(ds, keys, fn, n_buckets, combine=None):
+    """Dataset-API fallback (sort-based groupby) for A/B comparison."""
+    if combine is not None:
+        ds = ds.map_batches(
+            lambda df: combine(df), batch_format="pandas", batch_size=None)
 
     def add_bucket(b: pa.Table) -> pa.Table:
         df = b.select(keys).to_pandas()
@@ -56,6 +179,14 @@ def bucketed_apply(
     )
 
 
+_SALT_MERGE = {"sum": "sum", "min": "min", "max": "max", "size": "sum",
+               "count": "sum", "first": "first"}
+
+# aggs where partial-then-merge is order-independent ('first' is
+# excluded: split-task piece order would become the result)
+_COMBINABLE = {"sum", "min", "max", "size", "count"}
+
+
 def grouped_agg(
     ds,
     keys: list[str],
@@ -65,7 +196,9 @@ def grouped_agg(
     """Exact distributed grouped aggregation.
 
     agg_spec: out_col -> (in_col, how) with pandas named-agg semantics
-    ('sum', 'min', 'max', 'size', 'first', ...).
+    ('sum', 'min', 'max', 'size', 'first', ...).  When every agg is
+    associative the split tasks pre-aggregate (map-side combine) so the
+    exchange moves O(distinct keys), not O(rows).
     """
 
     def agg(g: pd.DataFrame) -> pd.DataFrame:
@@ -74,11 +207,18 @@ def grouped_agg(
         )
         return out
 
+    if all(how in _COMBINABLE for _, how in agg_spec.values()):
+        merge_spec = {
+            out: (out, _SALT_MERGE[how]) for out, (_, how) in agg_spec.items()
+        }
+
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            return g.groupby(list(keys), as_index=False, sort=False).agg(
+                **merge_spec
+            )
+
+        return bucketed_apply(ds, keys, merge, n_buckets, combine=agg)
     return bucketed_apply(ds, keys, agg, n_buckets)
-
-
-_SALT_MERGE = {"sum": "sum", "min": "min", "max": "max", "size": "sum",
-               "count": "sum", "first": "first"}
 
 
 def salted_agg(
@@ -119,16 +259,13 @@ def salted_agg(
 
 
 def distinct(ds, keys: list[str], n_buckets: int = 32):
-    """Exact distributed distinct over ``keys`` (map-side pre-dedup +
-    per-bucket dedup)."""
+    """Exact distributed distinct over ``keys`` (map-side project +
+    pre-dedup fused into the split tasks, per-bucket final dedup)."""
 
-    def pre(b: pa.Table) -> pa.Table:
-        df = b.select(keys).to_pandas().drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+    def pre(g: pd.DataFrame) -> pd.DataFrame:
+        return g[list(keys)].drop_duplicates()
 
     def dd(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates()
 
-    return bucketed_apply(
-        ds.map_batches(pre, batch_format="pyarrow"), keys, dd, n_buckets
-    )
+    return bucketed_apply(ds, keys, dd, n_buckets, combine=pre)
