@@ -236,7 +236,7 @@ def calculate_point(lon, lat, buffer: float = 0.05, max_level: int = 18):
 def qt_round(qt, level):
     """Parent tile at ``level`` (quadtree.go:206-213)."""
     qt = np.asarray(qt, dtype=np.int64)
-    level = np.int64(level)
+    level = np.asarray(level, dtype=np.int64)
     d = qt & 31
     sh = np.int64(63) - 2 * level
     rounded = ((qt >> sh) << sh) + level

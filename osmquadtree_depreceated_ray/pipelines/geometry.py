@@ -108,59 +108,86 @@ def build_way_vertices(entities_ds, refs_ds):
     return bucketed_apply(both, ["entity_id"], join_coords)
 
 
+_WAY_GEOM_SCHEMA = pa.schema([
+    ("way_id", pa.int64()), ("geom_type", pa.int64()),
+    ("refs", pa.list_(pa.int64())), ("lons", pa.list_(pa.int64())),
+    ("lats", pa.list_(pa.int64())), ("tags", pa.string()),
+    ("z_order", pa.int64()), ("area", pa.float64()), ("qt", pa.int64()),
+])
+
+
 def _way_assembly_fn(style):
     """Per-bucket way assembly: vertex rows + tag rows + admin-donation
-    rows (all keyed way_id) -> way geometry rows (M6-M8 + A2)."""
+    rows (all keyed way_id) -> way geometry rows (M6-M8 + A2).
 
-    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+    Vectorized: group boundaries via numpy on the (way_id, pos)-sorted
+    vertex arrays, bbox via ``reduceat``, ONE batched ``calculate`` over
+    every way, Arrow list columns built directly from offsets (no
+    per-way 1-element array calls, no Python list cells).  Only the
+    per-way TAG logic (dict ops + the polygon decision) remains a loop —
+    it is inherently per-feature (makegeometries.go:139-189)."""
+
+    def assemble(g: pd.DataFrame) -> pa.Table:
         verts = g[g["kind"] == "vert"].sort_values(["way_id", "pos"])
-        tags_rows = g[g["kind"] == "tags"].set_index("way_id")
-        admin_rows = g[g["kind"] == "admin"].groupby("way_id")["a_val"].agg(list)
+        n = len(verts)
+        if n == 0:
+            return _WAY_GEOM_SCHEMA.empty_table()
+        wid_arr = verts["way_id"].to_numpy(np.int64)
+        lon = verts["lon"].to_numpy(np.int64)
+        lat = verts["lat"].to_numpy(np.int64)
+        refs = verts["entity_id"].to_numpy(np.int64)
+        change = np.flatnonzero(wid_arr[1:] != wid_arr[:-1])
+        starts = np.concatenate([[0], change + 1])
+        ends = np.append(starts[1:], n)
+        ways = wid_arr[starts]
+        qt = calculate(
+            np.minimum.reduceat(lon, starts), np.minimum.reduceat(lat, starts),
+            np.maximum.reduceat(lon, starts), np.maximum.reduceat(lat, starts),
+            0.05, 18,
+        )
+        closed = (ends - starts >= 3) & (refs[starts] == refs[ends - 1])
 
-        out = {k: [] for k in ("way_id", "geom_type", "refs", "lons", "lats",
-                               "tags", "z_order", "area", "qt")}
-        for w, grp in verts.groupby("way_id", sort=False):
-            refs = grp["entity_id"].to_numpy(np.int64)
-            lons = grp["lon"].to_numpy(np.int64)
-            lats = grp["lat"].to_numpy(np.int64)
-            tags = {}
-            if w in tags_rows.index:
-                row = tags_rows.loc[w]
-                if isinstance(row, pd.DataFrame):
-                    row = row.iloc[0]
-                raw = row["tags_json"]
-                if isinstance(raw, str) and raw:
-                    tags = json.loads(raw)
-            if w in admin_rows.index:  # J5 donation
-                admin_levels(tags, [str(v) for v in admin_rows.loc[w]])
+        tr = g[g["kind"] == "tags"]
+        tags_map = dict(zip(tr["way_id"].to_numpy(np.int64),
+                            tr["tags_json"].tolist()))
+        ar = g[g["kind"] == "admin"]
+        admin_map = (ar.groupby("way_id")["a_val"].agg(list).to_dict()
+                     if len(ar) else {})
+
+        nw = len(ways)
+        gtypes = np.full(nw, GEOM_LINESTRING, np.int64)
+        areas = np.zeros(nw)
+        zos = np.zeros(nw, np.int64)
+        tags_out = []
+        for i in range(nw):
+            w = int(ways[i])
+            raw = tags_map.get(w)
+            tags = json.loads(raw) if isinstance(raw, str) and raw else {}
+            if w in admin_map:  # J5 donation
+                admin_levels(tags, [str(v) for v in admin_map[w]])
             zo, isp = TR.way_tags(tags, style)
-            if isp:
-                isp = len(refs) >= 3 and refs[0] == refs[-1]
-            area = 0.0
-            gtype = GEOM_LINESTRING
-            if isp:
-                gtype = GEOM_POLYGON
+            zos[i] = zo
+            if isp and closed[i]:
+                gtypes[i] = GEOM_POLYGON
+                s, e = starts[i], ends[i]
                 try:
-                    area = G.polygon_area([(lons, lats)])
+                    areas[i] = G.polygon_area([(lon[s:e], lat[s:e])])
                 except ValueError:
-                    area = 0.0
-            qt = int(
-                calculate(
-                    np.asarray([lons.min()]), np.asarray([lats.min()]),
-                    np.asarray([lons.max()]), np.asarray([lats.max()]),
-                    0.05, 18,
-                )[0]
-            )
-            out["way_id"].append(int(w))
-            out["geom_type"].append(gtype)
-            out["refs"].append(refs.tolist())
-            out["lons"].append(lons.tolist())
-            out["lats"].append(lats.tolist())
-            out["tags"].append(json.dumps(tags, sort_keys=True))
-            out["z_order"].append(zo)
-            out["area"].append(float(area))
-            out["qt"].append(qt)
-        return pd.DataFrame(out)
+                    areas[i] = 0.0
+            tags_out.append(json.dumps(tags, sort_keys=True))
+
+        offsets = pa.array(np.append(starts, n).astype(np.int32))
+        return pa.table({
+            "way_id": pa.array(ways),
+            "geom_type": pa.array(gtypes),
+            "refs": pa.ListArray.from_arrays(offsets, pa.array(refs)),
+            "lons": pa.ListArray.from_arrays(offsets, pa.array(lon)),
+            "lats": pa.ListArray.from_arrays(offsets, pa.array(lat)),
+            "tags": pa.array(tags_out, pa.string()),
+            "z_order": pa.array(zos),
+            "area": pa.array(areas),
+            "qt": pa.array(qt.astype(np.int64)),
+        })
 
     return assemble
 
@@ -192,48 +219,67 @@ def _node_join_fn(style, point_qt_buffer=0.05):
     """Per-bucket A3/J4: node rows + parent-way fan-out rows keyed
     entity_id -> node feature rows."""
 
-    def join(g: pd.DataFrame) -> pd.DataFrame:
+    def join(g: pd.DataFrame) -> pa.Table:
         nodes = g[g["kind"] == "node"]
         parents = g[g["kind"] == "parent"]
-        out = {k: [] for k in ("node_id", "lon", "lat", "tags", "qt", "feature")}
+        n = len(nodes)
+        if n == 0:
+            return pa.table({
+                "node_id": pa.array([], pa.int64()),
+                "lon": pa.array([], pa.int64()),
+                "lat": pa.array([], pa.int64()),
+                "tags": pa.array([], pa.string()),
+                "qt": pa.array([], pa.int64()),
+                "feature": pa.array([], pa.bool_()),
+            })
+        e = nodes["entity_id"].to_numpy(np.int64)
+        lon = nodes["lon"].to_numpy(np.int64)
+        lat = nodes["lat"].to_numpy(np.int64)
         if len(parents):
-            pq_min = parents.groupby("entity_id")["p_qt"].min()
-            pq_max = parents.groupby("entity_id")["p_qt"].max()
-            pq_dep = parents.groupby("entity_id")["p_depth"].min()
+            pq = parents.groupby("entity_id").agg(
+                qmin=("p_qt", "min"), qmax=("p_qt", "max"),
+                dep=("p_depth", "min"))
             hw_lists = (
                 parents[parents["p_hw"].notna() & (parents["p_hw"] != "")]
-                .groupby("entity_id")["p_hw"].agg(list)
+                .groupby("entity_id")["p_hw"].agg(list).to_dict()
             )
+            has_p = np.isin(e, pq.index.to_numpy())
         else:
-            pq_min = pq_max = pq_dep = hw_lists = pd.Series(dtype="object")
-        for _, r in nodes.iterrows():
-            e = int(r["entity_id"])
-            tags = _node_tags_row(r["n_kind"], r["n_name"], e)
-            if e in pq_min.index:
-                # A3: Common over parent way qts == round(common(min,max),
-                # min depth) on the qt pre-order (mixed depths handled)
-                c = int(qt_common(np.asarray([int(pq_min.loc[e])]),
-                                  np.asarray([int(pq_max.loc[e])]))[0])
-                lvl = min(int(c & 31), int(pq_dep.loc[e]))
-                q = int(qt_round(np.asarray([c]), lvl)[0])
-            else:
-                q = int(calculate_point(np.asarray([int(r["lon"])]),
-                                        np.asarray([int(r["lat"])]),
-                                        point_qt_buffer, 18)[0])
+            pq, hw_lists = None, {}
+            has_p = np.zeros(n, bool)
+        # A3: Common over parent way qts == round(common(min,max), min
+        # depth) on the qt pre-order — batched over every matched node
+        # (int64 throughout: qt ids must never round-trip through float)
+        q = np.empty(n, np.int64)
+        if has_p.any():
+            sub = pq.loc[e[has_p]]
+            c = qt_common(sub["qmin"].to_numpy(np.int64),
+                          sub["qmax"].to_numpy(np.int64))
+            lvl = np.minimum(c & 31, sub["dep"].to_numpy(np.int64))
+            q[has_p] = qt_round(c, lvl)
+        if not has_p.all():
+            m = ~has_p
+            q[m] = calculate_point(lon[m], lat[m], point_qt_buffer, 18)
+
+        # per-node TAG logic (dict ops) stays a loop; the numeric work
+        # above is fully batched
+        kinds = nodes["n_kind"].tolist()
+        names = nodes["n_name"].tolist()
+        tags_out, feat_out = [], []
+        for i in range(n):
+            ei = int(e[i])
+            tags = _node_tags_row(kinds[i], names[i], ei)
             if "highway" in tags:  # J4 parent value reduction
-                hw = G.find_parent_highway(
-                    list(hw_lists.loc[e]) if e in hw_lists.index else []
-                )
+                hw = G.find_parent_highway(hw_lists.get(ei, []))
                 if hw:
                     tags["parent_highway"] = hw
-            feat = TR.node_tags(tags, style)
-            out["node_id"].append(e)
-            out["lon"].append(int(r["lon"]))
-            out["lat"].append(int(r["lat"]))
-            out["tags"].append(json.dumps(tags, sort_keys=True))
-            out["qt"].append(q)
-            out["feature"].append(bool(feat))
-        return pd.DataFrame(out)
+            feat_out.append(bool(TR.node_tags(tags, style)))
+            tags_out.append(json.dumps(tags, sort_keys=True))
+        return pa.table({
+            "node_id": pa.array(e), "lon": pa.array(lon),
+            "lat": pa.array(lat), "tags": pa.array(tags_out, pa.string()),
+            "qt": pa.array(q), "feature": pa.array(feat_out, pa.bool_()),
+        })
 
     return join
 
@@ -448,15 +494,17 @@ def build_geometries(fixture_dir: str, out_dir: str,
     ]
     rel_members: dict[int, list] = {}
     rel_tags_map: dict[int, dict] = {}
-    for _, r in mp.iterrows():
-        rid = int(r["rel_id"])
-        w = int(r["member_ref"])
-        rel_members.setdefault(rid, []).append((w, r["role"]))
-        t = rel_tags_map.setdefault(rid, {"type": r["rel_type"]})
-        if r["rel_type"] == "boundary":
+    for rid, grp in mp.groupby("rel_id", sort=False):
+        rid = int(rid)
+        rel_members[rid] = list(zip(
+            grp["member_ref"].astype("int64").tolist(), grp["role"].tolist()))
+        rtype = grp["rel_type"].iloc[0]
+        t = rel_tags_map.setdefault(rid, {"type": rtype})
+        if rtype == "boundary":
             t["boundary"] = "administrative"
-            if r["admin_level"] is not None and not pd.isna(r["admin_level"]):
-                t["admin_level"] = str(r["admin_level"])
+            lv = grp["admin_level"].dropna()
+            if len(lv):
+                t["admin_level"] = str(lv.iloc[-1])
     held = np.sort(mp["member_ref"].astype("int64").unique())
 
     # relation state as ROWS, not broadcast dicts: the way->rel index and
@@ -481,26 +529,20 @@ def build_geometries(fixture_dir: str, out_dir: str,
         return held[pos] == wid
 
     def way_payloads(b: pa.Table) -> pa.Table:
-        """Held ways only -> one JSON payload row per way (the join
-        side shipped into the rel buckets)."""
-        c = _way_cols_bulk(b)
-        refs = b.column("refs").to_pylist()
-        keep = np.flatnonzero(_held_mask(c["way_id"]))
-        wids, payloads = [], []
-        for i in keep:
-            wids.append(int(c["way_id"][i]))
-            payloads.append(json.dumps({
-                "way_id": int(c["way_id"][i]),
-                "geom_type": int(c["geom_type"][i]),
-                "refs": refs[i], "lons": c["lons"][i], "lats": c["lats"][i],
-                "tags": c["tags"][i], "z_order": int(c["z_order"][i]),
-                "area": float(c["area"][i]),
-            }))
-        return pa.table({"way_id": pa.array(wids, pa.int64()),
-                         "payload": pa.array(payloads, pa.string())})
+        """Held ways only -> geometry-column rows (the join side shipped
+        into the rel buckets).  The coords travel as Arrow list columns,
+        never JSON strings — one vectorized filter, no per-way work."""
+        keep = _held_mask(b.column("way_id").to_numpy())
+        return b.drop_columns(["qt"]).filter(pa.array(keep))
 
+    _GEOM_PAYLOAD = {
+        "geom_type": pa.int64(), "refs": pa.list_(pa.int64()),
+        "lons": pa.list_(pa.int64()), "lats": pa.list_(pa.int64()),
+        "tags": pa.string(), "z_order": pa.int64(), "area": pa.float64(),
+    }
     pay_cols = {"way_id": pa.int64(), "rel_id": pa.int64(),
-                "payload": pa.string(), "kind": pa.string()}
+                **_GEOM_PAYLOAD, "kind": pa.string()}
+    _GEOM_COL_NAMES = list(_GEOM_PAYLOAD)
 
     def pay_kind(kind):
         def fn(b: pa.Table) -> pa.Table:
@@ -515,17 +557,18 @@ def build_geometries(fixture_dir: str, out_dir: str,
                .map_batches(pay_kind("w2r"), batch_format="pyarrow"))
 
     def fan_join(g: pd.DataFrame) -> pd.DataFrame:
-        pays = g[g["kind"] == "pay"][["way_id", "payload"]]
+        pays = g[g["kind"] == "pay"][["way_id"] + _GEOM_COL_NAMES]
         idx = g[g["kind"] == "w2r"][["way_id", "rel_id"]]
         m = idx.merge(pays, on="way_id", how="inner")
-        return m[["rel_id", "payload"]]
+        return m[["rel_id", "way_id"] + _GEOM_COL_NAMES]
 
     # NOTE: a way shared by several relations is fanned out to each; the
     # rel bucket sees its own copy (geometries are immutable rows here)
     rel_stream = bucketed_apply(fan_in, ["way_id"], fan_join, n_buckets=8)
 
-    rel_cols = {"rel_id": pa.int64(), "payload": pa.string(),
-                "meta_json": pa.string(), "kind": pa.string()}
+    rel_cols = {"rel_id": pa.int64(), "way_id": pa.int64(),
+                **_GEOM_PAYLOAD, "meta_json": pa.string(),
+                "kind": pa.string()}
 
     def rel_kind(kind):
         def fn(b: pa.Table) -> pa.Table:
@@ -548,15 +591,15 @@ def build_geometries(fixture_dir: str, out_dir: str,
                 continue
             meta = json.loads(metas.loc[rid])
             ways = {}
-            for pj in grp["payload"]:
-                d = json.loads(pj)
-                ways[d["way_id"]] = TR.WayGeom(
-                    way_id=d["way_id"], geom_type=d["geom_type"],
-                    refs=np.asarray(d["refs"], np.int64),
-                    lon=np.asarray(d["lons"], np.int64),
-                    lat=np.asarray(d["lats"], np.int64),
-                    tags=json.loads(d["tags"]),
-                    z_order=d["z_order"], area=d["area"],
+            for t in grp.itertuples(index=False):
+                w = int(t.way_id)
+                ways[w] = TR.WayGeom(
+                    way_id=w, geom_type=int(t.geom_type),
+                    refs=np.asarray(t.refs, np.int64),
+                    lon=np.asarray(t.lons, np.int64),
+                    lat=np.asarray(t.lats, np.int64),
+                    tags=json.loads(t.tags),
+                    z_order=int(t.z_order), area=float(t.area),
                 )
             gm, removed = TR.finish_rel(
                 int(rid), meta["tags"],
@@ -613,7 +656,7 @@ def build_geometries(fixture_dir: str, out_dir: str,
 
     # released held ways: absorption marks join back by way_id (one more
     # bucketed stage), keep if still a feature
-    rel_cols2 = {"way_id": pa.int64(), "payload": pa.string(),
+    rel_cols2 = {"way_id": pa.int64(), **_GEOM_PAYLOAD,
                  "removed_key": pa.string(), "kind": pa.string()}
 
     def rel2_kind(kind):
@@ -631,23 +674,22 @@ def build_geometries(fixture_dir: str, out_dir: str,
     def released_join(g: pd.DataFrame) -> pd.DataFrame:
         pays = g[g["kind"] == "pay"]
         marks = (g[g["kind"] == "rm"].groupby("way_id")["removed_key"]
-                 .agg(lambda s: set(s)))
+                 .agg(lambda s: set(s)).to_dict())
         rows = []
-        for _, r in pays.iterrows():
-            d = json.loads(r["payload"])
-            w = int(d["way_id"])
-            tags = json.loads(d["tags"])
-            for k in marks.loc[w] if w in marks.index else ():
+        for t in pays.itertuples(index=False):
+            w = int(t.way_id)
+            tags = json.loads(t.tags)
+            for k in marks.get(w, ()):
                 tags.pop(k, None)  # absorption deletions
             if not TR.is_feature(tags, style):
                 continue
-            lons = np.asarray(d["lons"], np.int64)
-            lats = np.asarray(d["lats"], np.int64)
-            gtype = int(d["geom_type"])
+            lons = np.asarray(t.lons, np.int64)
+            lats = np.asarray(t.lats, np.int64)
+            gtype = int(t.geom_type)
             wkb = (WKB.polygon_wkb([(lons, lats)]) if gtype == GEOM_POLYGON
                    else WKB.linestring_wkb(lons, lats))
             fr = _feature_row(w, 1, gtype, json.dumps(tags, sort_keys=True),
-                              int(d["z_order"]), float(d["area"]),
+                              int(t.z_order), float(t.area),
                               lons, lats, wkb)
             rows.append(fr)
         df = _rows_to_table(rows).to_pandas()
@@ -698,10 +740,9 @@ def build_geometries(fixture_dir: str, out_dir: str,
         commons = qt_common(fold["qmin"].to_numpy(), fold["qmax"].to_numpy())
         for rid, c in zip(fold.index, commons):
             rel_qt[int(rid)] = int(c)
-    rel_rel_edges = [
-        (int(r["rel_id"]), int(r["member_ref"]))
-        for _, r in rel_df[rel_df["member_type"] == 2].iterrows()
-    ]
+    rr_df = rel_df[rel_df["member_type"] == 2]
+    rel_rel_edges = list(zip(rr_df["rel_id"].astype("int64").tolist(),
+                             rr_df["member_ref"].astype("int64").tolist()))
     for _ in range(5):  # fixed 5 propagation rounds (resortwaynodes.go:767-824)
         for k, v in rel_rel_edges:
             if v in rel_qt:

@@ -673,25 +673,40 @@ def q_way_assembly(sf_dir: str):
         import pandas as pd
 
         g = g.sort_values(["way_id", "pos"])
-        out = {k: [] for k in ("way_id", "n_vertices", "is_ring",
-                               "minx", "miny", "maxx", "maxy")}
-        for w, grp in g.groupby("way_id", sort=False):
-            refs = grp["ref"].to_numpy()
-            lon = grp["lon"].to_numpy()
-            lat = grp["lat"].to_numpy()
-            if int(w) % 5 == 0:  # closure vertex repeats the first ref
-                refs = np.append(refs, refs[0])
-                lon = np.append(lon, lon[0])
-                lat = np.append(lat, lat[0])
-            is_ring = len(refs) >= 4 and refs[0] == refs[-1]
-            out["way_id"].append(int(w))
-            out["n_vertices"].append(int(len(refs)))
-            out["is_ring"].append(bool(is_ring))
-            out["minx"].append(int(lon.min()))
-            out["miny"].append(int(lat.min()))
-            out["maxx"].append(int(lon.max()))
-            out["maxy"].append(int(lat.max()))
-        return pd.DataFrame(out)
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({
+                "way_id": pd.Series(dtype=np.int64),
+                "n_vertices": pd.Series(dtype=np.int64),
+                "is_ring": pd.Series(dtype=bool),
+                "minx": pd.Series(dtype=np.int64),
+                "miny": pd.Series(dtype=np.int64),
+                "maxx": pd.Series(dtype=np.int64),
+                "maxy": pd.Series(dtype=np.int64),
+            })
+        wid = g["way_id"].to_numpy(np.int64)
+        refs = g["ref"].to_numpy(np.int64)
+        lon = g["lon"].to_numpy(np.int64)
+        lat = g["lat"].to_numpy(np.int64)
+        change = np.flatnonzero(wid[1:] != wid[:-1])
+        starts = np.concatenate([[0], change + 1])
+        ends = np.append(starts[1:], n)
+        ways = wid[starts]
+        cnt = ends - starts
+        # closure vertex repeats the first ref (bbox unchanged)
+        closure = ways % 5 == 0
+        n_verts = cnt + closure
+        is_ring = np.where(closure, n_verts >= 4,
+                           (cnt >= 4) & (refs[starts] == refs[ends - 1]))
+        return pd.DataFrame({
+            "way_id": ways,
+            "n_vertices": n_verts.astype(np.int64),
+            "is_ring": is_ring.astype(bool),
+            "minx": np.minimum.reduceat(lon, starts),
+            "miny": np.minimum.reduceat(lat, starts),
+            "maxx": np.maximum.reduceat(lon, starts),
+            "maxy": np.maximum.reduceat(lat, starts),
+        })
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
