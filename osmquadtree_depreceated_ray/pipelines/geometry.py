@@ -849,22 +849,105 @@ def read_features_pruned(out_dir: str, bbox: tuple, columns=None):
     return ds.map_batches(exact, batch_format="pyarrow"), pruned
 
 
-def write_geojson(features_path: str, out_path: str) -> int:
-    """S9: features parquet -> newline-delimited GeoJSON features."""
-    import pyarrow.parquet as pq
+def geojson_lines_batch(b: pa.Table) -> pa.Table:
+    """Features batch -> one-column table of newline-GeoJSON lines.
+    Column extraction is bulk (one C call per column); the per-feature
+    JSON text generation is inherently per-row."""
+    gtypes = b.column("geom_type").to_numpy()
+    tags_l = b.column("tags").to_pylist()
+    fids = b.column("feature_id").to_numpy()
+    wkbs = b.column("wkb").to_pylist()
+    lines = [
+        WKB.feature_geojson(int(gtypes[i]), _wkb_to_coords(wkbs[i]),
+                            json.loads(tags_l[i]), int(fids[i]))
+        for i in range(b.num_rows)
+    ]
+    return pa.table({"line": pa.array(lines, pa.string())})
 
-    t = pq.read_table(features_path)
+
+def write_geojson(features_path: str, out_path: str) -> int:
+    """S9: features parquet (file or tiled dir) -> one newline-delimited
+    GeoJSON file.  Conversion runs distributed (map_batches); the driver
+    only streams finished text blocks to disk (geojson.go:29-178 streams
+    FeatureCollections the same way)."""
+    import glob as _glob
+
+    import ray
+
+    if os.path.isdir(features_path):
+        paths = sorted(_glob.glob(
+            os.path.join(features_path, "**", "*.parquet"), recursive=True))
+    else:
+        paths = features_path
+    ds = ray.data.read_parquet(
+        paths, columns=["feature_id", "geom_type", "tags", "wkb"])
     n = 0
     with open(out_path, "w") as f:
-        for i in range(t.num_rows):
-            gtype = int(t.column("geom_type")[i].as_py())
-            tags = json.loads(t.column("tags")[i].as_py())
-            fid = int(t.column("feature_id")[i].as_py())
-            wkb_bytes = t.column("wkb")[i].as_py()
-            coords = _wkb_to_coords(wkb_bytes)
-            f.write(WKB.feature_geojson(gtype, coords, tags, fid) + "\n")
-            n += 1
+        for b in ds.map_batches(
+                geojson_lines_batch, batch_format="pyarrow").iter_batches(
+                batch_size=None, batch_format="pyarrow"):
+            lines = b.column("line").to_pylist()
+            f.write("\n".join(lines) + ("\n" if lines else ""))
+            n += len(lines)
     return n
+
+
+def _write_geojson_tile_impl(tile_dir: str, dest: str, gzip_out: bool) -> int:
+    import gzip as _gz
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(tile_dir, columns=["feature_id", "geom_type",
+                                         "tags", "wkb"])
+    lines = geojson_lines_batch(t).column("line").to_pylist()
+    data = ("\n".join(lines) + ("\n" if lines else "")).encode()
+    tmp = dest + ".tmp"
+    if gzip_out:
+        with _gz.open(tmp, "wb") as f:
+            f.write(data)
+    else:
+        with open(tmp, "wb") as f:
+            f.write(data)
+    os.replace(tmp, dest)
+    return len(lines)
+
+
+def write_geojson_tiled(store_dir: str, dest_dir: str,
+                        gzip_out: bool = True) -> dict:
+    """S9 at scale: tiled features store -> one (optionally gzipped)
+    newline-GeoJSON file per tile, one Ray task per tile (the tile is
+    the reference's streaming unit, geojson.go:29-178).  tmp+rename
+    makes re-runs resumable per tile."""
+    import ray
+
+    from ..state import manifest as mf
+
+    os.makedirs(dest_dir, exist_ok=True)
+    data = mf.data_dir(store_dir)
+    man = mf.read_manifest(store_dir)
+    tiles = [int(t) for t in man.column("tile").to_pylist()
+             if os.path.isdir(os.path.join(data, f"tile={int(t)}"))]
+    task = _get_geojson_remote()
+    suffix = ".geojsonl.gz" if gzip_out else ".geojsonl"
+    refs = [
+        task.remote(os.path.join(data, f"tile={t}"),
+                    os.path.join(dest_dir, f"tile-{t}{suffix}"), gzip_out)
+        for t in tiles
+    ]
+    counts = ray.get(refs)
+    return {"features": int(sum(counts)), "tiles": len(tiles)}
+
+
+_geojson_task = None
+
+
+def _get_geojson_remote():
+    global _geojson_task
+    if _geojson_task is None:
+        import ray
+
+        _geojson_task = ray.remote(_write_geojson_tile_impl)
+    return _geojson_task
 
 
 def _wkb_to_coords(buf: bytes):

@@ -448,6 +448,72 @@ def rolling_fingerprint(text: str, base: int = 257, mod: int = (1 << 61) - 1) ->
     return h
 
 
+def simhash64_batch(texts: list[str]) -> np.ndarray:
+    """Vectorized SimHash over a batch: explode all words with doc
+    segments, md5 ONCE per unique word (factorize), per-bit +-1 sums via
+    ``add.reduceat`` over the doc segments.  Matches ``simhash64`` per
+    doc exactly."""
+    # NB: ''.split(' ') == [''] — empty texts hash the empty word, same
+    # as the scalar kernel and DuckDB's string_split
+    words_per_doc = [t.split(" ") for t in texts]
+    lens = np.fromiter((len(w) for w in words_per_doc), np.int64,
+                       count=len(texts))
+    flat = [w for ws in words_per_doc for w in ws]
+    out = np.zeros(len(texts), np.int64)
+    if not flat:
+        return out
+    codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+    h = _md5_lower64(uniq)[codes]
+    nz = lens > 0
+    starts = (np.cumsum(lens) - lens)[nz]
+    # per-bit pass keeps peak memory at one words-length vector (the
+    # full words x 64 bit matrix is ~64x larger and dominates wall)
+    u = np.zeros(int(nz.sum()), np.uint64)
+    seglens = lens[nz]
+    for b in range(64):
+        bit = ((h >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+        acc = 2 * np.add.reduceat(bit, starts) - seglens
+        u |= (acc > 0).astype(np.uint64) << np.uint64(b)
+    out[nz] = u.astype(np.int64)  # two's complement reinterpret
+    return out
+
+
+_FP_MOD = np.uint64((1 << 61) - 1)
+_FP_MASK53 = np.uint64((1 << 53) - 1)
+
+
+def rolling_fingerprint_batch(texts: list[str]) -> np.ndarray:
+    """Vectorized Horner fold h = (h*257 + byte) mod 2^61-1 over a
+    padded byte matrix.  The multiply is split so every intermediate
+    fits uint64 (Mersenne-prime reduction: 2^61 == 1 mod M):
+    h*256 mod M == (h>>53) + ((h & (2^53-1)) << 8)."""
+    enc = [t.encode() for t in texts]
+    n = len(enc)
+    lens = np.fromiter((len(e) for e in enc), np.int64, count=n)
+    h = np.zeros(n, np.uint64)
+    if n == 0 or lens.max(initial=0) == 0:
+        return h.astype(np.int64)
+    maxlen = int(lens.max())
+    buf = np.zeros((n, maxlen), np.uint8)
+    flat = np.frombuffer(b"".join(enc), np.uint8)
+    rowidx = np.repeat(np.arange(n), lens)
+    colidx = np.arange(len(flat)) - np.repeat(np.cumsum(lens) - lens, lens)
+    buf[rowidx, colidx] = flat
+    M, MASK53 = _FP_MOD, _FP_MASK53
+    for j in range(maxlen):
+        live = lens > j
+        if not live.any():
+            break
+        hj = h[live]
+        t = (hj >> np.uint64(53)) + ((hj & MASK53) << np.uint64(8))
+        t = (t & M) + (t >> np.uint64(61))
+        h2 = t + hj + buf[live, j].astype(np.uint64)
+        h2 = (h2 & M) + (h2 >> np.uint64(61))
+        h2 = np.where(h2 >= M, h2 - M, h2)
+        h[live] = h2
+    return h.astype(np.int64)
+
+
 def q_simhash(sf_dir: str):
     import ray
 
@@ -456,12 +522,9 @@ def q_simhash(sf_dir: str):
         return pa.table(
             {
                 "doc_id": b.column("doc_id"),
-                "simhash": pa.array(
-                    [simhash64(t.split(" ")) for t in texts], pa.int64()
-                ),
+                "simhash": pa.array(simhash64_batch(texts), pa.int64()),
                 "fingerprint": pa.array(
-                    [rolling_fingerprint(t) for t in texts], pa.int64()
-                ),
+                    rolling_fingerprint_batch(texts), pa.int64()),
             }
         )
 

@@ -367,16 +367,27 @@ def _compile_expr(node) -> Expr:
         return case_when(branches, default)
     if op == "call":
         name, args = node[1], [_compile_expr(a) for a in node[2]]
+
+        def _lit_arg(i):
+            # these functions take LITERAL trailing args in this engine;
+            # a column/expression there would silently compile the AST
+            # slot's raw value — reject it loudly instead
+            a = node[2][i]
+            if not (isinstance(a, tuple) and a and a[0] == "lit"):
+                raise ValueError(
+                    f"{name}() argument {i} must be a literal, got {a!r}")
+            return a[1]
+
         if name == "coalesce":
             return args[0].coalesce(*args[1:])
         if name == "nullif":
-            return args[0].nullif(node[2][1][1])
+            return args[0].nullif(_lit_arg(1))
         if name == "replace":
-            return args[0].replace(node[2][1][1], node[2][2][1])
+            return args[0].replace(_lit_arg(1), _lit_arg(2))
         if name in ("char_length", "length"):
             return args[0].char_length()
         if name == "substr":
-            return args[0].substr(int(node[2][1][1]), int(node[2][2][1]))
+            return args[0].substr(int(_lit_arg(1)), int(_lit_arg(2)))
         if name == "concat":
             return args[0].concat(*args[1:])
         if name == "make_integer":

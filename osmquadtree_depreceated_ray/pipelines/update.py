@@ -111,6 +111,12 @@ def apply_change_batch(out_dir: str, changes: pa.Table, seq: int) -> dict:
     mod_same = is_mod & has_old & (old_tile == new_tile)
     mod_move = is_mod & has_old & (old_tile != new_tile)
     creates = is_cre | (is_mod & ~has_old)
+    # a Create over an entity whose lineage points at a DIFFERENT tile
+    # (e.g. a k-way-merged Delete∘Create collapsed to one Create) must
+    # still purge the old tile's base row — same Remove-in-old-tile
+    # record the mod_move pair emits (update.go:622-690); without it the
+    # merged path leaves a stale duplicate that direct tile readers see
+    cre_move = creates & has_old & (old_tile != new_tile)
     n_missing_delete = int((is_del & ~has_old).sum())
 
     zero = np.zeros_like(eid)
@@ -126,6 +132,7 @@ def apply_change_batch(out_dir: str, changes: pa.Table, seq: int) -> dict:
         rows(mod_same, old_tile, CH_MODIFY, lon, lat, qt),
         rows(mod_move, old_tile, CH_REMOVE, zero, zero, neg1),
         rows(mod_move, new_tile, CH_UNCHANGED, lon, lat, qt),
+        rows(cre_move, old_tile, CH_REMOVE, zero, zero, neg1),
         rows(creates, new_tile, CH_CREATE, lon, lat, qt),
     ]
     cat = [np.concatenate([g[i] for g in groups]) for i in range(6)]

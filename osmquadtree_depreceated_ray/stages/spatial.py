@@ -264,18 +264,33 @@ class RasterLookupActor:
 _WORKER_STATE: dict = {}
 
 
+def _cache_put(key, inst):
+    """Bounded insert: ONE live instance per stage-name prefix.  A
+    repeated query broadcasts a fresh ObjectRef, so keying by ref alone
+    would accrete an instance per invocation in every long-lived worker
+    (and pin the captured plasma objects); evicting the prefix's old
+    entry releases both."""
+    stale = [k for k in _WORKER_STATE
+             if isinstance(k, tuple) and k and k[0] == key[0] and k != key]
+    for k in stale:
+        _WORKER_STATE.pop(k, None)
+    _WORKER_STATE[key] = inst
+
+
 def worker_cached(key, factory):
     """Generic task-based stateful stage: ``map_batches(worker_cached(
     key, lambda: SomeActor(ref)))`` gives once-per-worker-process init
     (the actor-pool semantics) with zero pool spin-up and elastic task
     scheduling — shared by every stateful query stage so short query
-    workloads never pay ~2 s of actor-pool startup."""
+    workloads never pay ~2 s of actor-pool startup.  ``key`` must be a
+    tuple whose first element names the stage (the cache keeps one
+    instance per stage name)."""
 
     def fn(batch: pa.Table) -> pa.Table:
         inst = _WORKER_STATE.get(key)
         if inst is None:
             inst = factory()
-            _WORKER_STATE[key] = inst
+            _cache_put(key, inst)
         return inst(batch)
 
     return fn
@@ -287,13 +302,13 @@ def pip_map_fn(index_ref, key_cols=("entity_id",)):
     Prefer this over the PIPActor pool when the stage is short-lived
     (query workloads): same once-per-worker index load, zero pool
     startup, elastic width."""
-    key = (index_ref.hex(), tuple(key_cols))
+    key = ("pip", index_ref.hex(), tuple(key_cols))
 
     def fn(batch: pa.Table) -> pa.Table:
         actor = _WORKER_STATE.get(key)
         if actor is None:
             actor = PIPActor(index_ref, key_cols)
-            _WORKER_STATE[key] = actor
+            _cache_put(key, actor)
         return actor(batch)
 
     return fn

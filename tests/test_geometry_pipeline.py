@@ -137,6 +137,28 @@ def test_geojson_roundtrip(geom_out, tmp_path):
     assert first["type"] == "Feature" and "geometry" in first
 
 
+def test_geojson_tiled_streaming_sink(geom_out, tmp_path):
+    import gzip
+
+    from osmquadtree_depreceated_ray.pipelines.geometry import write_geojson_tiled
+
+    out, res = geom_out
+    dest = str(tmp_path / "gj")
+    r = write_geojson_tiled(out, dest, gzip_out=True)
+    assert r["features"] == res["features"]
+    assert r["tiles"] == res["tiles"]
+    files = sorted(os.listdir(dest))
+    assert files and all(f.endswith(".geojsonl.gz") for f in files)
+    n = 0
+    for fn in files:
+        with gzip.open(os.path.join(dest, fn), "rt") as f:
+            for line in f:
+                d = json.loads(line)
+                assert d["type"] == "Feature"
+                n += 1
+    assert n == res["features"]
+
+
 def test_relation_qt_propagation(geom_out):
     out, res = geom_out
     rel_qt = res["rel_qt"]

@@ -164,6 +164,72 @@ def test_bucketed_lineage_touches_only_affected(ray_session, tmp_path):
     assert (7 + mf.LINEAGE_BUCKETS) not in lt["entity_id"].values
 
 
+def test_merged_delete_create_purges_old_tile(ray_session, fixture_dir,
+                                              tmp_path_factory):
+    """A k-way merge collapses Delete(seq1)∘Create(seq2) into one Create;
+    when the create lands in a DIFFERENT tile, the old tile's base row
+    must still be purged (apply emits Remove-in-old-tile, same as
+    mod_move).  Direct tile reads after compaction must agree with the
+    sequential path — snapshot equality alone hides the stale row."""
+    import pyarrow as pa
+
+    from osmquadtree_depreceated_ray.pipelines import tile as tp
+
+    def build(out):
+        tp.tile_pages(os.path.join(fixture_dir, "pages.parquet"), out,
+                      target=300, minimum=20)
+
+    out_a = str(tmp_path_factory.mktemp("dc_seq"))
+    build(out_a)
+    lin = mf.read_lineage(out_a).to_pandas()
+    t1 = int(lin["tile"].iloc[0])
+    other = lin[lin["tile"] != t1]
+    e1 = int(lin[lin["tile"] == t1]["entity_id"].iloc[0])
+    e2 = int(other["entity_id"].iloc[0])
+    ents = pq.read_table(
+        os.path.join(fixture_dir, "geo_entities.parquet"),
+        columns=["entity_id", "lon", "lat"]).to_pandas().set_index("entity_id")
+    lon2, lat2 = int(ents.loc[e2, "lon"]), int(ents.loc[e2, "lat"])
+
+    def ch(seq, change, lon, lat):
+        return pa.table({
+            "seq": pa.array([seq], pa.int64()),
+            "change": pa.array([change], pa.int8()),
+            "entity_id": pa.array([e1], pa.int64()),
+            "lon": pa.array([lon], pa.int64()),
+            "lat": pa.array([lat], pa.int64()),
+        })
+
+    f_del = ch(1, up.CH_DELETE, 0, 0)
+    f_cre = ch(2, up.CH_CREATE, lon2, lat2)
+
+    up.apply_change_batch(out_a, f_del, 1)
+    up.apply_change_batch(out_a, f_cre, 2)
+    up.compact(out_a)
+
+    out_b = str(tmp_path_factory.mktemp("dc_merged"))
+    build(out_b)
+    merged = up.merge_change_files([f_del, f_cre], seq=9)
+    assert merged.num_rows == 1  # collapsed to the Create
+    up.apply_change_batch(out_b, merged, 9)
+    up.compact(out_b)
+
+    for out in (out_a, out_b):
+        old_dir = os.path.join(mf.data_dir(out), f"tile={t1}")
+        ids = pq.read_table(old_dir, columns=["entity_id"]) \
+            .column("entity_id").to_pylist()
+        assert e1 not in ids, f"stale {e1} in old tile of {out}"
+    # per-tile contents agree between the two paths
+    for t in sorted(set(lin["tile"].tolist())):
+        a = pq.read_table(os.path.join(mf.data_dir(out_a), f"tile={t}"),
+                          columns=["entity_id", "lon", "lat"]).to_pandas() \
+            .sort_values("entity_id").reset_index(drop=True)
+        b = pq.read_table(os.path.join(mf.data_dir(out_b), f"tile={t}"),
+                          columns=["entity_id", "lon", "lat"]).to_pandas() \
+            .sort_values("entity_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+
 def test_multifile_merge_equals_sequential(ray_session, fixture_dir,
                                            tmp_path_factory):
     """k-way change-file merge (J9, changefiles.go:156-230): applying

@@ -36,9 +36,14 @@ def main() -> int:
 
     if not ray.is_initialized():
         # under `ray job submit` the job manager preset RAY_ADDRESS points
-        # at the cluster; standalone falls back to a local session
-        ray.init(address=os.environ.get("RAY_ADDRESS", "auto"),
-                 ignore_reinit_error=True, logging_level="ERROR")
+        # at the cluster; standalone (no cluster found) falls back to a
+        # local session — address="auto" raises ConnectionError then
+        try:
+            ray.init(address=os.environ.get("RAY_ADDRESS", "auto"),
+                     ignore_reinit_error=True, logging_level="ERROR")
+        except ConnectionError:
+            ray.init(address="local", ignore_reinit_error=True,
+                     logging_level="ERROR")
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from osmquadtree_depreceated_ray.pipelines.tile import tile_pages

@@ -67,8 +67,12 @@ def main(argv=None):
     c.add_argument("--out", required=True)
 
     gj = sub.add_parser("geojson", help="features parquet -> geojsonl")
-    gj.add_argument("--features", required=True)
-    gj.add_argument("--out", required=True)
+    gj.add_argument("--features", help="features parquet file or dir")
+    gj.add_argument("--out", help="single output geojsonl path")
+    gj.add_argument("--store", help="tiled features store (manifest dir); "
+                                    "streams one .geojsonl.gz per tile")
+    gj.add_argument("--dest", help="destination dir for --store mode")
+    gj.add_argument("--no-gzip", action="store_true")
 
     f = sub.add_parser("filter", help="bbox-filtered extract of a tiled dir")
     f.add_argument("--out", required=True)
@@ -119,9 +123,20 @@ def main(argv=None):
 
             print(json.dumps(compact(args.out)))
         elif args.cmd == "geojson":
-            from osmquadtree_depreceated_ray.pipelines.geometry import write_geojson
+            if args.store:
+                from osmquadtree_depreceated_ray.pipelines.geometry import (
+                    write_geojson_tiled,
+                )
 
-            print(json.dumps({"features": write_geojson(args.features, args.out)}))
+                print(json.dumps(write_geojson_tiled(
+                    args.store, args.dest, gzip_out=not args.no_gzip)))
+            else:
+                from osmquadtree_depreceated_ray.pipelines.geometry import (
+                    write_geojson,
+                )
+
+                print(json.dumps(
+                    {"features": write_geojson(args.features, args.out)}))
         elif args.cmd == "filter":
             from osmquadtree_depreceated_ray.pipelines.spatial_filter import (
                 BboxTest,
