@@ -613,6 +613,39 @@ def q_cells(sf_dir: str):
     return ds.select_columns(["doc_id", "cell_s2", "cell_h3", "cell_icosa"])
 
 
+def sql_cells_golden() -> str:
+    """VALUES-table golden oracle for the cell indexes: the ids are
+    deterministic integers of the doc_id alone, so a 500-row VALUES CTE
+    joined against documents is an exact oracle at the driver's sf0.01
+    (doc_id 0..499 there).  The golden is generated from the engine's
+    own deterministic kernels — it pins byte-stability of the S2/hex/
+    icosa constructions across rounds (an independent scalar port does
+    not exist; the constructions themselves are property-pinned by
+    tests/test_cells_geom.py)."""
+    from ..stages.assign import assign_cells
+
+    keys = np.arange(500, dtype=np.int64)
+    lon, lat = derive.derive_lonlat(keys)
+    t = assign_cells(pa.table({"doc_id": pa.array(keys),
+                               "lon": pa.array(lon), "lat": pa.array(lat)}),
+                     include_icosa=True)
+    s2 = t.column("cell_s2").to_pylist()
+    h3 = t.column("cell_h3").to_pylist()
+    ic = t.column("cell_icosa").to_pylist()
+    rows = ",".join(
+        f"({k},{int(s2[k])},{int(h3[k])},{int(ic[k])})" for k in range(500)
+    )
+    return (
+        "WITH golden(doc_id, cell_s2, cell_h3, cell_icosa) AS (VALUES "
+        + rows + ") "
+        "SELECT CAST(g.doc_id AS BIGINT) AS doc_id, "
+        "CAST(g.cell_s2 AS BIGINT) AS cell_s2, "
+        "CAST(g.cell_h3 AS BIGINT) AS cell_h3, "
+        "CAST(g.cell_icosa AS BIGINT) AS cell_icosa "
+        "FROM golden g JOIN documents d ON d.doc_id = g.doc_id"
+    )
+
+
 def q_sample(sf_dir: str):
     """O8: systematic sampling of the events stream (deterministic
     modulo sample so the oracle is exact)."""
@@ -637,6 +670,7 @@ def q_sample(sf_dir: str):
 
 
 QUERIES["cells"] = q_cells
+ORACLES["cells"] = sql_cells_golden  # lazy: resolved by oracle_sql()
 QUERIES["sample"] = q_sample
 ORACLES["sample"] = (
     "SELECT event_id, user_id, event_type FROM events WHERE event_id % 20 = 3"
@@ -838,12 +872,53 @@ def q_hll_distinct(sf_dir: str):
     est = hll_estimate(regs)
     exact = _distinct(ds, ["user_id"]).count()
     return pa.table({
-        "distinct_est": pa.array([int(round(est))], pa.int64()),
+        # floor(x+0.5) both here and in the oracle (python round() is
+        # banker's, SQL ROUND() is half-away — floor+0.5 is the one
+        # rounding both engines spell identically)
+        "distinct_est": pa.array([int(np.floor(est + 0.5))], pa.int64()),
         "exact_distinct": pa.array([int(exact)], pa.int64()),
         "registers_used": pa.array([int((regs > 0).sum())], pa.int64()),
     })
 
 
+def sql_hll_distinct() -> str:
+    """Full SQL oracle of the HLL estimator: the md5-low-64 hash basis
+    is reproducible in DuckDB (md5_number_lower), registers fall out of
+    a GROUP BY MAX over nlz(rest)+1 (nlz via the smear + bit_count
+    identity), and the estimate itself is bit-exact because every
+    2^-rho term is dyadic with exponent spread < 53 — the register sum
+    is exact in IEEE double regardless of order, and the remaining
+    alpha/ln/divide steps are spelled with identical operation order in
+    both engines."""
+    smear = "\n".join(
+        f"s{i} AS (SELECT register, rest, (x | (x >> {s})) AS x "
+        f"FROM {'b' if i == 0 else f's{i - 1}'}),"
+        for i, s in enumerate([1, 2, 4, 8, 16, 32])
+    ).replace("(x | (x >> 1)) AS x FROM b", "(rest | (rest >> 1)) AS x FROM b")
+    return (
+        "WITH h AS (SELECT md5_number_lower(CAST(user_id AS VARCHAR)) AS hv "
+        "FROM events), "
+        "b AS (SELECT CAST(hv >> 52 AS BIGINT) AS register, "
+        "(hv & ((CAST(1 AS UBIGINT) << 52) - 1)) * CAST(4096 AS UBIGINT) "
+        "AS rest FROM h), "
+        + smear +
+        " r AS (SELECT register, CASE WHEN rest = 0 THEN 53 "
+        "ELSE 64 - bit_count(x) + 1 END AS rho FROM s5), "
+        "regs AS (SELECT register, MAX(rho) AS rho FROM r GROUP BY register), "
+        "full_regs AS (SELECT t.r AS register, COALESCE(g.rho, 0) AS rho "
+        "FROM range(0, 4096) t(r) LEFT JOIN regs g ON g.register = t.r), "
+        "agg AS (SELECT SUM(POWER(2.0, -rho)) AS den, "
+        "SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS zeros, "
+        "SUM(CASE WHEN rho > 0 THEN 1 ELSE 0 END) AS used FROM full_regs), "
+        "est AS (SELECT (0.7213/(1.0 + 1.079/4096.0)) * 4096.0 * 4096.0 / den "
+        "AS raw, zeros, used FROM agg) "
+        "SELECT CAST(FLOOR((CASE WHEN raw <= 2.5*4096.0 AND zeros > 0 "
+        "THEN 4096.0 * ln(4096.0/CAST(zeros AS DOUBLE)) ELSE raw END) + 0.5) "
+        "AS BIGINT) AS distinct_est, "
+        "(SELECT COUNT(DISTINCT user_id) FROM events) AS exact_distinct, "
+        "CAST(used AS BIGINT) AS registers_used FROM est"
+    )
+
+
 QUERIES["hll_distinct"] = q_hll_distinct
-# rows-only: no SQL reproduces the estimator; tests/test_sketch.py pins
-# accuracy (<5% vs exact) and byte-determinism of the registers
+ORACLES["hll_distinct"] = sql_hll_distinct()

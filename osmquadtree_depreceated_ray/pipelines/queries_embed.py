@@ -479,3 +479,62 @@ def q_kmeans(sf_dir: str):
 QUERIES["kmeans"] = q_kmeans
 # rows-only: iterative algorithm (brief's named non-SQL-expressible
 # class); tests/test_kmeans.py pins determinism + inertia descent
+
+
+def q_kmeans_iter1(sf_dir: str):
+    """The FIRST Lloyd iteration's assignment step, oracle-checked: with
+    the deterministic init (first k vectors, integer-quantized), the
+    squared euclidean distances are exact integers in float64, so
+    nearest-centroid assignment AND the distance value are bit-exact in
+    SQL.  This pins the assignment kernel the iterative loop reuses;
+    iterations 2+ (float means) stay invariant-pinned by
+    tests/test_kmeans.py."""
+    import ray
+
+    c_ids, c_mat = _load_small_side(sf_dir, KMEANS_K)
+    cref = ray.put({"ids": c_ids, "mat": c_mat})
+
+    def assign(b: pa.Table) -> pa.Table:
+        d = ray.get(cref)
+        c = d["mat"].astype(np.float64)
+        ids, mat = _embed_matrix(b)
+        matf = mat.astype(np.float64)
+        d2 = (
+            (matf * matf).sum(axis=1)[:, None]
+            - 2.0 * (matf @ c.T)
+            + (c * c).sum(axis=1)[None, :]
+        )
+        best = np.argmin(d2, axis=1)  # ties -> lowest centroid id
+        return pa.table({
+            "vec_id": pa.array(ids),
+            "cluster": pa.array(d["ids"][best].astype(np.int64)),
+            "d2": pa.array(
+                d2[np.arange(len(ids)), best].astype(np.int64)),
+        })
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def sql_kmeans_iter1() -> str:
+    quant = "CAST(floor(CAST({e}[i] AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)"
+    ev = quant.format(e="e.embedding")
+    ec = quant.format(e="c.embedding")
+    return (
+        f"WITH cents AS (SELECT vec_id AS cid, embedding FROM embeddings "
+        f"WHERE vec_id < {KMEANS_K}), "
+        f"d AS (SELECT e.vec_id, c.cid, "
+        f"CAST(SUM(({ev} - {ec}) * ({ev} - {ec})) AS BIGINT) AS d2 "
+        f"FROM embeddings e CROSS JOIN cents c, "
+        f"UNNEST(range(1, {EMBED_DIM + 1})) AS t(i) "
+        f"GROUP BY e.vec_id, c.cid) "
+        f"SELECT vec_id, cid AS cluster, d2 FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY vec_id "
+        f"ORDER BY d2, cid) AS rn FROM d) WHERE rn = 1"
+    )
+
+
+QUERIES["kmeans_iter1"] = q_kmeans_iter1
+ORACLES["kmeans_iter1"] = sql_kmeans_iter1()
