@@ -46,6 +46,14 @@ class Expr:
     def __truediv__(self, o):
         return self._bin(o, pc.divide, "div")
 
+    def __mod__(self, o):
+        # a % b == a - (a/b)*b with Arrow's truncating integer divide —
+        # matches SQL's truncated-toward-zero modulo
+        def kernel(a, b):
+            return pc.subtract(a, pc.multiply(pc.divide(a, b), b))
+
+        return self._bin(o, kernel, "mod")
+
     def __eq__(self, o):  # noqa: A003
         return self._bin(o, pc.equal, "eq")
 

@@ -33,7 +33,7 @@ _TOKEN_RE = re.compile(
     r"\s*(?:"
     r"(?P<num>\d+\.\d+|\d+)"
     r"|(?P<str>'(?:[^']|'')*')"
-    r"|(?P<op>\|\||<=|>=|<>|!=|=|<|>|\(|\)|,|\+|-|\*|/|\.)"
+    r"|(?P<op>\|\||<=|>=|<>|!=|=|<|>|\(|\)|,|\+|-|\*|/|%|\.)"
     r"|(?P<ident>[A-Za-z_][A-Za-z_0-9]*)"
     r")"
 )
@@ -101,10 +101,12 @@ class _Parser:
 
     # -- grammar -------------------------------------------------------------
     def parse_query(self):
-        """query := select (UNION ALL select)* [ORDER BY ...] [LIMIT n]"""
+        """query := select (UNION [ALL] select)* [ORDER BY ...] [LIMIT n]
+        (UNION without ALL deduplicates, sqlselect/sql.go)"""
         selects = [self.parse_select()]
+        union_all = []
         while self.accept("kw", "union"):
-            self.expect("kw", "all")
+            union_all.append(bool(self.accept("kw", "all")))
             selects.append(self.parse_select())
         order, desc = None, None
         if self.accept("kw", "order"):
@@ -123,8 +125,8 @@ class _Parser:
         if self.accept("kw", "limit"):
             limit = int(self.expect("num")[1])
         self.expect("eof")
-        return {"selects": selects, "order": order, "desc": desc,
-                "limit": limit}
+        return {"selects": selects, "union_all": union_all,
+                "order": order, "desc": desc, "limit": limit}
 
     def parse_select(self):
         self.expect("kw", "select")
@@ -215,6 +217,13 @@ class _Parser:
         if k == "kw" and v == "in":
             self.next()
             self.expect("op", "(")
+            if self.peek() == ("kw", "select"):
+                # IN (subquery) — sqlselect/sql.go grammar; resolved at
+                # plan time (the subquery runs first, its first column
+                # becomes the value set)
+                sub = self.parse_select()
+                self.expect("op", ")")
+                return ("in_sub", e, sub)
             vals = []
             while True:
                 tk, tv = self.next()
@@ -250,6 +259,8 @@ class _Parser:
                 e = ("mul", e, self.parse_unary())
             elif self.accept("op", "/"):
                 e = ("div", e, self.parse_unary())
+            elif self.accept("op", "%"):
+                e = ("mod", e, self.parse_unary())
             else:
                 return e
 
@@ -326,14 +337,15 @@ def _compile_expr(node) -> Expr:
         return lit(node[1])
     if op == "col":
         return col(node[1])
-    if op in ("add", "sub", "mul", "div", "eq", "ne", "lt", "le", "gt",
-              "ge", "and", "or"):
+    if op in ("add", "sub", "mul", "div", "mod", "eq", "ne", "lt", "le",
+              "gt", "ge", "and", "or"):
         a, b = _compile_expr(node[1]), _compile_expr(node[2])
         return {
             "add": a.__add__, "sub": a.__sub__, "mul": a.__mul__,
-            "div": a.__truediv__, "eq": a.__eq__, "ne": a.__ne__,
-            "lt": a.__lt__, "le": a.__le__, "gt": a.__gt__,
-            "ge": a.__ge__, "and": a.__and__, "or": a.__or__,
+            "div": a.__truediv__, "mod": a.__mod__, "eq": a.__eq__,
+            "ne": a.__ne__, "lt": a.__lt__, "le": a.__le__,
+            "gt": a.__gt__, "ge": a.__ge__, "and": a.__and__,
+            "or": a.__or__,
         }[op](b)
     if op == "cast":
         inner = _compile_expr(node[1])
@@ -581,15 +593,42 @@ def _join_on(ds_a, ds_b, lcol: str, rcol: str, n_buckets: int = 16):
     return bucketed_apply(both, ["__jk"], merge, n_buckets=n_buckets)
 
 
+def _resolve_subqueries(node, tables, broadcast_threshold):
+    """Replace ("in_sub", e, select) nodes with ("in", e, values): the
+    subquery runs first (its own plan, same table map) and its FIRST
+    column becomes the literal value set — the reference evaluates IN
+    sets eagerly too (sqlselect/tables.go:53-75).  Subquery results are
+    assumed driver-small (a value set, not a relation)."""
+    if not isinstance(node, tuple):
+        return node
+    if node[0] == "in_sub":
+        sub_ast = {"selects": [node[2]], "union_all": [], "order": None,
+                   "desc": None, "limit": None}
+        sub = _exec_ast(sub_ast, tables, broadcast_threshold).to_pandas()
+        vals = sub[sub.columns[0]].dropna().unique().tolist()
+        return ("in", _resolve_subqueries(node[1], tables,
+                                          broadcast_threshold), vals)
+    return tuple(
+        _resolve_subqueries(x, tables, broadcast_threshold)
+        if isinstance(x, tuple) else x for x in node
+    )
+
+
 def parse_sql(sql: str, tables: dict,
               broadcast_threshold: int = 1_000_000) -> "ray.data.Dataset":  # noqa: F821
     """Parse a SQL string and execute it over the given name->Dataset
     map, returning a Dataset (the reference's ``Parse`` entry,
     altlex.go:501-509)."""
     ast = _Parser(_tokenize(sql)).parse_query()
+    return _exec_ast(ast, tables, broadcast_threshold)
 
+
+def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
     runs = []
     for sel in ast["selects"]:
+        if sel["where"] is not None:
+            sel = dict(sel, where=_resolve_subqueries(
+                sel["where"], tables, broadcast_threshold))
         ds = tables[sel["table"]]
         if sel["join"] is not None:
             jt, lcol, rcol = sel["join"]
@@ -679,8 +718,15 @@ def parse_sql(sql: str, tables: dict,
             out = _distinct(out, out.schema().names)
         runs.append(out)
     ds = runs[0]
-    for other in runs[1:]:
+    union_all = ast.get("union_all") or [True] * (len(runs) - 1)
+    for other, is_all in zip(runs[1:], union_all):
         ds = ds.union(other)
+        if not is_all:
+            # UNION without ALL deduplicates the accumulated result
+            # (left-associative, sqlselect/sql.go)
+            from ..stages.shuffle import distinct as _distinct
+
+            ds = _distinct(ds, ds.schema().names)
     if ast["order"]:
         ds = ds.sort(ast["order"], descending=ast["desc"])
     if ast["limit"] is not None:

@@ -105,3 +105,20 @@ class TileServer:
         if limit is not None:
             out = out.slice(0, limit)
         return out
+
+    def sql(self, sql_text: str, bbox=None,
+            table_name: str = "tiles") -> pa.Table:
+        """Interactive SQL over the served store — the reference's
+        PackedDataStore -> sqlselect feed (packeddatastore.go:382-463
+        hands tile blocks to the Parse'd query): tiles are bbox-pruned
+        through the cache first, then the SQL string (the full
+        sqlparse.py grammar) runs against them as table ``tiles``."""
+        import ray
+
+        from ..pipelines.sqlparse import parse_sql
+
+        base = self.filter(bbox=bbox)
+        if not base.num_rows and not base.column_names:
+            return base
+        out = parse_sql(sql_text, {table_name: ray.data.from_arrow(base)})
+        return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)

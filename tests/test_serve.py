@@ -56,3 +56,30 @@ def test_as_ray_actor(served):
     a = Actor.remote(served, 4)
     t = ray.get(a.filter.remote(columns=["entity_id"], limit=5))
     assert t.num_rows == 5
+
+
+def test_sql_over_served_tiles(served):
+    """T6 full parity: a SQL string (the reference's Parse grammar) runs
+    against the served store and matches DuckDB over the same rows."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from osmquadtree_depreceated_ray.state import manifest as mf
+
+    srv = TileServer(served, cache_tiles=8)
+    q = ("SELECT qt, COUNT(*) AS n, MIN(entity_id) AS lo "
+         "FROM tiles WHERE entity_id % 2 = 0 GROUP BY qt ORDER BY qt")
+    got = srv.sql(q).to_pandas().reset_index(drop=True)
+
+    full = pq.read_table(mf.data_dir(served))
+    con = duckdb.connect()
+    con.register("tiles", full)
+    want = con.sql(q).df()
+    assert got["qt"].tolist() == want["qt"].tolist()
+    assert got["n"].astype(int).tolist() == want["n"].astype(int).tolist()
+    assert got["lo"].astype(int).tolist() == want["lo"].astype(int).tolist()
+
+    # bbox pre-pruning composes with SQL
+    t = srv.sql("SELECT entity_id FROM tiles", bbox=(-1800000000, -900000000,
+                                                     0, 900000000))
+    assert t.num_rows <= full.num_rows

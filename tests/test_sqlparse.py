@@ -94,6 +94,16 @@ CASES = [
     # join projection pushdown must keep it (regression)
     "SELECT s, CAST(SUM(v) AS BIGINT) AS sv FROM t1 JOIN t2 ON s = gkey "
     "GROUP BY s HAVING MAX(g) >= 0 ORDER BY s",
+    # UNION without ALL deduplicates (sqlselect/sql.go grammar)
+    "SELECT s FROM t1 WHERE v > 0 UNION SELECT s FROM t1 WHERE v < 0",
+    # mixed UNION / UNION ALL, left-associative
+    "SELECT s FROM t1 WHERE v > 25 UNION SELECT s FROM t1 WHERE v < -25 "
+    "UNION ALL SELECT s FROM t1 WHERE k = 0",
+    # IN (subquery): the value set comes from another select
+    "SELECT k, v FROM t1 WHERE s IN (SELECT gkey FROM t2 WHERE g < 3) "
+    "ORDER BY k",
+    # modulo operator
+    "SELECT k FROM t1 WHERE k % 7 = 3 ORDER BY k",
 ]
 
 
