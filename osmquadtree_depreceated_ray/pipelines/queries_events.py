@@ -501,17 +501,17 @@ ORACLES = {
 # the reference's other_tags fold, makegeometries.go:23-41)
 
 def q_props_extract(sf_dir: str):
-    import json as _json
-
     import ray
 
     def fn(b: pa.Table) -> pa.Table:
-        props = b.column("props").to_pylist()
-        k = [int(_json.loads(p)["k"]) for p in props]
+        # vectorized JSON-field pull: one regex pass over the Arrow
+        # string column (pandas C engine), no per-row json.loads
+        props = b.column("props").to_pandas()
+        k = props.str.extract(r'"k"\s*:\s*(-?\d+)', expand=False)
         return pa.table(
             {
                 "event_id": b.column("event_id"),
-                "k": pa.array(k, pa.int64()),
+                "k": pa.array(k.astype(np.int64), pa.int64()),
             }
         )
 

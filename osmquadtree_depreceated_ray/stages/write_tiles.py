@@ -135,7 +135,7 @@ def write_tiled(assigned_ds, out_dir: str, tile_order: np.ndarray,
                 tile_counts: np.ndarray, n_writers: int = 16,
                 skip_tiles: np.ndarray | None = None,
                 lineage_dir: str | None = None,
-                alloc_ref=None) -> int:
+                alloc_ref=None, split_tasks_per_writer: int = 3) -> int:
     """Shuffle-by-known-boundaries write.  Returns rows written.
 
     When ``lineage_dir`` is given, each writer also emits its
@@ -162,10 +162,13 @@ def write_tiled(assigned_ds, out_dir: str, tile_order: np.ndarray,
         for bundle in assigned_ds.iter_internal_ref_bundles()
         for ref in bundle.block_refs
     ]
-    # bound the exchange's object count at ~n_tasks x n_writers: group
-    # input blocks so there are about n_writers split tasks (each task
-    # concats its group once — far cheaper than 4x the plasma objects)
-    n_tasks = max(1, min(len(block_refs), n_writers_eff))
+    # bound the exchange's object count at ~n_tasks x n_writers while
+    # keeping the split stage finer than the writer stage: a few split
+    # tasks per writer shrinks the straggler tail (one oversized split
+    # group otherwise gates every writer it feeds) at the cost of
+    # proportionally more (tiny) plasma objects
+    n_tasks = max(1, min(len(block_refs),
+                         split_tasks_per_writer * n_writers_eff))
     groups = [block_refs[i::n_tasks] for i in range(n_tasks)]
     pieces = [
         split.options(num_returns=n_writers_eff).remote(
