@@ -38,6 +38,12 @@ def _write_chunk(cache_dir: str, chunk_id: int, n: int, offset: int) -> None:
 
     from osmquadtree_depreceated_ray.sources import fixtures
 
+    # per-chunk resume: large corpora (64M pages) take several
+    # generation waves — a marker per chunk lets an interrupted build
+    # continue instead of starting over
+    chunk_marker = os.path.join(cache_dir, f"_chunk_{offset:010d}.done")
+    if os.path.exists(chunk_marker):
+        return
     pages, _ = fixtures.gen_pages(
         n, seed=42 + chunk_id, page_offset=offset,
         entity_offset=offset * 6)
@@ -48,6 +54,8 @@ def _write_chunk(cache_dir: str, chunk_id: int, n: int, offset: int) -> None:
         pq.write_table(
             pages.slice(i, step),
             os.path.join(cache_dir, f"part-{offset + i:010d}.parquet"))
+    with open(chunk_marker, "w") as f:
+        f.write("ok\n")
 
 
 def ensure_pages() -> str:
