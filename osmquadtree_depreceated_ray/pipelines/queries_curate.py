@@ -1,0 +1,506 @@
+"""Corpus-curation operators for a training-data pipeline: dedup
+clustering (connected components over the MinHash-LSH candidate graph),
+exact distributed heavy hitters, per-stratum deterministic sampling,
+PII-style redaction, and TF-IDF top terms.
+
+These extend the engine beyond the reference's own surface (the task
+brief's "operations a large-scale training-data pipeline would need");
+the distributed shapes reuse the bucketed-exchange primitives of
+``stages/shuffle.py``.  All numeric outputs are exact-integer or
+correctly-rounded IEEE doubles so the DuckDB oracles hash-match.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# ------------------------------------------------------------ shared helpers
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def _explode_words(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_id repeated per word, word) arrays for a documents batch,
+    whitespace-split — the same tokenization every text query uses."""
+    texts = b.column("text").to_pylist()
+    doc = b.column("doc_id").to_numpy()
+    lists = [t.split(" ") for t in texts]
+    lens = np.fromiter((len(w) for w in lists), np.int64, count=len(lists))
+    words = np.concatenate([np.asarray(w, dtype=object) for w in lists]) \
+        if lists else np.asarray([], dtype=object)
+    return np.repeat(doc, lens), words
+
+
+# ---------------------------------------------------- 1. dedup clustering
+#
+# Connected components over the MinHash-LSH candidate-pair graph: the
+# step a real dedup pipeline runs AFTER pair generation — near-dup pairs
+# are transitive in practice, and the keep/drop decision needs one
+# canonical representative per CLUSTER, not per pair.
+#
+# Algorithm: hash-min label propagation with ACCUMULATED SHORTCUT
+# edges, run as a raw two-wave exchange per round (the one place the
+# Dataset API genuinely doesn't fit: an iterative fixpoint pays full
+# pipeline planning several times per round; kmeans makes the same
+# call).  State is hash-sharded by node into CC_BUCKETS (edges by src,
+# labels by node) and stays in the object store between rounds; the
+# driver holds only object refs and one changed-count int per round.
+#
+#   scatter (per bucket): join local edges to local labels -> candidate
+#     (dst, label(src)) rows, plus a shortcut edge label(v) -> v for
+#     every non-root v, all hash-routed with num_returns=CC_BUCKETS
+#   gather (per bucket): min-merge candidates into the local labels,
+#     union + dedup new shortcut edges into the local edge shard,
+#     return (edges, labels, n_changed)
+#
+# Shortcuts make every round relax label(label(v)) as well as the
+# neighbour labels — pointer doubling, so rounds = O(log diameter)
+# instead of O(diameter).  Labels only decrease and always hold an id
+# from the own component, so sum(changed) == 0 is an exact fixpoint
+# witness.  Edge shards grow by at most one (label(v), v) shortcut per
+# node per round, deduped in place; rounds are logarithmic, so the
+# overhead is bounded.
+
+CC_MAX_ROUNDS = 64
+CC_BUCKETS = 16
+
+
+def _cc_route(node: np.ndarray, n: int) -> np.ndarray:
+    return (node.astype(np.uint64) % np.uint64(n)).astype(np.int64)
+
+
+def _cc_init_split_impl(n, kind, *blocks):
+    """Hash-shard pair blocks (kind='edges': emit both directions,
+    keyed by src) or doc_id blocks (kind='labels') into n buckets."""
+    tbls = [b if isinstance(b, pa.Table) else pa.Table.from_pandas(b)
+            for b in blocks]
+    df = pa.concat_tables(tbls, promote_options="default").to_pandas()
+    if kind == "edges":
+        a, b_ = df["a"].to_numpy(np.int64), df["b"].to_numpy(np.int64)
+        out = pd.DataFrame({"src": np.concatenate([a, b_]),
+                            "dst": np.concatenate([b_, a])})
+        key = out["src"].to_numpy()
+    else:
+        ids = df["doc_id"].to_numpy(np.int64)
+        out = pd.DataFrame({"node": ids, "label": ids})
+        key = ids
+    bk = _cc_route(key, n)
+    return tuple(
+        pa.Table.from_pandas(out[bk == i], preserve_index=False)
+        for i in range(n)
+    )
+
+
+def _cc_concat_impl(*pieces):
+    return pa.concat_tables(pieces, promote_options="default")
+
+
+def _cc_scatter_impl(n, edges, labels):
+    """One bucket's scatter: candidate labels for edge targets plus new
+    shortcut edges, hash-routed to their home buckets.  Output rows:
+    (node, dst, label) — dst >= 0 marks a shortcut edge (src=node),
+    label >= 0 marks a candidate."""
+    e, l = edges.to_pandas(), labels.to_pandas()
+    m = e.merge(l, left_on="src", right_on="node", how="inner")
+    cand_node = m["dst"].to_numpy(np.int64)
+    cand_label = m["label"].to_numpy(np.int64)
+    nr = l[l["node"] != l["label"]]
+    sc_src = nr["label"].to_numpy(np.int64)
+    sc_dst = nr["node"].to_numpy(np.int64)
+    node = np.concatenate([cand_node, sc_src])
+    dst = np.concatenate([np.full(len(cand_node), -1, np.int64), sc_dst])
+    label = np.concatenate([cand_label, np.full(len(sc_src), -1, np.int64)])
+    bk = _cc_route(node, n)
+    out = pd.DataFrame({"node": node, "dst": dst, "label": label})
+    return tuple(
+        pa.Table.from_pandas(out[bk == i], preserve_index=False)
+        for i in range(n)
+    )
+
+
+def _cc_gather_impl(edges, labels, *pieces):
+    """One bucket's gather: min-merge candidates, absorb new shortcut
+    edges (dedup), count changed labels."""
+    inc = pa.concat_tables(pieces, promote_options="default").to_pandas()
+    l = labels.to_pandas()
+    cand = inc[inc["label"] >= 0]
+    changed = 0
+    if len(cand) and len(l):
+        mins = cand.groupby("node", sort=False)["label"].min()
+        old = l["label"].to_numpy(np.int64)
+        # float64 + NaN where no candidate; exact for ids < 2^53 (a
+        # 10^12-doc corpus uses ~2^40)
+        upd = l["node"].map(mins)
+        new = np.where(upd.notna().to_numpy(),
+                       np.minimum(old, upd.fillna(0).to_numpy(np.int64)),
+                       old)
+        changed = int((new < old).sum())
+        l = pd.DataFrame({"node": l["node"].to_numpy(np.int64),
+                          "label": new})
+    sc = inc[inc["dst"] >= 0][["node", "dst"]].rename(columns={"node": "src"})
+    e = edges.to_pandas()
+    if len(sc):
+        e = pd.concat([e, sc], ignore_index=True).drop_duplicates()
+    return (pa.Table.from_pandas(e, preserve_index=False),
+            pa.Table.from_pandas(l, preserve_index=False),
+            changed)
+
+
+_CC_FNS: dict = {}
+
+
+def _cc_remote_fns():
+    """Exported once per session (same rationale as shuffle.py)."""
+    if not _CC_FNS:
+        import ray
+
+        _CC_FNS["init"] = ray.remote(_cc_init_split_impl)
+        _CC_FNS["concat"] = ray.remote(_cc_concat_impl)
+        _CC_FNS["scatter"] = ray.remote(_cc_scatter_impl)
+        _CC_FNS["gather"] = ray.remote(_cc_gather_impl)
+    return _CC_FNS
+
+
+def q_dedup_components(sf_dir: str):
+    import ray
+
+    from .queries_text import q_minhash_pairs
+
+    fns = _cc_remote_fns()
+    n = CC_BUCKETS
+
+    def shard(ds, kind):
+        refs = [r for bu in ds.iter_internal_ref_bundles()
+                for r in bu.block_refs]
+        n_tasks = max(1, min(len(refs), n))
+        groups = [refs[i::n_tasks] for i in range(n_tasks)]
+        pieces = [fns["init"].options(num_returns=n).remote(n, kind, *g)
+                  for g in groups if g]
+        return [fns["concat"].remote(*[p[b] for p in pieces])
+                for b in range(n)]
+
+    edges = shard(q_minhash_pairs(sf_dir), "edges")
+    labels = shard(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id"]),
+        "labels")
+    for _ in range(CC_MAX_ROUNDS):
+        outs = [fns["scatter"].options(num_returns=n).remote(
+            n, edges[b], labels[b]) for b in range(n)]
+        gathered = [fns["gather"].options(num_returns=3).remote(
+            edges[b], labels[b], *[outs[s][b] for s in range(n)])
+            for b in range(n)]
+        edges = [g[0] for g in gathered]
+        labels = [g[1] for g in gathered]
+        if sum(ray.get([g[2] for g in gathered])) == 0:
+            break
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["node"].to_numpy(),
+                "component": df["label"].to_numpy(),
+                "is_canonical": (df["node"] == df["label"]).astype(np.int64),
+            }
+        )
+
+    return ray.data.from_arrow_refs(labels).map_batches(
+        finish, batch_format="pandas")
+
+
+
+def sql_dedup_components() -> str:
+    from .queries_text import sql_minhash_pairs
+
+    # min-reachable-id via recursive closure over the same LSH pairs the
+    # engine clusters (full-chain oracle: pair generation included)
+    return (
+        f"WITH RECURSIVE pairs AS ({sql_minhash_pairs()}), "
+        "e AS (SELECT a AS src, b AS dst FROM pairs "
+        "UNION ALL SELECT b, a FROM pairs), "
+        "walk(node, lab) AS ("
+        "SELECT doc_id, doc_id FROM documents "
+        "UNION "
+        "SELECT e.dst, w.lab FROM walk w JOIN e ON e.src = w.node) "
+        "SELECT node AS doc_id, MIN(lab) AS component, "
+        "CAST(node = MIN(lab) AS BIGINT) AS is_canonical "
+        "FROM walk GROUP BY node"
+    )
+
+
+# ------------------------------------------------- 2. exact heavy hitters
+#
+# Exact distributed top-K tokens with BOUNDED exchange: phase 1 keeps
+# only each task's local top-M words (plus one residual-bound row), so
+# candidate volume is O(M x tasks) regardless of corpus size; phase 2
+# exactly recounts the candidate set alone (broadcast membership
+# filter).  Certificate: a word absent from every task's top-M has
+# global count <= sum of per-task dropped maxima — asserted against the
+# K-th candidate count, so the returned top-K is provably exact (the
+# classic distributed Misra-Gries + recount construction).
+
+HH_K = 10
+HH_M = 64
+_HH_RESIDUAL = "\x00residual"
+
+
+def q_heavy_hitters(sf_dir: str):
+    import ray
+
+    from ..stages.shuffle import grouped_agg
+
+    def partial_top(b: pa.Table) -> pa.Table:
+        _, words = _explode_words(b)
+        uniq, cnt = np.unique(words, return_counts=True)
+        if len(uniq) > HH_M:
+            order = np.argsort(-cnt, kind="stable")
+            keep, drop = order[:HH_M], order[HH_M:]
+            dropped_max = int(cnt[drop].max())
+            uniq, cnt = uniq[keep], cnt[keep]
+        else:
+            dropped_max = 0
+        return pa.table(
+            {
+                "word": pa.array(
+                    list(uniq) + [_HH_RESIDUAL], pa.string()),
+                "cnt": pa.array(
+                    np.concatenate([cnt, [dropped_max]]), pa.int64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    phase1 = grouped_agg(
+        ds.map_batches(partial_top, batch_format="pyarrow"),
+        ["word"], {"cnt": ("cnt", "sum")},
+    ).to_pandas()  # O(M x tasks) rows — bounded, driver-safe by design
+    residual_bound = int(
+        phase1.loc[phase1["word"] == _HH_RESIDUAL, "cnt"].sum())
+    cand = set(phase1.loc[phase1["word"] != _HH_RESIDUAL, "word"])
+    cand_ref = ray.put(cand)
+
+    def recount(b: pa.Table) -> pa.Table:
+        cset = ray.get(cand_ref)
+        _, words = _explode_words(b)
+        mask = np.fromiter((w in cset for w in words), bool, count=len(words))
+        uniq, cnt = np.unique(words[mask], return_counts=True)
+        return pa.table(
+            {"word": pa.array(list(uniq), pa.string()),
+             "cnt": pa.array(cnt, pa.int64())}
+        )
+
+    exact = grouped_agg(
+        ds.map_batches(recount, batch_format="pyarrow"),
+        ["word"], {"cnt": ("cnt", "sum")},
+    ).to_pandas()  # candidate-set-sized
+    exact = exact.sort_values(
+        ["cnt", "word"], ascending=[False, True], kind="stable"
+    ).head(HH_K).reset_index(drop=True)
+    kth = int(exact["cnt"].iloc[-1]) if len(exact) else 0
+    # exactness certificate: nothing outside the candidate set can reach
+    # the K-th candidate (a tie at the bound could lose to a smaller
+    # lexicographic outsider, so strict unless nothing was dropped)
+    assert residual_bound == 0 or kth > residual_bound, (kth, residual_bound)
+    exact["rank"] = np.arange(1, len(exact) + 1, dtype=np.int64)
+    return pa.Table.from_pandas(exact[["rank", "word", "cnt"]],
+                                preserve_index=False)
+
+
+def sql_heavy_hitters() -> str:
+    return (
+        "WITH w AS (SELECT unnest(string_split(text, ' ')) AS word "
+        "FROM documents), "
+        "c AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word) "
+        "SELECT CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) "
+        "AS rank, word, CAST(cnt AS BIGINT) AS cnt FROM c "
+        f"ORDER BY cnt DESC, word LIMIT {HH_K}"
+    )
+
+
+# -------------------------------------- 3. stratified deterministic sample
+#
+# Exact per-stratum sample: the N docs with the smallest
+# md5(str(doc_id)) per language.  Hash-rank sampling is reproducible
+# across runs/machines and composable (a later run with larger N is a
+# superset); per-split top-N is associative, so the combiner bounds the
+# exchange at O(N x strata) per split task.
+
+STRAT_N = 20
+
+
+def q_stratified_sample(sf_dir: str):
+    import ray
+
+    from ..stages.shuffle import bucketed_apply
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "lang": df["lang"].to_numpy(),
+                "doc_id": df["doc_id"].to_numpy(),
+                "h": [_md5(str(i)) for i in df["doc_id"].to_numpy()],
+            }
+        )
+
+    def topn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["lang", "h", "doc_id"], kind="stable")
+        return g.groupby("lang", sort=False).head(STRAT_N)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["lang", "h", "doc_id"], kind="stable")
+        g = g.groupby("lang", sort=False).head(STRAT_N).copy()
+        g["rk"] = g.groupby("lang", sort=False).cumcount() + 1
+        return g[["lang", "doc_id", "rk"]]
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return bucketed_apply(
+        ds.map_batches(keyed, batch_format="pandas"),
+        ["lang"], finish, n_buckets=16, combine=topn,
+    )
+
+
+def sql_stratified_sample() -> str:
+    return (
+        "SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk FROM ("
+        "SELECT lang, doc_id, row_number() OVER (PARTITION BY lang "
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk "
+        f"FROM documents) t WHERE rk <= {STRAT_N}"
+    )
+
+
+# --------------------------------------------------- 4. PII-style redaction
+#
+# Redact digit runs in the events payload column (the stand-in for
+# email/phone/SSN scrubbing — the container has no PII corpus, and the
+# digit-run pattern is the regex-dialect-safe common denominator between
+# Python re and DuckDB RE2).  Pure map_batches: embarrassingly parallel,
+# compiled pattern, vectorized pandas str kernels.
+
+_NUM_PAT = re.compile(r"[0-9]+")
+
+
+def q_pii_redact(sf_dir: str):
+    import ray
+
+    def fn(b: pa.Table) -> pa.Table:
+        p = b.column("props").to_pandas()
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "redacted": pa.array(
+                    p.str.replace(_NUM_PAT, "<NUM>", regex=True), pa.string()),
+                "n_redacted": pa.array(
+                    p.str.count(_NUM_PAT.pattern).astype("int64")),
+            }
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def sql_pii_redact() -> str:
+    return (
+        "SELECT event_id, "
+        "regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS redacted, "
+        "CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) "
+        "AS n_redacted FROM events"
+    )
+
+
+# ------------------------------------------------------ 5. TF-IDF top terms
+#
+# Top-3 terms per document by tf/df score.  The document-frequency
+# table is vocabulary-sized (Heaps' law: << corpus), built with one
+# map-side-combined exchange, then BROADCAST (ray.put, read once per
+# worker) into a per-batch vectorized scoring pass — the canonical
+# small-side pattern, no second shuffle.  Scores are single correctly-
+# rounded IEEE divisions (tf, df exact ints), so DuckDB reproduces them
+# bit-exactly; ties break on word ASC.
+
+TFIDF_TOP = 3
+
+
+def q_tfidf_top(sf_dir: str):
+    import ray
+
+    from ..stages.shuffle import grouped_agg
+
+    def doc_word_partials(b: pa.Table) -> pa.Table:
+        doc, words = _explode_words(b)
+        dw = pd.DataFrame({"d": doc, "word": words}).drop_duplicates()
+        per = dw.groupby("word", sort=False).size()
+        return pa.table(
+            {"word": pa.array(per.index.to_numpy(), pa.string()),
+             "n": pa.array(per.to_numpy().astype(np.int64))}
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    df_tbl = grouped_agg(
+        ds.map_batches(doc_word_partials, batch_format="pyarrow"),
+        ["word"], {"df_docs": ("n", "sum")},
+    ).to_pandas()  # vocabulary-sized broadcast side
+    df_ref = ray.put(dict(zip(df_tbl["word"], df_tbl["df_docs"].astype(int))))
+
+    def score(b: pa.Table) -> pa.Table:
+        dfm = ray.get(df_ref)
+        doc, words = _explode_words(b)
+        t = (
+            pd.DataFrame({"doc_id": doc, "word": words})
+            .groupby(["doc_id", "word"], sort=False).size()
+            .reset_index(name="tf")
+        )
+        t["df_docs"] = t["word"].map(dfm).astype(np.int64)
+        t["score"] = t["tf"].to_numpy().astype(np.float64) / t[
+            "df_docs"].to_numpy().astype(np.float64)
+        t = t.sort_values(
+            ["doc_id", "score", "word"], ascending=[True, False, True],
+            kind="stable")
+        t = t.groupby("doc_id", sort=False).head(TFIDF_TOP)
+        t["tf"] = t["tf"].astype(np.int64)
+        return pa.Table.from_pandas(
+            t[["doc_id", "word", "tf", "df_docs", "score"]],
+            preserve_index=False)
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def sql_tfidf_top() -> str:
+    return (
+        "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word "
+        "FROM documents), "
+        "tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w "
+        "GROUP BY doc_id, word), "
+        "df AS (SELECT word, COUNT(DISTINCT doc_id) AS df_docs FROM w "
+        "GROUP BY word), "
+        "s AS (SELECT tf.doc_id, tf.word, tf.tf, df.df_docs, "
+        "CAST(tf.tf AS DOUBLE) / df.df_docs AS score, "
+        "row_number() OVER (PARTITION BY tf.doc_id "
+        "ORDER BY CAST(tf.tf AS DOUBLE) / df.df_docs DESC, tf.word) AS rk "
+        "FROM tf JOIN df USING (word)) "
+        "SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, "
+        "CAST(df_docs AS BIGINT) AS df_docs, score FROM s "
+        f"WHERE rk <= {TFIDF_TOP}"
+    )
+
+
+QUERIES = {
+    "dedup_components": q_dedup_components,
+    "heavy_hitters": q_heavy_hitters,
+    "stratified_sample": q_stratified_sample,
+    "pii_redact": q_pii_redact,
+    "tfidf_top": q_tfidf_top,
+}
+
+ORACLES = {
+    "dedup_components": sql_dedup_components,
+    "heavy_hitters": sql_heavy_hitters(),
+    "stratified_sample": sql_stratified_sample(),
+    "pii_redact": sql_pii_redact(),
+    "tfidf_top": sql_tfidf_top(),
+}

@@ -1,0 +1,149 @@
+"""Curation-operator tests: connected-component dedup clustering,
+exact heavy hitters, stratified hash sampling, redaction, TF-IDF.
+
+Each check recomputes the expected result independently (union-find,
+collections.Counter, plain pandas) on sf0.001 — the DuckDB hash-exact
+gate runs separately via tools/check_oracles.py."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return pq.read_table(f"{SF}/documents.parquet").to_pandas()
+
+
+def test_dedup_components_vs_union_find(ray_session):
+    from osmquadtree_depreceated_ray.pipelines.queries_curate import (
+        q_dedup_components,
+    )
+    from osmquadtree_depreceated_ray.pipelines.queries_text import (
+        q_minhash_pairs,
+    )
+
+    pairs = q_minhash_pairs(SF).to_pandas()
+    got = q_dedup_components(SF).to_pandas().sort_values("doc_id")
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs.itertuples(index=False):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    docs_ids = got["doc_id"].to_numpy()
+    expect = np.array([find(int(i)) for i in docs_ids])
+    # union-find roots are component minima because unions always point
+    # the larger root at the smaller
+    assert (got["component"].to_numpy() == expect).all()
+    assert (got["is_canonical"].to_numpy()
+            == (docs_ids == expect).astype(np.int64)).all()
+    # every component's canonical row exists exactly once
+    canon = got[got["is_canonical"] == 1]
+    assert set(canon["doc_id"]) == set(got["component"].unique())
+
+
+def test_heavy_hitters_exact(ray_session, docs):
+    from collections import Counter
+
+    from osmquadtree_depreceated_ray.pipelines.queries_curate import (
+        HH_K,
+        q_heavy_hitters,
+    )
+
+    got = q_heavy_hitters(SF).to_pandas()
+    cnt = Counter(w for t in docs["text"] for w in t.split(" "))
+    expect = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:HH_K]
+    assert list(zip(got["word"], got["cnt"])) == expect
+    assert list(got["rank"]) == list(range(1, len(expect) + 1))
+
+
+def test_stratified_sample_exact(ray_session, docs):
+    from osmquadtree_depreceated_ray.pipelines.queries_curate import (
+        STRAT_N,
+        q_stratified_sample,
+    )
+
+    got = (
+        q_stratified_sample(SF)
+        .to_pandas()
+        .sort_values(["lang", "rk"])
+        .reset_index(drop=True)
+    )
+    d = docs[["doc_id", "lang"]].copy()
+    d["h"] = [hashlib.md5(str(i).encode()).hexdigest() for i in d["doc_id"]]
+    d = d.sort_values(["lang", "h", "doc_id"], kind="stable")
+    d = d.groupby("lang", sort=True).head(STRAT_N).copy()
+    d["rk"] = d.groupby("lang", sort=False).cumcount() + 1
+    expect = d[["lang", "doc_id", "rk"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["lang", "doc_id", "rk"]].astype({"rk": np.int64}),
+        expect.astype({"rk": np.int64}),
+    )
+    # per-stratum size bound
+    assert (got.groupby("lang").size() <= STRAT_N).all()
+
+
+def test_pii_redact(ray_session):
+    from osmquadtree_depreceated_ray.pipelines.queries_curate import (
+        q_pii_redact,
+    )
+
+    got = q_pii_redact(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "props"]).to_pandas()
+    m = got.merge(ev, on="event_id")
+    import re
+
+    pat = re.compile(r"[0-9]+")
+    assert (m["redacted"] == m["props"].map(
+        lambda s: pat.sub("<NUM>", s))).all()
+    assert (m["n_redacted"] == m["props"].map(
+        lambda s: len(pat.findall(s)))).all()
+    # no digits survive
+    assert not got["redacted"].str.contains(r"[0-9]").any()
+
+
+def test_tfidf_top(ray_session, docs):
+    from osmquadtree_depreceated_ray.pipelines.queries_curate import (
+        TFIDF_TOP,
+        q_tfidf_top,
+    )
+
+    got = q_tfidf_top(SF).to_pandas()
+    w = (
+        docs[["doc_id", "text"]]
+        .assign(word=docs["text"].str.split(" "))
+        .explode("word")
+    )
+    tf = w.groupby(["doc_id", "word"]).size().reset_index(name="tf")
+    df_docs = (
+        w.drop_duplicates(["doc_id", "word"])
+        .groupby("word").size().rename("df_docs").reset_index()
+    )
+    s = tf.merge(df_docs, on="word")
+    s["score"] = s["tf"].astype(np.float64) / s["df_docs"].astype(np.float64)
+    s = s.sort_values(["doc_id", "score", "word"],
+                      ascending=[True, False, True], kind="stable")
+    expect = s.groupby("doc_id", sort=True).head(TFIDF_TOP)
+    got_s = got.sort_values(["doc_id", "word"]).reset_index(drop=True)
+    exp_s = expect.sort_values(["doc_id", "word"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got_s[["doc_id", "word", "tf", "df_docs", "score"]].astype(
+            {"tf": np.int64, "df_docs": np.int64}),
+        exp_s[["doc_id", "word", "tf", "df_docs", "score"]].astype(
+            {"tf": np.int64, "df_docs": np.int64}),
+    )
+    assert (got.groupby("doc_id").size() <= TFIDF_TOP).all()
