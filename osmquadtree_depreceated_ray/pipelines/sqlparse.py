@@ -100,9 +100,10 @@ class _Parser:
         return t
 
     # -- grammar -------------------------------------------------------------
-    def parse_query(self):
+    def parse_query(self, nested=False):
         """query := select (UNION [ALL] select)* [ORDER BY ...] [LIMIT n]
-        (UNION without ALL deduplicates, sqlselect/sql.go)"""
+        (UNION without ALL deduplicates, sqlselect/sql.go); nested=True
+        parses a parenthesized derived-table body (stops before ')')"""
         selects = [self.parse_select()]
         union_all = []
         while self.accept("kw", "union"):
@@ -124,7 +125,8 @@ class _Parser:
         limit = None
         if self.accept("kw", "limit"):
             limit = int(self.expect("num")[1])
-        self.expect("eof")
+        if not nested:
+            self.expect("eof")
         return {"selects": selects, "union_all": union_all,
                 "order": order, "desc": desc, "limit": limit}
 
@@ -144,7 +146,16 @@ class _Parser:
                 if not self.accept("op", ","):
                     break
         self.expect("kw", "from")
-        table = self.expect("ident")[1]
+        if self.accept("op", "("):
+            # derived table: FROM (SELECT ...) [AS] alias — the inner
+            # query plans/executes first and feeds the outer pipeline
+            sub = self.parse_query(nested=True)
+            self.expect("op", ")")
+            self.accept("kw", "as")
+            alias = self.expect("ident")[1]
+            table = ("derived", sub, alias)
+        else:
+            table = self.expect("ident")[1]
         join = None
         if self.accept("kw", "join"):
             jt = self.expect("ident")[1]
@@ -421,6 +432,16 @@ _AGG_HOW = {"sum": "sum", "count": "count", "min": "min", "max": "max",
             "avg": "mean"}
 
 
+def _has_agg(node) -> bool:
+    if isinstance(node, tuple):
+        if node[0] == "call" and node[1] in _AGG_FUNCS:
+            return True
+        return any(_has_agg(s) for s in node if isinstance(s, (tuple, list)))
+    if isinstance(node, list):
+        return any(_has_agg(s) for s in node if isinstance(s, (tuple, list)))
+    return False
+
+
 def _extract_aggs(node, aggs: list):
     """Replace every aggregate call in an item expression with a
     synthetic column ref, collecting (key, fname, args); the rewritten
@@ -459,6 +480,12 @@ def _run_grouped_select(ds, sel) -> "ray.data.Dataset":  # noqa: F821
     group_cols = sel["group"]
     if sel["items"] is None:
         raise ValueError("SELECT * is not valid with GROUP BY")
+    # global aggregate (no GROUP BY): group over a synthetic constant
+    # (assumes non-empty input — SQL's 1-row-on-empty convention is not
+    # reproduced)
+    global_agg = not group_cols
+    if global_agg:
+        group_cols = ["__g"]
     aggs: list = []
     post_items = []
     for idx, (e, name) in enumerate(sel["items"]):
@@ -475,7 +502,8 @@ def _run_grouped_select(ds, sel) -> "ray.data.Dataset":  # noqa: F821
     q = Query(ds)
     if sel["where"] is not None:
         q = q.where(_compile_expr(sel["where"]))
-    pre_cols = {c: col(c) for c in group_cols}
+    pre_cols = ({"__g": lit(0)} if global_agg
+                else {c: col(c) for c in group_cols})
     spec = {}
     for key, fname, args in aggs:
         if fname == "count" and (not args or args[0] == ("star",)):
@@ -629,7 +657,10 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
         if sel["where"] is not None:
             sel = dict(sel, where=_resolve_subqueries(
                 sel["where"], tables, broadcast_threshold))
-        ds = tables[sel["table"]]
+        if isinstance(sel["table"], tuple) and sel["table"][0] == "derived":
+            ds = _exec_ast(sel["table"][1], tables, broadcast_threshold)
+        else:
+            ds = tables[sel["table"]]
         if sel["join"] is not None:
             jt, lcol, rcol = sel["join"]
             rhs = tables[jt]
@@ -700,7 +731,10 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
                 ds = _broadcast_join(ds, rhs, lcol, rcol)
             else:
                 ds = _join_on(ds, rhs, lcol, rcol)
-        if sel.get("group"):
+        if sel.get("group") or (
+            sel["items"] is not None
+            and any(_has_agg(e) for e, _ in sel["items"])
+        ):
             runs.append(_run_grouped_select(ds, sel))
             continue
         q = Query(ds)

@@ -104,6 +104,21 @@ CASES = [
     "ORDER BY k",
     # modulo operator
     "SELECT k FROM t1 WHERE k % 7 = 3 ORDER BY k",
+    # derived table: outer select + filter over an inner projection
+    "SELECT k, v10 FROM (SELECT k, v + 10 AS v10 FROM t1 WHERE v > 0) d "
+    "WHERE v10 > 40 ORDER BY k LIMIT 20",
+    # derived table with aggregation inside, outer filter on the agg
+    "SELECT s, sv FROM (SELECT s, CAST(SUM(v) AS BIGINT) AS sv FROM t1 "
+    "GROUP BY s) AS agg WHERE sv > 0 ORDER BY s",
+    # aggregate OVER a derived table (re-grouping a projection)
+    "SELECT sign, COUNT(*) AS n FROM (SELECT CASE WHEN v >= 0 THEN 'p' "
+    "ELSE 'n' END AS sign FROM t1) d GROUP BY sign ORDER BY sign",
+    # union inside a derived table
+    "SELECT COUNT(*) AS n FROM (SELECT k FROM t1 WHERE v > 40 "
+    "UNION ALL SELECT k FROM t1 WHERE v < -40) u",
+    # global aggregate (no GROUP BY)
+    "SELECT CAST(SUM(v) AS BIGINT) AS sv, COUNT(*) AS n, MIN(k) AS mk "
+    "FROM t1 WHERE v > 0",
 ]
 
 
