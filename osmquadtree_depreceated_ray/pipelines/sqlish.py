@@ -81,6 +81,25 @@ class Expr:
     def __invert__(self):
         return Expr(lambda t: pc.invert(self(t)), "not")
 
+    # -- bitwise (sql.y value_expression '&' / BR / '~', shifts) ------------
+    def bitand(self, o):
+        return self._bin(o, pc.bit_wise_and, "bitand")
+
+    def bitor(self, o):
+        return self._bin(o, pc.bit_wise_or, "bitor")
+
+    def bitxor(self, o):
+        return self._bin(o, pc.bit_wise_xor, "bitxor")
+
+    def bitnot(self):
+        return Expr(lambda t: pc.bit_wise_not(self(t)), "bitnot")
+
+    def shiftleft(self, o):
+        return self._bin(o, pc.shift_left, "shiftleft")
+
+    def shiftright(self, o):
+        return self._bin(o, pc.shift_right, "shiftright")
+
     # -- scalar functions ----------------------------------------------------
     def like(self, pattern: str):
         """LIKE limited to %x, x%, %x% (functions.go:335-374)."""

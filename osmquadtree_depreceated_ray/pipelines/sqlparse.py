@@ -7,12 +7,20 @@ existing :mod:`.sqlish` Expr/Query layer (pyarrow.compute kernels inside
 
 Surface (the reference's grammar, plus LIMIT):
 
-    SELECT expr [AS name], ...            projection + scalar functions
-    FROM table [JOIN table ON a = b]      equi-join (bucketed hash join)
-    WHERE expr                            AND/OR/NOT, comparisons, LIKE,
-                                          BETWEEN, IN (...), IS [NOT] NULL
-    ORDER BY col [DESC], ... / LIMIT n
-    <select> UNION ALL <select>
+    SELECT [DISTINCT] expr [AS name], ... projection + scalar functions,
+                                          aggregates incl. fn(DISTINCT x)
+    FROM table | schema.table             (qualified name -> bare table,
+         | (SELECT ...) [AS] t             sql.y pickTable($3))
+         | (VALUES (..),(..)) t(a, b)     literal table
+      [JOIN table ON a = b | USING (c)]   equi-join (planned broadcast
+                                          vs bucketed hash shuffle)
+    WHERE expr                            AND/OR/NOT, comparisons,
+                                          [NOT] LIKE/BETWEEN/IN (list or
+                                          subquery), IS [NOT] NULL,
+                                          bitwise & | # ~ << >>
+    GROUP BY ... [HAVING expr]
+    ORDER BY col [ASC|DESC], ... / LIMIT n
+    <select> UNION [ALL] <select>         (non-ALL deduplicates)
 
 Scalar functions: coalesce nullif replace substr char_length/length
 concat lower/upper-free arithmetic + - * / and || concatenation, CASE
@@ -33,7 +41,7 @@ _TOKEN_RE = re.compile(
     r"\s*(?:"
     r"(?P<num>\d+\.\d+|\d+)"
     r"|(?P<str>'(?:[^']|'')*')"
-    r"|(?P<op>\|\||<=|>=|<>|!=|=|<|>|\(|\)|,|\+|-|\*|/|%|\.)"
+    r"|(?P<op>\|\||<<|>>|<=|>=|<>|!=|=|<|>|\(|\)|,|\+|-|\*|/|%|\.|&|\||~|#)"
     r"|(?P<ident>[A-Za-z_][A-Za-z_0-9]*)"
     r")"
 )
@@ -147,15 +155,25 @@ class _Parser:
                     break
         self.expect("kw", "from")
         if self.accept("op", "("):
-            # derived table: FROM (SELECT ...) [AS] alias — the inner
-            # query plans/executes first and feeds the outer pipeline
-            sub = self.parse_query(nested=True)
-            self.expect("op", ")")
-            self.accept("kw", "as")
-            alias = self.expect("ident")[1]
-            table = ("derived", sub, alias)
+            if (self.peek()[0] == "ident"
+                    and self.peek()[1].lower() == "values"):
+                # (VALUES (..),(..)) [AS] t[(c1, c2)] — sql.y's literal
+                # table production ('(' VALUES tuple_list ')')
+                table = self._parse_values_table()
+            else:
+                # derived table: FROM (SELECT ...) [AS] alias — the inner
+                # query plans/executes first and feeds the outer pipeline
+                sub = self.parse_query(nested=True)
+                self.expect("op", ")")
+                self.accept("kw", "as")
+                alias = self.expect("ident")[1]
+                table = ("derived", sub, alias)
         else:
             table = self.expect("ident")[1]
+            if self.accept("op", "."):
+                # schema-qualified name: the reference resolves the bare
+                # table (sql.y simple_table_expression: pickTable($3))
+                table = self.expect("ident")[1]
         join = None
         if self.accept("kw", "join"):
             jt = self.expect("ident")[1]
@@ -209,47 +227,82 @@ class _Parser:
         return self.parse_cmp()
 
     def parse_cmp(self):
-        e = self.parse_add()
+        e = self.parse_bit()
         k, v = self.peek()
+        # postfix negated forms: x NOT IN (...) / NOT LIKE / NOT BETWEEN
+        # (sql.y condition productions) — distinct from prefix NOT, which
+        # parse_not handles at boolean level
+        if (k == "kw" and v == "not"
+                and self.toks[self.i + 1][1] in ("in", "like", "between")):
+            self.next()
+            k, v = self.peek()
+            if v == "like":
+                self.next()
+                return ("not", ("like", e, self.expect("str")[1]))
+            if v == "between":
+                self.next()
+                lo = self.parse_bit()
+                self.expect("kw", "and")
+                hi = self.parse_bit()
+                return ("not", ("between", e, lo, hi))
+            return ("not", self._parse_in_tail(e))
         if k == "op" and v in ("=", "<>", "!=", "<", "<=", ">", ">="):
             self.next()
             return ({"=": "eq", "<>": "ne", "!=": "ne", "<": "lt",
                      "<=": "le", ">": "gt", ">=": "ge"}[v],
-                    e, self.parse_add())
+                    e, self.parse_bit())
         if k == "kw" and v == "like":
             self.next()
             return ("like", e, self.expect("str")[1])
         if k == "kw" and v == "between":
             self.next()
-            lo = self.parse_add()
+            lo = self.parse_bit()
             self.expect("kw", "and")
-            hi = self.parse_add()
+            hi = self.parse_bit()
             return ("between", e, lo, hi)
         if k == "kw" and v == "in":
-            self.next()
-            self.expect("op", "(")
-            if self.peek() == ("kw", "select"):
-                # IN (subquery) — sqlselect/sql.go grammar; resolved at
-                # plan time (the subquery runs first, its first column
-                # becomes the value set)
-                sub = self.parse_select()
-                self.expect("op", ")")
-                return ("in_sub", e, sub)
-            vals = []
-            while True:
-                tk, tv = self.next()
-                vals.append(float(tv) if tk == "num" and "." in tv
-                            else int(tv) if tk == "num" else tv)
-                if not self.accept("op", ","):
-                    break
-            self.expect("op", ")")
-            return ("in", e, vals)
+            return self._parse_in_tail(e)
         if k == "kw" and v == "is":
             self.next()
             neg = bool(self.accept("kw", "not"))
             self.expect("kw", "null")
             return ("notnull" if neg else "isnull", e)
         return e
+
+    def _parse_in_tail(self, e):
+        self.expect("kw", "in")
+        self.expect("op", "(")
+        if self.peek() == ("kw", "select"):
+            # IN (subquery) — sqlselect/sql.go grammar; resolved at
+            # plan time (the subquery runs first, its first column
+            # becomes the value set)
+            sub = self.parse_select()
+            self.expect("op", ")")
+            return ("in_sub", e, sub)
+        vals = []
+        while True:
+            tk, tv = self.next()
+            vals.append(float(tv) if tk == "num" and "." in tv
+                        else int(tv) if tk == "num" else tv)
+            if not self.accept("op", ","):
+                break
+        self.expect("op", ")")
+        return ("in", e, vals)
+
+    def parse_bit(self):
+        # bitwise & | # << >> — one "any other operator" level between
+        # comparison and additive, matching Postgres/DuckDB precedence
+        # (sql.y: value_expression '&' / BR / shifts)
+        e = self.parse_add()
+        while True:
+            k, v = self.peek()
+            if k == "op" and v in ("&", "|", "#", "<<", ">>"):
+                self.next()
+                e = ({"&": "bitand", "|": "bitor", "#": "bitxor",
+                      "<<": "shiftl", ">>": "shiftr"}[v],
+                     e, self.parse_add())
+            else:
+                return e
 
     def parse_add(self):
         e = self.parse_mul()
@@ -278,6 +331,8 @@ class _Parser:
     def parse_unary(self):
         if self.accept("op", "-"):
             return ("neg", self.parse_unary())
+        if self.accept("op", "~"):
+            return ("bitnot", self.parse_unary())
         return self.parse_primary()
 
     def parse_primary(self):
@@ -310,6 +365,9 @@ class _Parser:
             self.next()
             if self.accept("op", "("):
                 args = []
+                # fn(DISTINCT expr, ...) — sql.y's distinct-aggregate
+                # production; compiles to a distinct-agg spec
+                is_distinct = bool(self.accept("kw", "distinct"))
                 if self.accept("op", "*"):
                     # COUNT(*)
                     args.append(("star",))
@@ -320,9 +378,47 @@ class _Parser:
                         if not self.accept("op", ","):
                             break
                     self.expect("op", ")")
-                return ("call", v.lower(), args)
+                return ("calld" if is_distinct else "call", v.lower(), args)
             return ("col", v)
         raise ValueError(f"SQL parse error at {self.peek()}")
+
+    def _parse_values_table(self):
+        """tuple_list body of a (VALUES ...) literal table; rows must be
+        literals (possibly signed).  Returns ("values", rows, colnames)."""
+        self.expect("ident")  # VALUES
+        rows = []
+        while True:
+            self.expect("op", "(")
+            row = []
+            while True:
+                e = self.parse_expr()
+                if e[0] == "neg" and e[1][0] == "lit":
+                    e = ("lit", -e[1][1])
+                if e[0] != "lit":
+                    raise ValueError(
+                        f"VALUES rows must be literals, got {e!r}")
+                row.append(e[1])
+                if not self.accept("op", ","):
+                    break
+            self.expect("op", ")")
+            rows.append(row)
+            if not self.accept("op", ","):
+                break
+        self.expect("op", ")")
+        self.accept("kw", "as")
+        self.expect("ident")  # alias (unused — single-table scope)
+        ncols = len(rows[0])
+        names = [f"col{i}" for i in range(ncols)]  # DuckDB default names
+        if self.accept("op", "("):
+            names = []
+            while True:
+                names.append(self.expect("ident")[1])
+                if not self.accept("op", ","):
+                    break
+            self.expect("op", ")")
+        if any(len(r) != ncols for r in rows) or len(names) != ncols:
+            raise ValueError("VALUES rows/column list have uneven arity")
+        return ("values", rows, names)
 
     def parse_case(self):
         self.expect("kw", "case")
@@ -366,6 +462,12 @@ def _compile_expr(node) -> Expr:
         if typ in ("double", "float", "real"):
             return inner.make_float()
         raise ValueError(f"unsupported CAST type {typ}")
+    if op in ("bitand", "bitor", "bitxor", "shiftl", "shiftr"):
+        a, b = _compile_expr(node[1]), _compile_expr(node[2])
+        return {"bitand": a.bitand, "bitor": a.bitor, "bitxor": a.bitxor,
+                "shiftl": a.shiftleft, "shiftr": a.shiftright}[op](b)
+    if op == "bitnot":
+        return _compile_expr(node[1]).bitnot()
     if op == "not":
         return ~_compile_expr(node[1])
     if op == "neg":
@@ -434,7 +536,7 @@ _AGG_HOW = {"sum": "sum", "count": "count", "min": "min", "max": "max",
 
 def _has_agg(node) -> bool:
     if isinstance(node, tuple):
-        if node[0] == "call" and node[1] in _AGG_FUNCS:
+        if node[0] in ("call", "calld") and node[1] in _AGG_FUNCS:
             return True
         return any(_has_agg(s) for s in node if isinstance(s, (tuple, list)))
     if isinstance(node, list):
@@ -450,12 +552,13 @@ def _extract_aggs(node, aggs: list):
     synthetic column, so the spec computes each distinct aggregate
     once."""
     if isinstance(node, tuple):
-        if node[0] == "call" and node[1] in _AGG_FUNCS:
+        if node[0] in ("call", "calld") and node[1] in _AGG_FUNCS:
+            fn = node[1] + ("!d" if node[0] == "calld" else "")
             for key, fname, args in aggs:
-                if fname == node[1] and args == node[2]:
+                if fname == fn and args == node[2]:
                     return ("col", key)
             key = f"__agg{len(aggs)}"
-            aggs.append((key, node[1], node[2]))
+            aggs.append((key, fn, node[2]))
             return ("col", key)
         return tuple(
             _extract_aggs(s, aggs) if isinstance(s, (tuple, list)) else s
@@ -511,7 +614,20 @@ def _run_grouped_select(ds, sel) -> "ray.data.Dataset":  # noqa: F821
             continue
         argcol = f"{key}_in"
         pre_cols[argcol] = _compile_expr(args[0])
-        spec[key] = (argcol, _AGG_HOW[fname])
+        if fname.endswith("!d"):
+            # fn(DISTINCT x): exact — each group is complete within its
+            # bucket, so a per-group unique pass is correct; grouped_agg
+            # skips map-side combine for these (the distinct set itself
+            # must travel), so the exchange is O(rows), not O(keys)
+            base = fname[:-2]
+            spec[key] = (argcol, {
+                "count": "nunique",
+                "sum": lambda s: s.drop_duplicates().sum(),
+                "avg": lambda s: s.drop_duplicates().mean(),
+                "min": "min", "max": "max",
+            }[base])
+        else:
+            spec[key] = (argcol, _AGG_HOW[fname])
     agg_ds = grouped_agg(q.select(**pre_cols).run(), group_cols, spec)
     q2 = Query(agg_ds)
     if having_node is not None:
@@ -659,6 +775,21 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
                 sel["where"], tables, broadcast_threshold))
         if isinstance(sel["table"], tuple) and sel["table"][0] == "derived":
             ds = _exec_ast(sel["table"][1], tables, broadcast_threshold)
+        elif isinstance(sel["table"], tuple) and sel["table"][0] == "values":
+            import ray
+
+            _, rows, names = sel["table"]
+            cols = {}
+            for i, n in enumerate(names):
+                vals = [r[i] for r in rows]
+                # integer literals that fit INT32 type as int32 — DuckDB's
+                # VALUES inference, so oracle dtypes line up
+                if all(isinstance(v, int) and not isinstance(v, bool)
+                       and -2**31 <= v < 2**31 for v in vals):
+                    cols[n] = pa.array(vals, pa.int32())
+                else:
+                    cols[n] = pa.array(vals)
+            ds = ray.data.from_arrow(pa.table(cols))
         else:
             ds = tables[sel["table"]]
         if sel["join"] is not None:

@@ -119,6 +119,24 @@ CASES = [
     # global aggregate (no GROUP BY)
     "SELECT CAST(SUM(v) AS BIGINT) AS sv, COUNT(*) AS n, MIN(k) AS mk "
     "FROM t1 WHERE v > 0",
+    # postfix negated conditions (sql.y NOT IN / NOT LIKE / NOT BETWEEN)
+    "SELECT k FROM t1 WHERE k NOT IN (1, 2, 3) AND k < 9 ORDER BY k",
+    "SELECT k FROM t1 WHERE s NOT LIKE 'name_1%' AND k < 20 ORDER BY k",
+    "SELECT k FROM t1 WHERE k NOT BETWEEN 5 AND 495 ORDER BY k",
+    # DISTINCT aggregates (sql.y sql_id '(' DISTINCT ... ')')
+    "SELECT s, COUNT(DISTINCT v) AS n FROM t1 GROUP BY s ORDER BY s",
+    "SELECT s, CAST(SUM(DISTINCT v) AS BIGINT) AS sv FROM t1 "
+    "GROUP BY s ORDER BY s",
+    "SELECT COUNT(DISTINCT s) AS n FROM t1",
+    # bitwise operators ('&', BR, '~', shifts)
+    "SELECT k, k & 12 AS ba, k | 3 AS bo, ~k AS bn, k << 2 AS sl, "
+    "k >> 1 AS sr FROM t1 WHERE k < 16 ORDER BY k",
+    # literal VALUES table ('(' VALUES tuple_list ')' as_opt column_list)
+    "SELECT a, b FROM (VALUES (1,'x'),(2,'y'),(-3,'z')) AS t(a, b) "
+    "ORDER BY a",
+    "SELECT col0 FROM (VALUES (4),(5)) AS t ORDER BY col0",
+    # schema-qualified table name (ID '.' ID -> pickTable($3))
+    "SELECT k FROM main.t1 WHERE k < 5 ORDER BY k",
 ]
 
 
