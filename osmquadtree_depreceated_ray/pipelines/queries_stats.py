@@ -1,0 +1,292 @@
+"""Distributed order statistics and join-pruning operators.
+
+Two operators a large-scale pipeline needs that neither the reference
+nor the earlier query modules cover:
+
+``quantiles``
+    EXACT distributed quantiles (no sampling, no t-digest error bar)
+    over an unbounded ``double`` column.  Shape: per-batch value counts
+    (map-side combine) -> one bucketed exchange building the distinct-
+    value histogram (O(distinct) rows, never O(rows)) -> distributed
+    sort of the histogram -> per-block (min, total) metadata on the
+    driver (O(blocks) state) -> prefix sums locate each target rank's
+    block -> one remote pick task per hit block.  The full corpus is
+    never collected anywhere; driver state is O(blocks + quantiles).
+
+``bloom_semijoin``
+    Semi-join where the probe side never shuffles: the build side's
+    keys are folded into a Bloom bitmap via MERGEABLE partials
+    (per-block bitmaps, tree-reduced with pairwise OR tasks — the
+    same mergeable-sketch shape as the HLL registers), the 128 KB
+    bitmap is broadcast (``ray.put`` once), and every probe batch
+    prunes map-side.  Bloom false positives are removed by an exact
+    membership recheck over the SURVIVORS only (broadcast key array
+    here; at 10^12 rows the recheck would be a bucketed join over the
+    pruned remainder — the bitmap's job is making that join small).
+    Result is therefore exact, and the DuckDB oracle is the plain
+    semi-join.
+
+The reference has no analogue (its joins are the qt zip-joins of
+calcqts/); these follow the task brief's training-data-pipeline list.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd  # noqa: F401  (kept for parity with sibling modules)
+import pyarrow as pa
+
+# --------------------------------------------------------------- quantiles
+
+QUANTILES = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+_ST_FNS: dict = {}
+
+
+def _stats_remote_fns():
+    """Exported once per session (same rationale as shuffle.py)."""
+    if not _ST_FNS:
+        import ray
+
+        _ST_FNS["meta"] = ray.remote(_block_meta_impl)
+        _ST_FNS["pick"] = ray.remote(_block_pick_impl)
+        _ST_FNS["bloom_or"] = ray.remote(_bloom_or_impl)
+    return _ST_FNS
+
+
+def _block_meta_impl(block: pa.Table):
+    """(min value, total multiset count) of one sorted-histogram block."""
+    if block.num_rows == 0:
+        return (None, 0)
+    v = block.column("value").to_numpy(zero_copy_only=False)
+    c = block.column("cnt").to_numpy(zero_copy_only=False)
+    return (float(v[0]), int(c.sum()))
+
+
+def _block_pick_impl(block: pa.Table, offset: int, targets: list):
+    """Select the histogram values whose global-rank window covers each
+    (q, rank) target; ranks are 1-based over the value-sorted multiset."""
+    v = block.column("value").to_numpy(zero_copy_only=False)
+    cum = np.cumsum(block.column("cnt").to_numpy(zero_copy_only=False))
+    qs, rks, vals = [], [], []
+    for q, rk in targets:
+        idx = int(np.searchsorted(cum, rk - offset, side="left"))
+        qs.append(q)
+        rks.append(rk)
+        vals.append(float(v[idx]))
+    return pa.table({
+        "q": pa.array(qs, pa.float64()),
+        "rk": pa.array(rks, pa.int64()),
+        "value": pa.array(vals, pa.float64()),
+    })
+
+
+def q_quantiles(sf_dir: str):
+    import ray
+
+    from ..stages.shuffle import grouped_agg
+
+    def partial(b: pa.Table) -> pa.Table:
+        uniq, cnt = np.unique(
+            b.column("value").to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pa.table({"value": pa.array(uniq, pa.float64()),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["value"])
+    hist = grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["value"], {"cnt": ("cnt", "sum")},
+    ).sort("value")
+    refs = [r for bu in hist.iter_internal_ref_bundles()
+            for r in bu.block_refs]
+    fns = _stats_remote_fns()
+    meta = ray.get([fns["meta"].remote(r) for r in refs])
+    # sorted blocks hold disjoint value ranges and the histogram's
+    # values are distinct, so ordering blocks by min IS the global
+    # order; empty blocks drop out
+    order = sorted((i for i in range(len(refs)) if meta[i][0] is not None),
+                   key=lambda i: meta[i][0])
+    totals = [meta[i][1] for i in order]
+    n = int(sum(totals))
+    # both sides compute ceil(q * n) in IEEE double (the oracle CASTs
+    # its quantile literals to DOUBLE — DuckDB would otherwise run the
+    # multiply in exact DECIMAL and disagree with this ceil)
+    targets = [(q, int(math.ceil(q * n))) for q in QUANTILES]
+    picks, offset = [], 0
+    for pos, i in enumerate(order):
+        hit = [(q, rk) for q, rk in targets
+               if offset < rk <= offset + totals[pos]]
+        if hit:
+            picks.append(fns["pick"].remote(refs[i], offset, hit))
+        offset += totals[pos]
+    out = pa.concat_tables(ray.get(picks)).to_pandas()
+    return pa.Table.from_pandas(
+        out.sort_values("q", kind="stable"), preserve_index=False)
+
+
+def sql_quantiles() -> str:
+    vals = ", ".join(f"(CAST({q} AS DOUBLE))" for q in QUANTILES)
+    return (
+        "WITH s AS (SELECT value, row_number() OVER (ORDER BY value) "
+        "AS rn FROM events), "
+        "n AS (SELECT COUNT(*) AS c FROM events), "
+        f"qs(q) AS (VALUES {vals}) "
+        "SELECT qs.q AS q, CAST(CEIL(qs.q * n.c) AS BIGINT) AS rk, "
+        "s.value AS value "
+        "FROM qs, n, s WHERE s.rn = CAST(CEIL(qs.q * n.c) AS BIGINT) "
+        "ORDER BY q"
+    )
+
+
+# ----------------------------------------------------------- bloom semijoin
+
+BLOOM_BITS = 1 << 20  # 128 KB bitmap
+BLOOM_K = 4
+_BLOOM_PRIORITY = "1-URGENT"
+
+
+def _bloom_positions(keys: np.ndarray) -> np.ndarray:
+    """(len(keys), BLOOM_K) bit positions via splitmix64 double hashing."""
+    x = keys.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x += np.uint64(0x9E3779B97F4A7C15)
+        z = x.copy()
+        z ^= z >> np.uint64(30)
+        z *= np.uint64(0xBF58476D1CE4E5B9)
+        z ^= z >> np.uint64(27)
+        z *= np.uint64(0x94D049BB133111EB)
+        z ^= z >> np.uint64(31)
+        h1 = z
+        z = x ^ np.uint64(0xD6E8FEB86659FD93)
+        z ^= z >> np.uint64(32)
+        z *= np.uint64(0xFF51AFD7ED558CCD)
+        z ^= z >> np.uint64(33)
+        h2 = z | np.uint64(1)
+        pos = np.empty((len(keys), BLOOM_K), np.uint64)
+        for i in range(BLOOM_K):
+            pos[:, i] = (h1 + np.uint64(i) * h2) % np.uint64(BLOOM_BITS)
+    return pos
+
+
+def _bloom_bitmap(keys: np.ndarray) -> np.ndarray:
+    bits = np.zeros(BLOOM_BITS // 8, np.uint8)
+    pos = _bloom_positions(keys).ravel()
+    np.bitwise_or.at(bits, pos >> np.uint64(3),
+                     np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+    return bits
+
+
+def _bloom_test(bits: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    pos = _bloom_positions(keys)
+    hit = np.ones(len(keys), bool)
+    for i in range(BLOOM_K):
+        p = pos[:, i]
+        hit &= (bits[p >> np.uint64(3)]
+                & (np.uint8(1) << (p & np.uint64(7)).astype(np.uint8))) != 0
+    return hit
+
+
+def _bloom_or_impl(*parts):
+    """Pairwise-mergeable OR of bitmap partials (tree-reduce node)."""
+    out = parts[0].copy()
+    for p in parts[1:]:
+        np.bitwise_or(out, p, out=out)
+    return out
+
+
+def q_bloom_semijoin(sf_dir: str):
+    import ray
+
+    from ..stages.shuffle import grouped_agg
+
+    import pyarrow.dataset as pds
+
+    fns = _stats_remote_fns()
+    build = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey"],
+        filter=pds.field("o_orderpriority") == _BLOOM_PRIORITY,
+    )
+
+    def bitmap_partial(b: pa.Table) -> pa.Table:
+        keys = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bits": pa.array([_bloom_bitmap(keys)], pa.list_(pa.uint8())),
+            "keys": pa.array([keys.astype(np.int64)],
+                             pa.list_(pa.int64())),
+        })
+
+    parts = build.map_batches(bitmap_partial, batch_format="pyarrow")
+    rows = parts.take_all()  # O(blocks) rows of 128 KB partials
+    # tree-reduce the partials with pairwise-OR tasks (driver never
+    # holds more than the root); fan-in 8 per node
+    refs = [ray.put(np.asarray(r["bits"], np.uint8)) for r in rows]
+    while len(refs) > 1:
+        refs = [fns["bloom_or"].remote(*refs[i:i + 8])
+                for i in range(0, len(refs), 8)]
+    bits_ref = refs[0]
+    # exact key set for the survivor recheck (build side is the small
+    # side by construction; at scale this becomes a bucketed join over
+    # the bloom-pruned remainder)
+    keys_ref = ray.put(np.sort(np.concatenate(
+        [np.asarray(r["keys"], np.int64) for r in rows])))
+
+    empty = pa.table({"l_returnflag": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64()),
+                      "sum_qty": pa.array([], pa.int64())})
+
+    def probe(b: pa.Table) -> pa.Table:
+        bits, keys = ray.get(bits_ref), ray.get(keys_ref)
+        k = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        mask = _bloom_test(bits, k)
+        # exact recheck over bloom survivors only
+        idx = np.flatnonzero(mask)
+        if len(idx) == 0 or len(keys) == 0:
+            return empty
+        sub = k[idx]
+        j = np.searchsorted(keys, sub)
+        j[j >= len(keys)] = len(keys) - 1
+        mask2 = keys[j] == sub
+        keep = idx[mask2]
+        t = b.take(pa.array(keep, pa.int64()))
+        qty = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        df = (pd.DataFrame({"l_returnflag": t.column("l_returnflag")
+                            .to_pylist(),
+                            "n": np.ones(len(qty), np.int64),
+                            "sum_qty": qty.astype(np.int64)})
+              .groupby("l_returnflag", as_index=False).sum())
+        out = pa.Table.from_pandas(df, preserve_index=False)
+        return out.cast(empty.schema) if len(df) else empty
+
+    probe_ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity", "l_returnflag"],
+    ).map_batches(probe, batch_format="pyarrow")
+    return grouped_agg(probe_ds, ["l_returnflag"],
+                       {"n": ("n", "sum"), "sum_qty": ("sum_qty", "sum")})
+
+
+def sql_bloom_semijoin() -> str:
+    return (
+        "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(l_quantity) AS BIGINT) AS sum_qty "
+        "FROM lineitem WHERE l_orderkey IN "
+        "(SELECT o_orderkey FROM orders "
+        f"WHERE o_orderpriority = '{_BLOOM_PRIORITY}') "
+        "GROUP BY l_returnflag"
+    )
+
+
+QUERIES = {
+    "quantiles": q_quantiles,
+    "bloom_semijoin": q_bloom_semijoin,
+}
+
+ORACLES = {
+    "quantiles": sql_quantiles(),
+    "bloom_semijoin": sql_bloom_semijoin(),
+}

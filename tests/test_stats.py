@@ -1,0 +1,80 @@
+"""Order-statistics / join-pruning operators (queries_stats.py):
+exact distributed quantiles and the Bloom-pruned semi-join.
+
+Each check recomputes the expected result independently (numpy sort,
+plain set membership) on sf0.001 — the DuckDB hash-exact gate runs
+separately via tools/check_oracles.py."""
+
+import math
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bloom_kernel_no_false_negatives():
+    from osmquadtree_depreceated_ray.pipelines.queries_stats import (
+        _bloom_bitmap, _bloom_test,
+    )
+
+    rng = np.random.default_rng(3)
+    members = rng.integers(0, 2**62, 5000)
+    others = rng.integers(0, 2**62, 20000)
+    bits = _bloom_bitmap(members)
+    assert _bloom_test(bits, members).all()  # Bloom guarantee
+    # false-positive rate near the (1 - e^{-kn/m})^k design point
+    fp = _bloom_test(bits, others)
+    fp_rate = fp[~np.isin(others, members)].mean()
+    assert fp_rate < 0.01, fp_rate
+
+
+def test_bloom_bitmap_partials_merge():
+    from osmquadtree_depreceated_ray.pipelines.queries_stats import (
+        _bloom_bitmap,
+    )
+
+    rng = np.random.default_rng(4)
+    a, b = rng.integers(0, 2**62, 1000), rng.integers(0, 2**62, 1000)
+    merged = np.bitwise_or(_bloom_bitmap(a), _bloom_bitmap(b))
+    assert (merged == _bloom_bitmap(np.concatenate([a, b]))).all()
+
+
+def test_quantiles_vs_numpy(ray_session):
+    from osmquadtree_depreceated_ray.pipelines.queries_stats import (
+        QUANTILES, q_quantiles,
+    )
+
+    got = q_quantiles(SF).to_pandas()
+    vals = np.sort(
+        pq.read_table(f"{SF}/events.parquet", columns=["value"])
+        .column("value").to_numpy())
+    n = len(vals)
+    for q in QUANTILES:
+        rk = math.ceil(q * n)
+        row = got[got["q"] == q].iloc[0]
+        assert row["rk"] == rk
+        assert row["value"] == vals[rk - 1], (q, row["value"], vals[rk - 1])
+
+
+def test_bloom_semijoin_vs_pandas(ray_session):
+    from osmquadtree_depreceated_ray.pipelines.queries_stats import (
+        _BLOOM_PRIORITY, q_bloom_semijoin,
+    )
+
+    got = (q_bloom_semijoin(SF).to_pandas()
+           .sort_values("l_returnflag").reset_index(drop=True))
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    keys = set(orders.loc[
+        orders["o_orderpriority"] == _BLOOM_PRIORITY, "o_orderkey"])
+    sub = li[li["l_orderkey"].isin(keys)]
+    want = (sub.groupby("l_returnflag")
+            .agg(n=("l_orderkey", "size"), sum_qty=("l_quantity", "sum"))
+            .reset_index().sort_values("l_returnflag")
+            .reset_index(drop=True))
+    assert (got["l_returnflag"] == want["l_returnflag"]).all()
+    assert (got["n"].to_numpy() == want["n"].to_numpy()).all()
+    assert (got["sum_qty"].to_numpy()
+            == want["sum_qty"].to_numpy(np.int64)).all()
