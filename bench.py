@@ -227,6 +227,12 @@ def run_queries(sf_dir: str) -> dict:
 def main_single():
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # silence the harmless per-worker schema-hash warning (parquet pandas
+    # metadata) — workers read this env var when configuring ray.data logs
+    os.environ.setdefault(
+        "RAY_DATA_LOGGING_CONFIG",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "tools", "ray_data_logging.yaml"))
     import ray
 
     import logging
