@@ -53,6 +53,7 @@ def _stats_remote_fns():
         _ST_FNS["meta"] = ray.remote(_block_meta_impl)
         _ST_FNS["pick"] = ray.remote(_block_pick_impl)
         _ST_FNS["bloom_or"] = ray.remote(_bloom_or_impl)
+        _ST_FNS["bloom_keys"] = ray.remote(_bloom_keys_impl)
     return _ST_FNS
 
 
@@ -116,6 +117,10 @@ def q_quantiles(sf_dir: str):
     # its quantile literals to DOUBLE — DuckDB would otherwise run the
     # multiply in exact DECIMAL and disagree with this ceil)
     targets = [(q, int(math.ceil(q * n))) for q in QUANTILES]
+    if n == 0:
+        return pa.table({"q": pa.array([], pa.float64()),
+                         "rk": pa.array([], pa.int64()),
+                         "value": pa.array([], pa.float64())})
     picks, offset = [], 0
     for pos, i in enumerate(order):
         hit = [(q, rk) for q, rk in targets
@@ -191,11 +196,24 @@ def _bloom_test(bits: np.ndarray, keys: np.ndarray) -> np.ndarray:
 
 
 def _bloom_or_impl(*parts):
-    """Pairwise-mergeable OR of bitmap partials (tree-reduce node)."""
-    out = parts[0].copy()
-    for p in parts[1:]:
-        np.bitwise_or(out, p, out=out)
+    """Mergeable OR of bitmap partials (tree-reduce node); leaves are
+    the bitmap-partial BLOCKS (list<uint8> column), inner nodes plain
+    uint8 arrays — driver never downloads a partial."""
+    out = None
+    for p in parts:
+        arrs = ([np.asarray(r, np.uint8)
+                 for r in p.column("bits").to_pylist()]
+                if isinstance(p, pa.Table) else [p])
+        for a in arrs:
+            out = a.copy() if out is None else np.bitwise_or(out, a, out=out)
     return out
+
+
+def _bloom_keys_impl(*blocks):
+    """Sorted build-key vector from the bitmap-partial blocks."""
+    ks = [np.asarray(r, np.int64)
+          for b in blocks for r in b.column("keys").to_pylist()]
+    return np.sort(np.concatenate(ks)) if ks else np.empty(0, np.int64)
 
 
 def q_bloom_semijoin(sf_dir: str):
@@ -220,24 +238,31 @@ def q_bloom_semijoin(sf_dir: str):
                              pa.list_(pa.int64())),
         })
 
-    parts = build.map_batches(bitmap_partial, batch_format="pyarrow")
-    rows = parts.take_all()  # O(blocks) rows of 128 KB partials
-    # tree-reduce the partials with pairwise-OR tasks (driver never
-    # holds more than the root); fan-in 8 per node
-    refs = [ray.put(np.asarray(r["bits"], np.uint8)) for r in rows]
-    while len(refs) > 1:
-        refs = [fns["bloom_or"].remote(*refs[i:i + 8])
-                for i in range(0, len(refs), 8)]
-    bits_ref = refs[0]
-    # exact key set for the survivor recheck (build side is the small
-    # side by construction; at scale this becomes a bucketed join over
-    # the bloom-pruned remainder)
-    keys_ref = ray.put(np.sort(np.concatenate(
-        [np.asarray(r["keys"], np.int64) for r in rows])))
-
     empty = pa.table({"l_returnflag": pa.array([], pa.string()),
                       "n": pa.array([], pa.int64()),
                       "sum_qty": pa.array([], pa.int64())})
+
+    # materialize once (O(blocks x 128 KB) in the OBJECT STORE, refs on
+    # the driver), then tree-reduce the partial blocks with OR tasks,
+    # fan-in 8 per node — the driver never downloads a bitmap
+    parts = build.map_batches(
+        bitmap_partial, batch_format="pyarrow").materialize()
+    block_refs = [r for bu in parts.iter_internal_ref_bundles()
+                  for r in bu.block_refs]
+    if not block_refs:
+        return ray.data.from_arrow(empty)
+    refs = block_refs
+    while True:
+        # first pass also converts leaf blocks into plain uint8 bitmaps
+        refs = [fns["bloom_or"].remote(*refs[i:i + 8])
+                for i in range(0, len(refs), 8)]
+        if len(refs) == 1:
+            break
+    bits_ref = refs[0]
+    # exact key set for the survivor recheck (build side is the small
+    # side by construction; at scale this becomes a bucketed join over
+    # the bloom-pruned remainder) — concatenated remotely, ref-broadcast
+    keys_ref = fns["bloom_keys"].remote(*block_refs)
 
     def probe(b: pa.Table) -> pa.Table:
         bits, keys = ray.get(bits_ref), ray.get(keys_ref)

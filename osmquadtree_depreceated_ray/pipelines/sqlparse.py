@@ -122,7 +122,10 @@ class _Parser:
             self.expect("kw", "by")
             order, desc = [], []
             while True:
-                order.append(self.expect("ident")[1])
+                oc = self.expect("ident")[1]
+                if self.accept("op", "."):
+                    oc = self.expect("ident")[1]
+                order.append(oc)
                 if self.accept("kw", "desc"):
                     desc.append(True)
                 else:
@@ -174,9 +177,15 @@ class _Parser:
                 # schema-qualified name: the reference resolves the bare
                 # table (sql.y simple_table_expression: pickTable($3))
                 table = self.expect("ident")[1]
+            self._accept_alias()
         join = None
         if self.accept("kw", "join"):
             jt = self.expect("ident")[1]
+            if self.accept("op", "."):
+                jt = self.expect("ident")[1]
+            had_using_or_on = self.peek() in (("kw", "using"), ("kw", "on"))
+            if not had_using_or_on:
+                self._accept_alias()
             if self.accept("kw", "using"):
                 # JOIN t USING (col) — the reference grammar's join form
                 # (sqlselect/sql.go): both sides share the column name
@@ -186,9 +195,21 @@ class _Parser:
                 join = (jt, col, col)
             else:
                 self.expect("kw", "on")
-                lcol = self.expect("ident")[1]
+
+                def _qcol():
+                    c = self.expect("ident")[1]
+                    q = None
+                    if self.accept("op", "."):
+                        q, c = c, self.expect("ident")[1]
+                    return q, c
+
+                lq, lcol = _qcol()
                 self.expect("op", "=")
-                rcol = self.expect("ident")[1]
+                rq, rcol = _qcol()
+                # qualifiers fix the side when the user wrote the join
+                # table's column first (ON t2.g = t1.k)
+                if lq == jt and rq != jt:
+                    lcol, rcol = rcol, lcol
                 join = (jt, lcol, rcol)
         where = None
         if self.accept("kw", "where"):
@@ -245,7 +266,7 @@ class _Parser:
                 self.expect("kw", "and")
                 hi = self.parse_bit()
                 return ("not", ("between", e, lo, hi))
-            return ("not", self._parse_in_tail(e))
+            return _negate_in(e, self._parse_in_tail(e))
         if k == "op" and v in ("=", "<>", "!=", "<", "<=", ">", ">="):
             self.next()
             return ({"=": "eq", "<>": "ne", "!=": "ne", "<": "lt",
@@ -281,9 +302,19 @@ class _Parser:
             return ("in_sub", e, sub)
         vals = []
         while True:
+            neg = bool(self.accept("op", "-"))
             tk, tv = self.next()
-            vals.append(float(tv) if tk == "num" and "." in tv
-                        else int(tv) if tk == "num" else tv)
+            if tk == "num":
+                v = float(tv) if "." in tv else int(tv)
+                vals.append(-v if neg else v)
+            elif neg:
+                raise ValueError(f"SQL parse error at ('{tk}', {tv!r})")
+            elif tk == "str":
+                vals.append(tv)
+            elif (tk, tv) == ("kw", "null"):
+                vals.append(None)  # SQL NULL, kept for 3VL handling
+            else:
+                raise ValueError(f"SQL parse error at ('{tk}', {tv!r})")
             if not self.accept("op", ","):
                 break
         self.expect("op", ")")
@@ -379,8 +410,21 @@ class _Parser:
                             break
                     self.expect("op", ")")
                 return ("calld" if is_distinct else "call", v.lower(), args)
+            if self.accept("op", "."):
+                # alias-qualified column (t.k / d.k): single-table scope
+                # after FROM resolution, so the bare column is the ref
+                return ("col", self.expect("ident")[1])
             return ("col", v)
         raise ValueError(f"SQL parse error at {self.peek()}")
+
+    def _accept_alias(self):
+        """Optional [AS] alias after a table expression (sql.y as_opt).
+        Aliases are cosmetic in single-table scope — qualified column
+        refs resolve to the bare column."""
+        if self.accept("kw", "as"):
+            self.expect("ident")
+        elif self.peek()[0] == "ident":
+            self.next()
 
     def _parse_values_table(self):
         """tuple_list body of a (VALUES ...) literal table; rows must be
@@ -434,6 +478,26 @@ class _Parser:
         return ("case", branches, default)
 
 
+def _never(e):
+    """A predicate no row satisfies, as an ARRAY-producing node: e != e
+    is FALSE for non-null e and NULL for null e — both filtered."""
+    return ("ne", e, e)
+
+
+def _negate_in(e, in_node):
+    """SQL three-valued NOT IN: if the value set contains a NULL the
+    predicate is never TRUE (x <> NULL is NULL, so the AND-chain can
+    only be FALSE or NULL); a NULL probe value is NULL too, so the
+    plain inversion must keep nulls out."""
+    if in_node[0] == "in_sub":
+        # NULL handling deferred to plan time (the set isn't known yet)
+        return ("not_in_sub", e, in_node[2])
+    vals = in_node[2]
+    if any(v is None for v in vals):
+        return _never(e)
+    return ("and", ("notnull", e), ("not", in_node))
+
+
 # -- compilation to the sqlish Expr layer -----------------------------------
 
 def _compile_expr(node) -> Expr:
@@ -478,7 +542,11 @@ def _compile_expr(node) -> Expr:
         return _compile_expr(node[1]).between(
             _compile_expr(node[2]), _compile_expr(node[3]))
     if op == "in":
-        return _compile_expr(node[1]).isin(node[2])
+        # IN (.., NULL): a non-member probe yields NULL in SQL — filtered
+        # either way, so dropping the NULL from the member set is exact
+        # under WHERE (NOT IN is rewritten before compilation, _negate_in)
+        return _compile_expr(node[1]).isin(
+            [v for v in node[2] if v is not None])
     if op == "isnull":
         return _compile_expr(node[1]).is_null()
     if op == "notnull":
@@ -629,6 +697,21 @@ def _run_grouped_select(ds, sel) -> "ray.data.Dataset":  # noqa: F821
         else:
             spec[key] = (argcol, _AGG_HOW[fname])
     agg_ds = grouped_agg(q.select(**pre_cols).run(), group_cols, spec)
+    if global_agg:
+        # SQL returns exactly ONE row for a global aggregate even on
+        # empty input (COUNT = 0, other aggregates NULL); the synthetic
+        # grouping yields zero groups there, so synthesize the row.
+        # The aggregated table is O(1), so materializing is free.
+        import ray as _ray
+
+        agg_ds = agg_ds.materialize()
+        if agg_ds.count() == 0:
+            row = {"__g": pa.array([0], pa.int64())}
+            for key, fname, _args in aggs:
+                base = fname[:-2] if fname.endswith("!d") else fname
+                row[key] = (pa.array([0], pa.int64()) if base == "count"
+                            else pa.array([None], pa.float64()))
+            agg_ds = _ray.data.from_arrow(pa.table(row))
     q2 = Query(agg_ds)
     if having_node is not None:
         q2 = q2.where(_compile_expr(having_node))
@@ -745,13 +828,20 @@ def _resolve_subqueries(node, tables, broadcast_threshold):
     assumed driver-small (a value set, not a relation)."""
     if not isinstance(node, tuple):
         return node
-    if node[0] == "in_sub":
+    if node[0] in ("in_sub", "not_in_sub"):
         sub_ast = {"selects": [node[2]], "union_all": [], "order": None,
                    "desc": None, "limit": None}
         sub = _exec_ast(sub_ast, tables, broadcast_threshold).to_pandas()
-        vals = sub[sub.columns[0]].dropna().unique().tolist()
-        return ("in", _resolve_subqueries(node[1], tables,
-                                          broadcast_threshold), vals)
+        col0 = sub[sub.columns[0]]
+        vals = col0.dropna().unique().tolist()
+        e = _resolve_subqueries(node[1], tables, broadcast_threshold)
+        if node[0] == "not_in_sub":
+            # SQL 3VL: a NULL in the subquery result makes NOT IN never
+            # TRUE; otherwise exclude members and NULL probes
+            if col0.isna().any():
+                return _never(e)
+            return ("and", ("notnull", e), ("not", ("in", e, vals)))
+        return ("in", e, vals)
     return tuple(
         _resolve_subqueries(x, tables, broadcast_threshold)
         if isinstance(x, tuple) else x for x in node
@@ -866,7 +956,12 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
             sel["items"] is not None
             and any(_has_agg(e) for e, _ in sel["items"])
         ):
-            runs.append(_run_grouped_select(ds, sel))
+            out = _run_grouped_select(ds, sel)
+            if sel["distinct"]:
+                from ..stages.shuffle import distinct as _distinct
+
+                out = _distinct(out, out.schema().names)
+            runs.append(out)
             continue
         q = Query(ds)
         if sel["where"] is not None:
