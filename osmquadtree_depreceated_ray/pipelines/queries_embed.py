@@ -368,6 +368,153 @@ QUERIES["embed_ivf"] = q_embed_ivf
 ORACLES["embed_ivf"] = sql_embed_ivf()
 
 
+# --- IVF search: probe-limited ANN top-k ------------------------------------
+
+IVF_NQ = 4        # query vectors (vec_id < IVF_NQ)
+IVF_PROBE = 2     # inverted lists probed per query
+IVF_TOPK = 3
+
+
+def q_ivf_search(sf_dir: str):
+    """The ANN SCALE PATH the brief names: each query searches only its
+    ``IVF_PROBE`` nearest centroids' inverted lists instead of the full
+    corpus.  Driver computes the tiny Q x C probe table; each batch
+    assigns its vectors to centroids (same integer-quantized rule as
+    ``embed_ivf``), takes the UNION of probed lists, and runs the
+    cosine matmul over that union only — compute is proportional to
+    the probed fraction, not the corpus.  Per-batch per-query top-k
+    partials bound the exchange at O(Q x k x blocks); the finish is
+    one bucketed top-k (identical to ``embed_knn``).  Self-matches
+    excluded.  All ranking arithmetic is single-rounded IEEE over
+    exact integer dots, so DuckDB reproduces the scores bit-exactly."""
+    import ray
+
+    c_ids, c_mat = _load_small_side(sf_dir, N_CENTROIDS)
+    q_ids, q_mat = _load_small_side(sf_dir, IVF_NQ)
+    cf = c_mat.astype(np.float64)
+    qf = q_mat.astype(np.float64)
+    c_n2 = (cf**2).sum(axis=1)
+    q_n2 = (qf**2).sum(axis=1)
+    sims_qc = (qf @ cf.T) / np.sqrt(q_n2[:, None] * c_n2[None, :])
+    probes = np.stack([
+        c_ids[np.lexsort((c_ids, -sims_qc[i]))[:IVF_PROBE]]
+        for i in range(len(q_ids))
+    ])  # (Q, PROBE) — driver state is O(Q x C), tiny
+    bref = ray.put({"c_ids": c_ids, "cf": cf, "c_n2": c_n2,
+                    "q_ids": q_ids, "qf": qf, "q_n2": q_n2,
+                    "probes": probes})
+
+    class Search:
+        def __init__(self):
+            d = ray.get(bref)
+            self.__dict__.update(d)
+            self.probe_union = np.unique(d["probes"])
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids, mat = _embed_matrix(b)
+            matf = mat.astype(np.float64)
+            n2 = (matf**2).sum(axis=1)
+            # centroid assignment (argmax == sim DESC, cid ASC on ties)
+            a_sims = (self.cf @ matf.T) / np.sqrt(
+                self.c_n2[:, None] * n2[None, :])
+            cent = self.c_ids[np.argmax(a_sims, axis=0)]
+            # prune to the union of probed lists BEFORE the matmul
+            in_union = np.isin(cent, self.probe_union)
+            idx = np.flatnonzero(in_union)
+            if len(idx) == 0:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "vec_id": pa.array([], pa.int64()),
+                                 "sim": pa.array([], pa.float64())})
+            sub, sub_ids, sub_cent = matf[idx], ids[idx], cent[idx]
+            sim = (self.qf @ sub.T) / np.sqrt(
+                self.q_n2[:, None] * n2[idx][None, :])
+            # per query: only ITS probed lists, never itself
+            allowed = (self.probes[:, :, None]
+                       == sub_cent[None, None, :]).any(axis=1)
+            allowed &= self.q_ids[:, None] != sub_ids[None, :]
+            sim[~allowed] = -np.inf
+            k = min(IVF_TOPK, sim.shape[1])
+            part = np.argpartition(-sim, k - 1, axis=1)[:, :k]
+            rows_q = np.repeat(self.q_ids, k)
+            cand = part.ravel()
+            s = sim[np.repeat(np.arange(len(self.q_ids)), k), cand]
+            keep = np.isfinite(s)
+            return pa.table({"query_id": pa.array(rows_q[keep]),
+                             "vec_id": pa.array(sub_ids[cand[keep]]),
+                             "sim": pa.array(s[keep])})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    from ..stages.shuffle import bucketed_apply
+    from ..stages.spatial import worker_cached
+
+    cands = ds.map_batches(
+        worker_cached(("ivf_search", bref.hex()), Search),
+        batch_format="pyarrow", batch_size=4096)
+
+    def topk(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(["sim", "vec_id"], ascending=[False, True])
+        return b.groupby("query_id", as_index=False, sort=False
+                         ).head(IVF_TOPK)
+
+    return bucketed_apply(cands, ["query_id"], topk, n_buckets=4)
+
+
+def sql_ivf_search() -> str:
+    quant = "CAST(floor(CAST({e}[i] AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)"
+    ev = quant.format(e="e.embedding")
+    ec = quant.format(e="c.embedding")
+    eq = quant.format(e="q.qe")
+    ev2 = quant.format(e="e2.embedding")
+    return (
+        f"WITH cents AS (SELECT vec_id AS cid, embedding FROM embeddings "
+        f"WHERE vec_id < {N_CENTROIDS}), "
+        f"qs AS (SELECT vec_id AS query_id, embedding AS qe "
+        f"FROM embeddings WHERE vec_id < {IVF_NQ}), "
+        # every vector's centroid (sim DESC, cid on ties — argmax rule)
+        f"vc_dots AS (SELECT e.vec_id, c.cid, SUM({ev} * {ec}) AS dot, "
+        f"SUM({ev} * {ev}) AS ne, SUM({ec} * {ec}) AS nc "
+        f"FROM embeddings e CROSS JOIN cents c, "
+        f"UNNEST(range(1, {EMBED_DIM + 1})) AS t(i) "
+        f"GROUP BY e.vec_id, c.cid), "
+        f"vc AS (SELECT vec_id, cid AS centroid FROM ("
+        f"SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id "
+        f"ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(ne AS DOUBLE) * "
+        f"CAST(nc AS DOUBLE)) DESC, cid) AS rn FROM vc_dots) WHERE rn = 1), "
+        # each query's probed lists
+        f"qc AS (SELECT query_id, cid FROM ("
+        f"SELECT q.query_id, c.cid, row_number() OVER ("
+        f"PARTITION BY q.query_id ORDER BY CAST(SUM({eq} * {ec}) AS DOUBLE)"
+        f" / sqrt(CAST(SUM({eq} * {eq}) AS DOUBLE) * "
+        f"CAST(SUM({ec} * {ec}) AS DOUBLE)) DESC, c.cid) AS rn "
+        f"FROM qs q CROSS JOIN cents c, "
+        f"UNNEST(range(1, {EMBED_DIM + 1})) AS t(i) "
+        f"GROUP BY q.query_id, c.cid) WHERE rn <= {IVF_PROBE}), "
+        # candidates = vectors in a probed list, excluding the query
+        f"cand AS (SELECT qc.query_id, vc.vec_id FROM qc "
+        f"JOIN vc ON vc.centroid = qc.cid WHERE vc.vec_id != qc.query_id), "
+        f"dots AS (SELECT cand.query_id, cand.vec_id, "
+        f"SUM({ev2} * {eq}) AS dot, SUM({ev2} * {ev2}) AS na, "
+        f"SUM({eq} * {eq}) AS nq "
+        f"FROM cand JOIN embeddings e2 ON e2.vec_id = cand.vec_id "
+        f"JOIN qs q ON q.query_id = cand.query_id, "
+        f"UNNEST(range(1, {EMBED_DIM + 1})) AS t(i) "
+        f"GROUP BY cand.query_id, cand.vec_id) "
+        f"SELECT query_id, vec_id, sim FROM ("
+        f"SELECT query_id, vec_id, CAST(dot AS DOUBLE) / "
+        f"sqrt(CAST(na AS DOUBLE) * CAST(nq AS DOUBLE)) AS sim, "
+        f"row_number() OVER (PARTITION BY query_id "
+        f"ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * "
+        f"CAST(nq AS DOUBLE)) DESC, vec_id) AS rn FROM dots) "
+        f"WHERE rn <= {IVF_TOPK}"
+    )
+
+
+QUERIES["ivf_search"] = q_ivf_search
+ORACLES["ivf_search"] = sql_ivf_search()
+
+
 # --- distributed iterative k-means (Lloyd) ---------------------------------
 
 KMEANS_K = 8

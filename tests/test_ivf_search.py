@@ -1,0 +1,56 @@
+"""IVF probe-limited ANN search (queries_embed.q_ivf_search): results
+must equal the brute-force top-k RESTRICTED to each query's probed
+inverted lists, computed independently with numpy here.  The DuckDB
+hash-exact gate runs separately via tools/check_oracles.py."""
+
+import numpy as np
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _quantized(sf):
+    t = pq.read_table(f"{sf}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    flat = np.asarray(t.column("embedding").combine_chunks().flatten(),
+                      np.float64)
+    mat = np.floor(flat * 10000.0 + 0.5).reshape(len(ids), -1)
+    order = np.argsort(ids)
+    return ids[order], mat[order]
+
+
+def test_ivf_search_matches_restricted_bruteforce(ray_session):
+    from osmquadtree_depreceated_ray.pipelines.queries_embed import (
+        IVF_NQ, IVF_PROBE, IVF_TOPK, N_CENTROIDS, q_ivf_search,
+    )
+
+    got = (q_ivf_search(SF).to_pandas()
+           .sort_values(["query_id", "vec_id"]).reset_index(drop=True))
+
+    ids, mat = _quantized(SF)
+    n2 = (mat**2).sum(axis=1)
+
+    def cos(a_idx, b_idx):
+        return (mat[a_idx] @ mat[b_idx].T) / np.sqrt(
+            n2[a_idx][:, None] * n2[b_idx][None, :])
+
+    cents = np.flatnonzero(ids < N_CENTROIDS)
+    qs = np.flatnonzero(ids < IVF_NQ)
+    # assignment: sim DESC, centroid id ASC on ties (argmax rule)
+    a = cos(cents, np.arange(len(ids)))
+    assign = ids[cents][np.argmax(a, axis=0)]
+    expect = []
+    for qi in qs:
+        sq = cos(np.array([qi]), cents)[0]
+        probe = ids[cents][np.lexsort((ids[cents], -sq))[:IVF_PROBE]]
+        cand = np.flatnonzero(np.isin(assign, probe) & (ids != ids[qi]))
+        sims = cos(np.array([qi]), cand)[0]
+        order = np.lexsort((ids[cand], -sims))[:IVF_TOPK]
+        for j in order:
+            expect.append((ids[qi], ids[cand][j], sims[j]))
+    expect.sort()
+    assert len(got) == len(expect)
+    for row, (eq, ev, es) in zip(got.itertuples(index=False), expect):
+        assert (row.query_id, row.vec_id) == (eq, ev)
+        assert row.sim == es
