@@ -839,6 +839,80 @@ QUERIES["sql_parse_agg"] = q_sql_parse_agg
 ORACLES["sql_parse_agg"] = SQL_PARSE_AGG_TEXT
 
 
+SQL_WINDOW_TEXT = (
+    "SELECT event_id, user_id, "
+    "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "AS seq, "
+    "MIN(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "AS runmin, "
+    "LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "AS prev_value, "
+    "COUNT(*) OVER (PARTITION BY user_id) AS user_events "
+    "FROM events WHERE event_type = 'click' "
+    "ORDER BY user_id, seq LIMIT 5000"
+)
+
+
+def q_sql_window(sf_dir: str):
+    """Window functions through the SQL string front-end: per-user event
+    sequencing (ROW_NUMBER), a running MIN with SQL's RANGE default
+    frame (exact — no float accumulation, so the oracle hash is stable),
+    LAG, and a whole-partition COUNT — each PARTITION BY signature runs
+    as ONE bucketed hash exchange with vectorized pandas kernels per
+    bucket (no Ray Data sort).  Oracle = the IDENTICAL string in DuckDB.
+    (Exceeds the reference grammar — sqlselect/sql.go has no OVER — but
+    a sessionization-heavy pipeline engine needs windows first-class.)"""
+    import ray
+
+    from .sqlparse import parse_sql
+
+    tables = {
+        "events": ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type", "value"],
+        ),
+    }
+    return parse_sql(SQL_WINDOW_TEXT, tables)
+
+
+QUERIES["sql_window"] = q_sql_window
+ORACLES["sql_window"] = SQL_WINDOW_TEXT
+
+
+SQL_EXISTS_TEXT = (
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders) "
+    "AND EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey "
+    "AND c_acctbal < 0) "
+    "ORDER BY o_orderkey LIMIT 1000"
+)
+
+
+def q_sql_exists(sf_dir: str):
+    """Correlated EXISTS (rewritten to a distinct-value semi probe) plus
+    an uncorrelated scalar subquery, through the SQL string front-end;
+    oracle = the IDENTICAL string in DuckDB."""
+    import ray
+
+    from .sqlparse import parse_sql
+
+    tables = {
+        "orders": ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        ),
+        "customer": ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_acctbal"],
+        ),
+    }
+    return parse_sql(SQL_EXISTS_TEXT, tables)
+
+
+QUERIES["sql_exists"] = q_sql_exists
+ORACLES["sql_exists"] = SQL_EXISTS_TEXT
+
+
 def q_hll_distinct(sf_dir: str):
     """Mergeable-sketch aggregation (the brief's 'novel sketch' class):
     HyperLogLog distinct-user estimate over events.  Map-side fixed-size

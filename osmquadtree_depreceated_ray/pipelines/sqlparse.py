@@ -17,6 +17,8 @@ Surface (the reference's grammar, plus LIMIT):
     WHERE expr                            AND/OR/NOT, comparisons,
                                           [NOT] LIKE/BETWEEN/IN (list or
                                           subquery), IS [NOT] NULL,
+                                          [NOT] EXISTS (subquery),
+                                          scalar (SELECT ...) literals,
                                           bitwise & | # ~ << >>
     GROUP BY ... [HAVING expr]
     ORDER BY col [ASC|DESC], ... / LIMIT n
@@ -25,6 +27,21 @@ Surface (the reference's grammar, plus LIMIT):
 Scalar functions: coalesce nullif replace substr char_length/length
 concat lower/upper-free arithmetic + - * / and || concatenation, CASE
 WHEN ... THEN ... [ELSE ...] END.
+
+Window functions (beyond the reference grammar): row_number rank
+dense_rank sum count min max avg lag lead first_value, each as
+``fn(args) OVER ([PARTITION BY cols] [ORDER BY cols [ASC|DESC]])`` with
+SQL's default RANGE UNBOUNDED PRECEDING..CURRENT ROW frame (peer rows
+share their group's cumulative value).  Execution: one bucketed hash
+exchange per distinct PARTITION BY signature; inside each bucket the
+kernels are pandas groupby primitives (cumsum/cumcount/shift/transform)
+— vectorized, no per-row Python.  A window without PARTITION BY is a
+total order and runs single-bucket (inherently serial on ANY engine).
+
+[NOT] EXISTS resolves at plan time into a distinct-value semi/anti
+probe (single correlation equality; the value set is assumed
+driver-small, same contract as IN (subquery)); uncorrelated scalar
+subqueries resolve eagerly to literals.
 """
 
 from __future__ import annotations
@@ -50,7 +67,7 @@ _KEYWORDS = {
     "select", "from", "where", "order", "by", "limit", "union", "all",
     "join", "on", "using", "as", "and", "or", "not", "like", "between", "in",
     "is", "null", "case", "when", "then", "else", "end", "asc", "desc",
-    "distinct", "group", "cast", "having",
+    "distinct", "group", "cast", "having", "over", "partition", "exists",
 }
 
 
@@ -245,6 +262,14 @@ class _Parser:
     def parse_not(self):
         if self.accept("kw", "not"):
             return ("not", self.parse_not())
+        if self.peek() == ("kw", "exists"):
+            # [NOT] EXISTS (subquery) — resolved at plan time into a
+            # semi/anti value-set probe (single-equality correlation)
+            self.next()
+            self.expect("op", "(")
+            sub = self.parse_select()
+            self.expect("op", ")")
+            return ("exists", sub)
         return self.parse_cmp()
 
     def parse_cmp(self):
@@ -389,6 +414,13 @@ class _Parser:
             return ("lit", None)
         if k == "op" and v == "(":
             self.next()
+            if self.peek() == ("kw", "select"):
+                # scalar subquery in expression position, e.g.
+                # x > (SELECT avg(x) FROM t) — uncorrelated; resolved
+                # eagerly at plan time to a literal
+                sub = self.parse_select()
+                self.expect("op", ")")
+                return ("scalar_sub", sub)
             e = self.parse_expr()
             self.expect("op", ")")
             return e
@@ -409,7 +441,42 @@ class _Parser:
                         if not self.accept("op", ","):
                             break
                     self.expect("op", ")")
-                return ("calld" if is_distinct else "call", v.lower(), args)
+                node = ("calld" if is_distinct else "call", v.lower(), args)
+                if self.peek() == ("kw", "over"):
+                    # window function: fn(args) OVER ([PARTITION BY ...]
+                    # [ORDER BY col [ASC|DESC], ...]) — default frame is
+                    # SQL's RANGE UNBOUNDED PRECEDING..CURRENT ROW (peer
+                    # rows share the cumulative value)
+                    self.next()
+                    self.expect("op", "(")
+                    part, ocols, odesc = [], [], []
+                    if self.accept("kw", "partition"):
+                        self.expect("kw", "by")
+                        while True:
+                            c = self.expect("ident")[1]
+                            if self.accept("op", "."):
+                                c = self.expect("ident")[1]
+                            part.append(c)
+                            if not self.accept("op", ","):
+                                break
+                    if self.accept("kw", "order"):
+                        self.expect("kw", "by")
+                        while True:
+                            c = self.expect("ident")[1]
+                            if self.accept("op", "."):
+                                c = self.expect("ident")[1]
+                            ocols.append(c)
+                            if self.accept("kw", "desc"):
+                                odesc.append(True)
+                            else:
+                                self.accept("kw", "asc")
+                                odesc.append(False)
+                            if not self.accept("op", ","):
+                                break
+                    self.expect("op", ")")
+                    node = ("win", v.lower(), args, tuple(part),
+                            tuple(ocols), tuple(odesc))
+                return node
             if self.accept("op", "."):
                 # alias-qualified column (t.k / d.k): single-table scope
                 # after FROM resolution, so the bare column is the ref
@@ -719,6 +786,222 @@ def _run_grouped_select(ds, sel) -> "ray.data.Dataset":  # noqa: F821
     return q2.select(**proj).run()
 
 
+_WIN_FUNCS = {"row_number", "rank", "dense_rank", "sum", "count", "min",
+              "max", "avg", "lag", "lead", "first_value"}
+
+
+def _has_win(node) -> bool:
+    if isinstance(node, tuple):
+        if node[0] == "win":
+            return True
+        return any(_has_win(s) for s in node if isinstance(s, (tuple, list)))
+    if isinstance(node, list):
+        return any(_has_win(s) for s in node if isinstance(s, (tuple, list)))
+    return False
+
+
+def _extract_wins(node, wins: list):
+    """Replace each window call with a synthetic column ref, collecting
+    (key, fname, args, part, ocols, odesc); identical window specs share
+    one synthetic column (computed once)."""
+    if isinstance(node, tuple):
+        if node[0] == "win":
+            _w, fname, args, part, ocols, odesc = node
+            if fname not in _WIN_FUNCS:
+                raise ValueError(f"unsupported window function {fname}()")
+            for key, f2, a2, p2, o2, d2 in wins:
+                if (f2, a2, p2, o2, d2) == (fname, args, part, ocols, odesc):
+                    return ("col", key)
+            key = f"__win{len(wins)}"
+            wins.append((key, fname, args, part, ocols, odesc))
+            return ("col", key)
+        return tuple(
+            _extract_wins(s, wins) if isinstance(s, (tuple, list)) else s
+            for s in node
+        )
+    if isinstance(node, list):
+        return [
+            _extract_wins(s, wins) if isinstance(s, (tuple, list)) else s
+            for s in node
+        ]
+    return node
+
+
+def _window_bucket_fn(part: list, specs: list):
+    """Per-bucket vectorized window computation.  The bucket holds every
+    row of every partition key hashed there (bucketed_apply contract), so
+    per-partition windows are exact.  All kernels are pandas groupby
+    primitives (cumsum/cumcount/shift/transform) — no Python row loop.
+
+    Cumulative aggregates reproduce SQL's default frame (RANGE UNBOUNDED
+    PRECEDING .. CURRENT ROW): peer rows (ties on the ORDER BY columns)
+    share the value of their peer group's LAST row."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        if df.empty:
+            for key, fname, argcol, _off, ocols, _odesc in specs:
+                if fname in ("row_number", "rank", "dense_rank", "count"):
+                    df[key] = pd.Series(np.array([], dtype=np.int64))
+                elif fname in ("sum", "avg"):
+                    df[key] = pd.Series(np.array([], dtype=np.float64))
+                elif fname in ("lag", "lead"):
+                    src = df[argcol]
+                    df[key] = (src.astype(np.float64)
+                               if src.dtype.kind in "iuf" else src)
+                else:  # min / max / first_value keep the input dtype
+                    df[key] = df[argcol]
+            return df
+        for key, fname, argcol, off, ocols, odesc in specs:
+            if ocols:
+                # partition columns lead the sort so partitions are
+                # CONTIGUOUS — the shift-based peer/head detection below
+                # relies on it (an ORDER BY column repeated in the
+                # partition list is constant per partition, so dropping
+                # the duplicate preserves within-partition order)
+                skeys = list(part) + [c for c in ocols if c not in part]
+                sasc = [True] * len(part) + [
+                    not d for c, d in zip(ocols, odesc) if c not in part]
+                order = df.sort_values(skeys, ascending=sasc, kind="stable")
+            else:
+                order = df
+            pgid = order.groupby(part, sort=False, dropna=False).ngroup()
+            gv = pgid.to_numpy()
+            x = order[argcol] if argcol is not None else None
+            peer_id = None
+            if ocols:
+                oc = order[list(ocols)]
+                peer_start = (oc.ne(oc.shift()).any(axis=1)
+                              | pgid.ne(pgid.shift()))
+                peer_start.iloc[0] = True
+                peer_id = peer_start.cumsum().to_numpy()
+            if fname == "row_number":
+                res = order.groupby(gv).cumcount() + 1
+            elif fname == "rank":
+                pos = order.groupby(gv).cumcount()
+                res = pos.groupby(peer_id).transform("first") + 1
+            elif fname == "dense_rank":
+                res = peer_start.astype(np.int64).groupby(gv).cumsum()
+            elif fname in ("lag", "lead"):
+                res = x.groupby(gv).shift(off if fname == "lag" else -off)
+                if res.dtype.kind in "iu":
+                    res = res.astype(np.float64)
+            elif fname == "first_value":
+                # value of the partition's FIRST row (null included —
+                # not pandas' first non-null): keep x only at partition
+                # heads, forward-fill within the partition
+                head = pd.Series(
+                    np.r_[True, gv[1:] != gv[:-1]], index=order.index)
+                res = x.where(head).groupby(gv).ffill()
+                if res.dtype != x.dtype and x.dtype.kind in "iu" \
+                        and not res.isna().any():
+                    res = res.astype(x.dtype)
+            elif not ocols:
+                # whole-partition aggregate (no ORDER BY -> frame is the
+                # entire partition)
+                if fname == "count":
+                    if x is None:
+                        res = pgid.groupby(gv).transform("size")
+                    else:
+                        res = (x.notna().astype(np.int64)
+                               .groupby(gv).transform("sum"))
+                elif fname == "avg":
+                    res = x.groupby(gv).transform("mean").astype(np.float64)
+                elif fname == "sum":
+                    res = x.groupby(gv).transform("sum").astype(np.float64)
+                else:  # min / max
+                    res = x.groupby(gv).transform(fname)
+            else:
+                # cumulative aggregate with peer-group (RANGE) correction
+                if fname == "count":
+                    if x is None:
+                        c = order.groupby(gv).cumcount() + 1
+                    else:
+                        c = x.notna().astype(np.int64).groupby(gv).cumsum()
+                elif fname == "sum":
+                    c = x.groupby(gv).cumsum().groupby(gv).ffill()
+                    c = c.astype(np.float64)
+                elif fname == "avg":
+                    s = x.groupby(gv).cumsum().groupby(gv).ffill()
+                    n = x.notna().astype(np.int64).groupby(gv).cumsum()
+                    c = s.astype(np.float64) / n
+                elif fname == "min":
+                    c = x.groupby(gv).cummin().groupby(gv).ffill()
+                else:  # max
+                    c = x.groupby(gv).cummax().groupby(gv).ffill()
+                res = c.groupby(peer_id).transform("last")
+            df[key] = res
+        return df
+
+    return fn
+
+
+def _run_window_select(ds, sel) -> "ray.data.Dataset":  # noqa: F821
+    """Window-function execution: WHERE filter -> pre-project (all input
+    columns + computed window args) -> one bucketed exchange per distinct
+    PARTITION BY signature (each bucket computes its windows vectorized)
+    -> post-project the item expressions.  A window with no PARTITION BY
+    is a total order: it runs as a single-bucket pass (inherently serial,
+    as on any engine — partition wide queries should PARTITION BY)."""
+    from ..stages.shuffle import bucketed_apply
+
+    if sel.get("group") or sel.get("having") is not None:
+        raise ValueError(
+            "window functions over GROUP BY are not supported in one "
+            "select; aggregate in a derived table first")
+    if sel["items"] is None:
+        raise ValueError("SELECT * with window functions is not supported")
+    wins: list = []
+    post_items = []
+    for idx, (e, name) in enumerate(sel["items"]):
+        ne = _extract_wins(e, wins)
+        post_items.append((ne, name or _expr_name(e, idx)))
+    if any(_has_agg(a) for _k, _f, args, *_ in wins for a in args):
+        raise ValueError("aggregate inside a window argument is invalid")
+    if any(_has_agg(ne) for ne, _ in post_items):
+        raise ValueError("mixing plain aggregates with window functions "
+                         "in one select is unsupported")
+    q = Query(ds)
+    if sel["where"] is not None:
+        q = q.where(_compile_expr(sel["where"]))
+    names = ds.schema().names
+    pre = {c: col(c) for c in names}
+    need_const = any(not part for _k, _f, _a, part, _o, _d in wins)
+    if need_const:
+        pre["__wg"] = lit(0)
+    specs = []
+    for key, fname, args, part, ocols, odesc in wins:
+        argcol = None
+        if fname not in ("row_number", "rank", "dense_rank") and not (
+                fname == "count" and (not args or args[0] == ("star",))):
+            if not args:
+                raise ValueError(f"{fname}() window needs an argument")
+            argcol = f"{key}_in"
+            pre[argcol] = _compile_expr(args[0])
+        off = 1
+        if fname in ("lag", "lead") and len(args) > 1:
+            if args[1][0] != "lit" or not isinstance(args[1][1], int):
+                raise ValueError(f"{fname}() offset must be an integer "
+                                 "literal")
+            off = args[1][1]
+        if fname in ("rank", "dense_rank", "first_value") and not ocols:
+            raise ValueError(f"{fname}() requires ORDER BY in the window")
+        specs.append((key, fname, argcol, off,
+                      list(part) or ["__wg"], list(ocols), list(odesc)))
+    out = q.select(**pre).run()
+    by_part: dict = {}
+    for sp in specs:
+        by_part.setdefault(tuple(sp[4]), []).append(
+            (sp[0], sp[1], sp[2], sp[3], sp[5], sp[6]))
+    for part, group in by_part.items():
+        nb = 1 if part == ("__wg",) else 32
+        out = bucketed_apply(
+            out, list(part), _window_bucket_fn(list(part), group),
+            n_buckets=nb)
+    proj = {name: _compile_expr(ne) for ne, name in post_items}
+    return Query(out).select(**proj).run()
+
+
 def _split_conjuncts(node) -> list:
     """Flatten a WHERE tree's top-level AND chain into conjuncts."""
     if isinstance(node, tuple) and node and node[0] == "and":
@@ -740,6 +1023,13 @@ def _collect_cols(node, out: set) -> None:
     if isinstance(node, (tuple, list)):
         if len(node) == 2 and node[0] == "col" and isinstance(node[1], str):
             out.add(node[1])
+            return
+        if len(node) == 6 and node[0] == "win":
+            # window node: args + PARTITION BY / ORDER BY column names
+            for a in node[2]:
+                _collect_cols(a, out)
+            out.update(node[3])
+            out.update(node[4])
             return
         for sub in node:
             _collect_cols(sub, out)
@@ -820,21 +1110,113 @@ def _join_on(ds_a, ds_b, lcol: str, rcol: str, n_buckets: int = 16):
     return bucketed_apply(both, ["__jk"], merge, n_buckets=n_buckets)
 
 
-def _resolve_subqueries(node, tables, broadcast_threshold):
+def _resolve_exists(sub_sel, tables, broadcast_threshold, outer_names,
+                    negated: bool):
+    """[NOT] EXISTS (SELECT ... FROM inner WHERE inner.c = outer.c AND
+    inner-only conjuncts): rewritten into a value-set semi/anti probe.
+    Scoping is standard SQL — a conjunct whose columns all live in the
+    inner table is inner-local; a single equality pairing one inner and
+    one outer column is the correlation.  The distinct correlated value
+    set is assumed driver-small (same contract as IN (subquery)); NOT
+    EXISTS is true for a NULL outer probe (unlike NOT IN's 3VL)."""
+    if not isinstance(sub_sel["table"], str):
+        raise ValueError("EXISTS subquery must reference a plain table")
+    if sub_sel.get("join") is not None or sub_sel.get("group"):
+        raise ValueError("EXISTS subquery with JOIN/GROUP BY unsupported")
+    inner = tables[sub_sel["table"]]
+    inner_names = set(inner.schema().names)
+    corr, inner_conjs = [], []
+    conjs = (_split_conjuncts(sub_sel["where"])
+             if sub_sel["where"] is not None else [])
+    for conj in conjs:
+        cc: set = set()
+        _collect_cols(conj, cc)
+        if cc <= inner_names:
+            inner_conjs.append(conj)
+        elif (isinstance(conj, tuple) and conj[0] == "eq"
+              and conj[1][0] == "col" and conj[2][0] == "col"):
+            a, b = conj[1][1], conj[2][1]
+            if a in inner_names and b not in inner_names:
+                corr.append((a, b))
+            elif b in inner_names and a not in inner_names:
+                corr.append((b, a))
+            else:
+                raise ValueError(f"unresolvable EXISTS conjunct: {conj}")
+        else:
+            raise ValueError(f"unsupported EXISTS conjunct: {conj}")
+    if len(corr) > 1:
+        raise ValueError("EXISTS supports a single correlation equality")
+    if not corr:
+        # uncorrelated EXISTS: a constant — probe one row.  The constant
+        # predicate must still be ARRAY-producing for the filter kernel,
+        # so anchor it to an arbitrary outer column
+        sub_ast = {"selects": [dict(
+            sub_sel, items=[(("lit", 1), "one")],
+            where=_and_fold(inner_conjs), distinct=False)],
+            "union_all": [], "order": None, "desc": None, "limit": 1}
+        n = _exec_ast(sub_ast, tables, broadcast_threshold).count()
+        truthy = (n > 0) != negated
+        outer = (outer_names() if callable(outer_names)
+                 else (outer_names or set()))
+        anchor = ("col", sorted(outer)[0])
+        if truthy:
+            return ("or", ("isnull", anchor), ("notnull", anchor))
+        return _never(anchor)
+    ic, oc = corr[0]
+    outer = outer_names() if callable(outer_names) else (outer_names or set())
+    if outer and oc not in outer:
+        raise ValueError(f"EXISTS correlation column {oc!r} is in neither "
+                         "scope")
+    sub_ast = {"selects": [dict(
+        sub_sel, items=[(("col", ic), ic)],
+        where=_and_fold(inner_conjs), distinct=True)],
+        "union_all": [], "order": None, "desc": None, "limit": None}
+    vals_df = _exec_ast(sub_ast, tables, broadcast_threshold).to_pandas()
+    vals = (vals_df[vals_df.columns[0]].dropna().unique().tolist()
+            if len(vals_df) else [])
+    probe = ("col", oc)
+    if negated:
+        # NULL probe rows satisfy NOT EXISTS (no inner row can equal NULL)
+        return ("or", ("isnull", probe), ("not", ("in", probe, vals)))
+    return ("in", probe, vals)
+
+
+def _resolve_subqueries(node, tables, broadcast_threshold,
+                        outer_names=None):
     """Replace ("in_sub", e, select) nodes with ("in", e, values): the
     subquery runs first (its own plan, same table map) and its FIRST
     column becomes the literal value set — the reference evaluates IN
     sets eagerly too (sqlselect/tables.go:53-75).  Subquery results are
-    assumed driver-small (a value set, not a relation)."""
-    if not isinstance(node, tuple):
+    assumed driver-small (a value set, not a relation).  Also resolves
+    [NOT] EXISTS (semi/anti probe, see :func:`_resolve_exists`) and
+    uncorrelated scalar subqueries (eager literal)."""
+    if not isinstance(node, tuple) or not node:
         return node
+    if node[0] == "not" and isinstance(node[1], tuple) \
+            and node[1][0] == "exists":
+        return _resolve_exists(node[1][1], tables, broadcast_threshold,
+                               outer_names, negated=True)
+    if node[0] == "exists":
+        return _resolve_exists(node[1], tables, broadcast_threshold,
+                               outer_names, negated=False)
+    if node[0] == "scalar_sub":
+        sub_ast = {"selects": [node[1]], "union_all": [], "order": None,
+                   "desc": None, "limit": 2}
+        sub = _exec_ast(sub_ast, tables, broadcast_threshold).to_pandas()
+        if len(sub) > 1:
+            raise ValueError("scalar subquery returned more than one row")
+        v = None if len(sub) == 0 else sub.iloc[0, 0]
+        if v is not None and hasattr(v, "item"):
+            v = v.item()
+        return ("lit", v)
     if node[0] in ("in_sub", "not_in_sub"):
         sub_ast = {"selects": [node[2]], "union_all": [], "order": None,
                    "desc": None, "limit": None}
         sub = _exec_ast(sub_ast, tables, broadcast_threshold).to_pandas()
         col0 = sub[sub.columns[0]]
         vals = col0.dropna().unique().tolist()
-        e = _resolve_subqueries(node[1], tables, broadcast_threshold)
+        e = _resolve_subqueries(node[1], tables, broadcast_threshold,
+                                outer_names)
         if node[0] == "not_in_sub":
             # SQL 3VL: a NULL in the subquery result makes NOT IN never
             # TRUE; otherwise exclude members and NULL probes
@@ -843,7 +1225,7 @@ def _resolve_subqueries(node, tables, broadcast_threshold):
             return ("and", ("notnull", e), ("not", ("in", e, vals)))
         return ("in", e, vals)
     return tuple(
-        _resolve_subqueries(x, tables, broadcast_threshold)
+        _resolve_subqueries(x, tables, broadcast_threshold, outer_names)
         if isinstance(x, tuple) else x for x in node
     )
 
@@ -860,9 +1242,6 @@ def parse_sql(sql: str, tables: dict,
 def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
     runs = []
     for sel in ast["selects"]:
-        if sel["where"] is not None:
-            sel = dict(sel, where=_resolve_subqueries(
-                sel["where"], tables, broadcast_threshold))
         if isinstance(sel["table"], tuple) and sel["table"][0] == "derived":
             ds = _exec_ast(sel["table"][1], tables, broadcast_threshold)
         elif isinstance(sel["table"], tuple) and sel["table"][0] == "values":
@@ -882,6 +1261,21 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
             ds = ray.data.from_arrow(pa.table(cols))
         else:
             ds = tables[sel["table"]]
+
+        def _outer_names(_ds=ds, _sel=sel):
+            out = set(_ds.schema().names)
+            if _sel["join"] is not None:
+                out |= set(tables[_sel["join"][0]].schema().names)
+            return out
+
+        if sel["where"] is not None:
+            sel = dict(sel, where=_resolve_subqueries(
+                sel["where"], tables, broadcast_threshold, _outer_names))
+        if sel["items"] is not None:
+            sel = dict(sel, items=[
+                (_resolve_subqueries(e, tables, broadcast_threshold,
+                                     _outer_names), name)
+                for e, name in sel["items"]])
         if sel["join"] is not None:
             jt, lcol, rcol = sel["join"]
             rhs = tables[jt]
@@ -952,6 +1346,15 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
                 ds = _broadcast_join(ds, rhs, lcol, rcol)
             else:
                 ds = _join_on(ds, rhs, lcol, rcol)
+        if sel["items"] is not None and any(
+                _has_win(e) for e, _ in sel["items"]):
+            out = _run_window_select(ds, sel)
+            if sel["distinct"]:
+                from ..stages.shuffle import distinct as _distinct
+
+                out = _distinct(out, out.schema().names)
+            runs.append(out)
+            continue
         if sel.get("group") or (
             sel["items"] is not None
             and any(_has_agg(e) for e, _ in sel["items"])

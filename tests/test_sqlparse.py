@@ -162,6 +162,62 @@ CASES = [
     "SELECT d.k, d.v FROM t1 AS d WHERE d.v > 40 ORDER BY d.k LIMIT 5",
     "SELECT a.k, label FROM t1 a JOIN t2 b ON a.s = b.gkey "
     "WHERE a.v > 45 ORDER BY a.k LIMIT 10",
+    # ---- window functions: fn() OVER (PARTITION BY ... ORDER BY ...)
+    "SELECT k, v, ROW_NUMBER() OVER (PARTITION BY s ORDER BY k) AS rn "
+    "FROM t1 WHERE v > 0 ORDER BY k LIMIT 50",
+    # rank/dense_rank with real ties (v repeats within each s group)
+    "SELECT k, RANK() OVER (PARTITION BY s ORDER BY v) AS r, "
+    "DENSE_RANK() OVER (PARTITION BY s ORDER BY v) AS dr "
+    "FROM t1 ORDER BY k LIMIT 60",
+    # cumulative sum, unique order key (ROWS == RANGE)
+    "SELECT k, CAST(SUM(v) OVER (PARTITION BY s ORDER BY k) AS BIGINT) "
+    "AS rsum FROM t1 ORDER BY k LIMIT 80",
+    # cumulative sum with TIES on the order column — RANGE frame: peers
+    # share their group's total
+    "SELECT k, CAST(SUM(k) OVER (PARTITION BY s ORDER BY v) AS BIGINT) "
+    "AS rs FROM t1 ORDER BY k LIMIT 80",
+    # whole-partition aggregates (no ORDER BY in the window)
+    "SELECT k, AVG(f) OVER (PARTITION BY s) AS am, "
+    "COUNT(*) OVER (PARTITION BY s) AS n, "
+    "MIN(v) OVER (PARTITION BY s) AS mn FROM t1 ORDER BY k LIMIT 40",
+    # cumulative count/min/max/avg with ORDER BY
+    "SELECT k, COUNT(*) OVER (PARTITION BY s ORDER BY k) AS rc, "
+    "MAX(v) OVER (PARTITION BY s ORDER BY k) AS rmx, "
+    "AVG(v) OVER (PARTITION BY s ORDER BY k) AS rav "
+    "FROM t1 ORDER BY k LIMIT 60",
+    # lag / lead with offset; first_value
+    # lag stays float64 on both engines (NULL at each partition head);
+    # lead is wrapped so the dtype doesn't depend on which NULLs survive
+    # the LIMIT (DuckDB infers int64/float64 from the final result)
+    "SELECT k, LAG(v) OVER (PARTITION BY s ORDER BY k) AS pv, "
+    "CAST(COALESCE(LEAD(v, 2) OVER (PARTITION BY s ORDER BY k), -1) "
+    "AS BIGINT) AS nv, "
+    "FIRST_VALUE(v) OVER (PARTITION BY s ORDER BY k) AS fv "
+    "FROM t1 ORDER BY k LIMIT 60",
+    # global window (no PARTITION BY): total order, single bucket
+    "SELECT k, ROW_NUMBER() OVER (ORDER BY v DESC, k) AS rn FROM t1 "
+    "ORDER BY k LIMIT 20",
+    # window over an expression argument; DESC order inside the window
+    "SELECT k, CAST(SUM(v + 1) OVER (PARTITION BY s ORDER BY k DESC) "
+    "AS BIGINT) AS ds FROM t1 ORDER BY k LIMIT 40",
+    # window result consumed by an outer aggregation (derived table)
+    "SELECT s, CAST(SUM(rn) AS BIGINT) AS srn FROM (SELECT s, "
+    "ROW_NUMBER() OVER (PARTITION BY s ORDER BY k) AS rn FROM t1) d "
+    "GROUP BY s ORDER BY s",
+    # ---- [NOT] EXISTS correlated subqueries (semi/anti probe)
+    "SELECT k FROM t1 WHERE EXISTS (SELECT 1 FROM t2 WHERE gkey = s "
+    "AND g < 3) ORDER BY k LIMIT 30",
+    "SELECT k, s FROM t1 WHERE NOT EXISTS (SELECT 1 FROM t2 "
+    "WHERE gkey = s AND g < 3) ORDER BY k LIMIT 30",
+    # uncorrelated EXISTS: constant truth
+    "SELECT k FROM t1 WHERE EXISTS (SELECT 1 FROM t2 WHERE g > 100) "
+    "ORDER BY k LIMIT 5",
+    "SELECT k FROM t1 WHERE NOT EXISTS (SELECT 1 FROM t2 WHERE g > 100) "
+    "ORDER BY k LIMIT 5",
+    # scalar subquery in a comparison and in the projection
+    "SELECT k FROM t1 WHERE f > (SELECT AVG(f) FROM t1) ORDER BY k "
+    "LIMIT 30",
+    "SELECT k, (SELECT MAX(g) FROM t2) AS mg FROM t1 ORDER BY k LIMIT 5",
 ]
 
 
