@@ -913,6 +913,41 @@ QUERIES["sql_exists"] = q_sql_exists
 ORACLES["sql_exists"] = SQL_EXISTS_TEXT
 
 
+SQL_LEFT_JOIN_TEXT = (
+    "SELECT c_custkey, c_mktsegment, r_name, "
+    "CAST(COALESCE(r_regionkey, -1) AS BIGINT) AS rk "
+    "FROM customer LEFT JOIN region ON c_nationkey = r_regionkey "
+    "ORDER BY c_custkey LIMIT 800"
+)
+
+
+def q_sql_left_join(sf_dir: str):
+    """LEFT OUTER equi-join through the SQL string front-end.  The key
+    ranges are deliberately mismatched (c_nationkey 0-24 vs r_regionkey
+    0-4) so ~80% of rows are genuinely unmatched and preserved with
+    nulls; COALESCE+CAST pins the nullable-int dtype on both engines.
+    Oracle = the IDENTICAL string in DuckDB."""
+    import ray
+
+    from .sqlparse import parse_sql
+
+    tables = {
+        "customer": ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_nationkey", "c_mktsegment"],
+        ),
+        "region": ray.data.read_parquet(
+            f"{sf_dir}/region.parquet",
+            columns=["r_regionkey", "r_name"],
+        ),
+    }
+    return parse_sql(SQL_LEFT_JOIN_TEXT, tables)
+
+
+QUERIES["sql_left_join"] = q_sql_left_join
+ORACLES["sql_left_join"] = SQL_LEFT_JOIN_TEXT
+
+
 def q_hll_distinct(sf_dir: str):
     """Mergeable-sketch aggregation (the brief's 'novel sketch' class):
     HyperLogLog distinct-user estimate over events.  Map-side fixed-size

@@ -12,8 +12,10 @@ Surface (the reference's grammar, plus LIMIT):
     FROM table | schema.table             (qualified name -> bare table,
          | (SELECT ...) [AS] t             sql.y pickTable($3))
          | (VALUES (..),(..)) t(a, b)     literal table
-      [JOIN table ON a = b | USING (c)]   equi-join (planned broadcast
-                                          vs bucketed hash shuffle)
+      [[LEFT [OUTER] | INNER] JOIN table
+         ON a = b | USING (c)]            equi-join (planned broadcast
+                                          vs bucketed hash shuffle;
+                                          LEFT preserves unmatched rows)
     WHERE expr                            AND/OR/NOT, comparisons,
                                           [NOT] LIKE/BETWEEN/IN (list or
                                           subquery), IS [NOT] NULL,
@@ -68,6 +70,7 @@ _KEYWORDS = {
     "join", "on", "using", "as", "and", "or", "not", "like", "between", "in",
     "is", "null", "case", "when", "then", "else", "end", "asc", "desc",
     "distinct", "group", "cast", "having", "over", "partition", "exists",
+    "left", "inner", "outer",
 }
 
 
@@ -196,6 +199,14 @@ class _Parser:
                 table = self.expect("ident")[1]
             self._accept_alias()
         join = None
+        how = "inner"
+        if self.accept("kw", "left"):
+            # LEFT [OUTER] JOIN — beyond the reference grammar (sql.y's
+            # join_type is plain JOIN only), but unavoidable for real use
+            self.accept("kw", "outer")
+            how = "left"
+        else:
+            self.accept("kw", "inner")
         if self.accept("kw", "join"):
             jt = self.expect("ident")[1]
             if self.accept("op", "."):
@@ -209,7 +220,7 @@ class _Parser:
                 self.expect("op", "(")
                 col = self.expect("ident")[1]
                 self.expect("op", ")")
-                join = (jt, col, col)
+                join = (jt, col, col, how)
             else:
                 self.expect("kw", "on")
 
@@ -227,7 +238,7 @@ class _Parser:
                 # table's column first (ON t2.g = t1.k)
                 if lq == jt and rq != jt:
                     lcol, rcol = rcol, lcol
-                join = (jt, lcol, rcol)
+                join = (jt, lcol, rcol, how)
         where = None
         if self.accept("kw", "where"):
             where = self.parse_expr()
@@ -1035,11 +1046,13 @@ def _collect_cols(node, out: set) -> None:
             _collect_cols(sub, out)
 
 
-def _broadcast_join(ds_a, ds_b, lcol: str, rcol: str):
-    """Inner equi-join with a SMALL right side: collect + ``ray.put`` the
-    build table once, probe map-side in every batch — no shuffle at all
-    (the planner picks this when the right table is under the broadcast
-    threshold; same output contract as :func:`_join_on`)."""
+def _broadcast_join(ds_a, ds_b, lcol: str, rcol: str, how: str = "inner"):
+    """Inner or left equi-join with a SMALL right side: collect +
+    ``ray.put`` the build table once, probe map-side in every batch — no
+    shuffle at all (the planner picks this when the right table is under
+    the broadcast threshold; same output contract as :func:`_join_on`).
+    A left join is still map-side-correct here: every left row appears
+    in exactly one batch."""
     import ray
 
     b_tbl = pa.concat_tables(ray.get(ds_b.to_arrow_refs()))
@@ -1051,7 +1064,7 @@ def _broadcast_join(ds_a, ds_b, lcol: str, rcol: str):
     def fn(batch: pa.Table) -> pd.DataFrame:
         bd = ray.get(b_ref)
         m = batch.to_pandas().merge(
-            bd, left_on=lcol, right_on=rcol, how="inner",
+            bd, left_on=lcol, right_on=rcol, how=how,
             suffixes=("", "_r"))
         drop = [f"{c}_r" for c in overlap if f"{c}_r" in m.columns]
         return m.drop(columns=drop)
@@ -1059,8 +1072,11 @@ def _broadcast_join(ds_a, ds_b, lcol: str, rcol: str):
     return ds_a.map_batches(fn, batch_format="pyarrow")
 
 
-def _join_on(ds_a, ds_b, lcol: str, rcol: str, n_buckets: int = 16):
-    """Inner equi-join of two datasets as one bucketed hash shuffle."""
+def _join_on(ds_a, ds_b, lcol: str, rcol: str, n_buckets: int = 16,
+             how: str = "inner"):
+    """Inner or left equi-join of two datasets as one bucketed hash
+    shuffle (left rows co-locate with their matches, so unmatched left
+    rows surface with nulls inside their own bucket)."""
     from ..stages.shuffle import bucketed_apply
 
     a_names = ds_a.schema().names
@@ -1095,7 +1111,7 @@ def _join_on(ds_a, ds_b, lcol: str, rcol: str, n_buckets: int = 16):
             [c for c in a_names if c in g.columns] + ["__jk"]]
         b = g[g["__src"] == 1][
             [c for c in b_names if c in g.columns] + ["__jk"]]
-        m = a.merge(b, on="__jk", how="inner",
+        m = a.merge(b, on="__jk", how=how,
                     suffixes=("", "_r"))
         drop = ["__jk"] + [f"{c}_r" for c in overlap if f"{c}_r" in m.columns]
         m = m.drop(columns=[c for c in drop if c in m.columns])
@@ -1277,7 +1293,7 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
                                      _outer_names), name)
                 for e, name in sel["items"]])
         if sel["join"] is not None:
-            jt, lcol, rcol = sel["join"]
+            jt, lcol, rcol, how = sel["join"]
             rhs = tables[jt]
             if sel["items"] is not None:
                 # projection pushdown: only referenced columns (+ join
@@ -1313,11 +1329,15 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
                         # overlap columns are fine here: join output
                         # carries LEFT values for shared names
                         l_conjs.append(conj)
-                    elif cc and cc <= r_names and not (cc & l_names):
-                        # right push only when NO column is shared with
-                        # the left — a shared name evaluated right-side
-                        # would use right values, but post-join the
-                        # predicate sees left values
+                    elif (how == "inner" and cc and cc <= r_names
+                          and not (cc & l_names)):
+                        # right-side push is only sound below an INNER
+                        # join (below LEFT it would drop rows the outer
+                        # join must preserve with nulls), and only when
+                        # NO column is shared with the left — a shared
+                        # name evaluated right-side would use right
+                        # values, but post-join the predicate sees left
+                        # values
                         r_conjs.append(conj)
                     else:
                         residual.append(conj)
@@ -1343,9 +1363,9 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
             except Exception:
                 rhs_rows = None
             if rhs_rows is not None and rhs_rows <= broadcast_threshold:
-                ds = _broadcast_join(ds, rhs, lcol, rcol)
+                ds = _broadcast_join(ds, rhs, lcol, rcol, how)
             else:
-                ds = _join_on(ds, rhs, lcol, rcol)
+                ds = _join_on(ds, rhs, lcol, rcol, how=how)
         if sel["items"] is not None and any(
                 _has_win(e) for e, _ in sel["items"]):
             out = _run_window_select(ds, sel)

@@ -32,6 +32,16 @@ def t2():
     })
 
 
+@pytest.fixture(scope="module")
+def t3():
+    # partial key coverage: LEFT JOINs against t3 produce unmatched rows
+    return pa.table({
+        "h": pa.array(np.arange(3, dtype=np.int64)),
+        "tag": pa.array([f"tag{j}" for j in range(3)]),
+        "hkey": pa.array([f"name_{j}" for j in range(3)]),
+    })
+
+
 def _run_both(sql, tabs, arrow_tabs):
     import ray
 
@@ -218,6 +228,22 @@ CASES = [
     "SELECT k FROM t1 WHERE f > (SELECT AVG(f) FROM t1) ORDER BY k "
     "LIMIT 30",
     "SELECT k, (SELECT MAX(g) FROM t2) AS mg FROM t1 ORDER BY k LIMIT 5",
+    # ---- LEFT [OUTER] JOIN (t3 covers only name_0..2, so rows go
+    # unmatched); string columns keep None, int columns go float64 via
+    # Arrow null-promotion on BOTH engines
+    "SELECT k, s, tag FROM t1 LEFT JOIN t3 ON s = hkey "
+    "ORDER BY k LIMIT 40",
+    "SELECT k, s, h FROM t1 LEFT OUTER JOIN t3 ON s = hkey "
+    "WHERE v > 30 ORDER BY k LIMIT 40",
+    # WHERE on the right side of a LEFT join must NOT push below it
+    "SELECT k, s, tag FROM t1 LEFT JOIN t3 ON s = hkey "
+    "WHERE tag IS NULL ORDER BY k LIMIT 30",
+    # INNER keyword accepted; identical to plain JOIN
+    "SELECT k, s, label FROM t1 INNER JOIN t2 ON s = gkey "
+    "WHERE v > 40 ORDER BY k LIMIT 20",
+    # aggregation over a LEFT join (COUNT skips nulls on both engines)
+    "SELECT s, COUNT(h) AS nh, COUNT(*) AS n FROM t1 LEFT JOIN t3 "
+    "ON s = hkey GROUP BY s ORDER BY s",
 ]
 
 
@@ -234,8 +260,8 @@ def test_bitxor_matches_numpy(ray_session, t1):
 
 
 @pytest.mark.parametrize("sql", CASES)
-def test_sql_parse_matches_duckdb(ray_session, t1, t2, sql):
-    _run_both(sql, None, {"t1": t1, "t2": t2})
+def test_sql_parse_matches_duckdb(ray_session, t1, t2, t3, sql):
+    _run_both(sql, None, {"t1": t1, "t2": t2, "t3": t3})
 
 
 def test_join_using(ray_session, t1):
@@ -294,3 +320,30 @@ def test_join_shuffle_and_broadcast_paths_agree(ray_session, t1, t2):
     sh = sh.sort_values(key).reset_index(drop=True)
     assert list(bc.columns) == list(sh.columns)
     pd.testing.assert_frame_equal(bc, sh)
+
+
+def test_left_join_shuffle_matches_duckdb(ray_session, t1, t3):
+    """Force the bucketed-exchange LEFT join (broadcast_threshold=0) and
+    check it against DuckDB: unmatched rows surface with nulls, int
+    columns arrive float64 via Arrow null-promotion on both engines."""
+    import ray
+
+    sql = ("SELECT k, s, h, tag FROM t1 LEFT JOIN t3 ON s = hkey "
+           "WHERE v > 20 ORDER BY k")
+    tabs = {"t1": ray.data.from_arrow(t1), "t3": ray.data.from_arrow(t3)}
+    got = parse_sql(sql, tabs, broadcast_threshold=0).to_pandas()
+    con = duckdb.connect()
+    con.register("t1", t1)
+    con.register("t3", t3)
+    want = con.execute(sql).df()
+    got = got.sort_values(["k"]).reset_index(drop=True)
+    want = want.sort_values(["k"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert got["h"].dtype == want["h"].dtype == np.float64
+    for c in want.columns:
+        gv, wv = got[c], want[c]
+        if gv.dtype.kind == "f":
+            assert np.allclose(gv, wv, equal_nan=True), c
+        else:
+            assert (gv.isna() == wv.isna()).all(), c
+            assert (gv.dropna() == wv.dropna()).all(), c
