@@ -847,7 +847,11 @@ SQL_WINDOW_TEXT = (
     "AS runmin, "
     "LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
     "AS prev_value, "
-    "COUNT(*) OVER (PARTITION BY user_id) AS user_events "
+    "COUNT(*) OVER (PARTITION BY user_id) AS user_events, "
+    "NTILE(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+    "AS quartile, "
+    "MIN(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mov_min "
     "FROM events WHERE event_type = 'click' "
     "ORDER BY user_id, seq LIMIT 5000"
 )

@@ -31,10 +31,12 @@ concat lower/upper-free arithmetic + - * / and || concatenation, CASE
 WHEN ... THEN ... [ELSE ...] END.
 
 Window functions (beyond the reference grammar): row_number rank
-dense_rank sum count min max avg lag lead first_value, each as
-``fn(args) OVER ([PARTITION BY cols] [ORDER BY cols [ASC|DESC]])`` with
-SQL's default RANGE UNBOUNDED PRECEDING..CURRENT ROW frame (peer rows
-share their group's cumulative value).  Execution: one bucketed hash
+dense_rank ntile percent_rank cume_dist sum count min max avg lag lead
+first_value, each as ``fn(args) OVER ([PARTITION BY cols] [ORDER BY
+cols [ASC|DESC]] [ROWS BETWEEN {n|UNBOUNDED} PRECEDING AND CURRENT
+ROW])``; the default frame is SQL's RANGE UNBOUNDED
+PRECEDING..CURRENT ROW (peer rows share their group's cumulative
+value), an explicit ROWS frame is physical rows (moving aggregates).  Execution: one bucketed hash
 exchange per distinct PARTITION BY signature; inside each bucket the
 kernels are pandas groupby primitives (cumsum/cumcount/shift/transform)
 — vectorized, no per-row Python.  A window without PARTITION BY is a
@@ -70,7 +72,8 @@ _KEYWORDS = {
     "join", "on", "using", "as", "and", "or", "not", "like", "between", "in",
     "is", "null", "case", "when", "then", "else", "end", "asc", "desc",
     "distinct", "group", "cast", "having", "over", "partition", "exists",
-    "left", "inner", "outer",
+    "left", "inner", "outer", "rows", "preceding", "unbounded", "current",
+    "row",
 }
 
 
@@ -484,9 +487,24 @@ class _Parser:
                                 odesc.append(False)
                             if not self.accept("op", ","):
                                 break
+                    frame = None
+                    if self.accept("kw", "rows"):
+                        # ROWS BETWEEN {n|UNBOUNDED} PRECEDING AND
+                        # CURRENT ROW — physical-row frame (no peer
+                        # sharing, unlike the RANGE default)
+                        self.expect("kw", "between")
+                        if self.accept("kw", "unbounded"):
+                            k = None
+                        else:
+                            k = int(self.expect("num")[1])
+                        self.expect("kw", "preceding")
+                        self.expect("kw", "and")
+                        self.expect("kw", "current")
+                        self.expect("kw", "row")
+                        frame = ("rows", k)
                     self.expect("op", ")")
                     node = ("win", v.lower(), args, tuple(part),
-                            tuple(ocols), tuple(odesc))
+                            tuple(ocols), tuple(odesc), frame)
                 return node
             if self.accept("op", "."):
                 # alias-qualified column (t.k / d.k): single-table scope
@@ -798,7 +816,10 @@ def _run_grouped_select(ds, sel) -> "ray.data.Dataset":  # noqa: F821
 
 
 _WIN_FUNCS = {"row_number", "rank", "dense_rank", "sum", "count", "min",
-              "max", "avg", "lag", "lead", "first_value"}
+              "max", "avg", "lag", "lead", "first_value", "ntile",
+              "percent_rank", "cume_dist"}
+# aggregates that accept a ROWS frame (moving aggregates)
+_FRAMEABLE = {"sum", "count", "min", "max", "avg"}
 
 
 def _has_win(node) -> bool:
@@ -817,14 +838,17 @@ def _extract_wins(node, wins: list):
     one synthetic column (computed once)."""
     if isinstance(node, tuple):
         if node[0] == "win":
-            _w, fname, args, part, ocols, odesc = node
+            _w, fname, args, part, ocols, odesc, frame = node
             if fname not in _WIN_FUNCS:
                 raise ValueError(f"unsupported window function {fname}()")
-            for key, f2, a2, p2, o2, d2 in wins:
-                if (f2, a2, p2, o2, d2) == (fname, args, part, ocols, odesc):
+            if frame is not None and fname not in _FRAMEABLE:
+                raise ValueError(f"{fname}() does not accept a ROWS frame")
+            for key, f2, a2, p2, o2, d2, fr2 in wins:
+                if (f2, a2, p2, o2, d2, fr2) == (
+                        fname, args, part, ocols, odesc, frame):
                     return ("col", key)
             key = f"__win{len(wins)}"
-            wins.append((key, fname, args, part, ocols, odesc))
+            wins.append((key, fname, args, part, ocols, odesc, frame))
             return ("col", key)
         return tuple(
             _extract_wins(s, wins) if isinstance(s, (tuple, list)) else s
@@ -851,10 +875,11 @@ def _window_bucket_fn(part: list, specs: list):
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         df = df.reset_index(drop=True)
         if df.empty:
-            for key, fname, argcol, _off, ocols, _odesc in specs:
-                if fname in ("row_number", "rank", "dense_rank", "count"):
+            for key, fname, argcol, _off, ocols, _odesc, _frame in specs:
+                if fname in ("row_number", "rank", "dense_rank", "count",
+                             "ntile"):
                     df[key] = pd.Series(np.array([], dtype=np.int64))
-                elif fname in ("sum", "avg"):
+                elif fname in ("sum", "avg", "percent_rank", "cume_dist"):
                     df[key] = pd.Series(np.array([], dtype=np.float64))
                 elif fname in ("lag", "lead"):
                     src = df[argcol]
@@ -863,7 +888,7 @@ def _window_bucket_fn(part: list, specs: list):
                 else:  # min / max / first_value keep the input dtype
                     df[key] = df[argcol]
             return df
-        for key, fname, argcol, off, ocols, odesc in specs:
+        for key, fname, argcol, off, ocols, odesc, frame in specs:
             if ocols:
                 # partition columns lead the sort so partitions are
                 # CONTIGUOUS — the shift-based peer/head detection below
@@ -893,6 +918,28 @@ def _window_bucket_fn(part: list, specs: list):
                 res = pos.groupby(peer_id).transform("first") + 1
             elif fname == "dense_rank":
                 res = peer_start.astype(np.int64).groupby(gv).cumsum()
+            elif fname == "ntile":
+                # first (cnt % n) buckets take ceil(cnt/n) rows (SQL)
+                pos = order.groupby(gv).cumcount().to_numpy()
+                cnt = pgid.groupby(gv).transform("size").to_numpy()
+                nt = off
+                q2, r2 = cnt // nt, cnt % nt
+                big = (q2 + 1) * r2
+                res_np = np.where(
+                    pos < big, pos // (q2 + 1),
+                    r2 + (pos - big) // np.maximum(q2, 1)) + 1
+                res = pd.Series(res_np.astype(np.int64), index=order.index)
+            elif fname == "percent_rank":
+                pos = order.groupby(gv).cumcount()
+                first_pos = pos.groupby(peer_id).transform("first")
+                cnt = pgid.groupby(gv).transform("size")
+                res = (first_pos / (cnt - 1).clip(lower=1)
+                       ).astype(np.float64)
+            elif fname == "cume_dist":
+                pos = order.groupby(gv).cumcount()
+                last_pos = pos.groupby(peer_id).transform("last")
+                cnt = pgid.groupby(gv).transform("size")
+                res = ((last_pos + 1) / cnt).astype(np.float64)
             elif fname in ("lag", "lead"):
                 res = x.groupby(gv).shift(off if fname == "lag" else -off)
                 if res.dtype.kind in "iu":
@@ -907,6 +954,44 @@ def _window_bucket_fn(part: list, specs: list):
                 if res.dtype != x.dtype and x.dtype.kind in "iu" \
                         and not res.isna().any():
                     res = res.astype(x.dtype)
+            elif frame is not None:
+                # explicit ROWS frame: physical rows, no peer sharing
+                k = frame[1]
+                if k is None:
+                    # ROWS UNBOUNDED PRECEDING .. CURRENT ROW
+                    if fname == "count":
+                        c = (x.notna().astype(np.int64).groupby(gv).cumsum()
+                             if x is not None
+                             else order.groupby(gv).cumcount() + 1)
+                    elif fname == "sum":
+                        c = (x.groupby(gv).cumsum().groupby(gv).ffill()
+                             .astype(np.float64))
+                    elif fname == "avg":
+                        s = x.groupby(gv).cumsum().groupby(gv).ffill()
+                        n2 = x.notna().astype(np.int64).groupby(gv).cumsum()
+                        c = s.astype(np.float64) / n2
+                    elif fname == "min":
+                        c = x.groupby(gv).cummin().groupby(gv).ffill()
+                    else:
+                        c = x.groupby(gv).cummax().groupby(gv).ffill()
+                    res = c
+                else:
+                    # moving aggregate over the k+1 most recent rows
+                    src = (x if x is not None else pd.Series(
+                        np.ones(len(order)), index=order.index))
+                    roll = src.groupby(gv).rolling(
+                        window=k + 1, min_periods=1)
+                    agg = {"sum": "sum", "avg": "mean", "min": "min",
+                           "max": "max", "count": "count"}[fname]
+                    c = getattr(roll, agg)().droplevel(0)
+                    if fname == "count":
+                        c = c.astype(np.int64)
+                    elif fname in ("sum", "avg"):
+                        c = c.astype(np.float64)
+                    elif (x is not None and x.dtype.kind in "iu"
+                          and not c.isna().any()):
+                        c = c.astype(x.dtype)
+                    res = c
             elif not ocols:
                 # whole-partition aggregate (no ORDER BY -> frame is the
                 # entire partition)
@@ -977,13 +1062,15 @@ def _run_window_select(ds, sel) -> "ray.data.Dataset":  # noqa: F821
         q = q.where(_compile_expr(sel["where"]))
     names = ds.schema().names
     pre = {c: col(c) for c in names}
-    need_const = any(not part for _k, _f, _a, part, _o, _d in wins)
+    need_const = any(not part for _k, _f, _a, part, _o, _d, _fr in wins)
     if need_const:
         pre["__wg"] = lit(0)
     specs = []
-    for key, fname, args, part, ocols, odesc in wins:
+    for key, fname, args, part, ocols, odesc, frame in wins:
         argcol = None
-        if fname not in ("row_number", "rank", "dense_rank") and not (
+        no_arg = ("row_number", "rank", "dense_rank", "percent_rank",
+                  "cume_dist")
+        if fname not in no_arg and fname != "ntile" and not (
                 fname == "count" and (not args or args[0] == ("star",))):
             if not args:
                 raise ValueError(f"{fname}() window needs an argument")
@@ -995,15 +1082,24 @@ def _run_window_select(ds, sel) -> "ray.data.Dataset":  # noqa: F821
                 raise ValueError(f"{fname}() offset must be an integer "
                                  "literal")
             off = args[1][1]
-        if fname in ("rank", "dense_rank", "first_value") and not ocols:
+        if fname == "ntile":
+            if not args or args[0][0] != "lit" \
+                    or not isinstance(args[0][1], int) or args[0][1] < 1:
+                raise ValueError("ntile() needs a positive integer literal")
+            off = args[0][1]  # reuse the offset slot for the bucket count
+        if fname in ("rank", "dense_rank", "first_value", "ntile",
+                     "percent_rank", "cume_dist") and not ocols:
             raise ValueError(f"{fname}() requires ORDER BY in the window")
+        if frame is not None and not ocols:
+            raise ValueError("a ROWS frame requires ORDER BY in the window")
         specs.append((key, fname, argcol, off,
-                      list(part) or ["__wg"], list(ocols), list(odesc)))
+                      list(part) or ["__wg"], list(ocols), list(odesc),
+                      frame))
     out = q.select(**pre).run()
     by_part: dict = {}
     for sp in specs:
         by_part.setdefault(tuple(sp[4]), []).append(
-            (sp[0], sp[1], sp[2], sp[3], sp[5], sp[6]))
+            (sp[0], sp[1], sp[2], sp[3], sp[5], sp[6], sp[7]))
     for part, group in by_part.items():
         nb = 1 if part == ("__wg",) else 32
         out = bucketed_apply(
@@ -1035,7 +1131,7 @@ def _collect_cols(node, out: set) -> None:
         if len(node) == 2 and node[0] == "col" and isinstance(node[1], str):
             out.add(node[1])
             return
-        if len(node) == 6 and node[0] == "win":
+        if len(node) == 7 and node[0] == "win":
             # window node: args + PARTITION BY / ORDER BY column names
             for a in node[2]:
                 _collect_cols(a, out)

@@ -244,6 +244,29 @@ CASES = [
     # aggregation over a LEFT join (COUNT skips nulls on both engines)
     "SELECT s, COUNT(h) AS nh, COUNT(*) AS n FROM t1 LEFT JOIN t3 "
     "ON s = hkey GROUP BY s ORDER BY s",
+    # ---- rank-family extensions: ntile / percent_rank / cume_dist
+    "SELECT k, NTILE(4) OVER (PARTITION BY s ORDER BY k) AS q4, "
+    "NTILE(3) OVER (ORDER BY k) AS q3 FROM t1 ORDER BY k LIMIT 60",
+    # percent_rank/cume_dist with ties on the order column
+    "SELECT k, PERCENT_RANK() OVER (PARTITION BY s ORDER BY v) AS pr, "
+    "CUME_DIST() OVER (PARTITION BY s ORDER BY v) AS cd "
+    "FROM t1 ORDER BY k LIMIT 60",
+    # ---- explicit ROWS frames: moving aggregates
+    "SELECT k, AVG(v) OVER (PARTITION BY s ORDER BY k "
+    "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mavg, "
+    "CAST(SUM(v) OVER (PARTITION BY s ORDER BY k "
+    "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS msum "
+    "FROM t1 ORDER BY k LIMIT 60",
+    "SELECT k, MIN(v) OVER (PARTITION BY s ORDER BY k "
+    "ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS mmin, "
+    "COUNT(*) OVER (PARTITION BY s ORDER BY k "
+    "ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS mcnt "
+    "FROM t1 ORDER BY k LIMIT 60",
+    # ROWS UNBOUNDED PRECEDING (physical-row cumulative; unique order
+    # key — with ties the physical order is engine-dependent in SQL)
+    "SELECT k, CAST(SUM(v) OVER (PARTITION BY s ORDER BY k "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rs "
+    "FROM t1 ORDER BY k LIMIT 60",
 ]
 
 
