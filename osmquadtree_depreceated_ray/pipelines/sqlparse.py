@@ -251,7 +251,9 @@ class _Parser:
             self.expect("kw", "by")
             group = []
             while True:
-                group.append(self.expect("ident")[1])
+                # full expressions (GROUP BY k % 10, substr(s, 1, 4), or
+                # a SELECT alias) — normalized at execution time
+                group.append(self.parse_expr())
                 if not self.accept("op", ","):
                     break
             if self.accept("kw", "having"):
@@ -736,6 +738,22 @@ def _extract_aggs(node, aggs: list):
     return node
 
 
+def _subst(node, target, repl):
+    """Structurally replace every occurrence of AST ``target`` in
+    ``node`` with ``repl``."""
+    if node == target:
+        return repl
+    if isinstance(node, tuple):
+        return tuple(
+            _subst(x, target, repl) if isinstance(x, (tuple, list)) else x
+            for x in node)
+    if isinstance(node, list):
+        return [
+            _subst(x, target, repl) if isinstance(x, (tuple, list)) else x
+            for x in node]
+    return node
+
+
 def _run_grouped_select(ds, sel) -> "ray.data.Dataset":  # noqa: F821
     """GROUP BY execution: WHERE filter -> pre-project (group cols +
     aggregate inputs) -> one bucketed grouped_agg exchange -> post-project
@@ -744,9 +762,30 @@ def _run_grouped_select(ds, sel) -> "ray.data.Dataset":  # noqa: F821
     SQL front-end without aggregation is not usable standalone.)"""
     from ..stages.shuffle import grouped_agg
 
-    group_cols = sel["group"]
     if sel["items"] is None:
         raise ValueError("SELECT * is not valid with GROUP BY")
+    # normalize GROUP BY entries: plain columns stay; a SELECT alias
+    # resolves to its expression (when no real column shadows it); any
+    # other expression becomes a synthetic pre-projected group column,
+    # substituted back into the post-agg projection wherever the same
+    # expression appears
+    raw_group = sel["group"] or []
+    alias_map = {name: e for e, name in sel["items"] if name}
+    schema_names = set(ds.schema().names) if raw_group else set()
+    group_cols: list = []
+    gexprs: list = []  # (ast_node, synthetic_name)
+    for i, gnode in enumerate(raw_group):
+        if (isinstance(gnode, tuple) and gnode[0] == "col"
+                and gnode[1] in alias_map
+                and gnode[1] not in schema_names
+                and alias_map[gnode[1]] != gnode):
+            gnode = alias_map[gnode[1]]
+        if isinstance(gnode, tuple) and gnode[0] == "col":
+            group_cols.append(gnode[1])
+        else:
+            gname = f"__gx{i}"
+            group_cols.append(gname)
+            gexprs.append((gnode, gname))
     # global aggregate (no GROUP BY): group over a synthetic constant
     # (assumes non-empty input — SQL's 1-row-on-empty convention is not
     # reproduced)
@@ -757,6 +796,11 @@ def _run_grouped_select(ds, sel) -> "ray.data.Dataset":  # noqa: F821
     post_items = []
     for idx, (e, name) in enumerate(sel["items"]):
         ne = _extract_aggs(e, aggs)
+        # substitution happens AFTER aggregate extraction, so group
+        # expressions inside aggregate ARGUMENTS stay intact (those
+        # evaluate per-row pre-aggregation)
+        for gnode, gname in gexprs:
+            ne = _subst(ne, gnode, ("col", gname))
         post_items.append((ne, name or _expr_name(e, idx)))
     # HAVING aggregates join the same spec so ONE aggregation pass
     # computes everything; the rewritten predicate filters the
@@ -765,12 +809,18 @@ def _run_grouped_select(ds, sel) -> "ray.data.Dataset":  # noqa: F821
         _extract_aggs(sel["having"], aggs)
         if sel.get("having") is not None else None
     )
+    for gnode, gname in gexprs:
+        if having_node is not None:
+            having_node = _subst(having_node, gnode, ("col", gname))
 
     q = Query(ds)
     if sel["where"] is not None:
         q = q.where(_compile_expr(sel["where"]))
     pre_cols = ({"__g": lit(0)} if global_agg
-                else {c: col(c) for c in group_cols})
+                else {c: col(c) for c in group_cols
+                      if c not in {g for _n, g in gexprs}})
+    for gnode, gname in gexprs:
+        pre_cols[gname] = _compile_expr(gnode)
     spec = {}
     for key, fname, args in aggs:
         if fname == "count" and (not args or args[0] == ("star",)):
@@ -1402,7 +1452,8 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
                 if sel.get("having") is not None:
                     _collect_cols(sel["having"], needed)
                 if sel.get("group"):
-                    needed |= set(sel["group"])
+                    for gnode in sel["group"]:
+                        _collect_cols(gnode, needed)
                 lkeep = [c for c in ds.schema().names
                          if c in needed or c == lcol]
                 rkeep = [c for c in rhs.schema().names

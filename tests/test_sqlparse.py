@@ -267,6 +267,21 @@ CASES = [
     "SELECT k, CAST(SUM(v) OVER (PARTITION BY s ORDER BY k "
     "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rs "
     "FROM t1 ORDER BY k LIMIT 60",
+    # ---- GROUP BY expressions
+    "SELECT k % 10 AS bucket, COUNT(*) AS n, "
+    "CAST(SUM(v) AS BIGINT) AS sv FROM t1 GROUP BY k % 10 ORDER BY bucket",
+    "SELECT substr(s, 1, 6) AS pre, COUNT(*) AS n FROM t1 "
+    "GROUP BY substr(s, 1, 6) ORDER BY pre",
+    # GROUP BY a SELECT alias; group expr also inside an agg argument
+    "SELECT k % 7 AS m7, CAST(SUM(v + k % 7) AS BIGINT) AS sv FROM t1 "
+    "GROUP BY m7 ORDER BY m7",
+    # mixed plain column + expression keys, HAVING over the groups
+    "SELECT s, k % 2 AS par, COUNT(*) AS n FROM t1 GROUP BY s, k % 2 "
+    "HAVING COUNT(*) > 30 ORDER BY s, par",
+    # CASE expression as a group key
+    "SELECT CASE WHEN v >= 0 THEN 'p' ELSE 'n' END AS sgn, "
+    "COUNT(*) AS n FROM t1 GROUP BY CASE WHEN v >= 0 THEN 'p' "
+    "ELSE 'n' END ORDER BY sgn",
 ]
 
 
