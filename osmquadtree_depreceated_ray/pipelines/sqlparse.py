@@ -938,29 +938,39 @@ def _window_bucket_fn(part: list, specs: list):
                 else:  # min / max / first_value keep the input dtype
                     df[key] = df[argcol]
             return df
+        sort_cache: dict = {}
         for key, fname, argcol, off, ocols, odesc, frame in specs:
-            if ocols:
-                # partition columns lead the sort so partitions are
-                # CONTIGUOUS — the shift-based peer/head detection below
-                # relies on it (an ORDER BY column repeated in the
-                # partition list is constant per partition, so dropping
-                # the duplicate preserves within-partition order)
-                skeys = list(part) + [c for c in ocols if c not in part]
-                sasc = [True] * len(part) + [
-                    not d for c, d in zip(ocols, odesc) if c not in part]
-                order = df.sort_values(skeys, ascending=sasc, kind="stable")
+            ck = (tuple(ocols), tuple(odesc))
+            if ck in sort_cache:
+                order, pgid, gv, peer_start, peer_id = sort_cache[ck]
             else:
-                order = df
-            pgid = order.groupby(part, sort=False, dropna=False).ngroup()
-            gv = pgid.to_numpy()
+                if ocols:
+                    # partition columns lead the sort so partitions are
+                    # CONTIGUOUS — the shift-based peer/head detection
+                    # below relies on it (an ORDER BY column repeated in
+                    # the partition list is constant per partition, so
+                    # dropping the duplicate preserves within-partition
+                    # order)
+                    skeys = list(part) + [
+                        c for c in ocols if c not in part]
+                    sasc = [True] * len(part) + [
+                        not d for c, d in zip(ocols, odesc)
+                        if c not in part]
+                    order = df.sort_values(
+                        skeys, ascending=sasc, kind="stable")
+                else:
+                    order = df
+                pgid = order.groupby(part, sort=False, dropna=False).ngroup()
+                gv = pgid.to_numpy()
+                peer_start = peer_id = None
+                if ocols:
+                    oc = order[list(ocols)]
+                    peer_start = (oc.ne(oc.shift()).any(axis=1)
+                                  | pgid.ne(pgid.shift()))
+                    peer_start.iloc[0] = True
+                    peer_id = peer_start.cumsum().to_numpy()
+                sort_cache[ck] = (order, pgid, gv, peer_start, peer_id)
             x = order[argcol] if argcol is not None else None
-            peer_id = None
-            if ocols:
-                oc = order[list(ocols)]
-                peer_start = (oc.ne(oc.shift()).any(axis=1)
-                              | pgid.ne(pgid.shift()))
-                peer_start.iloc[0] = True
-                peer_id = peer_start.cumsum().to_numpy()
             if fname == "row_number":
                 res = order.groupby(gv).cumcount() + 1
             elif fname == "rank":
