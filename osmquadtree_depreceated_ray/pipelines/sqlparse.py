@@ -145,10 +145,10 @@ class _Parser:
             self.expect("kw", "by")
             order, desc = [], []
             while True:
-                oc = self.expect("ident")[1]
-                if self.accept("op", "."):
-                    oc = self.expect("ident")[1]
-                order.append(oc)
+                # full expressions (ORDER BY v + k, length(s) DESC); a
+                # plain (possibly alias-qualified) column stays a direct
+                # sort key, anything else sorts on a synthetic column
+                order.append(self.parse_expr())
                 if self.accept("kw", "desc"):
                     desc.append(True)
                 else:
@@ -1568,7 +1568,24 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
 
             ds = _distinct(ds, ds.schema().names)
     if ast["order"]:
-        ds = ds.sort(ast["order"], descending=ast["desc"])
+        sort_cols, synth = [], []
+        for i, node in enumerate(ast["order"]):
+            if isinstance(node, tuple) and node[0] == "col":
+                sort_cols.append(node[1])
+            else:
+                cname = f"__ord{i}"
+                sort_cols.append(cname)
+                synth.append((cname, _compile_expr(node)))
+        if synth:
+            def add_sort_cols(t: pa.Table) -> pa.Table:
+                for cname, expr in synth:
+                    t = t.append_column(cname, expr(t))
+                return t
+
+            ds = ds.map_batches(add_sort_cols, batch_format="pyarrow")
+        ds = ds.sort(sort_cols, descending=ast["desc"])
+        if synth:
+            ds = ds.drop_columns([c for c, _e in synth])
     if ast["limit"] is not None:
         ds = ds.limit(ast["limit"])
     return ds

@@ -282,6 +282,11 @@ CASES = [
     "SELECT CASE WHEN v >= 0 THEN 'p' ELSE 'n' END AS sgn, "
     "COUNT(*) AS n FROM t1 GROUP BY CASE WHEN v >= 0 THEN 'p' "
     "ELSE 'n' END ORDER BY sgn",
+    # ---- ORDER BY expressions (synthetic sort columns, dropped after)
+    "SELECT k, v FROM t1 WHERE k < 40 ORDER BY v + k DESC, k LIMIT 20",
+    "SELECT k, v FROM t1 WHERE k < 30 ORDER BY v * v, k LIMIT 15",
+    "SELECT k, s FROM t1 WHERE k < 25 "
+    "ORDER BY substr(s, 6, 2) DESC, k LIMIT 12",
 ]
 
 
