@@ -27,8 +27,9 @@ Surface (the reference's grammar, plus LIMIT):
     <select> UNION [ALL] <select>         (non-ALL deduplicates)
 
 Scalar functions: coalesce nullif replace substr char_length/length
-concat lower/upper-free arithmetic + - * / and || concatenation, CASE
-WHEN ... THEN ... [ELSE ...] END.
+concat upper lower trim ltrim rtrim reverse abs sign floor ceil round
+sqrt ln, arithmetic + - * / % and || concatenation, CASE WHEN ... THEN
+... [ELSE ...] END.
 
 Window functions (beyond the reference grammar): row_number rank
 dense_rank ntile percent_rank cume_dist sum count min max avg lag lead
@@ -685,6 +686,31 @@ def _compile_expr(node) -> Expr:
             return args[0].make_integer()
         if name == "make_float":
             return args[0].make_float()
+        if name in ("upper", "lower", "trim", "ltrim", "rtrim", "abs",
+                    "floor", "ceil", "ceiling", "sign", "sqrt", "ln",
+                    "reverse"):
+            import pyarrow.compute as _pc
+
+            kern = {"upper": _pc.utf8_upper, "lower": _pc.utf8_lower,
+                    "trim": _pc.utf8_trim_whitespace,
+                    "ltrim": _pc.utf8_ltrim_whitespace,
+                    "rtrim": _pc.utf8_rtrim_whitespace,
+                    "abs": _pc.abs, "floor": _pc.floor, "ceil": _pc.ceil,
+                    "ceiling": _pc.ceil, "sign": _pc.sign,
+                    "sqrt": _pc.sqrt, "ln": _pc.ln,
+                    "reverse": _pc.utf8_reverse}[name]
+            a0 = args[0]
+            return Expr(lambda t, _k=kern, _a=a0: _k(_a(t)), name)
+        if name == "round":
+            import pyarrow.compute as _pc
+
+            nd = int(_lit_arg(1)) if len(args) > 1 else 0
+            a0 = args[0]
+            # SQL ROUND is half-away-from-zero (DuckDB), not banker's
+            # (pyarrow spells it half_towards_infinity)
+            return Expr(lambda t, _a=a0, _n=nd: _pc.round(
+                _a(t), ndigits=_n, round_mode="half_towards_infinity"),
+                "round")
         raise ValueError(f"unknown SQL function {name}")
     raise ValueError(f"unknown SQL op {op}")
 

@@ -287,6 +287,16 @@ CASES = [
     "SELECT k, v FROM t1 WHERE k < 30 ORDER BY v * v, k LIMIT 15",
     "SELECT k, s FROM t1 WHERE k < 25 "
     "ORDER BY substr(s, 6, 2) DESC, k LIMIT 12",
+    # ---- scalar function widening: string case/trim, math
+    "SELECT k, UPPER(s) AS us, LOWER(UPPER(s)) AS ls, REVERSE(s) AS rs "
+    "FROM t1 WHERE k < 15 ORDER BY k",
+    "SELECT k, ABS(v) AS av, SIGN(v) AS sg, "
+    "CAST(FLOOR(f) AS BIGINT) AS ff, CAST(CEIL(f) AS BIGINT) AS cf "
+    "FROM t1 WHERE k < 40 ORDER BY k",
+    "SELECT k, ROUND(f, 1) AS r1, ROUND(f) AS r0, "
+    "SQRT(ABS(v)) AS sq FROM t1 WHERE k < 40 ORDER BY k",
+    "SELECT k, TRIM(concat('  ', s, ' ')) AS ts FROM t1 WHERE k < 10 "
+    "ORDER BY k",
 ]
 
 
