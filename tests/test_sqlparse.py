@@ -297,6 +297,32 @@ CASES = [
     "SQRT(ABS(v)) AS sq FROM t1 WHERE k < 40 ORDER BY k",
     "SELECT k, TRIM(concat('  ', s, ' ')) AS ts FROM t1 WHERE k < 10 "
     "ORDER BY k",
+    # ---- adversarial combinations of the round-3 additions
+    # window over a join (pushdown must keep partition/order columns)
+    "SELECT k, label, ROW_NUMBER() OVER (PARTITION BY label ORDER BY k) "
+    "AS rn FROM t1 JOIN t2 ON s = gkey WHERE v > 0 ORDER BY k LIMIT 40",
+    # top-N-per-group: window in a derived table, outer filter on it
+    "SELECT k, rn FROM (SELECT k, s, ROW_NUMBER() OVER (PARTITION BY s "
+    "ORDER BY v DESC, k) AS rn FROM t1) d WHERE rn <= 3 ORDER BY k",
+    # EXISTS with alias-qualified correlation on both sides
+    "SELECT a.k FROM t1 a WHERE EXISTS (SELECT 1 FROM t2 b "
+    "WHERE b.gkey = a.s AND b.g < 2) ORDER BY a.k LIMIT 20",
+    # EXISTS under OR (disjunctive rewrite)
+    "SELECT k FROM t1 WHERE v > 45 OR EXISTS (SELECT 1 FROM t2 "
+    "WHERE gkey = s AND g < 1) ORDER BY k LIMIT 40",
+    # GROUP BY expression over a join (pushdown must keep g)
+    "SELECT g % 2 AS gp, COUNT(*) AS n FROM t1 JOIN t2 ON s = gkey "
+    "GROUP BY g % 2 ORDER BY gp",
+    # scalar subquery inside projection arithmetic
+    "SELECT k, v - (SELECT AVG(v) FROM t1) AS dv FROM t1 "
+    "ORDER BY k LIMIT 10",
+    # DISTINCT over a window result
+    "SELECT DISTINCT s, COUNT(*) OVER (PARTITION BY s) AS n FROM t1 "
+    "ORDER BY s",
+    # window over a LEFT JOIN with unmatched rows in the partition key
+    "SELECT k, tag, ROW_NUMBER() OVER (PARTITION BY tag ORDER BY k) "
+    "AS rn FROM t1 LEFT JOIN t3 ON s = hkey WHERE k < 60 "
+    "ORDER BY k LIMIT 40",
 ]
 
 
