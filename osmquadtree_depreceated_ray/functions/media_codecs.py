@@ -6,10 +6,14 @@ decode (encode always emits filter 0, so the hot path stays
 vectorized).  WAV (encode + decode) for 16-bit PCM via the stdlib
 ``wave`` module.  These make the multimodal pipeline's image/audio
 stages REAL: payload bytes in the Arrow binary column are genuine PNG /
-WAV files.  Video container parsing has no stdlib support and remains
-the one stubbed path (stages/multimodal.py documents it).
+WAV files.  Video is covered by a from-scratch ISO BMFF (MP4) container
+codec at the bottom of this module: box-tree writer/parser with
+stsz/stts/stco sample tables and PNG frames as the (codec-agnostic)
+sample payloads — container parse -> sample extraction -> png_decode
+yields real pixels with zero external dependencies.
 
-Format references are the public specs (PNG: RFC 2083; WAV: RIFF PCM).
+Format references are the public specs (PNG: RFC 2083; WAV: RIFF PCM;
+MP4: ISO/IEC 14496-12 box structure).
 """
 
 from __future__ import annotations
@@ -188,3 +192,177 @@ def wav_decode(data: bytes) -> tuple[int, np.ndarray]:
         rate = wv.getframerate()
         frames = wv.readframes(wv.getnframes())
     return rate, np.frombuffer(frames, dtype=np.int16)
+
+
+# ---------------------------------------------------------------- MP4 / BMFF
+#
+# From-scratch ISO Base Media File Format (MP4) container codec — the
+# public box structure only (ISO/IEC 14496-12): every box is
+# size:uint32be + fourcc + payload (size==1 -> 64-bit largesize).  The
+# container is codec-agnostic: sample payloads here are whole PNG
+# frames under a 'png ' visual sample entry (a registered QuickTime
+# sample format), so the video path needs no external codec — container
+# parse -> sample extraction -> png_decode gives real pixels.  This
+# closes the multimodal pipeline's last stub.
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _box(fourcc: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + fourcc + payload
+
+
+def _full(fourcc: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(fourcc, struct.pack(">B3s", version,
+                                    flags.to_bytes(3, "big")) + payload)
+
+
+def mp4_encode(frames: list, width: int, height: int,
+               timescale: int = 1000, frame_duration: int = 40) -> bytes:
+    """Frames (each a bytes PNG payload) -> minimal valid single-track
+    MP4: ftyp + mdat(samples) + moov(mvhd/trak(tkhd/mdia(mdhd/hdlr/minf
+    (vmhd/stbl(stsd['png ']/stts/stsc/stsz/stco))))).  All samples land
+    in one chunk; stco points into mdat."""
+    if not frames:
+        raise ValueError("mp4_encode needs at least one frame")
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mdat_payload = b"".join(frames)
+    mdat = _box(b"mdat", mdat_payload)
+    # chunk offset: file-absolute position of the first sample byte
+    chunk_off = len(ftyp) + 8
+    n = len(frames)
+    duration = n * frame_duration
+
+    mvhd = _full(b"mvhd", 0, 0, struct.pack(
+        ">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IH2s", 0x00010000, 0x0100, b"\0\0")
+        + b"\0" * 8
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\0" * 24 + struct.pack(">I", 2))
+    tkhd = _full(b"tkhd", 0, 7, struct.pack(
+        ">IIIII", 0, 0, 1, 0, duration)
+        + b"\0" * 8 + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16))
+    mdhd = _full(b"mdhd", 0, 0, struct.pack(
+        ">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0))
+    hdlr = _full(b"hdlr", 0, 0, struct.pack(">I", 0) + b"vide"
+                 + b"\0" * 12 + b"graft\0")
+    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _full(b"dref", 0, 0, struct.pack(">I", 1)
+                 + _full(b"url ", 0, 1, b""))
+    dinf = _box(b"dinf", dref)
+    # visual sample entry 'png ' (14496-12 §12.1.3 layout)
+    entry = (b"\0" * 6 + struct.pack(">H", 1)          # reserved + dref idx
+             + struct.pack(">HHIII", 0, 0, 0, 0, 0)    # predef/reserved
+             + struct.pack(">HH", width, height)
+             + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+             + struct.pack(">IH", 0, 1)                # reserved, framecount
+             + b"\0" * 32                              # compressorname
+             + struct.pack(">Hh", 24, -1))             # depth, predefined
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1)
+                 + _box(b"png ", entry))
+    stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, frame_duration))
+    stsc = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _full(b"stsz", 0, 0, struct.pack(">II", 0, n)
+                 + b"".join(struct.pack(">I", len(f)) for f in frames))
+    stco = _full(b"stco", 0, 0, struct.pack(">II", 1, chunk_off))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def _walk_boxes(data: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_end) for the box sequence
+    in data[start:end] (size==1 largesize and size==0 to-end handled)."""
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack_from(">I", data, pos)[0]
+        fourcc = data[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 1:
+            size = struct.unpack_from(">Q", data, pos + 8)[0]
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError(f"malformed box {fourcc!r} at {pos}")
+        yield fourcc, body, pos + size
+        pos += size
+
+
+def mp4_parse(data: bytes) -> dict:
+    """Minimal MP4 metadata: {brand, timescale, duration_ms, width,
+    height, codec, sample_sizes, sample_durations, sample_offsets}.
+    Raises ValueError on anything that is not ISO BMFF."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF (MP4) file")
+    out = {"brand": data[8:12].decode("ascii", "replace")}
+
+    def walk(lo, hi):
+        for fourcc, b0, b1 in _walk_boxes(data, lo, hi):
+            if fourcc in _MP4_CONTAINERS:
+                walk(b0, b1)
+            elif fourcc == b"mvhd":
+                ver = data[b0]
+                if ver == 1:
+                    ts, dur = struct.unpack_from(">IQ", data, b0 + 4 + 16)
+                else:
+                    ts, dur = struct.unpack_from(">II", data, b0 + 4 + 8)
+                out["timescale"] = ts
+                out["duration_ms"] = int(dur * 1000 / ts) if ts else 0
+            elif fourcc == b"tkhd":
+                out["width"] = struct.unpack_from(
+                    ">I", data, b1 - 8)[0] >> 16
+                out["height"] = struct.unpack_from(
+                    ">I", data, b1 - 4)[0] >> 16
+            elif fourcc == b"stsd":
+                # first sample entry's fourcc = the sample format
+                out["codec"] = data[b0 + 12:b0 + 16].decode(
+                    "ascii", "replace").strip()
+            elif fourcc == b"stsz":
+                fixed, n = struct.unpack_from(">II", data, b0 + 4)
+                out["sample_sizes"] = (
+                    [fixed] * n if fixed else list(
+                        struct.unpack_from(f">{n}I", data, b0 + 12)))
+            elif fourcc == b"stts":
+                nent = struct.unpack_from(">I", data, b0 + 4)[0]
+                durs = []
+                for i in range(nent):
+                    cnt, d = struct.unpack_from(">II", data, b0 + 8 + 8 * i)
+                    durs.extend([d] * cnt)
+                out["sample_durations"] = durs
+            elif fourcc == b"stco":
+                nent = struct.unpack_from(">I", data, b0 + 4)[0]
+                out["chunk_offsets"] = list(
+                    struct.unpack_from(f">{nent}I", data, b0 + 8))
+            elif fourcc == b"co64":
+                nent = struct.unpack_from(">I", data, b0 + 4)[0]
+                out["chunk_offsets"] = list(
+                    struct.unpack_from(f">{nent}Q", data, b0 + 8))
+
+    walk(0, len(data))
+    # per-sample absolute offsets (single-chunk layout: consecutive)
+    sizes = out.get("sample_sizes", [])
+    offs = out.get("chunk_offsets", [])
+    if sizes and offs:
+        pos = offs[0]
+        sample_offsets = []
+        for s in sizes:
+            sample_offsets.append(pos)
+            pos += s
+        out["sample_offsets"] = sample_offsets
+    return out
+
+
+def mp4_extract_samples(data: bytes, limit: int | None = None) -> list:
+    """Raw sample (frame) payload bytes straight out of mdat, via the
+    stsz/stco tables — no decode."""
+    meta = mp4_parse(data)
+    sizes = meta.get("sample_sizes", [])
+    offs = meta.get("sample_offsets", [])
+    n = len(sizes) if limit is None else min(limit, len(sizes))
+    return [bytes(data[offs[i]:offs[i] + sizes[i]]) for i in range(n)]

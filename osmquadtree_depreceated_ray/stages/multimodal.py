@@ -1,14 +1,14 @@
 """Multimodal (image/audio/video) column plumbing.
 
-Image and audio are REAL end-to-end: payloads in the Arrow binary
-column are genuine PNG / WAV files produced and parsed by the
+All three kinds are REAL end-to-end: payloads in the Arrow binary
+column are genuine PNG / WAV / MP4 files produced and parsed by the
 from-scratch stdlib codecs in ``functions/media_codecs.py`` (zlib PNG
-with full filter reconstruction; 16-bit PCM WAV).  Decode, feature
-extraction and resize operate on actual pixels/samples.  Video is the
-one stubbed path — no container format is parseable with stdlib —
-and is clearly marked (``strict=True`` raises NotImplementedError;
-otherwise a deterministic digest fake keeps the one-to-many frame
-layout testable).
+with full filter reconstruction; 16-bit PCM WAV; ISO BMFF box-tree
+container with stsz/stts/stco sample tables and PNG frame payloads).
+Decode, feature extraction, resize and frame sampling operate on
+actual pixels/samples/sample-tables.  ``strict=True`` on the decode
+actor raises on unparseable payloads; otherwise a deterministic digest
+fake keeps mixed batches runnable.
 
 Media rows are (media_id:int64, kind:string, payload:binary,
 meta:struct<width:int32, height:int32, duration_ms:int32>).  Stages run
@@ -19,12 +19,16 @@ low so batch x concurrency fits the worker heap).
 from __future__ import annotations
 
 import hashlib
+from struct import error as struct_error
 
 import numpy as np
 import pyarrow as pa
 
 from ..functions.media_codecs import (
     block_resize,
+    mp4_encode,
+    mp4_extract_samples,
+    mp4_parse,
     png_decode,
     png_encode,
     wav_decode,
@@ -57,10 +61,13 @@ def _audio_samples(i: int, n: int) -> np.ndarray:
     return (np.sin(2 * np.pi * freq * t / WAV_RATE) * 12000).astype(np.int16)
 
 
+VIDEO_FRAME_MS = 2500
+
+
 def gen_media_table(n: int, seed: int = 42) -> pa.Table:
     """Deterministic media fixture with REAL payloads: image rows are
-    PNG files, audio rows are WAV files, video rows are opaque bytes
-    (the stubbed kind)."""
+    PNG files, audio rows are WAV files, video rows are MP4 containers
+    whose samples are PNG frames."""
     kinds = np.asarray(["image", "audio", "video"])[np.arange(n) % 3]
     payloads = []
     metas = []
@@ -77,8 +84,12 @@ def gen_media_table(n: int, seed: int = 42) -> pa.Table:
                                        WAV_RATE))
             dur = int(nsamp * 1000 / WAV_RATE)
         else:
-            raw = hashlib.sha256(f"media-{seed}-{i}".encode()).digest()
-            payloads.append((raw * 16)[:512])
+            nframes = 1 + (i % 5)
+            frames = [png_encode(_image_array(i + seed + f, w, h))
+                      for f in range(nframes)]
+            payloads.append(mp4_encode(frames, w, h, timescale=1000,
+                                       frame_duration=VIDEO_FRAME_MS))
+            dur = nframes * VIDEO_FRAME_MS
         metas.append({"width": w, "height": h, "duration_ms": dur})
     return pa.table(
         {
@@ -91,8 +102,8 @@ def gen_media_table(n: int, seed: int = 42) -> pa.Table:
 
 
 def _fake_decode(payload: bytes) -> np.ndarray:
-    """Deterministic stand-in for the VIDEO path only: 8x8 'pixels' from
-    the payload digest."""
+    """Deterministic stand-in for UNPARSEABLE video payloads in
+    non-strict mode: 8x8 'pixels' from the payload digest."""
     d = hashlib.sha256(payload).digest()
     return np.frombuffer((d * 2)[:64], dtype=np.uint8).reshape(8, 8)
 
@@ -102,8 +113,9 @@ class DecodeFeatureActor:
 
     image: real PNG decode -> block-resample to 8x8 pixel feature.
     audio: real WAV decode -> 64-bin RMS envelope.
-    video: stubbed (strict=True raises NotImplementedError; else the
-    digest fake, so mixed-kind batches stay runnable)."""
+    video: real MP4 container parse -> PNG frame decode -> mean of the
+    per-frame 8x8 resamples.  strict=True raises on an unparseable
+    payload; otherwise the digest fake keeps mixed batches runnable."""
 
     def __init__(self, strict: bool = False):
         self.strict = strict
@@ -121,11 +133,19 @@ class DecodeFeatureActor:
                 [np.sqrt((b * b).mean()) if len(b) else 0.0 for b in bins],
                 dtype=np.float32,
             )
-        if self.strict:
-            raise NotImplementedError(
-                "video decode needs a container parser (no stdlib support)"
-            )
-        return _fake_decode(payload).astype(np.float32).ravel()
+        try:
+            frames = mp4_extract_samples(payload)
+            acc = np.zeros((8, 8), dtype=np.float64)
+            for fb in frames:
+                img = png_decode(fb)
+                if img.ndim == 3:
+                    img = img.mean(axis=2).astype(np.uint8)
+                acc += block_resize(img, 8, 8)
+            return (acc / max(len(frames), 1)).astype(np.float32).ravel()
+        except (ValueError, struct_error):
+            if self.strict:
+                raise ValueError("unparseable video payload (not ISO BMFF)")
+            return _fake_decode(payload).astype(np.float32).ravel()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         kinds = batch.column("kind").to_pylist()
@@ -183,10 +203,12 @@ class ResizeActor:
 
 
 class FrameSampleActor:
-    """Frame sampler for video rows: emits one row per sampled 'frame'
-    (deterministic count from duration) — the one-to-many layout real
-    samplers need; actual frame bytes would come from the (stubbed)
-    video decoder."""
+    """Frame sampler for video rows: parses the REAL MP4 sample table
+    (stts durations + stsz/stco ranges), picks the frame covering each
+    ``every_ms`` tick, and emits one row per sampled frame with the
+    actual PNG frame bytes — the one-to-many layout real samplers
+    need.  Non-video rows pass through as a single row with a null
+    frame payload."""
 
     def __init__(self, every_ms: int = 10_000):
         self.every_ms = every_ms
@@ -194,21 +216,38 @@ class FrameSampleActor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = []
         frame_idx = []
-        for mid, kind, meta in zip(
+        frame_png = []
+        for mid, kind, payload, meta in zip(
             batch.column("media_id").to_pylist(),
             batch.column("kind").to_pylist(),
+            batch.column("payload").to_pylist(),
             batch.column("meta").to_pylist(),
         ):
-            n = 1
-            if kind == "video":
-                n = max(1, meta["duration_ms"] // self.every_ms)
-            for f in range(n):
+            if kind != "video":
                 ids.append(mid)
-                frame_idx.append(f)
+                frame_idx.append(0)
+                frame_png.append(None)
+                continue
+            info = mp4_parse(payload)
+            durs = np.asarray(info["sample_durations"], dtype=np.int64)
+            ts = info.get("timescale", 1000) or 1000
+            starts_ms = (np.concatenate(([0], np.cumsum(durs)[:-1]))
+                         * 1000 // ts)
+            total_ms = int((durs.sum() * 1000) // ts)
+            ticks = np.arange(0, max(total_ms, 1), self.every_ms)
+            # frame covering each tick (last sample starting <= tick)
+            sel = np.unique(
+                np.searchsorted(starts_ms, ticks, side="right") - 1)
+            samples = mp4_extract_samples(payload)
+            for f in sel:
+                ids.append(mid)
+                frame_idx.append(int(f))
+                frame_png.append(samples[int(f)])
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),
                 "frame_idx": pa.array(frame_idx, pa.int64()),
+                "frame_png": pa.array(frame_png, pa.binary()),
             }
         )
 

@@ -108,3 +108,43 @@ def test_wav_roundtrip():
     rate, back = wav_decode(wav_encode(s, 8000))
     assert rate == 8000
     assert np.array_equal(back, s)
+
+
+def test_mp4_container_roundtrip():
+    """From-scratch ISO BMFF writer/parser: byte-identical sample
+    extraction, correct metadata, stts/stsz/stco tables."""
+    import numpy as np
+
+    from osmquadtree_depreceated_ray.functions.media_codecs import (
+        mp4_encode,
+        mp4_extract_samples,
+        mp4_parse,
+        png_decode,
+        png_encode,
+    )
+
+    frames = [
+        png_encode(((np.mgrid[0:12, 0:10][0] * (i + 1)) % 256
+                    ).astype(np.uint8))
+        for i in range(5)
+    ]
+    data = mp4_encode(frames, 10, 12, timescale=1000, frame_duration=40)
+    meta = mp4_parse(data)
+    assert meta["brand"] == "isom"
+    assert meta["codec"] == "png"
+    assert (meta["width"], meta["height"]) == (10, 12)
+    assert meta["timescale"] == 1000
+    assert meta["duration_ms"] == 5 * 40
+    assert meta["sample_sizes"] == [len(f) for f in frames]
+    assert meta["sample_durations"] == [40] * 5
+    # extraction is byte-identical; frames decode to real pixels
+    out = mp4_extract_samples(data)
+    assert out == frames
+    assert png_decode(out[3]).shape == (12, 10)
+    # limit
+    assert mp4_extract_samples(data, limit=2) == frames[:2]
+    # non-BMFF input is rejected loudly
+    import pytest
+
+    with pytest.raises(ValueError):
+        mp4_parse(b"garbage-not-a-container")

@@ -39,13 +39,35 @@ def test_multimodal_pipeline(ray_session):
         "media_id").reset_index(drop=True)
     assert (out["mean_px"].to_numpy() == out2["mean_px"].to_numpy()).all()
 
-    # strict mode marks the one genuinely-stubbed path (video)
+    # REAL video decode: row 2 is video; its feature equals the mean of
+    # the per-frame 8x8 resamples of the MP4's PNG samples
+    from osmquadtree_depreceated_ray.functions.media_codecs import (
+        mp4_extract_samples,
+    )
+
+    assert out["kind"].iloc[2] == "video"
+    vid_payload = media.column("payload")[2].as_py()
+    vframes = mp4_extract_samples(vid_payload)
+    acc = np.zeros((8, 8))
+    for fb in vframes:
+        acc += block_resize(png_decode(fb), 8, 8)
+    expect_v = (acc / len(vframes)).astype(np.float32).ravel()
+    assert np.array_equal(np.asarray(out["feature"].iloc[2]), expect_v)
+
+    # strict=True decodes ALL kinds now (video is real); it raises only
+    # on an unparseable payload
     actor = DecodeFeatureActor(strict=True)
-    with pytest.raises(NotImplementedError):
-        actor(media)  # the batch contains video rows
-    image_only = media.filter(
-        pa.compute.equal(media.column("kind"), "image"))
-    actor(image_only)  # strict is fine when every row is decodable
+    actor(media)
+    corrupt = media.set_column(
+        media.schema.get_field_index("payload"), "payload",
+        pa.array([b"not-a-container"] * media.num_rows, pa.binary()))
+    corrupt_video = corrupt.filter(
+        pa.compute.equal(corrupt.column("kind"), "video"))
+    with pytest.raises(ValueError):
+        actor(corrupt_video)
+    # non-strict falls back to the deterministic digest fake (video
+    # only — image/audio decode errors always surface)
+    DecodeFeatureActor(strict=False)(corrupt_video)
 
     resized = ResizeActor(128, 128)(media)
     assert resized.column("meta")[0].as_py()["width"] == 128
@@ -55,6 +77,13 @@ def test_multimodal_pipeline(ray_session):
 
     frames = FrameSampleActor(every_ms=5000)(media)
     assert frames.num_rows >= media.num_rows  # videos expand to frames
+    fdf = frames.to_pandas()
+    vids = fdf[fdf["frame_png"].notna()]
+    assert len(vids) > 0
+    # sampled frame bytes are genuine PNG frames from inside the MP4
+    some = vids.iloc[0]
+    img = png_decode(some["frame_png"])
+    assert img.ndim == 2 and img.size > 0
 
 
 def test_sqlish_expressions(ray_session):
