@@ -12,10 +12,14 @@ Surface (the reference's grammar, plus LIMIT):
     FROM table | schema.table             (qualified name -> bare table,
          | (SELECT ...) [AS] t             sql.y pickTable($3))
          | (VALUES (..),(..)) t(a, b)     literal table
-      [[LEFT [OUTER] | INNER] JOIN table
-         ON a = b | USING (c)]            equi-join (planned broadcast
+      [[LEFT|RIGHT|FULL [OUTER] | INNER]
+        JOIN table ON a = b | USING (c)]  equi-join (planned broadcast
                                           vs bucketed hash shuffle;
-                                          LEFT preserves unmatched rows)
+                                          outer joins preserve unmatched
+                                          rows; NULL keys never match
+                                          but outer-preserved rows still
+                                          surface; RIGHT/FULL always
+                                          take the shuffle path)
     WHERE expr                            AND/OR/NOT, comparisons,
                                           [NOT] LIKE/BETWEEN/IN (list or
                                           subquery), IS [NOT] NULL,
@@ -73,8 +77,8 @@ _KEYWORDS = {
     "join", "on", "using", "as", "and", "or", "not", "like", "between", "in",
     "is", "null", "case", "when", "then", "else", "end", "asc", "desc",
     "distinct", "group", "cast", "having", "over", "partition", "exists",
-    "left", "inner", "outer", "rows", "preceding", "unbounded", "current",
-    "row",
+    "left", "inner", "outer", "right", "full", "rows", "preceding",
+    "unbounded", "current", "row",
 }
 
 
@@ -205,10 +209,17 @@ class _Parser:
         join = None
         how = "inner"
         if self.accept("kw", "left"):
-            # LEFT [OUTER] JOIN — beyond the reference grammar (sql.y's
-            # join_type is plain JOIN only), but unavoidable for real use
+            # LEFT/RIGHT/FULL [OUTER] JOIN — beyond the reference grammar
+            # (sql.y's join_type is plain JOIN only), but unavoidable for
+            # real use
             self.accept("kw", "outer")
             how = "left"
+        elif self.accept("kw", "right"):
+            self.accept("kw", "outer")
+            how = "right"
+        elif self.accept("kw", "full"):
+            self.accept("kw", "outer")
+            how = "full"
         else:
             self.accept("kw", "inner")
         if self.accept("kw", "join"):
@@ -1239,6 +1250,10 @@ def _broadcast_join(ds_a, ds_b, lcol: str, rcol: str, how: str = "inner"):
 
     b_tbl = pa.concat_tables(ray.get(ds_b.to_arrow_refs()))
     b_df = b_tbl.to_pandas()
+    # SQL NULL keys never match — drop them from the build side once
+    # (pandas merge would pair NaN==NaN)
+    if b_df[rcol].isna().any():
+        b_df = b_df[b_df[rcol].notna()]
     a_names = ds_a.schema().names
     overlap = set(a_names) & set(b_df.columns)
     b_ref = ray.put(b_df)
@@ -1256,9 +1271,10 @@ def _broadcast_join(ds_a, ds_b, lcol: str, rcol: str, how: str = "inner"):
 
 def _join_on(ds_a, ds_b, lcol: str, rcol: str, n_buckets: int = 16,
              how: str = "inner"):
-    """Inner or left equi-join of two datasets as one bucketed hash
-    shuffle (left rows co-locate with their matches, so unmatched left
-    rows surface with nulls inside their own bucket)."""
+    """Inner/left/right/full equi-join of two datasets as one bucketed
+    hash shuffle (rows of both sides co-locate by key, so each bucket's
+    outer merge is globally correct).  NULL join keys follow SQL: they
+    never match, but outer joins still surface those rows with nulls."""
     from ..stages.shuffle import bucketed_apply
 
     a_names = ds_a.schema().names
@@ -1284,6 +1300,8 @@ def _join_on(ds_a, ds_b, lcol: str, rcol: str, n_buckets: int = 16,
     both = ds_a.map_batches(tag(0, lcol), batch_format="pyarrow").union(
         ds_b.map_batches(tag(1, rcol), batch_format="pyarrow"))
 
+    pd_how = "outer" if how == "full" else how
+
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         # select each side's declared columns directly — the union's
         # null-padding columns are simply not selected (never
@@ -1293,8 +1311,27 @@ def _join_on(ds_a, ds_b, lcol: str, rcol: str, n_buckets: int = 16,
             [c for c in a_names if c in g.columns] + ["__jk"]]
         b = g[g["__src"] == 1][
             [c for c in b_names if c in g.columns] + ["__jk"]]
-        m = a.merge(b, on="__jk", how=how,
+        # SQL NULL keys never match (pandas merge would pair NaN==NaN);
+        # outer-preserved sides re-append their null-key rows unmatched
+        a_null = a[a["__jk"].isna()]
+        b_null = b[b["__jk"].isna()]
+        if len(a_null):
+            a = a[a["__jk"].notna()]
+        if len(b_null):
+            b = b[b["__jk"].notna()]
+        m = a.merge(b, on="__jk", how=pd_how,
                     suffixes=("", "_r"))
+        parts = [m]
+        if how in ("left", "full") and len(a_null):
+            parts.append(a_null)
+        if how in ("right", "full") and len(b_null):
+            # shared-named output columns carry LEFT values (the merge's
+            # suffix convention) — route the right side's overlap values
+            # to the dropped _r names so unmatched rows stay consistent
+            parts.append(b_null.rename(
+                columns={c: f"{c}_r" for c in overlap}))
+        if len(parts) > 1:
+            m = pd.concat(parts, ignore_index=True)
         drop = ["__jk"] + [f"{c}_r" for c in overlap if f"{c}_r" in m.columns]
         m = m.drop(columns=[c for c in drop if c in m.columns])
         for c in m.columns:
@@ -1508,19 +1545,20 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
                 for conj in _split_conjuncts(sel["where"]):
                     cc: set = set()
                     _collect_cols(conj, cc)
-                    if cc and cc <= l_names:
+                    # a side's filter may push below the join only when
+                    # that side is NOT null-preserved by the join (else
+                    # it would drop rows the outer join must surface)
+                    if (how in ("inner", "left") and cc
+                            and cc <= l_names):
                         # overlap columns are fine here: join output
                         # carries LEFT values for shared names
                         l_conjs.append(conj)
-                    elif (how == "inner" and cc and cc <= r_names
-                          and not (cc & l_names)):
-                        # right-side push is only sound below an INNER
-                        # join (below LEFT it would drop rows the outer
-                        # join must preserve with nulls), and only when
-                        # NO column is shared with the left — a shared
-                        # name evaluated right-side would use right
-                        # values, but post-join the predicate sees left
-                        # values
+                    elif (how in ("inner", "right") and cc
+                          and cc <= r_names and not (cc & l_names)):
+                        # right push additionally requires NO column
+                        # shared with the left — a shared name evaluated
+                        # right-side would use right values, but
+                        # post-join the predicate sees left values
                         r_conjs.append(conj)
                     else:
                         residual.append(conj)
@@ -1545,7 +1583,10 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
                     rhs_rows = tables[jt].count()
             except Exception:
                 rhs_rows = None
-            if rhs_rows is not None and rhs_rows <= broadcast_threshold:
+            # RIGHT/FULL can never broadcast: a map-side probe cannot
+            # know which build rows went unmatched across ALL batches
+            if (how in ("inner", "left") and rhs_rows is not None
+                    and rhs_rows <= broadcast_threshold):
                 ds = _broadcast_join(ds, rhs, lcol, rcol, how)
             else:
                 ds = _join_on(ds, rhs, lcol, rcol, how=how)

@@ -323,6 +323,24 @@ CASES = [
     "SELECT k, tag, ROW_NUMBER() OVER (PARTITION BY tag ORDER BY k) "
     "AS rn FROM t1 LEFT JOIN t3 ON s = hkey WHERE k < 60 "
     "ORDER BY k LIMIT 40",
+    # ---- RIGHT / FULL OUTER JOIN (shuffle path; broadcast impossible)
+    # RIGHT: the preserved side is t1 (every t1 row appears)
+    "SELECT k, tag FROM t3 RIGHT JOIN t1 ON hkey = s "
+    "WHERE k < 30 ORDER BY k",
+    # FULL with genuinely-unmatched rows on BOTH sides
+    "SELECT k, s2, tag FROM (SELECT k, s AS s2 FROM t1 "
+    "WHERE s IN ('name_3', 'name_4') AND k < 40) d "
+    "FULL JOIN t3 ON s2 = hkey ORDER BY k, tag",
+    "SELECT k, s2, h FROM (SELECT k, s AS s2 FROM t1 "
+    "WHERE s IN ('name_3', 'name_4') AND k < 40) d "
+    "FULL OUTER JOIN t3 ON s2 = hkey ORDER BY k, h",
+    # NULL join keys: never match, but outer joins still surface them
+    "SELECT k, sk, tag FROM (SELECT k, CASE WHEN k % 5 = 0 THEN NULL "
+    "ELSE s END AS sk FROM t1 WHERE k < 30) d LEFT JOIN t3 "
+    "ON sk = hkey ORDER BY k",
+    "SELECT k, sk, tag FROM (SELECT k, CASE WHEN k % 5 = 0 THEN NULL "
+    "ELSE s END AS sk FROM t1 WHERE k < 30) d JOIN t3 "
+    "ON sk = hkey ORDER BY k",
 ]
 
 
