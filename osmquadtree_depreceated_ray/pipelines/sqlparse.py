@@ -206,23 +206,29 @@ class _Parser:
                 # table (sql.y simple_table_expression: pickTable($3))
                 table = self.expect("ident")[1]
             self._accept_alias()
-        join = None
-        how = "inner"
-        if self.accept("kw", "left"):
-            # LEFT/RIGHT/FULL [OUTER] JOIN — beyond the reference grammar
-            # (sql.y's join_type is plain JOIN only), but unavoidable for
-            # real use
-            self.accept("kw", "outer")
-            how = "left"
-        elif self.accept("kw", "right"):
-            self.accept("kw", "outer")
-            how = "right"
-        elif self.accept("kw", "full"):
-            self.accept("kw", "outer")
-            how = "full"
-        else:
-            self.accept("kw", "inner")
-        if self.accept("kw", "join"):
+        joins = []
+        while True:
+            # LEFT/RIGHT/FULL [OUTER] / INNER JOIN, chained — beyond the
+            # reference grammar (sql.y's join_type is plain JOIN only),
+            # but unavoidable for real use
+            how = None
+            if self.accept("kw", "left"):
+                self.accept("kw", "outer")
+                how = "left"
+            elif self.accept("kw", "right"):
+                self.accept("kw", "outer")
+                how = "right"
+            elif self.accept("kw", "full"):
+                self.accept("kw", "outer")
+                how = "full"
+            elif self.accept("kw", "inner"):
+                how = "inner"
+            if how is None:
+                if not self.accept("kw", "join"):
+                    break
+                how = "inner"
+            else:
+                self.expect("kw", "join")
             jt = self.expect("ident")[1]
             if self.accept("op", "."):
                 jt = self.expect("ident")[1]
@@ -235,7 +241,7 @@ class _Parser:
                 self.expect("op", "(")
                 col = self.expect("ident")[1]
                 self.expect("op", ")")
-                join = (jt, col, col, how)
+                joins.append((jt, col, col, how))
             else:
                 self.expect("kw", "on")
 
@@ -253,7 +259,8 @@ class _Parser:
                 # table's column first (ON t2.g = t1.k)
                 if lq == jt and rq != jt:
                     lcol, rcol = rcol, lcol
-                join = (jt, lcol, rcol, how)
+                joins.append((jt, lcol, rcol, how))
+        join = joins or None
         where = None
         if self.accept("kw", "where"):
             where = self.parse_expr()
@@ -1499,8 +1506,8 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
 
         def _outer_names(_ds=ds, _sel=sel):
             out = set(_ds.schema().names)
-            if _sel["join"] is not None:
-                out |= set(tables[_sel["join"][0]].schema().names)
+            for jt, *_rest in (_sel["join"] or []):
+                out |= set(tables[jt].schema().names)
             return out
 
         if sel["where"] is not None:
@@ -1512,12 +1519,12 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
                                      _outer_names), name)
                 for e, name in sel["items"]])
         if sel["join"] is not None:
-            jt, lcol, rcol, how = sel["join"]
-            rhs = tables[jt]
+            joins = sel["join"]
+            needed = None
             if sel["items"] is not None:
-                # projection pushdown: only referenced columns (+ join
-                # keys) enter the join exchange
-                needed: set = set()
+                # projection pushdown: only referenced columns (+ every
+                # join key) enter the join exchanges
+                needed = set()
                 for e, _name in sel["items"]:
                     _collect_cols(e, needed)
                 if sel["where"] is not None:
@@ -1527,69 +1534,77 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
                 if sel.get("group"):
                     for gnode in sel["group"]:
                         _collect_cols(gnode, needed)
-                lkeep = [c for c in ds.schema().names
-                         if c in needed or c == lcol]
-                rkeep = [c for c in rhs.schema().names
-                         if c in needed or c == rcol]
-                ds = ds.select_columns(lkeep)
-                rhs = rhs.select_columns(rkeep)
-            # predicate pushdown: WHERE conjuncts whose columns live
-            # entirely on one side filter BEFORE the join (fewer rows
-            # enter the exchange / probe); the residual runs post-join.
-            # A conjunct on an overlap column pushes to the LEFT only —
-            # join output carries left values for shared names.
-            if sel["where"] is not None:
-                l_names = set(ds.schema().names)
-                r_names = set(rhs.schema().names)
-                l_conjs, r_conjs, residual = [], [], []
-                for conj in _split_conjuncts(sel["where"]):
-                    cc: set = set()
-                    _collect_cols(conj, cc)
-                    # a side's filter may push below the join only when
-                    # that side is NOT null-preserved by the join (else
-                    # it would drop rows the outer join must surface)
-                    if (how in ("inner", "left") and cc
-                            and cc <= l_names):
-                        # overlap columns are fine here: join output
-                        # carries LEFT values for shared names
-                        l_conjs.append(conj)
-                    elif (how in ("inner", "right") and cc
-                          and cc <= r_names and not (cc & l_names)):
-                        # right push additionally requires NO column
-                        # shared with the left — a shared name evaluated
-                        # right-side would use right values, but
-                        # post-join the predicate sees left values
-                        r_conjs.append(conj)
-                    else:
-                        residual.append(conj)
-                if l_conjs:
-                    ds = Query(ds).where(
-                        _compile_expr(_and_fold(l_conjs))).run()
-                if r_conjs:
-                    rhs = Query(rhs).where(
-                        _compile_expr(_and_fold(r_conjs))).run()
-                sel = dict(sel, where=_and_fold(residual))
-            # plan: broadcast-hash-join when the build side is small.
-            # Probe count() ONLY for pure read / in-memory sources
-            # (metadata-cheap); for derived pipelines counting would
-            # execute them once just to pick a strategy and then the
-            # join would execute them again — default those to the
-            # shuffle join instead
-            rhs_rows = None
-            try:
-                dag_kind = type(tables[jt]._logical_plan.dag).__name__
-                if dag_kind in ("Read", "FromArrow", "FromPandas",
-                                "FromItems", "FromNumpy", "InputData"):
-                    rhs_rows = tables[jt].count()
-            except Exception:
+                for _jt, lc, rc, _hw in joins:
+                    needed.add(lc)
+                    needed.add(rc)
+                ds = ds.select_columns(
+                    [c for c in ds.schema().names if c in needed])
+            for join_idx, (jt, lcol, rcol, how) in enumerate(joins):
+                rhs = tables[jt]
+                if needed is not None:
+                    rhs = rhs.select_columns(
+                        [c for c in rhs.schema().names if c in needed])
+                # predicate pushdown: WHERE conjuncts whose columns live
+                # entirely on one side filter BEFORE the join (fewer
+                # rows enter the exchange / probe); the residual runs
+                # post-join.  Applied only for a SINGLE join — with a
+                # chain, a later null-preserving join can resurface rows
+                # a pushed filter would have removed.
+                if sel["where"] is not None and len(joins) == 1:
+                    l_names = set(ds.schema().names)
+                    r_names = set(rhs.schema().names)
+                    l_conjs, r_conjs, residual = [], [], []
+                    for conj in _split_conjuncts(sel["where"]):
+                        cc: set = set()
+                        _collect_cols(conj, cc)
+                        # a side's filter may push below the join only
+                        # when that side is NOT null-preserved by the
+                        # join (else it would drop rows the outer join
+                        # must surface)
+                        if (how in ("inner", "left") and cc
+                                and cc <= l_names):
+                            # overlap columns are fine here: join output
+                            # carries LEFT values for shared names
+                            l_conjs.append(conj)
+                        elif (how in ("inner", "right") and cc
+                              and cc <= r_names and not (cc & l_names)):
+                            # right push additionally requires NO column
+                            # shared with the left — a shared name
+                            # evaluated right-side would use right
+                            # values, but post-join the predicate sees
+                            # left values
+                            r_conjs.append(conj)
+                        else:
+                            residual.append(conj)
+                    if l_conjs:
+                        ds = Query(ds).where(
+                            _compile_expr(_and_fold(l_conjs))).run()
+                    if r_conjs:
+                        rhs = Query(rhs).where(
+                            _compile_expr(_and_fold(r_conjs))).run()
+                    sel = dict(sel, where=_and_fold(residual))
+                # plan: broadcast-hash-join when the build side is
+                # small.  Probe count() ONLY for pure read / in-memory
+                # sources (metadata-cheap); for derived pipelines
+                # counting would execute them once just to pick a
+                # strategy and then the join would execute them again —
+                # default those to the shuffle join instead
                 rhs_rows = None
-            # RIGHT/FULL can never broadcast: a map-side probe cannot
-            # know which build rows went unmatched across ALL batches
-            if (how in ("inner", "left") and rhs_rows is not None
-                    and rhs_rows <= broadcast_threshold):
-                ds = _broadcast_join(ds, rhs, lcol, rcol, how)
-            else:
-                ds = _join_on(ds, rhs, lcol, rcol, how=how)
+                try:
+                    dag_kind = type(tables[jt]._logical_plan.dag).__name__
+                    if dag_kind in ("Read", "FromArrow", "FromPandas",
+                                    "FromItems", "FromNumpy", "InputData"):
+                        rhs_rows = tables[jt].count()
+                except Exception:
+                    rhs_rows = None
+                # RIGHT/FULL can never broadcast: a map-side probe
+                # cannot know which build rows went unmatched across
+                # ALL batches
+                if (how in ("inner", "left") and rhs_rows is not None
+                        and rhs_rows <= broadcast_threshold):
+                    ds = _broadcast_join(ds, rhs, lcol, rcol, how)
+                else:
+                    ds = _join_on(ds, rhs, lcol, rcol, how=how)
         if sel["items"] is not None and any(
                 _has_win(e) for e, _ in sel["items"]):
             out = _run_window_select(ds, sel)

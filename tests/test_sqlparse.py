@@ -341,6 +341,15 @@ CASES = [
     "SELECT k, sk, tag FROM (SELECT k, CASE WHEN k % 5 = 0 THEN NULL "
     "ELSE s END AS sk FROM t1 WHERE k < 30) d JOIN t3 "
     "ON sk = hkey ORDER BY k",
+    # ---- chained joins (two and three tables)
+    "SELECT k, label, tag FROM t1 JOIN t2 ON s = gkey "
+    "JOIN t3 ON s = hkey WHERE k < 60 ORDER BY k",
+    "SELECT k, label, tag FROM t1 JOIN t2 ON s = gkey "
+    "LEFT JOIN t3 ON s = hkey WHERE k < 40 ORDER BY k",
+    # chain + aggregation
+    "SELECT label, COUNT(tag) AS nt, COUNT(*) AS n FROM t1 "
+    "JOIN t2 ON s = gkey LEFT JOIN t3 ON s = hkey "
+    "GROUP BY label ORDER BY label",
 ]
 
 
