@@ -32,8 +32,10 @@ Surface (the reference's grammar, plus LIMIT):
 
 Scalar functions: coalesce nullif replace substr char_length/length
 concat upper lower trim ltrim rtrim reverse abs sign floor ceil round
-sqrt ln, arithmetic + - * / % and || concatenation, CASE WHEN ... THEN
-... [ELSE ...] END.
+sqrt ln, temporal year/month/day/hour/minute/second,
+EXTRACT(field FROM ts) (incl. dow, Sunday=0), date_trunc(unit, ts),
+arithmetic + - * / % and || concatenation, CASE WHEN ... THEN ...
+[ELSE ...] END.
 
 Window functions (beyond the reference grammar): row_number rank
 dense_rank ntile percent_rank cume_dist sum count min max avg lag lead
@@ -462,6 +464,14 @@ class _Parser:
         if k == "ident":
             self.next()
             if self.accept("op", "("):
+                if v.lower() == "extract":
+                    # EXTRACT(field FROM expr) — FROM inside the parens
+                    # is part of the syntax, not a table clause
+                    field = self.expect("ident")[1].lower()
+                    self.expect("kw", "from")
+                    e = self.parse_expr()
+                    self.expect("op", ")")
+                    return ("call", "extract", [("lit", field), e])
                 args = []
                 # fn(DISTINCT expr, ...) — sql.y's distinct-aggregate
                 # production; compiles to a distinct-agg spec
@@ -729,6 +739,38 @@ def _compile_expr(node) -> Expr:
             return Expr(lambda t, _a=a0, _n=nd: _pc.round(
                 _a(t), ndigits=_n, round_mode="half_towards_infinity"),
                 "round")
+        if name in ("year", "month", "day", "hour", "minute", "second"):
+            import pyarrow.compute as _pc
+
+            kern = getattr(_pc, name)
+            a0 = args[0]
+            return Expr(lambda t, _k=kern, _a=a0: _k(_a(t)), name)
+        if name == "extract":
+            import pyarrow.compute as _pc
+
+            field = str(_lit_arg(0)).lower()
+            a1 = args[1]
+            if field in ("year", "month", "day", "hour", "minute",
+                         "second"):
+                kern = getattr(_pc, field)
+                return Expr(lambda t, _k=kern, _a=a1: _k(_a(t)),
+                            f"extract_{field}")
+            if field == "dow":
+                # SQL dow counts Sunday=0; Arrow counts Monday=0
+                dowe = Expr(lambda t, _a=a1: _pc.day_of_week(_a(t)),
+                            "dow")
+                return (dowe + lit(1)) % lit(7)
+            raise ValueError(f"unsupported EXTRACT field {field}")
+        if name == "date_trunc":
+            import pyarrow.compute as _pc
+
+            unit = str(_lit_arg(0)).lower()
+            a1 = args[1]
+            if unit not in ("second", "minute", "hour", "day", "week",
+                            "month", "year"):
+                raise ValueError(f"unsupported date_trunc unit {unit}")
+            return Expr(lambda t, _a=a1, _u=unit: _pc.floor_temporal(
+                _a(t), unit=_u), "date_trunc")
         raise ValueError(f"unknown SQL function {name}")
     raise ValueError(f"unknown SQL op {op}")
 

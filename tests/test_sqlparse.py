@@ -453,3 +453,32 @@ def test_left_join_shuffle_matches_duckdb(ray_session, t1, t3):
         else:
             assert (gv.isna() == wv.isna()).all(), c
             assert (gv.dropna() == wv.dropna()).all(), c
+
+
+def test_temporal_functions_match_duckdb(ray_session):
+    """EXTRACT / year..second / date_trunc vs DuckDB on the identical
+    string (timestamps at us precision so dtypes line up)."""
+    import ray
+
+    n = 200
+    base = np.datetime64("2025-01-01T00:00:00", "us")
+    ts = base + (np.arange(n, dtype=np.int64) * 3_654_321_017
+                 ).astype("timedelta64[us]")
+    t = pa.table({
+        "ev": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    })
+    for sql in [
+        "SELECT ev, EXTRACT(hour FROM ts) AS h, EXTRACT(dow FROM ts) "
+        "AS d, EXTRACT(year FROM ts) AS y FROM t ORDER BY ev LIMIT 60",
+        "SELECT ev, year(ts) AS y, month(ts) AS mo, day(ts) AS dd, "
+        "hour(ts) AS hh, minute(ts) AS mi, second(ts) AS ss FROM t "
+        "ORDER BY ev LIMIT 60",
+        "SELECT ev, date_trunc('hour', ts) AS th, "
+        "date_trunc('day', ts) AS td, date_trunc('month', ts) AS tm "
+        "FROM t ORDER BY ev LIMIT 60",
+        # group events per calendar day through the exchange
+        "SELECT date_trunc('day', ts) AS d, COUNT(*) AS n FROM t "
+        "GROUP BY date_trunc('day', ts) ORDER BY d",
+    ]:
+        _run_both(sql, None, {"t": t})
