@@ -781,9 +781,20 @@ def _expr_name(node, idx) -> str:
     return f"expr{idx}"
 
 
-_AGG_FUNCS = {"sum", "count", "min", "max", "avg"}
+_AGG_FUNCS = {"sum", "count", "min", "max", "avg", "stddev",
+              "stddev_samp", "stddev_pop", "variance", "var_samp",
+              "var_pop", "median"}
+# pandas named-agg 'how' per SQL aggregate.  The non-associative ones
+# (stddev/var/median) are exact: grouped_agg detects they are not
+# map-side combinable and routes the full rows through the exchange,
+# computing each group once in its bucket.
 _AGG_HOW = {"sum": "sum", "count": "count", "min": "min", "max": "max",
-            "avg": "mean"}
+            "avg": "mean",
+            "stddev": "std", "stddev_samp": "std",
+            "stddev_pop": lambda s: s.std(ddof=0),
+            "variance": "var", "var_samp": "var",
+            "var_pop": lambda s: s.var(ddof=0),
+            "median": "median"}
 
 
 def _has_agg(node) -> bool:

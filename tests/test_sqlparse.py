@@ -482,3 +482,20 @@ def test_temporal_functions_match_duckdb(ray_session):
         "GROUP BY date_trunc('day', ts) ORDER BY d",
     ]:
         _run_both(sql, None, {"t": t})
+
+
+def test_statistical_aggregates_match_duckdb(ray_session, t1):
+    """STDDEV/VAR/MEDIAN (non-associative -> full-row exchange, exact
+    per-group compute) vs DuckDB; float compare via allclose."""
+    for sql in [
+        "SELECT s, STDDEV(v) AS sd, VAR_POP(v) AS vp FROM t1 "
+        "GROUP BY s ORDER BY s",
+        "SELECT s, STDDEV_POP(f) AS sp, VAR_SAMP(f) AS vs, "
+        "MEDIAN(f) AS md FROM t1 GROUP BY s ORDER BY s",
+        "SELECT STDDEV(f) AS sd, VARIANCE(v) AS vr, MEDIAN(v) AS md "
+        "FROM t1 WHERE k < 100",
+        # single-row groups: sample stddev/var are NULL on both engines
+        "SELECT k, STDDEV(v) AS sd FROM t1 WHERE k < 5 GROUP BY k "
+        "ORDER BY k",
+    ]:
+        _run_both(sql, None, {"t1": t1})
