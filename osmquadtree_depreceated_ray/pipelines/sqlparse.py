@@ -1405,19 +1405,19 @@ def _join_on(ds_a, ds_b, lcol: str, rcol: str, n_buckets: int = 16,
     return bucketed_apply(both, ["__jk"], merge, n_buckets=n_buckets)
 
 
-def _resolve_exists(sub_sel, tables, broadcast_threshold, outer_names,
-                    negated: bool):
-    """[NOT] EXISTS (SELECT ... FROM inner WHERE inner.c = outer.c AND
-    inner-only conjuncts): rewritten into a value-set semi/anti probe.
-    Scoping is standard SQL — a conjunct whose columns all live in the
-    inner table is inner-local; a single equality pairing one inner and
-    one outer column is the correlation.  The distinct correlated value
-    set is assumed driver-small (same contract as IN (subquery)); NOT
-    EXISTS is true for a NULL outer probe (unlike NOT IN's 3VL)."""
+def _split_correlation(sub_sel, tables, kind: str):
+    """Classify a subquery's WHERE conjuncts into inner-only filters and
+    (inner_col, outer_col) correlation equalities.  Standard SQL
+    scoping: a conjunct whose columns all live in the inner table is
+    inner-local; a single equality pairing one inner and one outer
+    column is the correlation.  Limitation: qualifiers collapse at
+    parse time, so a SELF-correlation on the same column name
+    (i.s = outer.s over the same table) reads as an inner tautology —
+    correlate on distinct names or pre-alias in a derived table."""
     if not isinstance(sub_sel["table"], str):
-        raise ValueError("EXISTS subquery must reference a plain table")
+        raise ValueError(f"{kind} subquery must reference a plain table")
     if sub_sel.get("join") is not None or sub_sel.get("group"):
-        raise ValueError("EXISTS subquery with JOIN/GROUP BY unsupported")
+        raise ValueError(f"{kind} subquery with JOIN/GROUP BY unsupported")
     inner = tables[sub_sel["table"]]
     inner_names = set(inner.schema().names)
     corr, inner_conjs = [], []
@@ -1436,11 +1436,24 @@ def _resolve_exists(sub_sel, tables, broadcast_threshold, outer_names,
             elif b in inner_names and a not in inner_names:
                 corr.append((b, a))
             else:
-                raise ValueError(f"unresolvable EXISTS conjunct: {conj}")
+                raise ValueError(f"unresolvable {kind} conjunct: {conj}")
         else:
-            raise ValueError(f"unsupported EXISTS conjunct: {conj}")
+            raise ValueError(f"unsupported {kind} conjunct: {conj}")
     if len(corr) > 1:
-        raise ValueError("EXISTS supports a single correlation equality")
+        raise ValueError(f"{kind} supports a single correlation equality")
+    return inner_conjs, corr
+
+
+def _resolve_exists(sub_sel, tables, broadcast_threshold, outer_names,
+                    negated: bool):
+    """[NOT] EXISTS (SELECT ... FROM inner WHERE inner.c = outer.c AND
+    inner-only conjuncts): rewritten into a value-set semi/anti probe.
+    Scoping is standard SQL — a conjunct whose columns all live in the
+    inner table is inner-local; a single equality pairing one inner and
+    one outer column is the correlation.  The distinct correlated value
+    set is assumed driver-small (same contract as IN (subquery)); NOT
+    EXISTS is true for a NULL outer probe (unlike NOT IN's 3VL)."""
+    inner_conjs, corr = _split_correlation(sub_sel, tables, "EXISTS")
     if not corr:
         # uncorrelated EXISTS: a constant — probe one row.  The constant
         # predicate must still be ARRAY-producing for the filter kernel,
@@ -1477,14 +1490,23 @@ def _resolve_exists(sub_sel, tables, broadcast_threshold, outer_names,
 
 
 def _resolve_subqueries(node, tables, broadcast_threshold,
-                        outer_names=None):
+                        outer_names=None, pending=None):
     """Replace ("in_sub", e, select) nodes with ("in", e, values): the
     subquery runs first (its own plan, same table map) and its FIRST
     column becomes the literal value set — the reference evaluates IN
     sets eagerly too (sqlselect/tables.go:53-75).  Subquery results are
     assumed driver-small (a value set, not a relation).  Also resolves
-    [NOT] EXISTS (semi/anti probe, see :func:`_resolve_exists`) and
-    uncorrelated scalar subqueries (eager literal)."""
+    [NOT] EXISTS (semi/anti probe, see :func:`_resolve_exists`),
+    uncorrelated scalar subqueries (eager literal), and CORRELATED
+    scalar subqueries — decorrelated classically: the inner aggregates
+    per correlation key, the result LEFT-joins onto the outer query (an
+    entry appended to ``pending``), and the node becomes a column ref
+    (missing keys surface as SQL NULL via the left join)."""
+    if isinstance(node, list):
+        # function-argument lists (e.g. COALESCE(.., (SELECT ..)))
+        return [
+            _resolve_subqueries(x, tables, broadcast_threshold,
+                                outer_names, pending) for x in node]
     if not isinstance(node, tuple) or not node:
         return node
     if node[0] == "not" and isinstance(node[1], tuple) \
@@ -1495,7 +1517,46 @@ def _resolve_subqueries(node, tables, broadcast_threshold,
         return _resolve_exists(node[1], tables, broadcast_threshold,
                                outer_names, negated=False)
     if node[0] == "scalar_sub":
-        sub_ast = {"selects": [node[1]], "union_all": [], "order": None,
+        sub_sel = node[1]
+        corr: list = []
+        inner_conjs = None
+        if (isinstance(sub_sel["table"], str)
+                and sub_sel.get("join") is None
+                and not sub_sel.get("group")):
+            inner_conjs, corr = _split_correlation(
+                sub_sel, tables, "scalar subquery")
+        if corr:
+            if pending is None:
+                raise ValueError(
+                    "correlated scalar subquery not supported here")
+            items = sub_sel["items"]
+            if (items is None or len(items) != 1
+                    or not _has_agg(items[0][0])):
+                raise ValueError(
+                    "correlated scalar subquery must select exactly one "
+                    "aggregate expression")
+            ic, oc = corr[0]
+            i = len(pending)
+            kcol, vcol = f"__sck{i}", f"__scv{i}"
+            sub_ast = {"selects": [dict(
+                sub_sel,
+                items=[(("col", ic), kcol), (items[0][0], vcol)],
+                where=_and_fold(inner_conjs),
+                group=[("col", ic)], distinct=False)],
+                "union_all": [], "order": None, "desc": None,
+                "limit": None}
+            agg_ds = _exec_ast(sub_ast, tables, broadcast_threshold)
+            import ray as _ray
+
+            # the per-key aggregate is keys-sized (same driver-small
+            # contract as IN (subquery)); materialize so the join
+            # planner sees an in-memory build side and broadcasts it
+            tbl = pa.concat_tables(
+                _ray.get(agg_ds.to_arrow_refs()),
+                promote_options="default")
+            pending.append((_ray.data.from_arrow(tbl), oc, kcol, "left"))
+            return ("col", vcol)
+        sub_ast = {"selects": [sub_sel], "union_all": [], "order": None,
                    "desc": None, "limit": 2}
         sub = _exec_ast(sub_ast, tables, broadcast_threshold).to_pandas()
         if len(sub) > 1:
@@ -1511,7 +1572,7 @@ def _resolve_subqueries(node, tables, broadcast_threshold,
         col0 = sub[sub.columns[0]]
         vals = col0.dropna().unique().tolist()
         e = _resolve_subqueries(node[1], tables, broadcast_threshold,
-                                outer_names)
+                                outer_names, pending)
         if node[0] == "not_in_sub":
             # SQL 3VL: a NULL in the subquery result makes NOT IN never
             # TRUE; otherwise exclude members and NULL probes
@@ -1520,8 +1581,9 @@ def _resolve_subqueries(node, tables, broadcast_threshold,
             return ("and", ("notnull", e), ("not", ("in", e, vals)))
         return ("in", e, vals)
     return tuple(
-        _resolve_subqueries(x, tables, broadcast_threshold, outer_names)
-        if isinstance(x, tuple) else x for x in node
+        _resolve_subqueries(x, tables, broadcast_threshold, outer_names,
+                            pending)
+        if isinstance(x, (tuple, list)) else x for x in node
     )
 
 
@@ -1560,17 +1622,24 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
         def _outer_names(_ds=ds, _sel=sel):
             out = set(_ds.schema().names)
             for jt, *_rest in (_sel["join"] or []):
-                out |= set(tables[jt].schema().names)
+                if isinstance(jt, str):
+                    out |= set(tables[jt].schema().names)
             return out
 
+        pending_sc: list = []
         if sel["where"] is not None:
             sel = dict(sel, where=_resolve_subqueries(
-                sel["where"], tables, broadcast_threshold, _outer_names))
+                sel["where"], tables, broadcast_threshold, _outer_names,
+                pending_sc))
         if sel["items"] is not None:
             sel = dict(sel, items=[
                 (_resolve_subqueries(e, tables, broadcast_threshold,
-                                     _outer_names), name)
+                                     _outer_names, pending_sc), name)
                 for e, name in sel["items"]])
+        if pending_sc:
+            # decorrelated scalar subqueries: LEFT-join their per-key
+            # aggregates onto this select's pipeline
+            sel = dict(sel, join=(sel["join"] or []) + pending_sc)
         if sel["join"] is not None:
             joins = sel["join"]
             needed = None
@@ -1593,7 +1662,10 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
                 ds = ds.select_columns(
                     [c for c in ds.schema().names if c in needed])
             for join_idx, (jt, lcol, rcol, how) in enumerate(joins):
-                rhs = tables[jt]
+                # jt is a table NAME for user joins, or an in-memory
+                # Dataset for decorrelated-scalar-subquery joins
+                inline_rhs = not isinstance(jt, str)
+                rhs = jt if inline_rhs else tables[jt]
                 if needed is not None:
                     rhs = rhs.select_columns(
                         [c for c in rhs.schema().names if c in needed])
@@ -1644,10 +1716,11 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
                 # default those to the shuffle join instead
                 rhs_rows = None
                 try:
-                    dag_kind = type(tables[jt]._logical_plan.dag).__name__
+                    src = jt if inline_rhs else tables[jt]
+                    dag_kind = type(src._logical_plan.dag).__name__
                     if dag_kind in ("Read", "FromArrow", "FromPandas",
                                     "FromItems", "FromNumpy", "InputData"):
-                        rhs_rows = tables[jt].count()
+                        rhs_rows = src.count()
                 except Exception:
                     rhs_rows = None
                 # RIGHT/FULL can never broadcast: a map-side probe

@@ -499,3 +499,27 @@ def test_statistical_aggregates_match_duckdb(ray_session, t1):
         "ORDER BY k",
     ]:
         _run_both(sql, None, {"t1": t1})
+
+
+def test_correlated_scalar_subqueries_match_duckdb(ray_session, t1, t2, t3):
+    """Correlated scalar subqueries decorrelate into per-key aggregate
+    LEFT joins; missing keys surface as SQL NULL."""
+    for sql in [
+        # in WHERE: per-group average from another table
+        "SELECT k, v FROM t1 WHERE v > (SELECT AVG(g) FROM t2 "
+        "WHERE gkey = s) ORDER BY k LIMIT 40",
+        # in the projection, with unmatched keys -> NULL (t3 covers
+        # only name_0..2); pin dtype via COALESCE+CAST
+        "SELECT k, CAST(COALESCE((SELECT MAX(h) FROM t3 "
+        "WHERE hkey = s), -1) AS BIGINT) AS mh FROM t1 "
+        "ORDER BY k LIMIT 30",
+        # inner-only filter + correlation together
+        "SELECT k FROM t1 WHERE k < 100 AND v > (SELECT AVG(g) FROM t2 "
+        "WHERE gkey = s AND g < 5) ORDER BY k LIMIT 30",
+        # two independent correlated scalars in one select
+        "SELECT k, CAST(COALESCE((SELECT COUNT(*) FROM t3 "
+        "WHERE hkey = s), 0) AS BIGINT) AS nh, "
+        "CAST(COALESCE((SELECT MIN(g) FROM t2 WHERE gkey = s), -1) "
+        "AS BIGINT) AS mg FROM t1 ORDER BY k LIMIT 30",
+    ]:
+        _run_both(sql, None, {"t1": t1, "t2": t2, "t3": t3})
