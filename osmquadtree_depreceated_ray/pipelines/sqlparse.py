@@ -40,10 +40,12 @@ arithmetic + - * / % and || concatenation, CASE WHEN ... THEN ...
 Window functions (beyond the reference grammar): row_number rank
 dense_rank ntile percent_rank cume_dist sum count min max avg lag lead
 first_value, each as ``fn(args) OVER ([PARTITION BY cols] [ORDER BY
-cols [ASC|DESC]] [ROWS BETWEEN {n|UNBOUNDED} PRECEDING AND CURRENT
-ROW])``; the default frame is SQL's RANGE UNBOUNDED
-PRECEDING..CURRENT ROW (peer rows share their group's cumulative
-value), an explicit ROWS frame is physical rows (moving aggregates).  Execution: one bucketed hash
+cols [ASC|DESC]] [ROWS BETWEEN {n|UNBOUNDED} PRECEDING AND
+{CURRENT ROW | m FOLLOWING}])``; the default frame is SQL's RANGE
+UNBOUNDED PRECEDING..CURRENT ROW (peer rows share their group's
+cumulative value), an explicit ROWS frame is physical rows (moving /
+centered aggregates; FOLLOWING ends use an exact trailing+leading
+rolling decomposition).  Execution: one bucketed hash
 exchange per distinct PARTITION BY signature; inside each bucket the
 kernels are pandas groupby primitives (cumsum/cumcount/shift/transform)
 — vectorized, no per-row Python.  A window without PARTITION BY is a
@@ -80,7 +82,7 @@ _KEYWORDS = {
     "is", "null", "case", "when", "then", "else", "end", "asc", "desc",
     "distinct", "group", "cast", "having", "over", "partition", "exists",
     "left", "inner", "outer", "right", "full", "rows", "preceding",
-    "unbounded", "current", "row",
+    "unbounded", "current", "row", "following",
 }
 
 
@@ -521,8 +523,9 @@ class _Parser:
                     frame = None
                     if self.accept("kw", "rows"):
                         # ROWS BETWEEN {n|UNBOUNDED} PRECEDING AND
-                        # CURRENT ROW — physical-row frame (no peer
-                        # sharing, unlike the RANGE default)
+                        # {CURRENT ROW | m FOLLOWING} — physical-row
+                        # frame (no peer sharing, unlike the RANGE
+                        # default)
                         self.expect("kw", "between")
                         if self.accept("kw", "unbounded"):
                             k = None
@@ -530,9 +533,13 @@ class _Parser:
                             k = int(self.expect("num")[1])
                         self.expect("kw", "preceding")
                         self.expect("kw", "and")
-                        self.expect("kw", "current")
-                        self.expect("kw", "row")
-                        frame = ("rows", k)
+                        if self.accept("kw", "current"):
+                            self.expect("kw", "row")
+                            k2 = 0
+                        else:
+                            k2 = int(self.expect("num")[1])
+                            self.expect("kw", "following")
+                        frame = ("rows", k, k2)
                     self.expect("op", ")")
                     node = ("win", v.lower(), args, tuple(part),
                             tuple(ocols), tuple(odesc), frame)
@@ -1111,6 +1118,61 @@ def _window_bucket_fn(part: list, specs: list):
                 if res.dtype != x.dtype and x.dtype.kind in "iu" \
                         and not res.isna().any():
                     res = res.astype(x.dtype)
+            elif frame is not None and frame[2] > 0:
+                # ROWS ... AND m FOLLOWING: exact trailing+leading
+                # decomposition — agg([i-k1, i+k2]) combines the
+                # trailing window ending at i with the leading window
+                # starting at i (reverse-rolling), minus the
+                # double-counted current row for sum/count.  Tails
+                # truncate correctly on both sides (min_periods=1
+                # within the partition).
+                k, k2 = frame[1], frame[2]
+                src = (x if x is not None else pd.Series(
+                    np.ones(len(order)), index=order.index))
+
+                def _trail(agg):
+                    if k is not None:
+                        roll = src.groupby(gv).rolling(
+                            k + 1, min_periods=1)
+                        return getattr(roll, agg)().droplevel(0).reindex(
+                            order.index)
+                    if agg == "sum":
+                        return src.groupby(gv).cumsum().groupby(gv).ffill()
+                    if agg == "count":
+                        return (src.notna().astype(np.int64)
+                                .groupby(gv).cumsum())
+                    if agg == "min":
+                        return src.groupby(gv).cummin().groupby(gv).ffill()
+                    return src.groupby(gv).cummax().groupby(gv).ffill()
+
+                def _lead(agg):
+                    rev = src.iloc[::-1]
+                    roll = rev.groupby(gv[::-1]).rolling(
+                        k2 + 1, min_periods=1)
+                    return getattr(roll, agg)().droplevel(0).reindex(
+                        order.index)
+
+                ov_cnt = src.notna().astype(np.int64)
+                if fname == "count":
+                    c = (_trail("count") + _lead("count")
+                         - ov_cnt).astype(np.int64)
+                elif fname == "sum":
+                    c = (_trail("sum") + _lead("sum")
+                         - src.fillna(0)).astype(np.float64)
+                elif fname == "avg":
+                    s2 = _trail("sum") + _lead("sum") - src.fillna(0)
+                    n2 = _trail("count") + _lead("count") - ov_cnt
+                    c = s2.astype(np.float64) / n2
+                else:  # min / max
+                    comb = np.fmin if fname == "min" else np.fmax
+                    c = pd.Series(
+                        comb(_trail(fname).to_numpy(dtype=np.float64),
+                             _lead(fname).to_numpy(dtype=np.float64)),
+                        index=order.index)
+                    if (x is not None and x.dtype.kind in "iu"
+                            and not c.isna().any()):
+                        c = c.astype(x.dtype)
+                res = c
             elif frame is not None:
                 # explicit ROWS frame: physical rows, no peer sharing
                 k = frame[1]

@@ -523,3 +523,31 @@ def test_correlated_scalar_subqueries_match_duckdb(ray_session, t1, t2, t3):
         "AS BIGINT) AS mg FROM t1 ORDER BY k LIMIT 30",
     ]:
         _run_both(sql, None, {"t1": t1, "t2": t2, "t3": t3})
+
+
+def test_following_frames_match_duckdb(ray_session, t1):
+    """ROWS BETWEEN a PRECEDING AND b FOLLOWING (centered / leading
+    moving aggregates) vs DuckDB — exact at partition tails."""
+    for sql in [
+        "SELECT k, CAST(SUM(v) OVER (PARTITION BY s ORDER BY k "
+        "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS BIGINT) AS cs, "
+        "AVG(v) OVER (PARTITION BY s ORDER BY k "
+        "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS ca "
+        "FROM t1 ORDER BY k LIMIT 60",
+        "SELECT k, MIN(v) OVER (PARTITION BY s ORDER BY k "
+        "ROWS BETWEEN 1 PRECEDING AND 3 FOLLOWING) AS mn, "
+        "MAX(v) OVER (PARTITION BY s ORDER BY k "
+        "ROWS BETWEEN 1 PRECEDING AND 3 FOLLOWING) AS mx, "
+        "COUNT(*) OVER (PARTITION BY s ORDER BY k "
+        "ROWS BETWEEN 1 PRECEDING AND 3 FOLLOWING) AS n "
+        "FROM t1 ORDER BY k LIMIT 60",
+        # UNBOUNDED PRECEDING with a FOLLOWING end
+        "SELECT k, CAST(SUM(v) OVER (PARTITION BY s ORDER BY k "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 FOLLOWING) AS BIGINT) "
+        "AS us FROM t1 ORDER BY k LIMIT 60",
+        # 0 PRECEDING AND m FOLLOWING (purely leading window)
+        "SELECT k, MIN(f) OVER (PARTITION BY s ORDER BY k "
+        "ROWS BETWEEN 0 PRECEDING AND 2 FOLLOWING) AS lm "
+        "FROM t1 ORDER BY k LIMIT 60",
+    ]:
+        _run_both(sql, None, {"t1": t1})
