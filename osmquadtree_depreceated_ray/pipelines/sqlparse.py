@@ -26,8 +26,10 @@ Surface (the reference's grammar, plus LIMIT):
                                           [NOT] EXISTS (subquery),
                                           scalar (SELECT ...) literals,
                                           bitwise & | # ~ << >>
-    GROUP BY ... [HAVING expr]
-    ORDER BY col [ASC|DESC], ... / LIMIT n
+    GROUP BY ... [HAVING expr]            (keys may be expressions or
+                                          SELECT aliases; aggregates
+                                          accept FILTER (WHERE ...))
+    ORDER BY expr [ASC|DESC], ... / LIMIT n [OFFSET m]
     <select> UNION [ALL] <select>         (non-ALL deduplicates)
 
 Scalar functions: coalesce nullif replace substr char_length/length
@@ -82,7 +84,7 @@ _KEYWORDS = {
     "is", "null", "case", "when", "then", "else", "end", "asc", "desc",
     "distinct", "group", "cast", "having", "over", "partition", "exists",
     "left", "inner", "outer", "right", "full", "rows", "preceding",
-    "unbounded", "current", "row", "following",
+    "unbounded", "current", "row", "following", "filter", "offset",
 }
 
 
@@ -166,12 +168,16 @@ class _Parser:
                 if not self.accept("op", ","):
                     break
         limit = None
+        offset = 0
         if self.accept("kw", "limit"):
             limit = int(self.expect("num")[1])
+            if self.accept("kw", "offset"):
+                offset = int(self.expect("num")[1])
         if not nested:
             self.expect("eof")
         return {"selects": selects, "union_all": union_all,
-                "order": order, "desc": desc, "limit": limit}
+                "order": order, "desc": desc, "limit": limit,
+                "offset": offset}
 
     def parse_select(self):
         self.expect("kw", "select")
@@ -489,6 +495,21 @@ class _Parser:
                             break
                     self.expect("op", ")")
                 node = ("calld" if is_distinct else "call", v.lower(), args)
+                if self.peek() == ("kw", "filter"):
+                    # agg(x) FILTER (WHERE cond): pure rewrite to
+                    # agg(CASE WHEN cond THEN x END) — aggregates skip
+                    # NULLs, so semantics are identical
+                    self.next()
+                    self.expect("op", "(")
+                    self.expect("kw", "where")
+                    cond = self.parse_expr()
+                    self.expect("op", ")")
+                    fargs = node[2]
+                    if not fargs or fargs[0] == ("star",):
+                        fargs = [("lit", 1)]
+                    node = (node[0], node[1],
+                            [("case", [(cond, fargs[0])], None)]
+                            + list(fargs[1:]))
                 if self.peek() == ("kw", "over"):
                     # window function: fn(args) OVER ([PARTITION BY ...]
                     # [ORDER BY col [ASC|DESC], ...]) — default frame is
@@ -1857,5 +1878,18 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
         if synth:
             ds = ds.drop_columns([c for c, _e in synth])
     if ast["limit"] is not None:
+        off = ast.get("offset") or 0
+        if off:
+            # OFFSET pages within a LIMITed (driver-small by contract)
+            # result: take limit+offset rows in order, slice off the
+            # head.  Block refs arrive in dataset order, so the slice
+            # respects the ORDER BY.
+            import ray as _ray
+
+            tbl = pa.concat_tables(
+                _ray.get(ds.limit(ast["limit"] + off).to_arrow_refs()),
+                promote_options="default")
+            return _ray.data.from_arrow(
+                tbl.slice(off, ast["limit"]))
         ds = ds.limit(ast["limit"])
     return ds

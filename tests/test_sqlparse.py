@@ -551,3 +551,17 @@ def test_following_frames_match_duckdb(ray_session, t1):
         "FROM t1 ORDER BY k LIMIT 60",
     ]:
         _run_both(sql, None, {"t1": t1})
+
+
+def test_filter_clause_and_offset_match_duckdb(ray_session, t1):
+    """agg FILTER (WHERE ..) and LIMIT .. OFFSET vs DuckDB."""
+    for sql in [
+        "SELECT s, COUNT(*) FILTER (WHERE v > 0) AS np, "
+        "CAST(SUM(v) FILTER (WHERE v > 0) AS BIGINT) AS sp, "
+        "COUNT(*) AS n FROM t1 GROUP BY s ORDER BY s",
+        "SELECT COUNT(*) FILTER (WHERE v % 2 = 0) AS ne, "
+        "COUNT(DISTINCT s) FILTER (WHERE v > 25) AS ds FROM t1",
+        "SELECT k, v FROM t1 ORDER BY k LIMIT 10 OFFSET 20",
+        "SELECT k FROM t1 WHERE v > 0 ORDER BY k DESC LIMIT 7 OFFSET 3",
+    ]:
+        _run_both(sql, None, {"t1": t1})
