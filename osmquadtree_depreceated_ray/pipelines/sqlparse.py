@@ -438,6 +438,12 @@ class _Parser:
 
     def parse_primary(self):
         k, v = self.peek()
+        # LEFT/RIGHT/FILTER are keywords (join types / FILTER clause)
+        # but also SQL function names — a following '(' disambiguates
+        if (k == "kw" and v in ("left", "right", "filter")
+                and self.i + 1 < len(self.toks)
+                and self.toks[self.i + 1] == ("op", "(")):
+            k = "ident"
         if k == "num":
             self.next()
             return ("lit", float(v) if "." in v else int(v))
@@ -789,6 +795,52 @@ def _compile_expr(node) -> Expr:
                             "dow")
                 return (dowe + lit(1)) % lit(7)
             raise ValueError(f"unsupported EXTRACT field {field}")
+        if name in ("starts_with", "ends_with", "contains"):
+            import pyarrow.compute as _pc
+
+            pat = str(_lit_arg(1))
+            kern = {"starts_with": _pc.starts_with,
+                    "ends_with": _pc.ends_with,
+                    "contains": _pc.match_substring}[name]
+            a0 = args[0]
+            return Expr(lambda t, _k=kern, _a=a0, _p=pat:
+                        _k(_a(t), pattern=_p), name)
+        if name == "strpos":
+            import pyarrow.compute as _pc
+
+            pat = str(_lit_arg(1))
+            a0 = args[0]
+            # SQL strpos is 1-based with 0 for no match; Arrow
+            # find_substring is 0-based with -1 — add one
+            return Expr(lambda t, _a=a0, _p=pat: _pc.cast(_pc.add(
+                _pc.find_substring(_a(t), pattern=_p), 1), pa.int64()),
+                "strpos")
+        if name in ("left", "right"):
+            import pyarrow.compute as _pc
+
+            n2 = int(_lit_arg(1))
+            if n2 < 0:
+                raise ValueError(f"{name}() needs a non-negative length")
+            a0 = args[0]
+            if name == "left":
+                return Expr(lambda t, _a=a0, _n=n2:
+                            _pc.utf8_slice_codeunits(_a(t), 0, _n),
+                            "left")
+            if n2 == 0:
+                return Expr(lambda t, _a=a0:
+                            _pc.utf8_slice_codeunits(_a(t), 0, 0),
+                            "right")
+            # negative start clamps at 0, so n > len returns the whole
+            # string (SQL semantics)
+            return Expr(lambda t, _a=a0, _n=n2:
+                        _pc.utf8_slice_codeunits(_a(t), -_n), "right")
+        if name == "repeat":
+            import pyarrow.compute as _pc
+
+            n2 = int(_lit_arg(1))
+            a0 = args[0]
+            return Expr(lambda t, _a=a0, _n=n2:
+                        _pc.binary_repeat(_a(t), _n), "repeat")
         if name == "date_trunc":
             import pyarrow.compute as _pc
 

@@ -565,3 +565,19 @@ def test_filter_clause_and_offset_match_duckdb(ray_session, t1):
         "SELECT k FROM t1 WHERE v > 0 ORDER BY k DESC LIMIT 7 OFFSET 3",
     ]:
         _run_both(sql, None, {"t1": t1})
+
+
+def test_string_predicates_match_duckdb(ray_session, t1):
+    """starts_with/ends_with/contains/strpos/left/right/repeat."""
+    for sql in [
+        "SELECT k FROM t1 WHERE starts_with(s, 'name_1') ORDER BY k "
+        "LIMIT 20",
+        "SELECT k, contains(s, 'me_3') AS c3, ends_with(s, '_5') AS e5 "
+        "FROM t1 WHERE k < 20 ORDER BY k",
+        "SELECT k, strpos(s, 'e_2') AS p FROM t1 WHERE k < 15 "
+        "ORDER BY k",
+        "SELECT k, left(s, 4) AS l4, right(s, 3) AS r3, "
+        "right(s, 99) AS rall, repeat(s, 2) AS dbl FROM t1 "
+        "WHERE k < 10 ORDER BY k",
+    ]:
+        _run_both(sql, None, {"t1": t1})
