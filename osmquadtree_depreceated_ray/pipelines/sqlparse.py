@@ -356,6 +356,17 @@ class _Parser:
         if k == "kw" and v == "is":
             self.next()
             neg = bool(self.accept("kw", "not"))
+            if self.accept("kw", "distinct"):
+                # IS [NOT] DISTINCT FROM: null-safe equality.
+                # IS NOT DISTINCT FROM = (both null) OR (both non-null
+                # and equal) — never NULL, so the plain NOT is safe
+                self.expect("kw", "from")
+                b = self.parse_bit()
+                same = ("or",
+                        ("and", ("isnull", e), ("isnull", b)),
+                        ("and", ("and", ("notnull", e), ("notnull", b)),
+                         ("eq", e, b)))
+                return same if neg else ("not", same)
             self.expect("kw", "null")
             return ("notnull" if neg else "isnull", e)
         return e
@@ -627,9 +638,16 @@ class _Parser:
 
     def parse_case(self):
         self.expect("kw", "case")
+        operand = None
+        if self.peek() != ("kw", "when"):
+            # simple CASE: CASE expr WHEN v THEN .. — each WHEN value
+            # compares against the operand (searched-CASE rewrite)
+            operand = self.parse_expr()
         branches = []
         while self.accept("kw", "when"):
             c = self.parse_expr()
+            if operand is not None:
+                c = ("eq", operand, c)
             self.expect("kw", "then")
             branches.append((c, self.parse_expr()))
         default = None

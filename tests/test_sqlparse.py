@@ -581,3 +581,20 @@ def test_string_predicates_match_duckdb(ray_session, t1):
         "WHERE k < 10 ORDER BY k",
     ]:
         _run_both(sql, None, {"t1": t1})
+
+
+def test_simple_case_and_is_distinct_from(ray_session, t1):
+    """Simple-form CASE and null-safe IS [NOT] DISTINCT FROM."""
+    for sql in [
+        "SELECT k, CASE s WHEN 'name_0' THEN 'zero' WHEN 'name_1' "
+        "THEN 'one' ELSE 'many' END AS w FROM t1 WHERE k < 30 "
+        "ORDER BY k",
+        # nullif injects NULLs; IS DISTINCT FROM is never NULL itself
+        "SELECT k FROM t1 WHERE nullif(s, 'name_0') IS DISTINCT FROM "
+        "nullif(s, 'name_1') ORDER BY k LIMIT 30",
+        "SELECT k FROM t1 WHERE nullif(s, 'name_0') IS NOT DISTINCT "
+        "FROM nullif(s, 'name_0') AND k < 40 ORDER BY k",
+        "SELECT k FROM t1 WHERE v IS DISTINCT FROM 10 AND k < 20 "
+        "ORDER BY k",
+    ]:
+        _run_both(sql, None, {"t1": t1})
