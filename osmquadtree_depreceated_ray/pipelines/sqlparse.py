@@ -34,10 +34,11 @@ Surface (the reference's grammar, plus LIMIT):
 
 Scalar functions: coalesce nullif replace substr char_length/length
 concat upper lower trim ltrim rtrim reverse abs sign floor ceil round
-sqrt ln, temporal year/month/day/hour/minute/second,
-EXTRACT(field FROM ts) (incl. dow, Sunday=0), date_trunc(unit, ts),
-arithmetic + - * / % and || concatenation, CASE WHEN ... THEN ...
-[ELSE ...] END.
+sqrt ln starts_with ends_with contains strpos left right repeat,
+temporal year/month/day/hour/minute/second, EXTRACT(field FROM ts)
+(incl. dow, Sunday=0), date_trunc(unit, ts), arithmetic + - * / % and
+|| concatenation, searched and simple CASE, IS [NOT] DISTINCT FROM
+(null-safe), statistical aggregates STDDEV/VAR[_SAMP|_POP]/MEDIAN.
 
 Window functions (beyond the reference grammar): row_number rank
 dense_rank ntile percent_rank cume_dist sum count min max avg lag lead
