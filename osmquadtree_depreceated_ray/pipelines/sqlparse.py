@@ -548,10 +548,10 @@ class _Parser:
                     if self.accept("kw", "order"):
                         self.expect("kw", "by")
                         while True:
-                            c = self.expect("ident")[1]
-                            if self.accept("op", "."):
-                                c = self.expect("ident")[1]
-                            ocols.append(c)
+                            # full expressions (incl. aggregate calls
+                            # for windows over GROUP BY results, e.g.
+                            # RANK() OVER (ORDER BY COUNT(*) DESC))
+                            ocols.append(self.parse_expr())
                             if self.accept("kw", "desc"):
                                 odesc.append(True)
                             else:
@@ -898,6 +898,8 @@ _AGG_HOW = {"sum": "sum", "count": "count", "min": "min", "max": "max",
 
 def _has_agg(node) -> bool:
     if isinstance(node, tuple):
+        if not node:
+            return False
         if node[0] in ("call", "calld") and node[1] in _AGG_FUNCS:
             return True
         return any(_has_agg(s) for s in node if isinstance(s, (tuple, list)))
@@ -914,6 +916,8 @@ def _extract_aggs(node, aggs: list):
     synthetic column, so the spec computes each distinct aggregate
     once."""
     if isinstance(node, tuple):
+        if not node:
+            return node
         if node[0] in ("call", "calld") and node[1] in _AGG_FUNCS:
             fn = node[1] + ("!d" if node[0] == "calld" else "")
             for key, fname, args in aggs:
@@ -1070,6 +1074,8 @@ _FRAMEABLE = {"sum", "count", "min", "max", "avg"}
 
 def _has_win(node) -> bool:
     if isinstance(node, tuple):
+        if not node:
+            return False
         if node[0] == "win":
             return True
         return any(_has_win(s) for s in node if isinstance(s, (tuple, list)))
@@ -1083,6 +1089,8 @@ def _extract_wins(node, wins: list):
     (key, fname, args, part, ocols, odesc); identical window specs share
     one synthetic column (computed once)."""
     if isinstance(node, tuple):
+        if not node:
+            return node
         if node[0] == "win":
             _w, fname, args, part, ocols, odesc, frame = node
             if fname not in _WIN_FUNCS:
@@ -1343,31 +1351,69 @@ def _window_bucket_fn(part: list, specs: list):
     return fn
 
 
+def _run_window_over_groups(ds, sel) -> "ray.data.Dataset":  # noqa: F821
+    """Windows over GROUP BY results (the top-N-groups idiom:
+    ``RANK() OVER (ORDER BY COUNT(*) DESC)``), two-phase: (1) the
+    grouped select computes the group keys + every distinct aggregate
+    (one bucketed exchange, HAVING applied); (2) the window select runs
+    over the aggregated table with aggregate calls rewritten to the
+    phase-1 columns."""
+    raw_group = sel["group"] or []
+    aggs: list = []
+    rewritten = []
+    for idx, (e, name) in enumerate(sel["items"]):
+        # replaces aggregate calls everywhere — including inside window
+        # arguments and window ORDER BY expressions — with synthetic
+        # column refs computed in phase 1
+        ne = _extract_aggs(e, aggs)
+        rewritten.append((ne, name or _expr_name(e, idx)))
+    # phase-1 select: group keys under stable names + the aggregates
+    gpairs = []
+    for i, gnode in enumerate(raw_group):
+        gname = (gnode[1] if isinstance(gnode, tuple)
+                 and gnode[0] == "col" else f"__gk{i}")
+        gpairs.append((gnode, gname))
+    p1_items = [(gnode, gname) for gnode, gname in gpairs]
+    for key, fname, args in aggs:
+        call = ("calld" if fname.endswith("!d") else "call",
+                fname[:-2] if fname.endswith("!d") else fname, args)
+        p1_items.append((call, key))
+    sel1 = dict(sel, items=p1_items)
+    agg_ds = _run_grouped_select(ds, sel1)
+    # phase-2 select: windows/projections over the aggregated table
+    p2_items = []
+    for ne, name in rewritten:
+        for gnode, gname in gpairs:
+            if not (isinstance(gnode, tuple) and gnode[0] == "col"):
+                ne = _subst(ne, gnode, ("col", gname))
+        p2_items.append((ne, name))
+    sel2 = {"items": p2_items, "table": None, "join": None,
+            "where": None, "distinct": sel["distinct"], "group": None,
+            "having": None}
+    return _run_window_select(agg_ds, sel2)
+
+
 def _run_window_select(ds, sel) -> "ray.data.Dataset":  # noqa: F821
     """Window-function execution: WHERE filter -> pre-project (all input
     columns + computed window args) -> one bucketed exchange per distinct
     PARTITION BY signature (each bucket computes its windows vectorized)
     -> post-project the item expressions.  A window with no PARTITION BY
     is a total order: it runs as a single-bucket pass (inherently serial,
-    as on any engine — partition wide queries should PARTITION BY)."""
+    as on any engine — partition wide queries should PARTITION BY).
+    With GROUP BY / aggregates present, delegates to the two-phase
+    :func:`_run_window_over_groups`."""
     from ..stages.shuffle import bucketed_apply
 
-    if sel.get("group") or sel.get("having") is not None:
-        raise ValueError(
-            "window functions over GROUP BY are not supported in one "
-            "select; aggregate in a derived table first")
     if sel["items"] is None:
         raise ValueError("SELECT * with window functions is not supported")
+    if sel.get("group") or any(
+            _has_agg(e) for e, _ in sel["items"]):
+        return _run_window_over_groups(ds, sel)
     wins: list = []
     post_items = []
     for idx, (e, name) in enumerate(sel["items"]):
         ne = _extract_wins(e, wins)
         post_items.append((ne, name or _expr_name(e, idx)))
-    if any(_has_agg(a) for _k, _f, args, *_ in wins for a in args):
-        raise ValueError("aggregate inside a window argument is invalid")
-    if any(_has_agg(ne) for ne, _ in post_items):
-        raise ValueError("mixing plain aggregates with window functions "
-                         "in one select is unsupported")
     q = Query(ds)
     if sel["where"] is not None:
         q = q.where(_compile_expr(sel["where"]))
@@ -1403,8 +1449,18 @@ def _run_window_select(ds, sel) -> "ray.data.Dataset":  # noqa: F821
             raise ValueError(f"{fname}() requires ORDER BY in the window")
         if frame is not None and not ocols:
             raise ValueError("a ROWS frame requires ORDER BY in the window")
+        # ORDER BY entries are expressions: plain columns sort directly,
+        # anything else sorts on a synthetic pre-projected column
+        onames = []
+        for j, onode in enumerate(ocols):
+            if isinstance(onode, tuple) and onode[0] == "col":
+                onames.append(onode[1])
+            else:
+                oname = f"{key}_o{j}"
+                pre[oname] = _compile_expr(onode)
+                onames.append(oname)
         specs.append((key, fname, argcol, off,
-                      list(part) or ["__wg"], list(ocols), list(odesc),
+                      list(part) or ["__wg"], onames, list(odesc),
                       frame))
     out = q.select(**pre).run()
     by_part: dict = {}
@@ -1443,11 +1499,12 @@ def _collect_cols(node, out: set) -> None:
             out.add(node[1])
             return
         if len(node) == 7 and node[0] == "win":
-            # window node: args + PARTITION BY / ORDER BY column names
+            # window node: args + PARTITION BY names + ORDER BY exprs
             for a in node[2]:
                 _collect_cols(a, out)
             out.update(node[3])
-            out.update(node[4])
+            for o in node[4]:
+                _collect_cols(o, out)
             return
         for sub in node:
             _collect_cols(sub, out)

@@ -598,3 +598,30 @@ def test_simple_case_and_is_distinct_from(ray_session, t1):
         "ORDER BY k",
     ]:
         _run_both(sql, None, {"t1": t1})
+
+
+def test_windows_over_group_by_match_duckdb(ray_session, t1):
+    """Windows over GROUP BY results (two-phase: aggregate exchange,
+    then window over the aggregated table) and window ORDER BY
+    expressions."""
+    for sql in [
+        # the top-N-groups idiom
+        "SELECT s, CAST(SUM(v) AS BIGINT) AS sv, "
+        "RANK() OVER (ORDER BY SUM(v) DESC) AS r FROM t1 "
+        "GROUP BY s ORDER BY s",
+        "SELECT s, COUNT(*) AS n, "
+        "ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, s) AS rn FROM t1 "
+        "GROUP BY s ORDER BY s",
+        # PARTITION BY a group key, window-ordered by an aggregate
+        "SELECT s, k % 2 AS par, CAST(SUM(v) AS BIGINT) AS sv, "
+        "RANK() OVER (PARTITION BY s ORDER BY SUM(v) DESC) AS r "
+        "FROM t1 GROUP BY s, k % 2 ORDER BY s, par",
+        # HAVING applies before the window
+        "SELECT s, COUNT(*) AS n, "
+        "RANK() OVER (ORDER BY COUNT(*) DESC, s) AS r FROM t1 "
+        "GROUP BY s HAVING COUNT(*) > 60 ORDER BY s",
+        # window ORDER BY expression without GROUP BY
+        "SELECT k, ROW_NUMBER() OVER (PARTITION BY s "
+        "ORDER BY v * v DESC, k) AS rn FROM t1 ORDER BY k LIMIT 40",
+    ]:
+        _run_both(sql, None, {"t1": t1})
