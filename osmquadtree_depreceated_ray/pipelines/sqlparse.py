@@ -86,6 +86,7 @@ _KEYWORDS = {
     "distinct", "group", "cast", "having", "over", "partition", "exists",
     "left", "inner", "outer", "right", "full", "rows", "preceding",
     "unbounded", "current", "row", "following", "filter", "offset",
+    "qualify",
 }
 
 
@@ -288,7 +289,13 @@ class _Parser:
                     break
             if self.accept("kw", "having"):
                 having = self.parse_expr()
+        qualify = None
+        if self.accept("kw", "qualify"):
+            # QUALIFY: filter on window-function results (the window
+            # analogue of HAVING); may reference SELECT aliases
+            qualify = self.parse_expr()
         return {"items": items, "table": table, "join": join,
+                "qualify": qualify,
                 "where": where, "distinct": distinct, "group": group,
                 "having": having}
 
@@ -1363,10 +1370,13 @@ def _run_window_over_groups(ds, sel) -> "ray.data.Dataset":  # noqa: F821
     rewritten = []
     for idx, (e, name) in enumerate(sel["items"]):
         # replaces aggregate calls everywhere — including inside window
-        # arguments and window ORDER BY expressions — with synthetic
-        # column refs computed in phase 1
+        # arguments, window ORDER BY expressions, and QUALIFY — with
+        # synthetic column refs computed in phase 1
         ne = _extract_aggs(e, aggs)
         rewritten.append((ne, name or _expr_name(e, idx)))
+    qual = sel.get("qualify")
+    if qual is not None:
+        qual = _extract_aggs(qual, aggs)
     # phase-1 select: group keys under stable names + the aggregates
     gpairs = []
     for i, gnode in enumerate(raw_group):
@@ -1387,9 +1397,13 @@ def _run_window_over_groups(ds, sel) -> "ray.data.Dataset":  # noqa: F821
             if not (isinstance(gnode, tuple) and gnode[0] == "col"):
                 ne = _subst(ne, gnode, ("col", gname))
         p2_items.append((ne, name))
+    if qual is not None:
+        for gnode, gname in gpairs:
+            if not (isinstance(gnode, tuple) and gnode[0] == "col"):
+                qual = _subst(qual, gnode, ("col", gname))
     sel2 = {"items": p2_items, "table": None, "join": None,
             "where": None, "distinct": sel["distinct"], "group": None,
-            "having": None}
+            "having": None, "qualify": qual}
     return _run_window_select(agg_ds, sel2)
 
 
@@ -1406,14 +1420,40 @@ def _run_window_select(ds, sel) -> "ray.data.Dataset":  # noqa: F821
 
     if sel["items"] is None:
         raise ValueError("SELECT * with window functions is not supported")
+    qual = sel.get("qualify")
     if sel.get("group") or any(
-            _has_agg(e) for e, _ in sel["items"]):
+            _has_agg(e) for e, _ in sel["items"]) or (
+            qual is not None and _has_agg(qual)):
         return _run_window_over_groups(ds, sel)
     wins: list = []
     post_items = []
     for idx, (e, name) in enumerate(sel["items"]):
         ne = _extract_wins(e, wins)
         post_items.append((ne, name or _expr_name(e, idx)))
+    if qual is not None:
+        # QUALIFY may reference SELECT aliases (not yet projected) —
+        # substitute them with their expressions first
+        alias_map = {name: e for e, name in sel["items"] if name}
+        schema_names = set(ds.schema().names)
+
+        def _alias_sub(n):
+            if (isinstance(n, tuple) and len(n) == 2 and n
+                    and n[0] == "col" and n[1] in alias_map
+                    and n[1] not in schema_names):
+                return alias_map[n[1]]
+            if isinstance(n, tuple):
+                return tuple(
+                    _alias_sub(x) if isinstance(x, (tuple, list)) else x
+                    for x in n)
+            if isinstance(n, list):
+                return [
+                    _alias_sub(x) if isinstance(x, (tuple, list)) else x
+                    for x in n]
+            return n
+
+        qual = _extract_wins(_alias_sub(qual), wins)
+        if not wins:
+            raise ValueError("QUALIFY requires a window function")
     q = Query(ds)
     if sel["where"] is not None:
         q = q.where(_compile_expr(sel["where"]))
@@ -1472,8 +1512,13 @@ def _run_window_select(ds, sel) -> "ray.data.Dataset":  # noqa: F821
         out = bucketed_apply(
             out, list(part), _window_bucket_fn(list(part), group),
             n_buckets=nb)
+    q2 = Query(out)
+    if qual is not None:
+        # QUALIFY filters on the computed window columns, before the
+        # final projection (the window analogue of HAVING)
+        q2 = q2.where(_compile_expr(qual))
     proj = {name: _compile_expr(ne) for ne, name in post_items}
-    return Query(out).select(**proj).run()
+    return q2.select(**proj).run()
 
 
 def _split_conjuncts(node) -> list:
@@ -1942,8 +1987,9 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
                     ds = _broadcast_join(ds, rhs, lcol, rcol, how)
                 else:
                     ds = _join_on(ds, rhs, lcol, rcol, how=how)
-        if sel["items"] is not None and any(
-                _has_win(e) for e, _ in sel["items"]):
+        if (sel["items"] is not None and any(
+                _has_win(e) for e, _ in sel["items"])) \
+                or sel.get("qualify") is not None:
             out = _run_window_select(ds, sel)
             if sel["distinct"]:
                 from ..stages.shuffle import distinct as _distinct

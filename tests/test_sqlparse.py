@@ -625,3 +625,24 @@ def test_windows_over_group_by_match_duckdb(ray_session, t1):
         "ORDER BY v * v DESC, k) AS rn FROM t1 ORDER BY k LIMIT 40",
     ]:
         _run_both(sql, None, {"t1": t1})
+
+
+def test_qualify_matches_duckdb(ray_session, t1):
+    """QUALIFY (filter on window results) incl. alias references and
+    the grouped two-phase path."""
+    for sql in [
+        # window only in QUALIFY: top-3 rows per group in ONE select
+        "SELECT k, v, s FROM t1 QUALIFY ROW_NUMBER() OVER "
+        "(PARTITION BY s ORDER BY v DESC, k) <= 3 ORDER BY k",
+        # QUALIFY referencing the SELECT alias of a window item
+        "SELECT k, ROW_NUMBER() OVER (PARTITION BY s ORDER BY k) AS rn "
+        "FROM t1 QUALIFY rn <= 2 ORDER BY k",
+        # grouped two-phase: top-2 groups by count
+        "SELECT s, COUNT(*) AS n FROM t1 GROUP BY s "
+        "QUALIFY RANK() OVER (ORDER BY COUNT(*) DESC, s) <= 2 "
+        "ORDER BY s",
+        # QUALIFY combined with WHERE
+        "SELECT k, s FROM t1 WHERE v > 0 QUALIFY ROW_NUMBER() OVER "
+        "(PARTITION BY s ORDER BY k) = 1 ORDER BY k",
+    ]:
+        _run_both(sql, None, {"t1": t1})
