@@ -29,6 +29,9 @@ Surface (the reference's grammar, plus LIMIT):
     GROUP BY ... [HAVING expr]            (keys may be expressions or
                                           SELECT aliases; aggregates
                                           accept FILTER (WHERE ...))
+    QUALIFY expr                          filter on window results (may
+                                          reference SELECT aliases;
+                                          composes with GROUP BY)
     ORDER BY expr [ASC|DESC], ... / LIMIT n [OFFSET m]
     <select> UNION [ALL] <select>         (non-ALL deduplicates)
 
@@ -48,7 +51,10 @@ cols [ASC|DESC]] [ROWS BETWEEN {n|UNBOUNDED} PRECEDING AND
 UNBOUNDED PRECEDING..CURRENT ROW (peer rows share their group's
 cumulative value), an explicit ROWS frame is physical rows (moving /
 centered aggregates; FOLLOWING ends use an exact trailing+leading
-rolling decomposition).  Execution: one bucketed hash
+rolling decomposition).  Window ORDER BY entries are full expressions,
+including aggregate calls over a GROUP BY (two-phase: one bucketed
+aggregate exchange, then windows over the aggregated table — the
+top-N-groups idiom ``RANK() OVER (ORDER BY COUNT(*) DESC)``).  Execution: one bucketed hash
 exchange per distinct PARTITION BY signature; inside each bucket the
 kernels are pandas groupby primitives (cumsum/cumcount/shift/transform)
 — vectorized, no per-row Python.  A window without PARTITION BY is a
