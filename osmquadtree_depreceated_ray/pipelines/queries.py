@@ -952,6 +952,38 @@ QUERIES["sql_left_join"] = q_sql_left_join
 ORACLES["sql_left_join"] = SQL_LEFT_JOIN_TEXT
 
 
+SQL_TOPN_TEXT = (
+    "SELECT user_id, COUNT(*) AS n, "
+    "COUNT(*) FILTER (WHERE event_type = 'click') AS clicks, "
+    "RANK() OVER (ORDER BY COUNT(*) DESC, user_id) AS r "
+    "FROM events GROUP BY user_id "
+    "QUALIFY r <= 40 ORDER BY r, user_id"
+)
+
+
+def q_sql_topn(sf_dir: str):
+    """Top-N groups in one statement: grouped FILTER aggregates, a rank
+    window over the GROUP BY result (two-phase: one bucketed aggregate
+    exchange, then the window over the keys-sized table), and QUALIFY
+    referencing the window alias.  Oracle = the IDENTICAL string in
+    DuckDB; deterministic via the user_id tie-break."""
+    import ray
+
+    from .sqlparse import parse_sql
+
+    tables = {
+        "events": ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_type"],
+        ),
+    }
+    return parse_sql(SQL_TOPN_TEXT, tables)
+
+
+QUERIES["sql_topn"] = q_sql_topn
+ORACLES["sql_topn"] = SQL_TOPN_TEXT
+
+
 def q_hll_distinct(sf_dir: str):
     """Mergeable-sketch aggregation (the brief's 'novel sketch' class):
     HyperLogLog distinct-user estimate over events.  Map-side fixed-size
