@@ -92,7 +92,7 @@ _KEYWORDS = {
     "distinct", "group", "cast", "having", "over", "partition", "exists",
     "left", "inner", "outer", "right", "full", "rows", "preceding",
     "unbounded", "current", "row", "following", "filter", "offset",
-    "qualify",
+    "qualify", "intersect", "except",
 }
 
 
@@ -151,13 +151,24 @@ class _Parser:
 
     # -- grammar -------------------------------------------------------------
     def parse_query(self, nested=False):
-        """query := select (UNION [ALL] select)* [ORDER BY ...] [LIMIT n]
-        (UNION without ALL deduplicates, sqlselect/sql.go); nested=True
+        """query := select ((UNION [ALL] | INTERSECT | EXCEPT) select)*
+        [ORDER BY ...] [LIMIT n [OFFSET m]] (UNION without ALL
+        deduplicates, sqlselect/sql.go; INTERSECT/EXCEPT use SQL's
+        distinct set semantics, applied LEFT-ASSOCIATIVELY — unlike the
+        standard, INTERSECT does not bind tighter here); nested=True
         parses a parenthesized derived-table body (stops before ')')"""
         selects = [self.parse_select()]
-        union_all = []
-        while self.accept("kw", "union"):
-            union_all.append(bool(self.accept("kw", "all")))
+        set_ops = []
+        while True:
+            if self.accept("kw", "union"):
+                set_ops.append(
+                    "union_all" if self.accept("kw", "all") else "union")
+            elif self.accept("kw", "intersect"):
+                set_ops.append("intersect")
+            elif self.accept("kw", "except"):
+                set_ops.append("except")
+            else:
+                break
             selects.append(self.parse_select())
         order, desc = None, None
         if self.accept("kw", "order"):
@@ -183,7 +194,7 @@ class _Parser:
                 offset = int(self.expect("num")[1])
         if not nested:
             self.expect("eof")
-        return {"selects": selects, "union_all": union_all,
+        return {"selects": selects, "set_ops": set_ops,
                 "order": order, "desc": desc, "limit": limit,
                 "offset": offset}
 
@@ -1723,7 +1734,7 @@ def _resolve_exists(sub_sel, tables, broadcast_threshold, outer_names,
         sub_ast = {"selects": [dict(
             sub_sel, items=[(("lit", 1), "one")],
             where=_and_fold(inner_conjs), distinct=False)],
-            "union_all": [], "order": None, "desc": None, "limit": 1}
+            "set_ops": [], "order": None, "desc": None, "limit": 1}
         n = _exec_ast(sub_ast, tables, broadcast_threshold).count()
         truthy = (n > 0) != negated
         outer = (outer_names() if callable(outer_names)
@@ -1740,7 +1751,7 @@ def _resolve_exists(sub_sel, tables, broadcast_threshold, outer_names,
     sub_ast = {"selects": [dict(
         sub_sel, items=[(("col", ic), ic)],
         where=_and_fold(inner_conjs), distinct=True)],
-        "union_all": [], "order": None, "desc": None, "limit": None}
+        "set_ops": [], "order": None, "desc": None, "limit": None}
     vals_df = _exec_ast(sub_ast, tables, broadcast_threshold).to_pandas()
     vals = (vals_df[vals_df.columns[0]].dropna().unique().tolist()
             if len(vals_df) else [])
@@ -1805,7 +1816,7 @@ def _resolve_subqueries(node, tables, broadcast_threshold,
                 items=[(("col", ic), kcol), (items[0][0], vcol)],
                 where=_and_fold(inner_conjs),
                 group=[("col", ic)], distinct=False)],
-                "union_all": [], "order": None, "desc": None,
+                "set_ops": [], "order": None, "desc": None,
                 "limit": None}
             agg_ds = _exec_ast(sub_ast, tables, broadcast_threshold)
             import ray as _ray
@@ -1818,7 +1829,7 @@ def _resolve_subqueries(node, tables, broadcast_threshold,
                 promote_options="default")
             pending.append((_ray.data.from_arrow(tbl), oc, kcol, "left"))
             return ("col", vcol)
-        sub_ast = {"selects": [sub_sel], "union_all": [], "order": None,
+        sub_ast = {"selects": [sub_sel], "set_ops": [], "order": None,
                    "desc": None, "limit": 2}
         sub = _exec_ast(sub_ast, tables, broadcast_threshold).to_pandas()
         if len(sub) > 1:
@@ -1828,7 +1839,7 @@ def _resolve_subqueries(node, tables, broadcast_threshold,
             v = v.item()
         return ("lit", v)
     if node[0] in ("in_sub", "not_in_sub"):
-        sub_ast = {"selects": [node[2]], "union_all": [], "order": None,
+        sub_ast = {"selects": [node[2]], "set_ops": [], "order": None,
                    "desc": None, "limit": None}
         sub = _exec_ast(sub_ast, tables, broadcast_threshold).to_pandas()
         col0 = sub[sub.columns[0]]
@@ -1847,6 +1858,37 @@ def _resolve_subqueries(node, tables, broadcast_threshold,
                             pending)
         if isinstance(x, (tuple, list)) else x for x in node
     )
+
+
+def _set_op(ds_a, ds_b, cols: list, op: str):
+    """INTERSECT / EXCEPT with SQL's distinct set semantics: tag each
+    side, union, hash-bucket on ALL columns (identical rows co-locate),
+    then keep one copy of each row present in both sides (intersect) or
+    only in the left (except).  One exchange, no driver materialize."""
+    from ..stages.shuffle import bucketed_apply
+
+    def tag(src):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.append_column("__src", pa.array(
+                np.full(b.num_rows, src, np.int8)))
+
+        return fn
+
+    both = ds_a.map_batches(tag(0), batch_format="pyarrow").union(
+        ds_b.map_batches(tag(1), batch_format="pyarrow"))
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return g[cols]
+        agg = g.groupby(cols, as_index=False, sort=False, dropna=False)[
+            "__src"].agg(["min", "max"])
+        if op == "intersect":
+            keep = (agg["min"] == 0) & (agg["max"] == 1)
+        else:  # except
+            keep = agg["max"] == 0
+        return agg.loc[keep, cols]
+
+    return bucketed_apply(both, cols, fn, n_buckets=32)
 
 
 def parse_sql(sql: str, tables: dict,
@@ -2029,15 +2071,22 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
             out = _distinct(out, out.schema().names)
         runs.append(out)
     ds = runs[0]
-    union_all = ast.get("union_all") or [True] * (len(runs) - 1)
-    for other, is_all in zip(runs[1:], union_all):
-        ds = ds.union(other)
-        if not is_all:
+    set_ops = ast.get("set_ops") or ["union_all"] * (len(runs) - 1)
+    for other, sop in zip(runs[1:], set_ops):
+        if sop == "union_all":
+            ds = ds.union(other)
+        elif sop == "union":
             # UNION without ALL deduplicates the accumulated result
             # (left-associative, sqlselect/sql.go)
             from ..stages.shuffle import distinct as _distinct
 
-            ds = _distinct(ds, ds.schema().names)
+            ds = _distinct(ds.union(other), ds.schema().names)
+        else:
+            # INTERSECT / EXCEPT: distinct set semantics — tag each
+            # side, co-locate identical rows via the bucketed exchange,
+            # keep one copy of rows present in both (or left-only)
+            cols = ds.schema().names
+            ds = _set_op(ds, other, cols, sop)
     if ast["order"]:
         sort_cols, synth = [], []
         for i, node in enumerate(ast["order"]):

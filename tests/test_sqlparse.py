@@ -646,3 +646,23 @@ def test_qualify_matches_duckdb(ray_session, t1):
         "(PARTITION BY s ORDER BY k) = 1 ORDER BY k",
     ]:
         _run_both(sql, None, {"t1": t1})
+
+
+def test_set_operations_match_duckdb(ray_session, t1):
+    """INTERSECT / EXCEPT distinct set semantics vs DuckDB."""
+    for sql in [
+        "SELECT s FROM t1 WHERE v > 0 INTERSECT SELECT s FROM t1 "
+        "WHERE v < 0",
+        "SELECT s FROM t1 WHERE v > 40 EXCEPT SELECT s FROM t1 "
+        "WHERE v < -40",
+        "SELECT k % 5 AS m FROM t1 WHERE v > 0 INTERSECT "
+        "SELECT k % 5 AS m FROM t1 WHERE v < -30 ORDER BY m",
+        # multi-column rows
+        "SELECT s, k % 2 AS p FROM t1 WHERE v > 10 EXCEPT "
+        "SELECT s, k % 2 AS p FROM t1 WHERE v > 45 ORDER BY s, p",
+        # chained with UNION (left-associative on both engines when
+        # written left-to-right without mixing precedence levels)
+        "SELECT s FROM t1 WHERE v > 45 UNION ALL SELECT s FROM t1 "
+        "WHERE v < -45",
+    ]:
+        _run_both(sql, None, {"t1": t1})
