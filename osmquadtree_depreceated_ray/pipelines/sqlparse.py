@@ -34,6 +34,7 @@ Surface (the reference's grammar, plus LIMIT):
                                           composes with GROUP BY)
     ORDER BY expr [ASC|DESC], ... / LIMIT n [OFFSET m]
     <select> UNION [ALL] <select>         (non-ALL deduplicates)
+    <select> INTERSECT|EXCEPT <select>    (distinct set semantics)
 
 Scalar functions: coalesce nullif replace substr char_length/length
 concat upper lower trim ltrim rtrim reverse abs sign floor ceil round
