@@ -93,7 +93,7 @@ _KEYWORDS = {
     "distinct", "group", "cast", "having", "over", "partition", "exists",
     "left", "inner", "outer", "right", "full", "rows", "preceding",
     "unbounded", "current", "row", "following", "filter", "offset",
-    "qualify", "intersect", "except",
+    "qualify", "intersect", "except", "rollup",
 }
 
 
@@ -296,15 +296,28 @@ class _Parser:
             where = self.parse_expr()
         group = None
         having = None
+        rollup = False
         if self.accept("kw", "group"):
             self.expect("kw", "by")
             group = []
-            while True:
-                # full expressions (GROUP BY k % 10, substr(s, 1, 4), or
-                # a SELECT alias) — normalized at execution time
-                group.append(self.parse_expr())
-                if not self.accept("op", ","):
-                    break
+            if self.accept("kw", "rollup"):
+                # GROUP BY ROLLUP (a, b, ..): hierarchical subtotal
+                # levels (a,b), (a), () — executed as one grouped
+                # exchange per level, unioned
+                rollup = True
+                self.expect("op", "(")
+                while True:
+                    group.append(self.parse_expr())
+                    if not self.accept("op", ","):
+                        break
+                self.expect("op", ")")
+            else:
+                while True:
+                    # full expressions (GROUP BY k % 10, substr(s, 1, 4),
+                    # or a SELECT alias) — normalized at execution time
+                    group.append(self.parse_expr())
+                    if not self.accept("op", ","):
+                        break
             if self.accept("kw", "having"):
                 having = self.parse_expr()
         qualify = None
@@ -313,7 +326,7 @@ class _Parser:
             # analogue of HAVING); may reference SELECT aliases
             qualify = self.parse_expr()
         return {"items": items, "table": table, "join": join,
-                "qualify": qualify,
+                "qualify": qualify, "rollup": rollup,
                 "where": where, "distinct": distinct, "group": group,
                 "having": having}
 
@@ -961,6 +974,43 @@ def _extract_aggs(node, aggs: list):
             for s in node
         ]
     return node
+
+
+def _run_rollup_select(ds, sel) -> "ray.data.Dataset":  # noqa: F821
+    """GROUP BY ROLLUP (a, b, ..): one grouped exchange per prefix
+    level (a,b) -> (a) -> (), rolled-up key columns substituted with
+    NULL in that level's projection, levels unioned (each sub-level
+    cast to the full level's schema so null-typed columns promote)."""
+    group = sel["group"]
+    # resolve output names from the ORIGINAL items once — a rolled-up
+    # level substitutes NULL for group keys, which would otherwise
+    # change the auto-derived column name
+    named = [(e, name or _expr_name(e, idx))
+             for idx, (e, name) in enumerate(sel["items"])]
+    outs = []
+    for i in range(len(group), -1, -1):
+        items_i = []
+        for e, name in named:
+            ne = e
+            for gnode in group[i:]:
+                ne = _subst(ne, gnode, ("lit", None))
+            items_i.append((ne, name))
+        sel_i = dict(sel, group=list(group[:i]), items=items_i,
+                     rollup=False)
+        outs.append(_run_grouped_select(ds, sel_i))
+    target = outs[0].schema().base_schema
+
+    def cast_to(t: pa.Table, _s=target) -> pa.Table:
+        if t.num_rows == 0 and not all(
+                n in t.column_names for n in _s.names):
+            # schema-less zero-row block from a union
+            return _s.empty_table()
+        return t.select(_s.names).cast(_s)
+
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o.map_batches(cast_to, batch_format="pyarrow"))
+    return out
 
 
 def _subst(node, target, repl):
@@ -2050,7 +2100,8 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
             sel["items"] is not None
             and any(_has_agg(e) for e, _ in sel["items"])
         ):
-            out = _run_grouped_select(ds, sel)
+            out = (_run_rollup_select(ds, sel) if sel.get("rollup")
+                   else _run_grouped_select(ds, sel))
             if sel["distinct"]:
                 from ..stages.shuffle import distinct as _distinct
 

@@ -666,3 +666,17 @@ def test_set_operations_match_duckdb(ray_session, t1):
         "WHERE v < -45",
     ]:
         _run_both(sql, None, {"t1": t1})
+
+
+def test_rollup_matches_duckdb(ray_session, t1):
+    """GROUP BY ROLLUP subtotal levels vs DuckDB (string and int keys;
+    COUNT pins the row multiset, CAST pins sum dtypes)."""
+    for sql in [
+        # no ORDER BY: the harness canonicalizes row order itself, and
+        # a global sort over a nullable string key is a separate concern
+        "SELECT s, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sv FROM t1 "
+        "GROUP BY ROLLUP (s)",
+        "SELECT s, k % 2 AS par, COUNT(*) AS n FROM t1 "
+        "GROUP BY ROLLUP (s, k % 2)",
+    ]:
+        _run_both(sql, None, {"t1": t1})
