@@ -93,7 +93,7 @@ _KEYWORDS = {
     "distinct", "group", "cast", "having", "over", "partition", "exists",
     "left", "inner", "outer", "right", "full", "rows", "preceding",
     "unbounded", "current", "row", "following", "filter", "offset",
-    "qualify", "intersect", "except", "rollup",
+    "qualify", "intersect", "except", "rollup", "cube",
 }
 
 
@@ -300,11 +300,11 @@ class _Parser:
         if self.accept("kw", "group"):
             self.expect("kw", "by")
             group = []
-            if self.accept("kw", "rollup"):
+            if (self.peek() in (("kw", "rollup"), ("kw", "cube"))):
                 # GROUP BY ROLLUP (a, b, ..): hierarchical subtotal
-                # levels (a,b), (a), () — executed as one grouped
-                # exchange per level, unioned
-                rollup = True
+                # levels (a,b), (a), (); CUBE: ALL key subsets —
+                # executed as one grouped exchange per level, unioned
+                rollup = self.next()[1]
                 self.expect("op", "(")
                 while True:
                     group.append(self.parse_expr())
@@ -982,21 +982,34 @@ def _run_rollup_select(ds, sel) -> "ray.data.Dataset":  # noqa: F821
     NULL in that level's projection, levels unioned (each sub-level
     cast to the full level's schema so null-typed columns promote)."""
     group = sel["group"]
+    if sel.get("rollup") == "cube":
+        # CUBE: every subset of the keys
+        if len(group) > 4:
+            raise ValueError("CUBE supports at most 4 keys (2^n levels)")
+        from itertools import combinations
+
+        levels = [list(c)
+                  for r in range(len(group), -1, -1)
+                  for c in combinations(range(len(group)), r)]
+    else:
+        levels = [list(range(i)) for i in range(len(group), -1, -1)]
     # resolve output names from the ORIGINAL items once — a rolled-up
     # level substitutes NULL for group keys, which would otherwise
     # change the auto-derived column name
     named = [(e, name or _expr_name(e, idx))
              for idx, (e, name) in enumerate(sel["items"])]
     outs = []
-    for i in range(len(group), -1, -1):
+    for idx_set in levels:
+        keep = set(idx_set)
         items_i = []
         for e, name in named:
             ne = e
-            for gnode in group[i:]:
-                ne = _subst(ne, gnode, ("lit", None))
+            for j, gnode in enumerate(group):
+                if j not in keep:
+                    ne = _subst(ne, gnode, ("lit", None))
             items_i.append((ne, name))
-        sel_i = dict(sel, group=list(group[:i]), items=items_i,
-                     rollup=False)
+        sel_i = dict(sel, group=[group[j] for j in idx_set],
+                     items=items_i, rollup=False)
         outs.append(_run_grouped_select(ds, sel_i))
     target = outs[0].schema().base_schema
 

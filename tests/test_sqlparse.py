@@ -680,3 +680,12 @@ def test_rollup_matches_duckdb(ray_session, t1):
         "GROUP BY ROLLUP (s, k % 2)",
     ]:
         _run_both(sql, None, {"t1": t1})
+
+
+def test_cube_matches_duckdb(ray_session, t1):
+    """GROUP BY CUBE: all key-subset levels."""
+    _run_both(
+        "SELECT s, k % 2 AS par, COUNT(*) AS n, "
+        "CAST(SUM(v) AS BIGINT) AS sv FROM t1 "
+        "GROUP BY CUBE (s, k % 2)",
+        None, {"t1": t1})
