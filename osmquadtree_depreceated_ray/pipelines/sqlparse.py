@@ -26,7 +26,8 @@ Surface (the reference's grammar, plus LIMIT):
                                           [NOT] EXISTS (subquery),
                                           scalar (SELECT ...) literals,
                                           bitwise & | # ~ << >>
-    GROUP BY ... [HAVING expr]            (keys may be expressions or
+    GROUP BY [ROLLUP|CUBE (] ... [)]
+                  [HAVING expr]           (keys may be expressions or
                                           SELECT aliases; aggregates
                                           accept FILTER (WHERE ...))
     QUALIFY expr                          filter on window results (may
