@@ -1007,10 +1007,19 @@ def _run_rollup_select(ds, sel) -> "ray.data.Dataset":  # noqa: F821
             ne = e
             for j, gnode in enumerate(group):
                 if j not in keep:
-                    ne = _subst(ne, gnode, ("lit", None))
+                    # NULL-substitute rolled-up keys ONLY outside
+                    # aggregate arguments: SUM(k)/COUNT(k) on a
+                    # subtotal row still aggregate the real values
+                    ne = _subst_nonagg(ne, gnode, ("lit", None))
             items_i.append((ne, name))
         sel_i = dict(sel, group=[group[j] for j in idx_set],
                      items=items_i, rollup=False)
+        if sel.get("having") is not None:
+            hv = sel["having"]
+            for j, gnode in enumerate(group):
+                if j not in keep:
+                    hv = _subst_nonagg(hv, gnode, ("lit", None))
+            sel_i["having"] = hv
         outs.append(_run_grouped_select(ds, sel_i))
     target = outs[0].schema().base_schema
 
@@ -1025,6 +1034,25 @@ def _run_rollup_select(ds, sel) -> "ray.data.Dataset":  # noqa: F821
     for o in outs[1:]:
         out = out.union(o.map_batches(cast_to, batch_format="pyarrow"))
     return out
+
+
+def _subst_nonagg(node, target, repl):
+    """Like :func:`_subst` but does NOT descend into aggregate call
+    arguments — those evaluate per-row pre-aggregation, so a ROLLUP
+    level's NULL substitution must leave them intact."""
+    if node == target:
+        return repl
+    if isinstance(node, tuple):
+        if node and node[0] in ("call", "calld") and node[1] in _AGG_FUNCS:
+            return node
+        return tuple(
+            _subst_nonagg(x, target, repl)
+            if isinstance(x, (tuple, list)) else x for x in node)
+    if isinstance(node, list):
+        return [
+            _subst_nonagg(x, target, repl)
+            if isinstance(x, (tuple, list)) else x for x in node]
+    return node
 
 
 def _subst(node, target, repl):
@@ -1294,8 +1322,16 @@ def _window_bucket_fn(part: list, specs: list):
                 cnt = pgid.groupby(gv).transform("size")
                 res = ((last_pos + 1) / cnt).astype(np.float64)
             elif fname in ("lag", "lead"):
-                res = x.groupby(gv).shift(off if fname == "lag" else -off)
-                if res.dtype.kind in "iu":
+                # off may be (offset, default) when LAG/LEAD got a
+                # third argument: default fills out-of-window rows
+                off_v, dflt = off if isinstance(off, tuple) else (off, None)
+                res = x.groupby(gv).shift(off_v if fname == "lag" else -off_v)
+                if dflt is not None:
+                    res = res.fillna(dflt)
+                    if x.dtype.kind in "iu" and isinstance(dflt, int) \
+                            and not isinstance(dflt, bool):
+                        res = res.astype(np.int64)
+                elif res.dtype.kind in "iu":
                     res = res.astype(np.float64)
             elif fname == "first_value":
                 # value of the partition's FIRST row (null included —
@@ -1561,6 +1597,17 @@ def _run_window_select(ds, sel) -> "ray.data.Dataset":  # noqa: F821
                 raise ValueError(f"{fname}() offset must be an integer "
                                  "literal")
             off = args[1][1]
+            if len(args) > 2:
+                # third argument = default value for out-of-window rows
+                dnode = args[2]
+                if (isinstance(dnode, tuple) and dnode[0] == "neg"
+                        and dnode[1][0] == "lit"
+                        and isinstance(dnode[1][1], (int, float))):
+                    dnode = ("lit", -dnode[1][1])
+                if dnode[0] != "lit":
+                    raise ValueError(f"{fname}() default must be a "
+                                     "literal")
+                off = (off, dnode[1])
         if fname == "ntile":
             if not args or args[0][0] != "lit" \
                     or not isinstance(args[0][1], int) or args[0][1] < 1:
@@ -1925,6 +1972,24 @@ def _resolve_subqueries(node, tables, broadcast_threshold,
     )
 
 
+def _align_positional(left_names, other):
+    """Rename ``other``'s output columns to ``left_names`` positionally
+    (SQL set-op semantics).  Errors clearly on arity mismatch."""
+    left_names = list(left_names)
+    rnames = other.schema().names
+    if len(rnames) != len(left_names):
+        raise ValueError(
+            f"set operation column-count mismatch: left has "
+            f"{len(left_names)} columns, right has {len(rnames)}")
+    if rnames == left_names:
+        return other
+
+    def rn(t: pa.Table, _names=left_names) -> pa.Table:
+        return t.rename_columns(_names)
+
+    return other.map_batches(rn, batch_format="pyarrow")
+
+
 def _set_op(ds_a, ds_b, cols: list, op: str):
     """INTERSECT / EXCEPT with SQL's distinct set semantics: tag each
     side, union, hash-bucket on ALL columns (identical rows co-locate),
@@ -2103,6 +2168,10 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
         if (sel["items"] is not None and any(
                 _has_win(e) for e, _ in sel["items"])) \
                 or sel.get("qualify") is not None:
+            if sel.get("rollup"):
+                raise ValueError(
+                    "GROUP BY ROLLUP/CUBE combined with window "
+                    "functions or QUALIFY is not supported")
             out = _run_window_select(ds, sel)
             if sel["distinct"]:
                 from ..stages.shuffle import distinct as _distinct
@@ -2139,6 +2208,9 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
     ds = runs[0]
     set_ops = ast.get("set_ops") or ["union_all"] * (len(runs) - 1)
     for other, sop in zip(runs[1:], set_ops):
+        # SQL set operations align columns by POSITION, not name:
+        # positionally rename the right side to the left's schema
+        other = _align_positional(ds.schema().names, other)
         if sop == "union_all":
             ds = ds.union(other)
         elif sop == "union":

@@ -208,10 +208,14 @@ class FrameSampleActor:
     ``every_ms`` tick, and emits one row per sampled frame with the
     actual PNG frame bytes — the one-to-many layout real samplers
     need.  Non-video rows pass through as a single row with a null
-    frame payload."""
+    frame payload.  ``strict=True`` raises on an unparseable video
+    payload; the default emits zero frames for it (mirroring
+    DecodeFeatureActor's strict/fallback contract) so one bad row
+    can't kill the pipeline."""
 
-    def __init__(self, every_ms: int = 10_000):
+    def __init__(self, every_ms: int = 10_000, strict: bool = False):
         self.every_ms = every_ms
+        self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = []
@@ -228,7 +232,14 @@ class FrameSampleActor:
                 frame_idx.append(0)
                 frame_png.append(None)
                 continue
-            info = mp4_parse(payload)
+            import struct as _struct
+            try:
+                info = mp4_parse(payload)
+                samples = mp4_extract_samples(payload)
+            except (ValueError, _struct.error, IndexError, KeyError):
+                if self.strict:
+                    raise
+                continue  # non-strict: unparseable video -> zero frames
             durs = np.asarray(info["sample_durations"], dtype=np.int64)
             ts = info.get("timescale", 1000) or 1000
             starts_ms = (np.concatenate(([0], np.cumsum(durs)[:-1]))
@@ -238,7 +249,6 @@ class FrameSampleActor:
             # frame covering each tick (last sample starting <= tick)
             sel = np.unique(
                 np.searchsorted(starts_ms, ticks, side="right") - 1)
-            samples = mp4_extract_samples(payload)
             for f in sel:
                 ids.append(mid)
                 frame_idx.append(int(f))

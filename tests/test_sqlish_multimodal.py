@@ -85,6 +85,13 @@ def test_multimodal_pipeline(ray_session):
     img = png_decode(some["frame_png"])
     assert img.ndim == 2 and img.size > 0
 
+    # an unparseable video payload: non-strict emits zero frames for
+    # that row (pipeline survives); strict raises
+    out = FrameSampleActor(every_ms=5000)(corrupt_video)
+    assert out.num_rows == 0
+    with pytest.raises(ValueError):
+        FrameSampleActor(every_ms=5000, strict=True)(corrupt_video)
+
 
 def test_sqlish_expressions(ray_session):
     import ray

@@ -678,6 +678,13 @@ def test_rollup_matches_duckdb(ray_session, t1):
         "GROUP BY ROLLUP (s)",
         "SELECT s, k % 2 AS par, COUNT(*) AS n FROM t1 "
         "GROUP BY ROLLUP (s, k % 2)",
+        # aggregates whose ARGUMENT is a rolled-up key: subtotal rows
+        # must aggregate the real values, not the NULL substitution
+        "SELECT s, COUNT(s) AS cs, CAST(SUM(k) AS BIGINT) AS sk FROM t1 "
+        "GROUP BY ROLLUP (s)",
+        # HAVING over a rolled-up level
+        "SELECT s, COUNT(*) AS n FROM t1 GROUP BY ROLLUP (s) "
+        "HAVING COUNT(*) > 10",
     ]:
         _run_both(sql, None, {"t1": t1})
 
@@ -689,3 +696,46 @@ def test_cube_matches_duckdb(ray_session, t1):
         "CAST(SUM(v) AS BIGINT) AS sv FROM t1 "
         "GROUP BY CUBE (s, k % 2)",
         None, {"t1": t1})
+    # aggregate over a cubed key (regression: NULL substitution must
+    # not reach aggregate arguments)
+    _run_both(
+        "SELECT s, CAST(SUM(k) AS BIGINT) AS sk, COUNT(s) AS cs FROM t1 "
+        "GROUP BY CUBE (s)",
+        None, {"t1": t1})
+
+
+def test_rollup_with_window_raises(ray_session, t1):
+    """ROLLUP/CUBE + window functions/QUALIFY: explicit error, not a
+    silent degrade to plain GROUP BY."""
+    import ray
+
+    with pytest.raises(ValueError, match="ROLLUP/CUBE"):
+        parse_sql(
+            "SELECT s, COUNT(*) AS n, ROW_NUMBER() OVER (ORDER BY s) AS rn "
+            "FROM t1 GROUP BY ROLLUP (s)",
+            {"t1": ray.data.from_arrow(t1)})
+
+
+def test_lag_lead_default_matches_duckdb(ray_session, t1):
+    """LAG/LEAD third (default) argument fills out-of-window rows."""
+    for sql in [
+        "SELECT k, LAG(v, 1, 0) OVER (PARTITION BY s ORDER BY k) AS pv "
+        "FROM t1 WHERE k < 60",
+        "SELECT k, LEAD(v, 2, -1) OVER (PARTITION BY s ORDER BY k) AS nv "
+        "FROM t1 WHERE k < 60",
+        "SELECT k, LAG(s, 1, 'none') OVER (ORDER BY k) AS ps "
+        "FROM t1 WHERE k < 20",
+    ]:
+        _run_both(sql, None, {"t1": t1})
+
+
+def test_set_op_positional_alignment(ray_session, t1, t2):
+    """INTERSECT/EXCEPT/UNION align columns by POSITION (SQL), even
+    when the two sides' output names differ."""
+    for sql in [
+        "SELECT s FROM t1 INTERSECT SELECT gkey FROM t2",
+        "SELECT s FROM t1 EXCEPT SELECT gkey FROM t2",
+        "SELECT s FROM t1 WHERE k < 5 UNION SELECT gkey FROM t2",
+        "SELECT s FROM t1 WHERE k < 3 UNION ALL SELECT gkey FROM t2",
+    ]:
+        _run_both(sql, None, {"t1": t1, "t2": t2})
