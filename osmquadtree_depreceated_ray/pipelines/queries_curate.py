@@ -18,6 +18,9 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
+
+from .queries_text import _md5_lower64
 
 # ------------------------------------------------------------ shared helpers
 
@@ -28,13 +31,19 @@ def _md5(s: str) -> str:
 
 def _explode_words(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     """(doc_id repeated per word, word) arrays for a documents batch,
-    whitespace-split — the same tokenization every text query uses."""
+    whitespace-split — the same tokenization every text query uses.
+
+    One global split of the space-joined batch (a single C call, no
+    per-row list objects — measured 1.4x the per-row split+concat) with
+    per-doc lengths from the vectorized space count."""
     texts = b.column("text").to_pylist()
     doc = b.column("doc_id").to_numpy()
-    lists = [t.split(" ") for t in texts]
-    lens = np.fromiter((len(w) for w in lists), np.int64, count=len(lists))
-    words = np.concatenate([np.asarray(w, dtype=object) for w in lists]) \
-        if lists else np.asarray([], dtype=object)
+    if not texts:
+        return doc[:0], np.asarray([], dtype=object)
+    words = np.asarray(" ".join(texts).split(" "), dtype=object)
+    import pandas as pd
+
+    lens = (pd.Series(texts).str.count(" ") + 1).to_numpy()
     return np.repeat(doc, lens), words
 
 
@@ -49,13 +58,13 @@ def _explode_words(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
 # edges, run as a raw two-wave exchange per round (the one place the
 # Dataset API genuinely doesn't fit: an iterative fixpoint pays full
 # pipeline planning several times per round; kmeans makes the same
-# call).  State is hash-sharded by node into CC_BUCKETS (edges by src,
+# call).  State is hash-sharded by node into _cc_buckets() shards (edges by src,
 # labels by node) and stays in the object store between rounds; the
 # driver holds only object refs and one changed-count int per round.
 #
 #   scatter (per bucket): join local edges to local labels -> candidate
 #     (dst, label(src)) rows, plus a shortcut edge label(v) -> v for
-#     every non-root v, all hash-routed with num_returns=CC_BUCKETS
+#     every non-root v, all hash-routed with num_returns=_cc_buckets()
 #   gather (per bucket): min-merge candidates into the local labels,
 #     union + dedup new shortcut edges into the local edge shard,
 #     return (edges, labels, n_changed)
@@ -69,7 +78,14 @@ def _explode_words(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
 # overhead is bounded.
 
 CC_MAX_ROUNDS = 64
-CC_BUCKETS = 16
+
+
+def _cc_buckets() -> int:
+    """Label-propagation shard count, derived from the cluster size
+    (one shard per CPU, floor 16 so small boxes still split hot keys)."""
+    from ..stages.shuffle import default_buckets
+
+    return default_buckets(floor=16)
 
 
 def _cc_route(node: np.ndarray, n: int) -> np.ndarray:
@@ -174,7 +190,7 @@ def q_dedup_components(sf_dir: str):
     from .queries_text import q_minhash_pairs
 
     fns = _cc_remote_fns()
-    n = CC_BUCKETS
+    n = _cc_buckets()
 
     def shard(ds, kind):
         refs = [r for bu in ds.iter_internal_ref_bundles()
@@ -282,14 +298,25 @@ def q_heavy_hitters(sf_dir: str):
     ).to_pandas()  # O(M x tasks) rows — bounded, driver-safe by design
     residual_bound = int(
         phase1.loc[phase1["word"] == _HH_RESIDUAL, "cnt"].sum())
-    cand = set(phase1.loc[phase1["word"] != _HH_RESIDUAL, "word"])
-    cand_ref = ray.put(cand)
+    cand_arr = np.sort(
+        phase1.loc[phase1["word"] != _HH_RESIDUAL, "word"]
+        .to_numpy(dtype=object))
+    cand_ref = ray.put(cand_arr)
 
     def recount(b: pa.Table) -> pa.Table:
-        cset = ray.get(cand_ref)
+        # vectorized membership: unique the batch words once, then one
+        # sorted-array searchsorted against the broadcast candidates —
+        # no per-word Python loop over the corpus
+        cand = ray.get(cand_ref)
         _, words = _explode_words(b)
-        mask = np.fromiter((w in cset for w in words), bool, count=len(words))
-        uniq, cnt = np.unique(words[mask], return_counts=True)
+        uniq, cnt = np.unique(words, return_counts=True)
+        if len(cand) and len(uniq):
+            j = np.searchsorted(cand, uniq)
+            j[j >= len(cand)] = len(cand) - 1
+            keep = cand[j] == uniq
+            uniq, cnt = uniq[keep], cnt[keep]
+        else:
+            uniq, cnt = uniq[:0], cnt[:0]
         return pa.table(
             {"word": pa.array(list(uniq), pa.string()),
              "cnt": pa.array(cnt, pa.int64())}
@@ -424,12 +451,47 @@ def sql_pii_redact() -> str:
 # bit-exactly; ties break on word ASC.
 
 TFIDF_TOP = 3
+# above this vocabulary size the df table is no longer broadcast —
+# the scoring pass becomes a bucketed word-join instead (at 100 TB the
+# vocabulary is hundreds of millions of terms: a multi-GB per-node
+# dict is the wrong shape)
+TFIDF_BROADCAST_MAX = 2_000_000
 
 
-def q_tfidf_top(sf_dir: str):
+def _doc_tf(b: pa.Table) -> pa.Table:
+    """(doc_id, word, tf) exact per-doc term frequencies — exact
+    because a document's text lives in one batch row."""
+    doc, words = _explode_words(b)
+    t = (
+        pd.DataFrame({"doc_id": doc, "word": words})
+        .groupby(["doc_id", "word"], sort=False).size()
+        .reset_index(name="tf")
+    )
+    t["tf"] = t["tf"].astype(np.int64)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+def _tfidf_topn(t: pd.DataFrame) -> pd.DataFrame:
+    """score + per-doc top-N over a frame that has doc_id/word/tf/df_docs."""
+    t = t.copy()
+    t["score"] = t["tf"].to_numpy().astype(np.float64) / t[
+        "df_docs"].to_numpy().astype(np.float64)
+    t = t.sort_values(
+        ["doc_id", "score", "word"], ascending=[True, False, True],
+        kind="stable")
+    t = t.groupby("doc_id", sort=False).head(TFIDF_TOP)
+    t["tf"] = t["tf"].astype(np.int64)
+    t["df_docs"] = t["df_docs"].astype(np.int64)
+    return t[["doc_id", "word", "tf", "df_docs", "score"]]
+
+
+def q_tfidf_top(sf_dir: str, broadcast_max: int | None = None):
     import ray
 
-    from ..stages.shuffle import grouped_agg
+    from ..stages.shuffle import bucketed_apply, grouped_agg
+
+    if broadcast_max is None:
+        broadcast_max = TFIDF_BROADCAST_MAX
 
     def doc_word_partials(b: pa.Table) -> pa.Table:
         doc, words = _explode_words(b)
@@ -441,31 +503,66 @@ def q_tfidf_top(sf_dir: str):
         )
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    df_tbl = grouped_agg(
+    df_ds = grouped_agg(
         ds.map_batches(doc_word_partials, batch_format="pyarrow"),
         ["word"], {"df_docs": ("n", "sum")},
-    ).to_pandas()  # vocabulary-sized broadcast side
-    df_ref = ray.put(dict(zip(df_tbl["word"], df_tbl["df_docs"].astype(int))))
+    )
+    vocab_rows = df_ds.count()
+    if vocab_rows > broadcast_max:
+        # --- scale path: bucketed word-join, vocabulary never leaves
+        # the object store.  tf rows and df rows co-locate per word
+        # bucket; the joined scores re-bucket on doc_id for the top-N.
+        tf_ds = ds.map_batches(_doc_tf, batch_format="pyarrow")
+
+        def tag_tf(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "df_docs", pa.array(np.full(t.num_rows, -1, np.int64)))
+
+        def tag_df(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": pa.array(np.full(t.num_rows, -1, np.int64)),
+                "word": t.column("word"),
+                "tf": pa.array(np.zeros(t.num_rows, np.int64)),
+                "df_docs": pc.cast(t.column("df_docs"), pa.int64()),
+            })
+
+        both = tf_ds.map_batches(tag_tf, batch_format="pyarrow").union(
+            df_ds.map_batches(tag_df, batch_format="pyarrow"))
+
+        def join_df(g: pd.DataFrame) -> pd.DataFrame:
+            dfs = g[g["doc_id"] == -1]
+            tfs = g[g["doc_id"] != -1]
+            if tfs.empty:
+                return tfs
+            lut = pd.Series(dfs["df_docs"].to_numpy(),
+                            index=dfs["word"].to_numpy())
+            tfs = tfs.copy()
+            tfs["df_docs"] = tfs["word"].map(lut).astype(np.int64)
+            return tfs
+
+        joined = bucketed_apply(both, ["word"], join_df, n_buckets=32)
+        return bucketed_apply(joined, ["doc_id"], _tfidf_topn,
+                              n_buckets=32)
+
+    # --- broadcast path: sorted (hash, df) int64 arrays via ray.put —
+    # ~16 bytes/term, zero-copy from the object store, searchsorted
+    # probe per batch (no Python dict, no per-row hash lookup)
+    df_tbl = df_ds.to_pandas()
+    vwords = df_tbl["word"].to_numpy(dtype=object)
+    vhash = _md5_lower64(vwords)
+    order = np.argsort(vhash, kind="stable")
+    df_ref = ray.put((vhash[order],
+                      df_tbl["df_docs"].to_numpy().astype(np.int64)[order]))
 
     def score(b: pa.Table) -> pa.Table:
-        dfm = ray.get(df_ref)
-        doc, words = _explode_words(b)
-        t = (
-            pd.DataFrame({"doc_id": doc, "word": words})
-            .groupby(["doc_id", "word"], sort=False).size()
-            .reset_index(name="tf")
-        )
-        t["df_docs"] = t["word"].map(dfm).astype(np.int64)
-        t["score"] = t["tf"].to_numpy().astype(np.float64) / t[
-            "df_docs"].to_numpy().astype(np.float64)
-        t = t.sort_values(
-            ["doc_id", "score", "word"], ascending=[True, False, True],
-            kind="stable")
-        t = t.groupby("doc_id", sort=False).head(TFIDF_TOP)
-        t["tf"] = t["tf"].astype(np.int64)
-        return pa.Table.from_pandas(
-            t[["doc_id", "word", "tf", "df_docs", "score"]],
-            preserve_index=False)
+        hsorted, dfsorted = ray.get(df_ref)
+        t = _doc_tf(b).to_pandas()
+        # md5 once per unique word in the batch, then one searchsorted
+        codes, uniq = pd.factorize(t["word"], sort=False)
+        uh = _md5_lower64(uniq)
+        j = np.searchsorted(hsorted, uh)
+        t["df_docs"] = dfsorted[j][codes]
+        return pa.Table.from_pandas(_tfidf_topn(t), preserve_index=False)
 
     return ds.map_batches(score, batch_format="pyarrow")
 

@@ -270,7 +270,12 @@ def count_tiles_onepass(
     ]
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     if n_reducers is None:
-        n_reducers = int(min(8, max(1, len(block_refs))))
+        # cluster-derived: ~1/4 CPU per reducer (partials are tiny;
+        # more reducers than that just multiplies object count)
+        from ..stages.shuffle import default_buckets
+
+        n_reducers = int(min(max(8, default_buckets() // 4),
+                             max(1, len(block_refs))))
     n_red = n_reducers
 
     _round_counts, _merge_cells = _get_remote_fns()

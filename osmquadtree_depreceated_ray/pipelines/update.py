@@ -292,18 +292,6 @@ def _compact_tile_impl(data_dir: str, t: int, sub: pd.DataFrame):
     return int(t), int(len(keep))
 
 
-_compact_tile_remote = None
-
-
-def _get_compact_remote():
-    global _compact_tile_remote
-    if _compact_tile_remote is None:
-        import ray
-
-        _compact_tile_remote = ray.remote(_compact_tile_impl)
-    return _compact_tile_remote
-
-
 def compact(out_dir: str) -> dict:
     """Merge accumulated change batches INTO the tile partitions —
     the reference's partial re-read/re-write (update.go:343-738 +
@@ -316,26 +304,39 @@ def compact(out_dir: str) -> dict:
     """
     import ray
 
+    from ..stages.shuffle import bucketed_apply
+
     cdir = _changes_dir(out_dir)
     if not (os.path.isdir(cdir) and os.listdir(cdir)):
         return {"rewritten_tiles": 0, "retired_files": 0}
-    ch = pq.read_table(cdir)
-    ch_df = ch.to_pandas()
     data_dir = mf.data_dir(out_dir)
 
-    # one Ray task per affected tile (the reference rewrites tiles on
-    # independent goroutines, update.go:343-738); each task overlays its
-    # tile's base rows with its slice of the change stream and rewrites
-    # atomically, returning the new row count for the manifest refresh
-    _compact_tile = _get_compact_remote()
-    groups = {int(t): g for t, g in ch_df.groupby("tile")}
-    tasks = [
-        _compact_tile.remote(
-            data_dir, t,
-            ray.put(g[["entity_id", "lon", "lat", "qt", "change", "seq"]]))
-        for t, g in groups.items()
-    ]
-    results = ray.get(tasks)
+    # route the change stream to per-tile compaction through the
+    # bucketed exchange (same shape as write_tiled): the driver never
+    # materializes change rows — a deferred multi-sequence backlog
+    # streams from parquet straight into the tile-keyed buckets.  Each
+    # bucket task overlays every one of its tiles' base rows with that
+    # tile's change slice and rewrites atomically (the reference
+    # rewrites tiles on independent goroutines, update.go:343-738),
+    # returning only (tile, new_count) for the manifest refresh.
+    ch_ds = ray.data.read_parquet(
+        cdir, columns=["entity_id", "lon", "lat", "qt", "tile",
+                       "change", "seq"])
+
+    def compact_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        tiles, counts = [], []
+        for t, grp in g.groupby("tile", sort=False):
+            n_t, n_keep = _compact_tile_impl(
+                data_dir, int(t),
+                grp[["entity_id", "lon", "lat", "qt", "change", "seq"]])
+            tiles.append(n_t)
+            counts.append(n_keep)
+        return pd.DataFrame({"tile": pd.Series(tiles, dtype=np.int64),
+                             "count": pd.Series(counts, dtype=np.int64)})
+
+    results_df = bucketed_apply(ch_ds, ["tile"], compact_bucket).to_pandas()
+    results = list(zip(results_df["tile"].astype(int),
+                       results_df["count"].astype(int)))
 
     retired = 0
     for f in list(os.listdir(cdir)):

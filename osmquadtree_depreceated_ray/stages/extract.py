@@ -17,6 +17,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.quadtree import to_int
 from ..sources.fixtures import ENTITY_REGEX
@@ -30,14 +31,28 @@ def extract_text(batch: pa.Table) -> pa.Table:
 
     Keeps url/warc_ts/lang, drops the heavy html column immediately
     (SURVEY §7.4: project html away as early as possible).
+
+    The tag strip is a single C-speed RE2 pass over the whole column
+    (``pc.replace_substring_regex``) — byte-equivalent to the per-row
+    ``re.sub(rb"<[^>]+>", b"")`` for valid-UTF-8 html, because the
+    char class ``[^>]`` delimits identical spans at byte and codepoint
+    level.  Non-UTF-8 payloads fall back to the per-row bytes path.
     """
-    html = batch.column("html").to_pylist()
-    text = [_TAG_RE.sub(b"", h).decode("utf-8") for h in html]
+    html = batch.column("html")
+    try:
+        s = pc.cast(html, pa.large_string())
+        text = pc.replace_substring_regex(s, pattern="<[^>]+>",
+                                          replacement="")
+    except pa.ArrowInvalid:
+        raw = html.to_pylist()
+        text = pa.array(
+            [_TAG_RE.sub(b"", h).decode("utf-8", "replace") for h in raw],
+            pa.large_string())
     cols = {
         "url": batch.column("url"),
         "warc_ts": batch.column("warc_ts"),
         "lang": batch.column("lang"),
-        "text": pa.array(text, pa.large_string()),
+        "text": text,
     }
     return pa.table(cols)
 

@@ -41,6 +41,25 @@ import pandas as pd
 import pyarrow as pa
 
 
+def default_buckets(floor: int = 8, cap: int = 4096) -> int:
+    """Exchange fan-out derived from the CLUSTER size: ~one bucket per
+    CPU so every reducer slot stays busy on an N-node cluster, bounded
+    below (enough key-splitting on tiny clusters) and above (the
+    object count per exchange is O(split_tasks x n_buckets)).  Falls
+    back to the local CPU count when Ray isn't up yet."""
+    cpus = 0
+    try:
+        import ray
+
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 0))
+    except Exception:
+        cpus = 0
+    if cpus <= 0:
+        cpus = os.cpu_count() or 8
+    return max(floor, min(cap, cpus))
+
+
 def _stable_bucket(df: pd.DataFrame, keys: list[str], n_buckets: int) -> np.ndarray:
     h = pd.util.hash_pandas_object(df[list(keys)], index=False).to_numpy()
     return (h % np.uint64(n_buckets)).astype(np.int64)
@@ -110,15 +129,18 @@ def bucketed_apply(
     ds,
     keys: list[str],
     fn: Callable[[pd.DataFrame], pd.DataFrame],
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
     combine: Callable[[pd.DataFrame], pd.DataFrame] | None = None,
 ):
     """Apply ``fn`` to each hash bucket (a pandas DataFrame containing
     every row of every key hashed there).  See module docstring for the
     ``fn`` contract.  ``combine``, if given, is a per-key shrink applied
     inside each split task before the exchange (must be safe on partial
-    per-key data, e.g. a partial aggregation).  Returns a Dataset of the
-    concatenated results."""
+    per-key data, e.g. a partial aggregation).  ``n_buckets`` defaults
+    to the cluster-derived :func:`default_buckets`.  Returns a Dataset
+    of the concatenated results."""
+    if n_buckets is None:
+        n_buckets = default_buckets()
     if os.environ.get("GRAFT_SHUFFLE_IMPL") == "dsapi":
         return _bucketed_apply_dsapi(ds, keys, fn, n_buckets, combine)
 
@@ -191,7 +213,7 @@ def grouped_agg(
     ds,
     keys: list[str],
     agg_spec: dict[str, tuple[str, str]],
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
 ):
     """Exact distributed grouped aggregation.
 
@@ -226,7 +248,7 @@ def salted_agg(
     keys: list[str],
     agg_spec: dict[str, tuple[str, str]],
     n_salts: int = 16,
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
 ):
     """Skew-immune grouped aggregation for ASSOCIATIVE aggregates
     (sum/min/max/size/count/first).
@@ -258,7 +280,7 @@ def salted_agg(
     return grouped_agg(phase1, list(keys), merge_spec, n_buckets)
 
 
-def distinct(ds, keys: list[str], n_buckets: int = 32):
+def distinct(ds, keys: list[str], n_buckets: int | None = None):
     """Exact distributed distinct over ``keys`` (map-side project +
     pre-dedup fused into the split tasks, per-bucket final dedup)."""
 

@@ -147,3 +147,14 @@ def test_tfidf_top(ray_session, docs):
             {"tf": np.int64, "df_docs": np.int64}),
     )
     assert (got.groupby("doc_id").size() <= TFIDF_TOP).all()
+
+    # scale path: vocabulary above the broadcast threshold routes
+    # through the bucketed word-join — identical output
+    got2 = q_tfidf_top(SF, broadcast_max=0).to_pandas()
+    got2_s = got2.sort_values(["doc_id", "word"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got2_s[["doc_id", "word", "tf", "df_docs", "score"]].astype(
+            {"tf": np.int64, "df_docs": np.int64}),
+        exp_s[["doc_id", "word", "tf", "df_docs", "score"]].astype(
+            {"tf": np.int64, "df_docs": np.int64}),
+    )
