@@ -266,10 +266,13 @@ def read_snapshot(out_dir: str):
 
 
 def _compact_tile_impl(data_dir: str, t: int, sub: pd.DataFrame):
-    tdir = os.path.join(data_dir, f"tile={int(t)}")
+    from ..state import fsio
+
+    fs, root = fsio.get_fs(data_dir)
+    tdir = fsio.join(root, f"tile={int(t)}")
     parts = []
-    if os.path.isdir(tdir):
-        base = pq.read_table(tdir)
+    if fs.isdir(tdir):
+        base = pq.read_table(tdir, filesystem=fs)
         bdf = base.to_pandas()
         bdf["change"] = 0
         bdf["seq"] = -1
@@ -280,15 +283,15 @@ def _compact_tile_impl(data_dir: str, t: int, sub: pd.DataFrame):
     last = allr.groupby("entity_id", as_index=False).last()
     keep = last[(last["change"] == 0) | (last["change"] > 2)][
         ["entity_id", "lon", "lat", "qt"]]
-    os.makedirs(tdir, exist_ok=True)
+    fs.makedirs(tdir, exist_ok=True)
     # base rows carry extra columns (url/name/cells); compacted tiles
-    # carry the core schema — readers select shared columns
-    tmp = os.path.join(tdir, ".compact.parquet.tmp")
-    pq.write_table(pa.Table.from_pandas(keep, preserve_index=False), tmp)
-    for f in os.listdir(tdir):
-        if not f.startswith(".") and f.endswith(".parquet"):
-            os.remove(os.path.join(tdir, f))
-    os.replace(tmp, os.path.join(tdir, "part-compacted.parquet"))
+    # carry the core schema — readers select shared columns.  Commit via
+    # fsio (tmp+rename local, direct PUT + manifest gate elsewhere);
+    # stale pre-compaction parts retired after the commit.
+    final = "part-compacted.parquet"
+    fsio.commit_parquet(pa.Table.from_pandas(keep, preserve_index=False),
+                        fs, fsio.join(tdir, final))
+    fsio.remove_stale(fs, tdir, final)
     return int(t), int(len(keep))
 
 

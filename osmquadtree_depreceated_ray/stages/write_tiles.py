@@ -6,20 +6,24 @@ are already known after the split rule, so the shuffle reduces to ONE
 explicit all-to-all: every input block is split by writer-range (ranges
 of the sorted tile list, balanced by the known per-tile counts), and one
 writer task per range concatenates its pieces and writes ONE parquet
-file per tile via tmp+rename (atomic, resumable).  This is the
-documented drop-to-raw-Ray case (task brief): the Dataset API cannot
-express a boundary-aware exchange without a redundant sort.
+file per tile.  This is the documented drop-to-raw-Ray case (task
+brief): the Dataset API cannot express a boundary-aware exchange
+without a redundant sort.
 
 Output layout is identical to the Hive writer: ``<dir>/tile=<t>/part-0.parquet``.
+All sink paths may carry an fsspec scheme (``file://``, ``s3://``,
+``memory://`` in tests); per-file commit is tmp+rename where the
+backend renames atomically, direct-PUT otherwise, and dataset-level
+visibility is gated by the manifest in both cases — see
+``state/fsio.py`` for the commit protocol.
 """
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 import pyarrow as pa
-import pyarrow.parquet as pq
+
+from ..state import fsio
 
 
 def _writer_ranges(tile_order: np.ndarray, tile_counts: np.ndarray,
@@ -90,6 +94,7 @@ def _write_range_impl(writer_id, out_dir, lineage_dir, skip, *pieces):
         if any(p.num_rows for p in pieces) else None
     if tbl is None:
         return 0
+    fs, root = fsio.get_fs(out_dir)
     tile = tbl.column("tile").to_numpy()
     order2 = np.argsort(tile, kind="stable")
     tbl = tbl.take(pa.array(order2))
@@ -100,17 +105,17 @@ def _write_range_impl(writer_id, out_dir, lineage_dir, skip, *pieces):
         # corpus's lineage
         from ..state import manifest as _mf
 
+        lfs, lroot = fsio.get_fs(lineage_dir)
         eids = tbl.column("entity_id").to_numpy()
         bks = _mf.lineage_bucket(eids)
         lin = pa.table({"entity_id": pa.array(eids),
                         "tile": pa.array(tile)})
         for b in np.unique(bks):
-            d = os.path.join(lineage_dir, f"bucket={int(b)}")
-            os.makedirs(d, exist_ok=True)
+            d = fsio.join(lroot, f"bucket={int(b)}")
+            lfs.makedirs(d, exist_ok=True)
             sub = lin.filter(pa.array(bks == b))
-            ltmp = os.path.join(d, f".part-{writer_id}.parquet.tmp")
-            pq.write_table(sub, ltmp)
-            os.replace(ltmp, os.path.join(d, f"part-{writer_id}.parquet"))
+            fsio.commit_parquet(sub, lfs,
+                                fsio.join(d, f"part-{writer_id}.parquet"))
     starts = np.concatenate([[0], np.flatnonzero(tile[1:] != tile[:-1]) + 1])
     ends = np.append(starts[1:], len(tile))
     for s, e in zip(starts, ends):
@@ -119,20 +124,16 @@ def _write_range_impl(writer_id, out_dir, lineage_dir, skip, *pieces):
             p = np.searchsorted(skip, t)
             if p < len(skip) and skip[p] == t:
                 continue
-        d = os.path.join(out_dir, f"tile={t}")
-        os.makedirs(d, exist_ok=True)
+        d = fsio.join(root, f"tile={t}")
+        fs.makedirs(d, exist_ok=True)
         sub = tbl.slice(s, e - s).drop_columns(["tile"])
-        tmp = os.path.join(d, f".part-{writer_id}.parquet.tmp")
-        pq.write_table(sub, tmp)
         final = f"part-{writer_id}.parquet"
-        os.replace(tmp, os.path.join(d, final))
+        fsio.commit_parquet(sub, fs, fsio.join(d, final))
         # a tile belongs to exactly one writer per run: retire any
         # stale files a crashed run with a different writer layout
         # left behind (the manifest is the commit point, so an
         # unmanifested tile dir may hold partial state)
-        for fn in os.listdir(d):
-            if fn != final and not fn.startswith("."):
-                os.remove(os.path.join(d, fn))
+        fsio.remove_stale(fs, d, final)
         rows += e - s
     return rows
 
