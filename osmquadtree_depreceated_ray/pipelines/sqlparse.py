@@ -63,9 +63,14 @@ kernels are pandas groupby primitives (cumsum/cumcount/shift/transform)
 total order and runs single-bucket (inherently serial on ANY engine).
 
 [NOT] EXISTS resolves at plan time into a distinct-value semi/anti
-probe (single correlation equality; the value set is assumed
-driver-small, same contract as IN (subquery)); uncorrelated scalar
-subqueries resolve eagerly to literals.
+probe (single correlation equality, same contract as IN (subquery)):
+value sets up to ``PROBE_COLLECT_THRESHOLD`` distinct values collect to
+the driver and broadcast as a literal membership test; LARGER sets
+never touch the driver — they become a deduped marker relation
+LEFT-joined onto the outer query through the bucketed hash exchange
+(the semi-join fallback, :func:`_pending_semi_join`), with the probe
+reduced to a null-test on the marker.  Uncorrelated scalar subqueries
+resolve eagerly to literals.
 """
 
 from __future__ import annotations
@@ -77,6 +82,15 @@ import pandas as pd
 import pyarrow as pa
 
 from .sqlish import Expr, Query, case_when, col, lit
+
+# Distinct-value sets from IN (subquery) / EXISTS at or below this size
+# collect to the driver and ship as a literal membership test (cheap,
+# zero extra exchange); above it the planner switches to the bucketed
+# semi-join fallback (_pending_semi_join) so neither the driver nor the
+# task closures ever hold the value set.  The reference applies its
+# IdSet closure filter partition-side for the same reason
+# (filter/filter.go:94-188).
+PROBE_COLLECT_THRESHOLD = 50_000
 
 _TOKEN_RE = re.compile(
     r"\s*(?:"
@@ -1731,7 +1745,8 @@ def _join_on(ds_a, ds_b, lcol: str, rcol: str, n_buckets: int = 16,
     int_cols = set()
     for sch in (ds_a.schema(), ds_b.schema()):
         for name, typ in zip(sch.names, sch.types):
-            if pa.types.is_integer(typ):
+            # a derived pipeline's schema may carry plain Python types
+            if isinstance(typ, pa.DataType) and pa.types.is_integer(typ):
                 int_cols.add(name)
 
     def tag(src, key):
@@ -1829,14 +1844,63 @@ def _split_correlation(sub_sel, tables, kind: str):
     return inner_conjs, corr
 
 
+def _pending_semi_join(vals_ds, probe_node, pending):
+    """Bucketed semi/anti-join fallback for [NOT] EXISTS / IN (subquery)
+    whose distinct value set exceeds ``PROBE_COLLECT_THRESHOLD``: the
+    value set never collects to the driver.  Its first column is
+    projected, null-dropped, deduped through the map-side-combining
+    distinct exchange, tagged with an int8 marker, and LEFT-joined onto
+    the outer query on the probe column (the planner sees a derived
+    pipeline and picks the bucketed hash join).  The caller reduces the
+    probe to a null-test on the returned marker column.  Reference
+    analogue: the IdSet closure membership filter is applied
+    partition-side too (filter/filter.go:94-188)."""
+    if pending is None:
+        raise ValueError(
+            "subquery value set exceeds PROBE_COLLECT_THRESHOLD in a "
+            "context without join support")
+    if not (isinstance(probe_node, tuple) and probe_node[0] == "col"):
+        raise ValueError(
+            "subquery value set exceeds PROBE_COLLECT_THRESHOLD; the "
+            "bucketed semi-join fallback needs a plain column probe, "
+            f"got {probe_node!r}")
+    from ..stages.shuffle import distinct as _distinct
+
+    i = len(pending)
+    kcol, mcol = f"__sjk{i}", f"__sjm{i}"
+
+    def project(t: pa.Table, _k=kcol) -> pa.Table:
+        return pa.table({_k: t.column(0)}).drop_null()
+
+    def mark(t: pa.Table, _m=mcol) -> pa.Table:
+        return t.append_column(_m, pa.array(np.ones(t.num_rows, np.int8)))
+
+    marker = _distinct(
+        vals_ds.map_batches(project, batch_format="pyarrow"), [kcol]
+    ).map_batches(mark, batch_format="pyarrow")
+    pending.append((marker, probe_node[1], kcol, "left"))
+    return ("col", mcol)
+
+
+def _null_count_col0(ds) -> int:
+    """Distributed null count of a (materialized) dataset's first column
+    — O(blocks) driver result, the corpus never collects."""
+    parts = ds.map_batches(
+        lambda t: pa.table({"n": pa.array([t.column(0).null_count],
+                                          pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    return int(parts["n"].sum()) if len(parts) else 0
+
+
 def _resolve_exists(sub_sel, tables, broadcast_threshold, outer_names,
-                    negated: bool):
+                    negated: bool, pending=None):
     """[NOT] EXISTS (SELECT ... FROM inner WHERE inner.c = outer.c AND
     inner-only conjuncts): rewritten into a value-set semi/anti probe.
     Scoping is standard SQL — a conjunct whose columns all live in the
     inner table is inner-local; a single equality pairing one inner and
-    one outer column is the correlation.  The distinct correlated value
-    set is assumed driver-small (same contract as IN (subquery)); NOT
+    one outer column is the correlation.  Distinct value sets up to
+    ``PROBE_COLLECT_THRESHOLD`` broadcast as literals; larger sets take
+    the bucketed semi-join fallback (:func:`_pending_semi_join`).  NOT
     EXISTS is true for a NULL outer probe (unlike NOT IN's 3VL)."""
     inner_conjs, corr = _split_correlation(sub_sel, tables, "EXISTS")
     if not corr:
@@ -1864,10 +1928,16 @@ def _resolve_exists(sub_sel, tables, broadcast_threshold, outer_names,
         sub_sel, items=[(("col", ic), ic)],
         where=_and_fold(inner_conjs), distinct=True)],
         "set_ops": [], "order": None, "desc": None, "limit": None}
-    vals_df = _exec_ast(sub_ast, tables, broadcast_threshold).to_pandas()
+    probe = ("col", oc)
+    vals_ds = _exec_ast(sub_ast, tables, broadcast_threshold).materialize()
+    if vals_ds.count() > PROBE_COLLECT_THRESHOLD:
+        m = _pending_semi_join(vals_ds, probe, pending)
+        # NULL outer probes never match the marker join, so the
+        # null-test alone is exact for both polarities
+        return ("isnull", m) if negated else ("notnull", m)
+    vals_df = vals_ds.to_pandas()
     vals = (vals_df[vals_df.columns[0]].dropna().unique().tolist()
             if len(vals_df) else [])
-    probe = ("col", oc)
     if negated:
         # NULL probe rows satisfy NOT EXISTS (no inner row can equal NULL)
         return ("or", ("isnull", probe), ("not", ("in", probe, vals)))
@@ -1897,10 +1967,10 @@ def _resolve_subqueries(node, tables, broadcast_threshold,
     if node[0] == "not" and isinstance(node[1], tuple) \
             and node[1][0] == "exists":
         return _resolve_exists(node[1][1], tables, broadcast_threshold,
-                               outer_names, negated=True)
+                               outer_names, negated=True, pending=pending)
     if node[0] == "exists":
         return _resolve_exists(node[1], tables, broadcast_threshold,
-                               outer_names, negated=False)
+                               outer_names, negated=False, pending=pending)
     if node[0] == "scalar_sub":
         sub_sel = node[1]
         corr: list = []
@@ -1953,11 +2023,24 @@ def _resolve_subqueries(node, tables, broadcast_threshold,
     if node[0] in ("in_sub", "not_in_sub"):
         sub_ast = {"selects": [node[2]], "set_ops": [], "order": None,
                    "desc": None, "limit": None}
-        sub = _exec_ast(sub_ast, tables, broadcast_threshold).to_pandas()
-        col0 = sub[sub.columns[0]]
-        vals = col0.dropna().unique().tolist()
+        sub_ds = _exec_ast(sub_ast, tables,
+                           broadcast_threshold).materialize()
         e = _resolve_subqueries(node[1], tables, broadcast_threshold,
                                 outer_names, pending)
+        if sub_ds.count() > PROBE_COLLECT_THRESHOLD:
+            if node[0] == "not_in_sub":
+                # SQL 3VL: any NULL in the set makes NOT IN never TRUE.
+                # The null check is distributed (O(blocks) result)
+                if _null_count_col0(sub_ds):
+                    return _never(e)
+                m = _pending_semi_join(sub_ds, e, pending)
+                return ("and", ("notnull", e), ("isnull", m))
+            # a NULL probe joins to no marker -> excluded, matching the
+            # literal path's WHERE semantics (NULL IN (...) is filtered)
+            return ("notnull", _pending_semi_join(sub_ds, e, pending))
+        sub = sub_ds.to_pandas()
+        col0 = sub[sub.columns[0]]
+        vals = col0.dropna().unique().tolist()
         if node[0] == "not_in_sub":
             # SQL 3VL: a NULL in the subquery result makes NOT IN never
             # TRUE; otherwise exclude members and NULL probes
@@ -2165,6 +2248,16 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
                     ds = _broadcast_join(ds, rhs, lcol, rcol, how)
                 else:
                     ds = _join_on(ds, rhs, lcol, rcol, how=how)
+            if pending_sc and sel["items"] is None:
+                # SELECT *: synthetic semi-join / decorrelation columns
+                # must not surface in the star expansion.  They are
+                # still live in the resolved WHERE, which the plain
+                # select applies BEFORE its projection — so defer the
+                # drop to a post-projection on the final output
+                keep = [c for c in ds.schema().names
+                        if not (c.startswith("__sj")
+                                or c.startswith("__sc"))]
+                sel = dict(sel, items=[(("col", c), c) for c in keep])
         if (sel["items"] is not None and any(
                 _has_win(e) for e, _ in sel["items"])) \
                 or sel.get("qualify") is not None:

@@ -739,3 +739,52 @@ def test_set_op_positional_alignment(ray_session, t1, t2):
         "SELECT s FROM t1 WHERE k < 3 UNION ALL SELECT gkey FROM t2",
     ]:
         _run_both(sql, None, {"t1": t1, "t2": t2})
+
+
+def test_semi_join_fallback_large_value_sets(ray_session, t1, t2, t3,
+                                             monkeypatch):
+    """IN (subquery) / [NOT] EXISTS beyond PROBE_COLLECT_THRESHOLD take
+    the bucketed semi-join fallback (value set never collects to the
+    driver) — results must stay identical to the broadcast-literal path
+    and to DuckDB."""
+    from osmquadtree_depreceated_ray.pipelines import sqlparse as sp
+
+    monkeypatch.setattr(sp, "PROBE_COLLECT_THRESHOLD", 1)
+    for sql in [
+        # IN (subquery), set size 3 > threshold 1
+        "SELECT k, v FROM t1 WHERE s IN (SELECT gkey FROM t2 WHERE g < 3) "
+        "ORDER BY k LIMIT 30",
+        # NOT IN (no NULLs in the set)
+        "SELECT k FROM t1 WHERE s NOT IN (SELECT gkey FROM t2 WHERE g < 5) "
+        "ORDER BY k LIMIT 30",
+        # correlated EXISTS / NOT EXISTS
+        "SELECT k FROM t1 WHERE EXISTS (SELECT 1 FROM t2 WHERE gkey = s "
+        "AND g < 4) ORDER BY k LIMIT 30",
+        "SELECT k, s FROM t1 WHERE NOT EXISTS (SELECT 1 FROM t2 "
+        "WHERE gkey = s AND g < 4) ORDER BY k LIMIT 30",
+        # EXISTS against the partial-coverage table
+        "SELECT k FROM t1 WHERE EXISTS (SELECT 1 FROM t3 WHERE hkey = s) "
+        "ORDER BY k LIMIT 30",
+        # SELECT *: synthetic marker columns must not surface
+        "SELECT * FROM t1 WHERE s IN (SELECT gkey FROM t2 WHERE g < 2) "
+        "ORDER BY k LIMIT 10",
+        # IN combined with a user join (pending entry appended after it)
+        "SELECT k, label FROM t1 JOIN t2 ON s = gkey WHERE "
+        "s IN (SELECT hkey FROM t3) ORDER BY k LIMIT 20",
+        # EXISTS alongside an aggregate
+        "SELECT s, COUNT(*) AS n FROM t1 WHERE EXISTS "
+        "(SELECT 1 FROM t2 WHERE gkey = s AND g < 3) GROUP BY s",
+    ]:
+        _run_both(sql, None, {"t1": t1, "t2": t2, "t3": t3})
+
+
+def test_semi_join_fallback_not_in_null_set(ray_session, t1, monkeypatch):
+    """NOT IN against a large set containing NULL: 3VL — never TRUE."""
+    import ray
+
+    from osmquadtree_depreceated_ray.pipelines import sqlparse as sp
+
+    monkeypatch.setattr(sp, "PROBE_COLLECT_THRESHOLD", 1)
+    tn = pa.table({"gkey": pa.array(["name_1", None, "name_2", "name_3"])})
+    sql = "SELECT k FROM t1 WHERE s NOT IN (SELECT gkey FROM tn)"
+    _run_both(sql, None, {"t1": t1, "tn": tn})
