@@ -12,7 +12,9 @@ compute".
 Scalar function set mirrors sqlselect/functions.go: coalesce, nullif,
 replace, char_length, substr, concat/||, arithmetic, typed comparisons,
 LIKE (prefix/suffix/contains only — functions.go:277-374), BETWEEN, IN,
-IS NULL, CASE WHEN, AND/OR/NOT, make_integer/make_float casts.
+IS NULL, CASE WHEN, AND/OR/NOT, make_integer/make_float casts, numchar
+(substring occurrence count, functions.go:52-67) and maxwidth (longest
+split-segment byte width, functions.go:69-94).
 """
 
 from __future__ import annotations
@@ -154,6 +156,44 @@ class Expr:
             return pc.if_else(pc.equal(a, value), pa.scalar(None, _arr_type(a)), a)
 
         return Expr(fn, "nullif")
+
+    def numchar(self, sub: str):
+        """Non-overlapping occurrence count of ``sub`` (reference
+        numchar, functions.go:52-67 — Go strings.Count semantics)."""
+        return Expr(
+            lambda t: pc.cast(pc.count_substring(self(t), pattern=sub),
+                              pa.int64()),
+            "numchar",
+        )
+
+    def maxwidth(self, sep: str = "\n"):
+        """Byte width of the longest ``sep``-split segment (reference
+        maxwidth, functions.go:69-94 — Go len() counts bytes).  The
+        per-row max runs as one reduceat over the split's flat value
+        buffer — no Python loop over rows."""
+        if sep == "":
+            raise ValueError("maxwidth() separator must be non-empty")
+
+        def fn(t):
+            import numpy as np
+
+            arr = self(t)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            split = pc.split_pattern(arr, pattern=sep)
+            lens = pc.binary_length(split.values).to_numpy(
+                zero_copy_only=False).astype(np.int64, copy=False)
+            offs = split.offsets.to_numpy(zero_copy_only=False)
+            valid = np.asarray(pc.is_valid(arr), dtype=bool)
+            out = np.zeros(len(arr), dtype=np.int64)
+            starts = offs[:-1][valid]
+            if starts.size:
+                # null rows contribute zero list elements, so
+                # consecutive valid starts bound each row's segments
+                out[valid] = np.maximum.reduceat(lens, starts)
+            return pa.array(out, pa.int64(), mask=~valid)
+
+        return Expr(fn, "maxwidth")
 
     def make_integer(self):
         return Expr(lambda t: pc.cast(self(t), pa.int64()), "make_integer")

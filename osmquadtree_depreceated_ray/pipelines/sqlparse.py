@@ -39,7 +39,8 @@ Surface (the reference's grammar, plus LIMIT):
 
 Scalar functions: coalesce nullif replace substr char_length/length
 concat upper lower trim ltrim rtrim reverse abs sign floor ceil round
-sqrt ln starts_with ends_with contains strpos left right repeat,
+sqrt ln starts_with ends_with contains strpos left right repeat
+numchar maxwidth (reference functions.go:52-94),
 temporal year/month/day/hour/minute/second, EXTRACT(field FROM ts)
 (incl. dow, Sunday=0), date_trunc(unit, ts), arithmetic + - * / % and
 || concatenation, searched and simple CASE, IS [NOT] DISTINCT FROM
@@ -820,6 +821,11 @@ def _compile_expr(node) -> Expr:
             return args[0].make_integer()
         if name == "make_float":
             return args[0].make_float()
+        if name == "numchar":
+            return args[0].numchar(str(_lit_arg(1)))
+        if name == "maxwidth":
+            sep = str(_lit_arg(1)) if len(args) > 1 else "\n"
+            return args[0].maxwidth(sep)
         if name in ("upper", "lower", "trim", "ltrim", "rtrim", "abs",
                     "floor", "ceil", "ceiling", "sign", "sqrt", "ln",
                     "reverse"):

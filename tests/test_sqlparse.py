@@ -788,3 +788,35 @@ def test_semi_join_fallback_not_in_null_set(ray_session, t1, monkeypatch):
     tn = pa.table({"gkey": pa.array(["name_1", None, "name_2", "name_3"])})
     sql = "SELECT k FROM t1 WHERE s NOT IN (SELECT gkey FROM tn)"
     _run_both(sql, None, {"t1": t1, "tn": tn})
+
+
+def test_numchar_maxwidth_reference_scalars(ray_session):
+    """numchar/maxwidth (reference sqlselect/functions.go:52-94) against
+    DuckDB-equivalent expressions (DuckDB has no such builtins — the
+    oracle uses replace-arithmetic and list_max over string_split)."""
+    import ray
+
+    t = pa.table({
+        "k": pa.array(np.arange(6, dtype=np.int64)),
+        "s": pa.array(["a,bb,ccc", "x", "", "no-sep-here", "aa,aa,aa",
+                       None]),
+    })
+    ds = {"t": ray.data.from_arrow(t)}
+    got = parse_sql(
+        "SELECT k, numchar(s, 'a') AS nc, maxwidth(s, ',') AS mw "
+        "FROM t ORDER BY k", ds).to_pandas()
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        "SELECT k, CAST((strlen(s) - strlen(replace(s, 'a', ''))) "
+        "/ strlen('a') AS BIGINT) AS nc, "
+        "list_max(list_transform(string_split(s, ','), x -> strlen(x))) "
+        "AS mw FROM t ORDER BY k").df()
+    assert got["nc"].fillna(-1).tolist() == want["nc"].fillna(-1).tolist()
+    assert got["mw"].fillna(-1).tolist() == want["mw"].fillna(-1).tolist()
+
+    # default separator is newline (reference functions.go:75)
+    got2 = parse_sql("SELECT maxwidth(s) AS mw FROM t2",
+                     {"t2": ray.data.from_arrow(pa.table(
+                         {"s": ["ab\nc\ndefg", "qq"]}))}).to_pandas()
+    assert got2["mw"].tolist() == [4, 2]
