@@ -496,33 +496,85 @@ def resort_by_id(out_dir: str, group_size: int = 8000):
     return path
 
 
-def read_tiled_ordered(out_dir: str, columns=None):
-    """Read the tiled output in NUMERIC tile (qt pre-order) order — the
-    reference's block-order invariant (writefile.go:50-52).  Hive paths
-    sort lexicographically, so the file list is ordered explicitly; with
-    ``preserve_order`` the stream yields tiles in ascending qt order."""
-    import ray
-
+def _ordered_tiles_and_paths(out_dir: str):
+    """Tile ids in ascending qt (pre-)order with each tile's file list.
+    The manifest is the partition index (readfile/partial.go:60-76 reads
+    its block index the same way); tiles on disk but not in the manifest
+    are uncommitted and skipped.  Falls back to the directory listing
+    for manifest-less layouts (bare write_tiled output in tests)."""
     dd = mf.data_dir(out_dir)
-    tiles = sorted(
-        (int(name.split("=", 1)[1]) for name in os.listdir(dd)
-         if name.startswith("tile=")),
-    )
-    paths = []
+    man = mf.read_manifest(out_dir)
+    if man is not None:
+        tiles = sorted(int(t) for t in man.column("tile").to_pylist())
+    else:
+        tiles = sorted(
+            int(name.split("=", 1)[1]) for name in os.listdir(dd)
+            if name.startswith("tile="))
+    per_tile = []
     for t in tiles:
         d = os.path.join(dd, f"tile={t}")
-        paths.extend(
-            os.path.join(d, f) for f in sorted(os.listdir(d))
-            if f.endswith(".parquet")
-        )
-    ctx = ray.data.DataContext.get_current()
-    prev = ctx.execution_options.preserve_order
-    ctx.execution_options.preserve_order = True
-    try:
-        # materialize under preserve_order so block order is pinned in
-        # the returned handle, then restore the flag — leaving it set
-        # would silently serialize every later pipeline in the process
-        ds = ray.data.read_parquet(paths, columns=columns).materialize()
-    finally:
-        ctx.execution_options.preserve_order = prev
-    return ds, tiles
+        if not os.path.isdir(d):
+            continue
+        fs = [os.path.join(d, f) for f in sorted(os.listdir(d))
+              if f.endswith(".parquet")]
+        if fs:
+            per_tile.append((t, fs))
+    return per_tile
+
+
+def _read_tile_impl(paths, columns):
+    import pyarrow.parquet as _pq
+
+    tabs = [_pq.read_table(p, columns=columns) for p in paths]
+    return tabs[0] if len(tabs) == 1 else pa.concat_tables(
+        tabs, promote_options="default")
+
+
+_read_tile_remote = None
+
+
+def iter_tiled_ordered(out_dir: str, columns=None, window_tiles: int = 32):
+    """O3 block-order restore, STREAMED: yield ``(tile, pyarrow.Table)``
+    in ascending qt order with O(window) memory — the Ray analogue of
+    the reference's index-ordered partial reader (readfile/partial.go:
+    60-76), which streams blocks to the consumer in block-index order
+    without ever holding the file.
+
+    ``window_tiles`` read tasks are kept in flight ahead of the
+    consumer (submit-ahead prefetch); results are taken strictly in
+    tile order, so the pipeline overlaps read and consume while the
+    driver holds at most one tile's table plus the window's object
+    refs.  The corpus is never materialized."""
+    import ray
+
+    global _read_tile_remote
+    if _read_tile_remote is None:
+        _read_tile_remote = ray.remote(_read_tile_impl)
+
+    per_tile = _ordered_tiles_and_paths(out_dir)
+    inflight: list = []
+    nxt = 0
+    while nxt < len(per_tile) or inflight:
+        while nxt < len(per_tile) and len(inflight) < window_tiles:
+            t, fs = per_tile[nxt]
+            inflight.append((t, _read_tile_remote.remote(fs, columns)))
+            nxt += 1
+        t, ref = inflight.pop(0)
+        yield t, ray.get(ref)
+
+
+def read_tiled_ordered(out_dir: str, columns=None):
+    """Tiled output as a (lazy Dataset, ascending tile list) pair — the
+    reference's block-order invariant (writefile.go:50-52).  Files are
+    listed in qt order and every batch carries rows of a single tile,
+    but Ray's streaming executor does NOT pin inter-block order on the
+    returned handle; consumers that need strict qt pre-order iterate
+    :func:`iter_tiled_ordered` (streamed, windowed), or window by the
+    ``tile`` value present in every row.  No materialization — the
+    handle streams."""
+    import ray
+
+    per_tile = _ordered_tiles_and_paths(out_dir)
+    tiles = [t for t, _fs in per_tile]
+    paths = [p for _t, fs in per_tile for p in fs]
+    return ray.data.read_parquet(paths, columns=columns), tiles

@@ -137,7 +137,7 @@ def test_read_tiled_ordered(ray_session, tiled):
 
 
 def test_read_tiled_ordered_restores_context(ray_session, tiled):
-    """The ordered read must not leave preserve_order set globally — a
+    """The ordered read must not mutate preserve_order globally — a
     later pipeline in the same process would silently serialize."""
     import ray
 
@@ -149,3 +149,26 @@ def test_read_tiled_ordered_restores_context(ray_session, tiled):
     ds, tiles = tp.read_tiled_ordered(out)
     assert ctx.execution_options.preserve_order == before
     assert ds.count() > 0 and len(tiles) > 0
+
+
+def test_iter_tiled_ordered_streams_in_qt_order(ray_session, tiled):
+    """The streamed ordered reader (O3) yields every tile exactly once,
+    in ascending qt order, with per-tile tables that reconstruct the
+    full output — no materialization of the corpus (window smaller than
+    the tile count forces genuine windowed prefetch)."""
+    import numpy as np
+
+    from osmquadtree_depreceated_ray.pipelines import tile as tp
+
+    out, res = tiled
+    seen_tiles, total = [], 0
+    for t, tbl in tp.iter_tiled_ordered(out, columns=["qt"],
+                                        window_tiles=3):
+        seen_tiles.append(t)
+        assert tbl.num_rows > 0
+        total += tbl.num_rows
+    assert seen_tiles == sorted(seen_tiles)
+    assert total == res["total"]
+    # matches the lazy read's tile list (manifest-driven)
+    _, tiles = tp.read_tiled_ordered(out)
+    assert seen_tiles == tiles
