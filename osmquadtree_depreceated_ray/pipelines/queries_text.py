@@ -70,9 +70,13 @@ def q_lang_score(sf_dir: str):
 
     def fn(b: pa.Table) -> pa.Table:
         t = b.column("text").to_pandas()
-        words = t.str.split(" ")
+        # whole-token marker counts as ONE C-speed regex pass per
+        # marker: pad with spaces, count non-consuming lookaheads of
+        # " marker " (handles adjacent repeats) — exact token-equality
+        # semantics, no per-row Python
+        padded = " " + t + " "
         counts = {
-            label: words.map(lambda ws, m=marker: sum(1 for w in ws if w == m)).astype("int64")
+            label: padded.str.count(f"(?= {marker} )").astype("int64")
             for label, marker in LANG_MARKERS
         }
         c_en, c_agg, c_data = counts["en"], counts["agg"], counts["data"]
@@ -147,7 +151,13 @@ def q_dedup_exact(sf_dir: str):
 
     def keyed(b: pa.Table) -> pa.Table:
         t = b.column("text").to_pandas()
-        key = t.str.split(" ").map(lambda ws: _md5(" ".join(ws[:2])))
+        # first-two-words prefix as ONE vectorized regex extract
+        # (identical to ' '.join(split(' ')[:2]) incl. empty/degenerate
+        # tokens), then md5 once per UNIQUE prefix — dedup keys repeat
+        # heavily by construction
+        prefix = t.str.extract(r"^(\S*(?: \S*)?)", expand=False)
+        codes, uniq = pd.factorize(prefix)
+        key = np.asarray([_md5(s) for s in uniq], dtype=object)[codes]
         return pa.table(
             {"key_hash": pa.array(key, pa.string()), "doc_id": b.column("doc_id")}
         )
@@ -295,15 +305,24 @@ def q_quality(sf_dir: str):
 
     def fn(b: pa.Table) -> pa.Table:
         t = b.column("text").to_pandas()
-        words = t.str.split(" ")
-        # the split is still needed for the distinct/stopword passes
-        # (measured faster than regex-count alternatives that share no
-        # work); n_words rides the cheap space count
+        n = len(t)
         n_words = (t.str.count(" ") + 1).astype("int64")
-        n_distinct = words.map(lambda ws: len(set(ws))).astype("int64")
-        stop_n = words.map(
-            lambda ws: sum(1 for w in ws if w in STOPWORDS)
-        ).astype("int64")
+        # distinct/stopword counts over ONE global split (a single C
+        # call), factorized to int codes: per-doc distinct = unique
+        # (doc, code) pairs via one np.unique; stopword hits = isin mask
+        # bincounted by doc — no per-row set() / Python loop
+        nw = n_words.to_numpy()
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), nw)
+        words = np.asarray(" ".join(t.tolist()).split(" "), dtype=object) \
+            if n else np.asarray([], dtype=object)
+        codes, uniq = pd.factorize(pd.Series(words))
+        k = max(len(uniq), 1)
+        pairs = np.unique(doc_idx * np.int64(k) + codes)
+        n_distinct = pd.Series(
+            np.bincount(pairs // np.int64(k), minlength=n).astype(np.int64))
+        stop_mask = pd.Series(words).isin(STOPWORDS).to_numpy()
+        stop_n = pd.Series(
+            np.bincount(doc_idx[stop_mask], minlength=n).astype(np.int64))
         n_chars = t.str.len().astype("int64")
         mean_wlen = (n_chars - (n_words - 1)) / n_words
         return pa.table(
