@@ -917,6 +917,57 @@ QUERIES["sql_exists"] = q_sql_exists
 ORACLES["sql_exists"] = SQL_EXISTS_TEXT
 
 
+SQL_SEMIJOIN_TEXT = (
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+    "WHERE o_custkey IN (SELECT c_custkey FROM customer "
+    "WHERE c_acctbal > 1000) "
+    "AND NOT EXISTS (SELECT 1 FROM lineitem "
+    "WHERE l_orderkey = o_orderkey AND l_quantity > 45) "
+    "ORDER BY o_orderkey LIMIT 1000"
+)
+
+
+def q_sql_semijoin(sf_dir: str):
+    """IN (subquery) + NOT EXISTS routed through the BUCKETED semi-join
+    fallback: PROBE_COLLECT_THRESHOLD is forced to 0 for this query, so
+    neither value set ever collects to the driver — each becomes a
+    deduped marker relation left-joined through the bucketed hash
+    exchange (the at-scale path for probe sets beyond driver memory;
+    reference analogue filter/filter.go:94-188).  Oracle = the
+    IDENTICAL string in DuckDB.  The fallback decision happens at plan
+    time inside parse_sql, so restoring the threshold afterwards is
+    safe even though the returned Dataset is lazy."""
+    import ray
+
+    from . import sqlparse
+    from .sqlparse import parse_sql
+
+    tables = {
+        "orders": ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        ),
+        "customer": ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_acctbal"],
+        ),
+        "lineitem": ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_quantity"],
+        ),
+    }
+    prev = sqlparse.PROBE_COLLECT_THRESHOLD
+    sqlparse.PROBE_COLLECT_THRESHOLD = 0
+    try:
+        return parse_sql(SQL_SEMIJOIN_TEXT, tables)
+    finally:
+        sqlparse.PROBE_COLLECT_THRESHOLD = prev
+
+
+QUERIES["sql_semijoin"] = q_sql_semijoin
+ORACLES["sql_semijoin"] = SQL_SEMIJOIN_TEXT
+
+
 SQL_LEFT_JOIN_TEXT = (
     "SELECT c_custkey, c_mktsegment, r_name, "
     "CAST(COALESCE(r_regionkey, -1) AS BIGINT) AS rk "
