@@ -1,0 +1,302 @@
+"""Training-data packing & corpus-hygiene operators (task brief:
+"operations a large-scale training-data pipeline would need").
+
+Three operators over the documents table, each with a DuckDB oracle:
+
+- ``seq_pack``   : token-budget sequence packing — assign every document
+  to a fixed-token-budget training bin within its shard (``source``),
+  the overflow-packing strategy (a doc may straddle a bin boundary; the
+  trainer reads bins sequentially).  One window cumsum per shard.
+- ``chunk_dedup``: C4-style duplicate-span removal signals — split every
+  doc into consecutive 8-word chunks (the fixture corpus has no
+  newlines, so fixed word windows stand in for lines), count how many
+  DISTINCT docs each chunk appears in, and report per doc how much of
+  it is corpus-duplicated text.  (C4 discarded any line occurring
+  more than once in the corpus; RefinedWeb/CCNet do the same per line.)
+- ``repetition`` : Gopher-style repetition signal — the fraction of a
+  doc's word-bigrams taken by its single most-frequent bigram (Rae et
+  al. 2021 use top-2/3/4-gram fractions as quality filters).
+
+Scale notes (100 TB): ``seq_pack`` shuffles only (source, doc_id,
+n_tokens) — O(rows) tiny fixed-width rows bucketed by shard, each
+shard's group sorted locally; ``chunk_dedup``'s duplicated-chunk set is
+collected and broadcast (sorted uint64 + searchsorted, the
+bloom_semijoin recheck shape) because real corpora duplicate a tiny
+fraction of spans — above ``DUP_BROADCAST_MAX`` the probe becomes a
+bucketed semi-join on the chunk hash (same fallback contract as
+``tfidf_top``); ``repetition`` is embarrassingly parallel per batch.
+
+Reference analogue: the reference has no text curation; these extend
+the engine the way SURVEY.md §2's brief directs.  Hash basis is
+md5-low64 over the chunk string (collision odds negligible; the oracle
+groups by the chunk STRING, unaffected by the internal key repr —
+same argument as queries_text.q_ngram_jaccard).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .queries_text import _md5_lower64
+
+PACK_BUDGET = 256          # tokens per training bin
+CHUNK_W = 8                # words per dedup chunk (line stand-in)
+DUP_BROADCAST_MAX = 2_000_000  # dup-chunk set size above which the
+# probe must become a bucketed semi-join on the chunk hash instead of a
+# broadcast array (same threshold contract as TFIDF_BROADCAST_MAX)
+
+
+# ------------------------------------------------- 1. sequence packing
+
+def _doc_tokens(b: pa.Table) -> pa.Table:
+    t = b.column("text").to_pandas()
+    n = (t.str.count(" ") + 1).astype("int64")
+    return pa.table(
+        {
+            "source": b.column("source"),
+            "doc_id": b.column("doc_id"),
+            "n_tokens": pa.array(n.to_numpy()),
+        }
+    )
+
+
+def q_seq_pack(sf_dir: str):
+    """Documents -> (source, doc_id, n_tokens, bin, bin_off): overflow
+    packing into PACK_BUDGET-token bins per shard, docs in doc_id order.
+
+    bin     = exclusive-prefix-sum(n_tokens) // PACK_BUDGET
+    bin_off = that prefix sum modulo PACK_BUDGET
+
+    The text column is projected away before the exchange: only the
+    3-int rows move.  Each shard (source) lands in one bucket; the
+    per-shard cumsum is a local vectorized pass.  At 100 TB the shard
+    is the natural unit a trainer consumes, so per-shard grouping is
+    the partitioning the whole pipeline already uses."""
+    import ray
+
+    from ..stages.shuffle import bucketed_apply
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "doc_id"], kind="stable")
+        n = g["n_tokens"].to_numpy()
+        csum = g.groupby("source", sort=False)["n_tokens"].cumsum().to_numpy() - n
+        b = csum // PACK_BUDGET
+        return pd.DataFrame(
+            {
+                "source": g["source"].to_numpy(),
+                "doc_id": g["doc_id"].to_numpy(),
+                "n_tokens": n,
+                "bin": b,
+                "bin_off": csum - b * PACK_BUDGET,
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    ).map_batches(_doc_tokens, batch_format="pyarrow")
+    return bucketed_apply(ds, ["source"], pack)
+
+
+def sql_seq_pack() -> str:
+    return (
+        "WITH t AS (SELECT source, doc_id, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens "
+        "FROM documents), "
+        "c AS (SELECT source, doc_id, n_tokens, "
+        "CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source "
+        "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "1 PRECEDING), 0) AS BIGINT) AS csum FROM t) "
+        "SELECT source, doc_id, n_tokens, "
+        f"CAST(csum // {PACK_BUDGET} AS BIGINT) AS bin, "
+        f"CAST(csum % {PACK_BUDGET} AS BIGINT) AS bin_off FROM c"
+    )
+
+
+# ------------------------------------- 2. duplicate-chunk removal (C4)
+
+def _doc_chunks(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_id_per_chunk, chunk_string) — every consecutive CHUNK_W-word
+    window (last one partial) of every doc, vectorized: one global
+    split, one object-matrix scatter, CHUNK_W-1 vector concats."""
+    doc_id = b.column("doc_id").to_numpy()
+    t = b.column("text").to_pandas()
+    nw = (t.str.count(" ") + 1).to_numpy().astype(np.int64)
+    n = len(t)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, object)
+    words = np.asarray(" ".join(t.tolist()).split(" "), dtype=object)
+    row = np.repeat(np.arange(n, dtype=np.int64), nw)
+    pos = np.arange(len(words), dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(nw)[:-1]]), nw)
+    nchunks = (nw + CHUNK_W - 1) // CHUNK_W
+    chunk_base = np.concatenate([[0], np.cumsum(nchunks)[:-1]])
+    cid = chunk_base[row] + pos // CHUNK_W
+    total = int(nchunks.sum())
+    mat = np.full((total, CHUNK_W), "", dtype=object)
+    mat[cid, pos % CHUNK_W] = words
+    s = mat[:, 0]
+    for j in range(1, CHUNK_W):
+        col = mat[:, j]
+        s = np.where(col == "", s, s + " " + col)
+    chunk_doc = np.repeat(doc_id.astype(np.int64), nchunks)
+    return chunk_doc, s
+
+
+def q_chunk_dedup(sf_dir: str):
+    """Per-doc duplicated-span stats: (doc_id, n_chunks, n_dup, dup_frac)
+    where a chunk is "dup" iff its exact text occurs in >= 2 distinct
+    docs anywhere in the corpus.
+
+    Two passes: (1) distinct (doc, chunk-hash) pairs -> map-side-combined
+    count per hash -> the small duplicated-hash set, sorted + broadcast
+    via ray.put; (2) per-batch searchsorted membership recount.  Above
+    DUP_BROADCAST_MAX the probe becomes a bucketed semi-join on the
+    chunk hash (contract documented; bloom_semijoin holds that shape)."""
+    import ray
+
+    from ..stages.shuffle import grouped_agg
+
+    def pairs(b: pa.Table) -> pa.Table:
+        d, s = _doc_chunks(b)
+        df = pd.DataFrame({"doc_id": d, "g": s}).drop_duplicates()
+        codes, uniq = pd.factorize(df["g"], sort=False)
+        gh = _md5_lower64(uniq).view(np.int64)[codes]
+        return pa.table({"gh": pa.array(gh),
+                         "one": pa.array(np.ones(len(df), np.int64))})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    counts = grouped_agg(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        ["gh"], {"n_docs": ("one", "sum")},
+    )
+    dup = counts.filter(expr="n_docs >= 2").to_pandas()
+    if len(dup) > DUP_BROADCAST_MAX:
+        raise ValueError(
+            "dup-chunk set exceeds broadcast threshold; route through "
+            "the bucketed semi-join fallback (see module docstring)")
+    dup_ref = ray.put(np.sort(dup["gh"].to_numpy().astype(np.int64)))
+
+    def recount(b: pa.Table) -> pa.Table:
+        dset = ray.get(dup_ref)
+        d, s = _doc_chunks(b)
+        codes, uniq = pd.factorize(pd.Series(s), sort=False)
+        gh = _md5_lower64(uniq).view(np.int64)[codes]
+        if len(dset):
+            j = np.searchsorted(dset, gh)
+            j[j >= len(dset)] = len(dset) - 1
+            isdup = dset[j] == gh
+        else:
+            isdup = np.zeros(len(gh), bool)
+        n_all = np.bincount(
+            np.searchsorted(np.unique(d), d),
+            minlength=len(np.unique(d))).astype(np.int64)
+        docs = np.unique(d)
+        n_dup = np.bincount(
+            np.searchsorted(docs, d), weights=isdup.astype(np.float64),
+            minlength=len(docs)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(docs),
+                "n_chunks": pa.array(n_all),
+                "n_dup": pa.array(n_dup),
+                "dup_frac": pa.array(n_dup / n_all),
+            }
+        )
+
+    return ds.map_batches(recount, batch_format="pyarrow")
+
+
+def sql_chunk_dedup() -> str:
+    return (
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws "
+        "FROM documents), "
+        "c AS (SELECT doc_id, unnest(list_transform("
+        f"range(0, CAST(ceil(len(ws) / {CHUNK_W}.0) AS BIGINT)), "
+        f"i -> array_to_string(list_slice(ws, i * {CHUNK_W} + 1, "
+        f"i * {CHUNK_W} + {CHUNK_W}), ' '))) AS chunk FROM w), "
+        "d AS (SELECT chunk FROM c GROUP BY chunk "
+        "HAVING COUNT(DISTINCT doc_id) >= 2) "
+        "SELECT c.doc_id, COUNT(*) AS n_chunks, "
+        "CAST(SUM(CASE WHEN d.chunk IS NOT NULL THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_dup, "
+        "CAST(SUM(CASE WHEN d.chunk IS NOT NULL THEN 1 ELSE 0 END) "
+        "AS DOUBLE) / COUNT(*) AS dup_frac "
+        "FROM c LEFT JOIN d ON c.chunk = d.chunk GROUP BY c.doc_id"
+    )
+
+
+# --------------------------------- 3. repetition signal (Gopher-style)
+
+def q_repetition(sf_dir: str):
+    """Per-doc top-bigram fraction: (doc_id, n_big, top_big_n,
+    top_big_frac).  Docs with fewer than 2 words yield no bigrams and
+    are omitted (the oracle's unnest does the same).  Pure map_batches:
+    factorize bigrams once per batch, count (doc, bigram) pairs with one
+    np.unique, per-doc max via maximum.reduceat — no Python loop."""
+    import ray
+
+    def fn(b: pa.Table) -> pa.Table:
+        doc_id = b.column("doc_id").to_numpy()
+        t = b.column("text").to_pandas()
+        ex = t.str.split(" ").explode()
+        nxt = ex.groupby(level=0).shift(-1)
+        big = (ex + " " + nxt).dropna()
+        if not len(big):
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n_big": pa.array([], pa.int64()),
+                 "top_big_n": pa.array([], pa.int64()),
+                 "top_big_frac": pa.array([], pa.float64())})
+        row = big.index.to_numpy().astype(np.int64)
+        codes, uniq = pd.factorize(big, sort=False)
+        k = np.int64(max(len(uniq), 1))
+        pair, cnt = np.unique(row * k + codes, return_counts=True)
+        prow = (pair // k).astype(np.int64)
+        starts = np.concatenate(
+            [[0], np.flatnonzero(prow[1:] != prow[:-1]) + 1])
+        docs_rows = prow[starts]
+        top = np.maximum.reduceat(cnt, starts).astype(np.int64)
+        n_big = np.add.reduceat(cnt, starts).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_id[docs_rows].astype(np.int64)),
+                "n_big": pa.array(n_big),
+                "top_big_n": pa.array(top),
+                "top_big_frac": pa.array(top / n_big),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def sql_repetition() -> str:
+    return (
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws "
+        "FROM documents), "
+        "b AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)), "
+        "i -> ws[i] || ' ' || ws[i+1])) AS g FROM w), "
+        "cnt AS (SELECT doc_id, g, COUNT(*) AS n FROM b "
+        "GROUP BY doc_id, g) "
+        "SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_big, "
+        "CAST(MAX(n) AS BIGINT) AS top_big_n, "
+        "CAST(MAX(n) AS DOUBLE) / SUM(n) AS top_big_frac "
+        "FROM cnt GROUP BY doc_id"
+    )
+
+
+QUERIES = {
+    "seq_pack": q_seq_pack,
+    "chunk_dedup": q_chunk_dedup,
+    "repetition": q_repetition,
+}
+
+ORACLES = {
+    "seq_pack": sql_seq_pack(),
+    "chunk_dedup": sql_chunk_dedup(),
+    "repetition": sql_repetition(),
+}

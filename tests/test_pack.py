@@ -1,0 +1,96 @@
+"""Packing & corpus-hygiene operator tests: sequence packing,
+duplicate-chunk stats, repetition signal.
+
+Each check recomputes the expected result independently with plain
+pandas / Counter on sf0.001 — the DuckDB hash-exact gate runs
+separately via tools/check_oracles.py."""
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return pq.read_table(f"{SF}/documents.parquet").to_pandas()
+
+
+def _chunks(text: str, w: int):
+    ws = text.split(" ")
+    return [" ".join(ws[i:i + w]) for i in range(0, len(ws), w)]
+
+
+def test_seq_pack_vs_pandas(ray_session, docs):
+    from osmquadtree_depreceated_ray.pipelines.queries_pack import (
+        PACK_BUDGET,
+        q_seq_pack,
+    )
+
+    got = (q_seq_pack(SF).to_pandas()
+           .sort_values(["source", "doc_id"]).reset_index(drop=True))
+    d = docs.sort_values(["source", "doc_id"]).reset_index(drop=True)
+    n = d["text"].str.count(" ").to_numpy() + 1
+    csum = (pd.Series(n).groupby(d["source"].to_numpy()).cumsum()
+            .to_numpy() - n)
+    assert (got["n_tokens"].to_numpy() == n).all()
+    assert (got["bin"].to_numpy() == csum // PACK_BUDGET).all()
+    assert (got["bin_off"].to_numpy() == csum % PACK_BUDGET).all()
+    # packing invariant: within a shard, bins are contiguous from 0 and
+    # bin_off strictly increases within a bin
+    for _, g in got.groupby("source"):
+        b = g.sort_values("doc_id")["bin"].to_numpy()
+        assert b[0] == 0 and (np.diff(b) >= 0).all()
+
+
+def test_chunk_dedup_vs_counter(ray_session, docs):
+    from osmquadtree_depreceated_ray.pipelines.queries_pack import (
+        CHUNK_W,
+        q_chunk_dedup,
+    )
+
+    got = q_chunk_dedup(SF).to_pandas().sort_values("doc_id")
+    per_doc = {int(r.doc_id): _chunks(r.text, CHUNK_W)
+               for r in docs.itertuples(index=False)}
+    ndocs = Counter()
+    for d, cs in per_doc.items():
+        for c in set(cs):
+            ndocs[c] += 1
+    dup = {c for c, k in ndocs.items() if k >= 2}
+    exp = pd.DataFrame(
+        [(d, len(cs), sum(c in dup for c in cs)) for d, cs in per_doc.items()],
+        columns=["doc_id", "n_chunks", "n_dup"],
+    ).sort_values("doc_id")
+    assert (got["n_chunks"].to_numpy() == exp["n_chunks"].to_numpy()).all()
+    assert (got["n_dup"].to_numpy() == exp["n_dup"].to_numpy()).all()
+    assert np.allclose(
+        got["dup_frac"].to_numpy(),
+        exp["n_dup"].to_numpy() / exp["n_chunks"].to_numpy())
+
+
+def test_repetition_vs_counter(ray_session, docs):
+    from osmquadtree_depreceated_ray.pipelines.queries_pack import (
+        q_repetition,
+    )
+
+    got = q_repetition(SF).to_pandas().sort_values("doc_id")
+    rows = []
+    for r in docs.itertuples(index=False):
+        ws = r.text.split(" ")
+        bigs = Counter(
+            f"{a} {b}" for a, b in zip(ws, ws[1:]))
+        if bigs:
+            rows.append((int(r.doc_id), sum(bigs.values()),
+                         max(bigs.values())))
+    exp = pd.DataFrame(
+        rows, columns=["doc_id", "n_big", "top_big_n"]).sort_values("doc_id")
+    assert (got["doc_id"].to_numpy() == exp["doc_id"].to_numpy()).all()
+    assert (got["n_big"].to_numpy() == exp["n_big"].to_numpy()).all()
+    assert (got["top_big_n"].to_numpy() == exp["top_big_n"].to_numpy()).all()
+    assert np.allclose(
+        got["top_big_frac"].to_numpy(),
+        exp["top_big_n"].to_numpy() / exp["n_big"].to_numpy())
