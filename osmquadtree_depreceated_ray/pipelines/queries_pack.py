@@ -114,6 +114,57 @@ def sql_seq_pack() -> str:
     )
 
 
+def q_pack_export(sf_dir: str):
+    """Materialized packed sequences — the trainer-facing artifact:
+    one row per (source, bin) with the bin's doc count, token sum and
+    the md5 of the packed text (docs joined by ' ' in doc_id order).
+
+    This is an ORDERED group-concat: the full text moves through the
+    exchange because it IS the output payload (packing cannot avoid
+    shipping the corpus once — same as the reference's tiled write).
+    One bucketed exchange keyed by shard; the per-bin join is the
+    packing work itself, not avoidable bookkeeping."""
+    import hashlib
+
+    import ray
+
+    from ..stages.shuffle import bucketed_apply
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "doc_id"], kind="stable")
+        n = (g["text"].str.count(" ") + 1).to_numpy().astype(np.int64)
+        csum = (pd.Series(n).groupby(g["source"].to_numpy()).cumsum()
+                .to_numpy() - n)
+        g = g.assign(n_tokens=n, bin=csum // PACK_BUDGET)
+        md5 = hashlib.md5
+        out = g.groupby(["source", "bin"], as_index=False, sort=False).agg(
+            n_docs=("doc_id", "size"),
+            tok_sum=("n_tokens", "sum"),
+            pack_md5=("text", lambda s: md5(" ".join(s).encode()).hexdigest()),
+        )
+        return out
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
+    return bucketed_apply(ds, ["source"], pack)
+
+
+def sql_pack_export() -> str:
+    return (
+        "WITH t AS (SELECT source, doc_id, text, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens "
+        "FROM documents), "
+        "c AS (SELECT source, doc_id, text, n_tokens, "
+        "CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source "
+        "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "1 PRECEDING), 0) AS BIGINT) AS csum FROM t) "
+        f"SELECT source, CAST(csum // {PACK_BUDGET} AS BIGINT) AS bin, "
+        "COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tok_sum, "
+        "md5(string_agg(text, ' ' ORDER BY doc_id)) AS pack_md5 "
+        f"FROM c GROUP BY source, csum // {PACK_BUDGET}"
+    )
+
+
 # ------------------------------------- 2. duplicate-chunk removal (C4)
 
 def _doc_chunks(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
@@ -291,12 +342,14 @@ def sql_repetition() -> str:
 
 QUERIES = {
     "seq_pack": q_seq_pack,
+    "pack_export": q_pack_export,
     "chunk_dedup": q_chunk_dedup,
     "repetition": q_repetition,
 }
 
 ORACLES = {
     "seq_pack": sql_seq_pack(),
+    "pack_export": sql_pack_export(),
     "chunk_dedup": sql_chunk_dedup(),
     "repetition": sql_repetition(),
 }

@@ -47,6 +47,33 @@ def test_seq_pack_vs_pandas(ray_session, docs):
         assert b[0] == 0 and (np.diff(b) >= 0).all()
 
 
+def test_pack_export_vs_pandas(ray_session, docs):
+    import hashlib
+
+    from osmquadtree_depreceated_ray.pipelines.queries_pack import (
+        PACK_BUDGET,
+        q_pack_export,
+    )
+
+    got = (q_pack_export(SF).to_pandas()
+           .sort_values(["source", "bin"]).reset_index(drop=True))
+    d = docs.sort_values(["source", "doc_id"]).reset_index(drop=True)
+    n = d["text"].str.count(" ").to_numpy() + 1
+    csum = (pd.Series(n).groupby(d["source"].to_numpy()).cumsum()
+            .to_numpy() - n)
+    d = d.assign(n_tokens=n, bin=csum // PACK_BUDGET)
+    exp = (d.groupby(["source", "bin"], as_index=False).agg(
+        n_docs=("doc_id", "size"),
+        tok_sum=("n_tokens", "sum"),
+        pack_md5=("text", lambda s: hashlib.md5(
+            " ".join(s).encode()).hexdigest()),
+    ).sort_values(["source", "bin"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["source", "bin", "n_docs", "tok_sum", "pack_md5"]].astype(
+            {"n_docs": "int64", "tok_sum": "int64", "bin": "int64"}),
+        exp.astype({"n_docs": "int64", "tok_sum": "int64", "bin": "int64"}))
+
+
 def test_chunk_dedup_vs_counter(ray_session, docs):
     from osmquadtree_depreceated_ray.pipelines.queries_pack import (
         CHUNK_W,
