@@ -279,7 +279,127 @@ def sql_chunk_dedup() -> str:
     )
 
 
-# --------------------------------- 3. repetition signal (Gopher-style)
+# ------------------------------------ 3. decontamination screening
+
+NGRAM_W = 8            # sliding n-gram width (GPT-3 used 13-grams,
+# Llama 2 used token 8-grams; whitespace 8-grams here)
+EVAL_MOD = 10          # fixture stand-in for the benchmark set:
+# docs with doc_id % EVAL_MOD == 0 play the held-out eval corpus
+
+
+def _doc_ngrams(b: pa.Table) -> pd.DataFrame:
+    """(doc_id, gram) sliding whitespace NGRAM_W-grams per doc,
+    vectorized: one explode + NGRAM_W-1 within-doc shifts + vector
+    concats.  Docs shorter than NGRAM_W words yield no grams."""
+    doc_id = b.column("doc_id").to_numpy()
+    t = b.column("text").to_pandas()
+    ex = t.str.split(" ").explode()
+    g = ex.groupby(level=0)
+    s = ex
+    for j in range(1, NGRAM_W):
+        s = s + " " + g.shift(-j)
+    s = s.dropna()
+    return pd.DataFrame(
+        {"doc_id": doc_id[s.index.to_numpy()].astype(np.int64),
+         "g": s.to_numpy()})
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark-overlap screening: flag how much of every corpus doc
+    is covered by sliding 8-grams that also occur in the eval set
+    (docs with doc_id % EVAL_MOD == 0 stand in for the benchmark).
+    Output per corpus doc: (doc_id, n_grams, n_contam, contam_frac).
+
+    The eval-set gram table is the SMALL side (benchmarks are tiny
+    next to a training corpus): its distinct gram hashes are collected
+    sorted and broadcast once via ray.put, probed per batch with
+    searchsorted — the bloom_semijoin recheck shape.  Above
+    DUP_BROADCAST_MAX the probe becomes a bucketed semi-join on the
+    gram hash (same fallback contract as chunk_dedup)."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def eval_grams(b: pa.Table) -> pa.Table:
+        keep = np.flatnonzero(
+            b.column("doc_id").to_numpy() % EVAL_MOD == 0)
+        sub = b.take(pa.array(keep, pa.int64()))
+        df = _doc_ngrams(sub)
+        uniq = pd.unique(df["g"])
+        gh = np.unique(_md5_lower64(uniq).view(np.int64))
+        return pa.table({"gh": pa.array(gh)})
+
+    from ..stages.shuffle import distinct
+
+    evset = distinct(
+        ds.map_batches(eval_grams, batch_format="pyarrow"), ["gh"]
+    ).to_pandas()
+    if len(evset) > DUP_BROADCAST_MAX:
+        raise ValueError(
+            "eval gram set exceeds broadcast threshold; route through "
+            "the bucketed semi-join fallback (see module docstring)")
+    ev_ref = ray.put(np.sort(evset["gh"].to_numpy().astype(np.int64)))
+
+    def probe(b: pa.Table) -> pa.Table:
+        ev = ray.get(ev_ref)
+        keep = np.flatnonzero(
+            b.column("doc_id").to_numpy() % EVAL_MOD != 0)
+        sub = b.take(pa.array(keep, pa.int64()))
+        df = _doc_ngrams(sub)
+        if not len(df):
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n_grams": pa.array([], pa.int64()),
+                 "n_contam": pa.array([], pa.int64()),
+                 "contam_frac": pa.array([], pa.float64())})
+        codes, uniq = pd.factorize(df["g"], sort=False)
+        gh = _md5_lower64(uniq).view(np.int64)[codes]
+        if len(ev):
+            j = np.searchsorted(ev, gh)
+            j[j >= len(ev)] = len(ev) - 1
+            hit = ev[j] == gh
+        else:
+            hit = np.zeros(len(gh), bool)
+        d = df["doc_id"].to_numpy()
+        docs = np.unique(d)
+        idx = np.searchsorted(docs, d)
+        n_all = np.bincount(idx, minlength=len(docs)).astype(np.int64)
+        n_hit = np.bincount(
+            idx, weights=hit.astype(np.float64),
+            minlength=len(docs)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(docs),
+                "n_grams": pa.array(n_all),
+                "n_contam": pa.array(n_hit),
+                "contam_frac": pa.array(n_hit / n_all),
+            }
+        )
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def sql_decontaminate() -> str:
+    return (
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws "
+        "FROM documents), "
+        "g AS (SELECT doc_id, unnest(list_transform("
+        f"range(1, len(ws) - {NGRAM_W - 2}), "
+        f"i -> array_to_string(list_slice(ws, i, i + {NGRAM_W - 1}), "
+        "' '))) AS gram FROM w), "
+        f"ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % {EVAL_MOD} = 0) "
+        "SELECT g.doc_id, COUNT(*) AS n_grams, "
+        "CAST(SUM(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_contam, "
+        "CAST(SUM(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END) "
+        "AS DOUBLE) / COUNT(*) AS contam_frac "
+        "FROM g LEFT JOIN ev ON g.gram = ev.gram "
+        f"WHERE g.doc_id % {EVAL_MOD} != 0 GROUP BY g.doc_id"
+    )
+
+
+# --------------------------------- 4. repetition signal (Gopher-style)
 
 def q_repetition(sf_dir: str):
     """Per-doc top-bigram fraction: (doc_id, n_big, top_big_n,
@@ -344,6 +464,7 @@ QUERIES = {
     "seq_pack": q_seq_pack,
     "pack_export": q_pack_export,
     "chunk_dedup": q_chunk_dedup,
+    "decontaminate": q_decontaminate,
     "repetition": q_repetition,
 }
 
@@ -351,5 +472,6 @@ ORACLES = {
     "seq_pack": sql_seq_pack(),
     "pack_export": sql_pack_export(),
     "chunk_dedup": sql_chunk_dedup(),
+    "decontaminate": sql_decontaminate(),
     "repetition": sql_repetition(),
 }

@@ -99,6 +99,41 @@ def test_chunk_dedup_vs_counter(ray_session, docs):
         exp["n_dup"].to_numpy() / exp["n_chunks"].to_numpy())
 
 
+def test_decontaminate_vs_sets(ray_session, docs):
+    from osmquadtree_depreceated_ray.pipelines.queries_pack import (
+        EVAL_MOD,
+        NGRAM_W,
+        q_decontaminate,
+    )
+
+    got = q_decontaminate(SF).to_pandas().sort_values("doc_id")
+
+    def grams(text):
+        ws = text.split(" ")
+        return [" ".join(ws[i:i + NGRAM_W])
+                for i in range(len(ws) - NGRAM_W + 1)]
+
+    ev = set()
+    for r in docs.itertuples(index=False):
+        if int(r.doc_id) % EVAL_MOD == 0:
+            ev.update(grams(r.text))
+    rows = []
+    for r in docs.itertuples(index=False):
+        if int(r.doc_id) % EVAL_MOD == 0:
+            continue
+        gs = grams(r.text)
+        if gs:
+            rows.append((int(r.doc_id), len(gs),
+                         sum(g in ev for g in gs)))
+    exp = pd.DataFrame(
+        rows, columns=["doc_id", "n_grams", "n_contam"]).sort_values("doc_id")
+    assert (got["doc_id"].to_numpy() == exp["doc_id"].to_numpy()).all()
+    assert (got["n_grams"].to_numpy() == exp["n_grams"].to_numpy()).all()
+    assert (got["n_contam"].to_numpy() == exp["n_contam"].to_numpy()).all()
+    # no eval doc leaks into the screened output
+    assert (got["doc_id"].to_numpy() % EVAL_MOD != 0).all()
+
+
 def test_repetition_vs_counter(ray_session, docs):
     from osmquadtree_depreceated_ray.pipelines.queries_pack import (
         q_repetition,
