@@ -460,12 +460,142 @@ def sql_repetition() -> str:
     )
 
 
+# --------------------------- 5. end-to-end curation flagship
+
+CUR_MIN_WORDS = 30
+CUR_STOP_DEN = 20            # lowstop iff stop_n * CUR_STOP_DEN < n_tokens
+CUR_LANGS = ("en", "de", "fr", "es")
+
+
+def q_curate_e2e(sf_dir: str):
+    """The text-side flagship: one call running the whole curation
+    chain a training-data pipeline needs — exact-dup canonicalization
+    (first-two-words prefix key, same key as ``dedup_exact``) ->
+    quality rules (length, stopword ratio) -> language filter ->
+    token-budget bin packing of the survivors (seq_pack semantics).
+
+    Output one row per document: (doc_id, source, lang, n_tokens,
+    keep, reason, bin) with reason in {dup, short, lowstop, lang, ok}
+    by that precedence and bin = -1 for dropped docs.
+
+    Two exchanges total: one bucketed by the dedup key (per-key min),
+    one bucketed by shard for the packing cumsum; every per-doc rule is
+    vectorized inside map_batches.  At 100 TB both exchanges move only
+    fixed-width metadata rows (the text never shuffles)."""
+    import ray
+
+    from ..stages.shuffle import bucketed_apply
+    from .queries_text import STOPWORDS
+
+    def stage1(b: pa.Table) -> pa.Table:
+        t = b.column("text").to_pandas()
+        n = len(t)
+        nw = (t.str.count(" ") + 1).to_numpy().astype(np.int64)
+        if n:
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), nw)
+            words = np.asarray(" ".join(t.tolist()).split(" "), dtype=object)
+            stop_mask = pd.Series(words).isin(STOPWORDS).to_numpy()
+            stop_n = np.bincount(
+                doc_idx[stop_mask], minlength=n).astype(np.int64)
+        else:
+            stop_n = nw
+        prefix = t.str.extract(r"^(\S*(?: \S*)?)", expand=False)
+        codes, uniq = pd.factorize(prefix)
+        kh = _md5_lower64(uniq.astype(object)).view(np.int64)[codes] \
+            if n else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "source": b.column("source"),
+                "lang": b.column("lang"),
+                "kh": pa.array(kh),
+                "n_tokens": pa.array(nw),
+                "stop_n": pa.array(stop_n),
+            }
+        )
+
+    def canon(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("kh", sort=False)["doc_id"].transform("min")
+        nw = g["n_tokens"].to_numpy()
+        reason = np.select(
+            [
+                (g["doc_id"] != m).to_numpy(),
+                nw < CUR_MIN_WORDS,
+                g["stop_n"].to_numpy() * CUR_STOP_DEN < nw,
+                ~g["lang"].isin(CUR_LANGS).to_numpy(),
+            ],
+            ["dup", "short", "lowstop", "lang"],
+            default="ok",
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "source": g["source"].to_numpy(),
+                "lang": g["lang"].to_numpy(),
+                "n_tokens": nw,
+                "keep": (reason == "ok").astype(np.int64),
+                "reason": reason,
+            }
+        )
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "doc_id"], kind="stable")
+        masked = np.where(g["keep"].to_numpy() == 1,
+                          g["n_tokens"].to_numpy(), 0)
+        csum = (pd.Series(masked).groupby(g["source"].to_numpy()).cumsum()
+                .to_numpy() - masked)
+        b = np.where(g["keep"].to_numpy() == 1,
+                     csum // PACK_BUDGET, -1).astype(np.int64)
+        return g.assign(bin=b)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+    ).map_batches(stage1, batch_format="pyarrow")
+    flagged = bucketed_apply(ds, ["kh"], canon)
+    return bucketed_apply(flagged, ["source"], pack)
+
+
+def sql_curate_e2e() -> str:
+    from .queries_text import STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS)
+    langs = ", ".join(f"'{w}'" for w in CUR_LANGS)
+    return (
+        "WITH t AS (SELECT doc_id, source, lang, "
+        "array_to_string(list_slice(string_split(text, ' '), 1, 2), ' ') "
+        "AS kh, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
+        "CAST(len(list_filter(string_split(text, ' '), "
+        f"w -> w IN ({stops}))) AS BIGINT) AS stop_n FROM documents), "
+        "c AS (SELECT *, MIN(doc_id) OVER (PARTITION BY kh) AS canon "
+        "FROM t), "
+        "r AS (SELECT doc_id, source, lang, n_tokens, "
+        "CASE WHEN doc_id != canon THEN 'dup' "
+        f"WHEN n_tokens < {CUR_MIN_WORDS} THEN 'short' "
+        f"WHEN stop_n * {CUR_STOP_DEN} < n_tokens THEN 'lowstop' "
+        f"WHEN lang NOT IN ({langs}) THEN 'lang' "
+        "ELSE 'ok' END AS reason FROM c), "
+        "k AS (SELECT *, "
+        "CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS keep, "
+        "CAST(COALESCE(SUM(CASE WHEN reason = 'ok' THEN n_tokens "
+        "ELSE 0 END) OVER (PARTITION BY source ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        "AS BIGINT) AS csum FROM r) "
+        "SELECT doc_id, source, lang, n_tokens, "
+        "CAST(keep AS BIGINT) AS keep, reason, "
+        f"CASE WHEN keep = 1 THEN CAST(csum // {PACK_BUDGET} AS BIGINT) "
+        "ELSE -1 END AS bin FROM k"
+    )
+
+
 QUERIES = {
     "seq_pack": q_seq_pack,
     "pack_export": q_pack_export,
     "chunk_dedup": q_chunk_dedup,
     "decontaminate": q_decontaminate,
     "repetition": q_repetition,
+    "curate_e2e": q_curate_e2e,
 }
 
 ORACLES = {
@@ -474,4 +604,5 @@ ORACLES = {
     "chunk_dedup": sql_chunk_dedup(),
     "decontaminate": sql_decontaminate(),
     "repetition": sql_repetition(),
+    "curate_e2e": sql_curate_e2e(),
 }

@@ -134,6 +134,52 @@ def test_decontaminate_vs_sets(ray_session, docs):
     assert (got["doc_id"].to_numpy() % EVAL_MOD != 0).all()
 
 
+def test_curate_e2e_vs_pandas(ray_session, docs):
+    from osmquadtree_depreceated_ray.pipelines.queries_pack import (
+        CUR_LANGS,
+        CUR_MIN_WORDS,
+        CUR_STOP_DEN,
+        PACK_BUDGET,
+        q_curate_e2e,
+    )
+    from osmquadtree_depreceated_ray.pipelines.queries_text import STOPWORDS
+
+    got = (q_curate_e2e(SF).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    d = docs.sort_values("doc_id").reset_index(drop=True)
+    key = d["text"].str.split(" ").str[:2].str.join(" ")
+    canon = d.groupby(key.to_numpy())["doc_id"].transform("min")
+    nw = d["text"].str.count(" ").to_numpy() + 1
+    stop_n = d["text"].apply(
+        lambda t: sum(w in STOPWORDS for w in t.split(" "))).to_numpy()
+    reasons = []
+    for i in range(len(d)):
+        if d["doc_id"].iloc[i] != canon.iloc[i]:
+            reasons.append("dup")
+        elif nw[i] < CUR_MIN_WORDS:
+            reasons.append("short")
+        elif stop_n[i] * CUR_STOP_DEN < nw[i]:
+            reasons.append("lowstop")
+        elif d["lang"].iloc[i] not in CUR_LANGS:
+            reasons.append("lang")
+        else:
+            reasons.append("ok")
+    exp = d.assign(reason=reasons, n_tokens=nw,
+                   keep=(np.array(reasons) == "ok").astype(np.int64))
+    exp = exp.sort_values(["source", "doc_id"], kind="stable")
+    masked = np.where(exp["keep"] == 1, exp["n_tokens"], 0)
+    csum = (pd.Series(masked).groupby(exp["source"].to_numpy()).cumsum()
+            .to_numpy() - masked)
+    exp = exp.assign(
+        bin=np.where(exp["keep"] == 1, csum // PACK_BUDGET, -1)
+    ).sort_values("doc_id").reset_index(drop=True)
+    for col in ("n_tokens", "keep", "reason", "bin"):
+        assert (got[col].to_numpy() == exp[col].to_numpy()).all(), col
+    # every kept doc's tokens are conserved into bins; dropped docs never
+    # occupy a bin
+    assert (got.loc[got["keep"] == 0, "bin"] == -1).all()
+
+
 def test_repetition_vs_counter(ray_session, docs):
     from osmquadtree_depreceated_ray.pipelines.queries_pack import (
         q_repetition,
