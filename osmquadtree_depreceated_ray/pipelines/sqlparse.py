@@ -36,6 +36,9 @@ Surface (the reference's grammar, plus LIMIT):
     ORDER BY expr [ASC|DESC], ... / LIMIT n [OFFSET m]
     <select> UNION [ALL] <select>         (non-ALL deduplicates)
     <select> INTERSECT|EXCEPT <select>    (distinct set semantics)
+    WITH name AS (query) [, ...] <query>  (CTEs, planned once in order
+                                          into a shadowed table map;
+                                          RECURSIVE rejected)
 
 Scalar functions: coalesce nullif replace substr char_length/length
 concat upper lower trim ltrim rtrim reverse abs sign floor ceil round
@@ -109,7 +112,8 @@ _KEYWORDS = {
     "distinct", "group", "cast", "having", "over", "partition", "exists",
     "left", "inner", "outer", "right", "full", "rows", "preceding",
     "unbounded", "current", "row", "following", "filter", "offset",
-    "qualify", "intersect", "except", "rollup", "cube",
+    "qualify", "intersect", "except", "rollup", "cube", "with",
+    "recursive",
 }
 
 
@@ -2114,8 +2118,33 @@ def parse_sql(sql: str, tables: dict,
               broadcast_threshold: int = 1_000_000) -> "ray.data.Dataset":  # noqa: F821
     """Parse a SQL string and execute it over the given name->Dataset
     map, returning a Dataset (the reference's ``Parse`` entry,
-    altlex.go:501-509)."""
-    ast = _Parser(_tokenize(sql)).parse_query()
+    altlex.go:501-509).
+
+    ``WITH name AS (query) [, ...]`` common table expressions are
+    supported by lowering onto the derived-table machinery: each CTE
+    body plans once, in order, into a shadowed copy of the table map
+    (later CTEs and the main query see earlier ones; the input map is
+    never mutated).  A CTE referenced several times shares ONE planned
+    Dataset lineage.  ``WITH RECURSIVE`` is rejected explicitly —
+    iterative fixpoints belong to the dedicated operators
+    (dedup_components' label propagation), not the SQL surface."""
+    p = _Parser(_tokenize(sql))
+    if p.accept("kw", "with"):
+        if p.accept("kw", "recursive"):
+            raise ValueError(
+                "WITH RECURSIVE unsupported: use the iterative operators "
+                "(e.g. connected-components label propagation) instead")
+        tables = dict(tables)
+        while True:
+            name = p.expect("ident")[1]
+            p.expect("kw", "as")
+            p.expect("op", "(")
+            sub = p.parse_query(nested=True)
+            p.expect("op", ")")
+            tables[name] = _exec_ast(sub, tables, broadcast_threshold)
+            if not p.accept("op", ","):
+                break
+    ast = p.parse_query()
     return _exec_ast(ast, tables, broadcast_threshold)
 
 

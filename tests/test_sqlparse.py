@@ -820,3 +820,48 @@ def test_numchar_maxwidth_reference_scalars(ray_session):
                      {"t2": ray.data.from_arrow(pa.table(
                          {"s": ["ab\nc\ndefg", "qq"]}))}).to_pandas()
     assert got2["mw"].tolist() == [4, 2]
+
+
+CTE_CASES = [
+    # single CTE feeding an aggregate
+    "WITH pos AS (SELECT k, v, s FROM t1 WHERE v > 0) "
+    "SELECT s, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sv FROM pos GROUP BY s",
+    # two CTEs, the second referencing the first
+    "WITH pos AS (SELECT k, v, s FROM t1 WHERE v > 0), "
+    "agg AS (SELECT s, CAST(SUM(v) AS BIGINT) AS sv FROM pos GROUP BY s) "
+    "SELECT s, sv FROM agg WHERE sv > 50",
+    # CTE joined against a base table
+    "WITH agg AS (SELECT s, COUNT(*) AS n FROM t1 GROUP BY s) "
+    "SELECT t2.label, agg.n FROM agg JOIN t2 ON agg.s = t2.gkey",
+    # CTE referenced twice in one query (set op over the same CTE)
+    "WITH big AS (SELECT k, v FROM t1 WHERE v >= 25) "
+    "SELECT k FROM big WHERE v >= 40 UNION ALL SELECT k FROM big "
+    "WHERE v < 30",
+    # CTE with window function consumed downstream
+    "WITH r AS (SELECT k, s, v, row_number() OVER "
+    "(PARTITION BY s ORDER BY v DESC, k) AS rk FROM t1) "
+    "SELECT s, k, v FROM r WHERE rk <= 2",
+]
+
+
+@pytest.mark.parametrize("sql", CTE_CASES)
+def test_cte_matches_duckdb(ray_session, t1, t2, sql):
+    _run_both(sql, None, {"t1": t1, "t2": t2})
+
+
+def test_cte_recursive_rejected(ray_session, t1):
+    import ray
+
+    with pytest.raises(ValueError, match="RECURSIVE"):
+        parse_sql(
+            "WITH RECURSIVE r AS (SELECT k FROM t1) SELECT * FROM r",
+            {"t1": ray.data.from_arrow(t1)})
+
+
+def test_cte_does_not_mutate_table_map(ray_session, t1):
+    import ray
+
+    tabs = {"t1": ray.data.from_arrow(t1)}
+    parse_sql("WITH c AS (SELECT k FROM t1 WHERE k < 5) "
+              "SELECT COUNT(*) AS n FROM c", tabs)
+    assert set(tabs) == {"t1"}
