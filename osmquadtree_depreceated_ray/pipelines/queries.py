@@ -1035,6 +1035,44 @@ QUERIES["sql_topn"] = q_sql_topn
 ORACLES["sql_topn"] = SQL_TOPN_TEXT
 
 
+SQL_CTE_TEXT = (
+    "WITH spend AS (SELECT o_custkey, COUNT(*) AS n_orders, "
+    "MIN(o_orderkey) AS first_ord FROM orders GROUP BY o_custkey), "
+    "joined AS (SELECT c_nationkey, n_orders, first_ord "
+    "FROM spend JOIN customer ON o_custkey = c_custkey) "
+    "SELECT c_nationkey, COUNT(*) AS n_cust, "
+    "CAST(SUM(n_orders) AS BIGINT) AS tot_orders, "
+    "MIN(first_ord) AS first_any FROM joined GROUP BY c_nationkey"
+)
+
+
+def q_sql_cte(sf_dir: str):
+    """WITH common table expressions through the SQL string front-end:
+    an aggregate CTE joined against a base table, re-aggregated — each
+    CTE plans once into a shadowed table map (parse_sql docstring).
+    All-integer measures so the aggregate is order-independent.  Oracle
+    = the IDENTICAL string in DuckDB."""
+    import ray
+
+    from .sqlparse import parse_sql
+
+    tables = {
+        "orders": ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey"],
+        ),
+        "customer": ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_nationkey"],
+        ),
+    }
+    return parse_sql(SQL_CTE_TEXT, tables)
+
+
+QUERIES["sql_cte"] = q_sql_cte
+ORACLES["sql_cte"] = SQL_CTE_TEXT
+
+
 def q_hll_distinct(sf_dir: str):
     """Mergeable-sketch aggregation (the brief's 'novel sketch' class):
     HyperLogLog distinct-user estimate over events.  Map-side fixed-size
