@@ -165,6 +165,72 @@ def sql_pack_export() -> str:
     )
 
 
+# ---------------- shared bucketed semi-count (the above-threshold path)
+
+def _bucketed_hit_counts(occ_ds, set_ds, totals_ds):
+    """Per-doc membership counting WITHOUT collecting the probe set:
+    the scale path for chunk_dedup / decontaminate when the
+    duplicated-chunk / eval-gram set exceeds DUP_BROADCAST_MAX.
+
+    occ_ds:    (doc_id, gh, cnt)  — per-doc hash occurrence counts
+    set_ds:    (gh)               — the membership set, as a Dataset
+    totals_ds: (doc_id, total)    — per-doc denominators (map-side)
+
+    Two bucketed exchanges, no driver-side set: (1) occ and set rows
+    co-locate per gh bucket (set rows tagged doc_id = -1, the tfidf
+    fallback's marker shape) and hit partials aggregate per doc;
+    (2) partials merge with totals per doc_id bucket.  Returns a
+    Dataset (doc_id, total, hits)."""
+    from ..stages.shuffle import bucketed_apply
+
+    def tag_set(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": pa.array(np.full(t.num_rows, -1, np.int64)),
+             "gh": t.column("gh"),
+             "cnt": pa.array(np.zeros(t.num_rows, np.int64))})
+
+    both = occ_ds.union(set_ds.map_batches(tag_set, batch_format="pyarrow"))
+
+    def hit(g: pd.DataFrame) -> pd.DataFrame:
+        mem = g.loc[g["doc_id"] == -1, "gh"]
+        occ = g[g["doc_id"] != -1]
+        occ = occ[occ["gh"].isin(mem)]
+        if occ.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "hits": pd.Series(dtype=np.int64)})
+        per = occ.groupby("doc_id", sort=False)["cnt"].sum()
+        return pd.DataFrame({"doc_id": per.index.to_numpy(np.int64),
+                             "hits": per.to_numpy(np.int64)})
+
+    hits = bucketed_apply(both, ["gh"], hit)
+
+    def tag_hits(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "total": pa.array(
+                             np.zeros(t.num_rows, np.int64)),
+                         "hits": t.column("hits")})
+
+    def tag_tot(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "total": t.column("total"),
+                         "hits": pa.array(
+                             np.zeros(t.num_rows, np.int64))})
+
+    u = hits.map_batches(tag_hits, batch_format="pyarrow").union(
+        totals_ds.map_batches(tag_tot, batch_format="pyarrow"))
+
+    def fin(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby("doc_id", sort=False).agg(
+            total=("total", "sum"), hits=("hits", "sum"))
+        # docs absent from totals cannot occur (every doc emits one
+        # totals row); hit partials for doc -1 never reach here
+        return pd.DataFrame({"doc_id": per.index.to_numpy(np.int64),
+                             "total": per["total"].to_numpy(np.int64),
+                             "hits": per["hits"].to_numpy(np.int64)})
+
+    return bucketed_apply(u, ["doc_id"], fin)
+
+
 # ------------------------------------- 2. duplicate-chunk removal (C4)
 
 def _doc_chunks(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
@@ -195,7 +261,7 @@ def _doc_chunks(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return chunk_doc, s
 
 
-def q_chunk_dedup(sf_dir: str):
+def q_chunk_dedup(sf_dir: str, broadcast_max: int | None = None):
     """Per-doc duplicated-span stats: (doc_id, n_chunks, n_dup, dup_frac)
     where a chunk is "dup" iff its exact text occurs in >= 2 distinct
     docs anywhere in the corpus.
@@ -203,11 +269,15 @@ def q_chunk_dedup(sf_dir: str):
     Two passes: (1) distinct (doc, chunk-hash) pairs -> map-side-combined
     count per hash -> the small duplicated-hash set, sorted + broadcast
     via ray.put; (2) per-batch searchsorted membership recount.  Above
-    DUP_BROADCAST_MAX the probe becomes a bucketed semi-join on the
-    chunk hash (contract documented; bloom_semijoin holds that shape)."""
+    ``broadcast_max`` (default DUP_BROADCAST_MAX) the probe instead runs
+    through :func:`_bucketed_hit_counts` — two bucketed exchanges, the
+    dup set never collects to the driver."""
     import ray
 
     from ..stages.shuffle import grouped_agg
+
+    if broadcast_max is None:
+        broadcast_max = DUP_BROADCAST_MAX
 
     def pairs(b: pa.Table) -> pa.Table:
         d, s = _doc_chunks(b)
@@ -223,11 +293,39 @@ def q_chunk_dedup(sf_dir: str):
         ds.map_batches(pairs, batch_format="pyarrow"),
         ["gh"], {"n_docs": ("one", "sum")},
     )
-    dup = counts.filter(expr="n_docs >= 2").to_pandas()
-    if len(dup) > DUP_BROADCAST_MAX:
-        raise ValueError(
-            "dup-chunk set exceeds broadcast threshold; route through "
-            "the bucketed semi-join fallback (see module docstring)")
+    dup_ds = counts.filter(expr="n_docs >= 2").select_columns(["gh"])
+    if dup_ds.count() > broadcast_max:
+        # scale path: bucketed semi-count, no driver-side set
+        def occ(b: pa.Table) -> pa.Table:
+            d, s = _doc_chunks(b)
+            codes, uniq = pd.factorize(pd.Series(s), sort=False)
+            gh = _md5_lower64(uniq).view(np.int64)[codes]
+            per = (pd.DataFrame({"doc_id": d, "gh": gh})
+                   .groupby(["doc_id", "gh"], sort=False).size()
+                   .reset_index(name="cnt"))
+            return pa.Table.from_pandas(per, preserve_index=False)
+
+        def totals(b: pa.Table) -> pa.Table:
+            d, _s = _doc_chunks(b)
+            docs, n = np.unique(d, return_counts=True)
+            return pa.table({"doc_id": pa.array(docs),
+                             "total": pa.array(n.astype(np.int64))})
+
+        merged = _bucketed_hit_counts(
+            ds.map_batches(occ, batch_format="pyarrow"), dup_ds,
+            ds.map_batches(totals, batch_format="pyarrow"))
+
+        def shape(t: pa.Table) -> pa.Table:
+            tot = t.column("total").to_numpy()
+            hits = t.column("hits").to_numpy()
+            return pa.table({"doc_id": t.column("doc_id"),
+                             "n_chunks": pa.array(tot),
+                             "n_dup": pa.array(hits),
+                             "dup_frac": pa.array(hits / tot)})
+
+        return merged.map_batches(shape, batch_format="pyarrow")
+
+    dup = dup_ds.to_pandas()
     dup_ref = ray.put(np.sort(dup["gh"].to_numpy().astype(np.int64)))
 
     def recount(b: pa.Table) -> pa.Table:
@@ -304,7 +402,7 @@ def _doc_ngrams(b: pa.Table) -> pd.DataFrame:
          "g": s.to_numpy()})
 
 
-def q_decontaminate(sf_dir: str):
+def q_decontaminate(sf_dir: str, broadcast_max: int | None = None):
     """Benchmark-overlap screening: flag how much of every corpus doc
     is covered by sliding 8-grams that also occur in the eval set
     (docs with doc_id % EVAL_MOD == 0 stand in for the benchmark).
@@ -332,13 +430,50 @@ def q_decontaminate(sf_dir: str):
 
     from ..stages.shuffle import distinct
 
-    evset = distinct(
-        ds.map_batches(eval_grams, batch_format="pyarrow"), ["gh"]
-    ).to_pandas()
-    if len(evset) > DUP_BROADCAST_MAX:
-        raise ValueError(
-            "eval gram set exceeds broadcast threshold; route through "
-            "the bucketed semi-join fallback (see module docstring)")
+    if broadcast_max is None:
+        broadcast_max = DUP_BROADCAST_MAX
+    ev_ds = distinct(
+        ds.map_batches(eval_grams, batch_format="pyarrow"), ["gh"])
+    if ev_ds.count() > broadcast_max:
+        # scale path: bucketed semi-count against the eval-gram set
+        def occ(b: pa.Table) -> pa.Table:
+            keep = np.flatnonzero(
+                b.column("doc_id").to_numpy() % EVAL_MOD != 0)
+            df = _doc_ngrams(b.take(pa.array(keep, pa.int64())))
+            codes, uniq = pd.factorize(df["g"], sort=False)
+            gh = _md5_lower64(uniq).view(np.int64)[codes] \
+                if len(df) else np.empty(0, np.int64)
+            per = (pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                                 "gh": gh})
+                   .groupby(["doc_id", "gh"], sort=False).size()
+                   .reset_index(name="cnt"))
+            return pa.Table.from_pandas(per, preserve_index=False)
+
+        def totals(b: pa.Table) -> pa.Table:
+            keep = np.flatnonzero(
+                b.column("doc_id").to_numpy() % EVAL_MOD != 0)
+            df = _doc_ngrams(b.take(pa.array(keep, pa.int64())))
+            docs, n = np.unique(df["doc_id"].to_numpy(),
+                                return_counts=True)
+            return pa.table(
+                {"doc_id": pa.array(docs.astype(np.int64)),
+                 "total": pa.array(n.astype(np.int64))})
+
+        merged = _bucketed_hit_counts(
+            ds.map_batches(occ, batch_format="pyarrow"), ev_ds,
+            ds.map_batches(totals, batch_format="pyarrow"))
+
+        def shape(t: pa.Table) -> pa.Table:
+            tot = t.column("total").to_numpy()
+            hits = t.column("hits").to_numpy()
+            return pa.table({"doc_id": t.column("doc_id"),
+                             "n_grams": pa.array(tot),
+                             "n_contam": pa.array(hits),
+                             "contam_frac": pa.array(hits / tot)})
+
+        return merged.map_batches(shape, batch_format="pyarrow")
+
+    evset = ev_ds.to_pandas()
     ev_ref = ray.put(np.sort(evset["gh"].to_numpy().astype(np.int64)))
 
     def probe(b: pa.Table) -> pa.Table:

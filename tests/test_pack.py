@@ -99,6 +99,23 @@ def test_chunk_dedup_vs_counter(ray_session, docs):
         exp["n_dup"].to_numpy() / exp["n_chunks"].to_numpy())
 
 
+def test_bucketed_fallback_matches_broadcast(ray_session):
+    """Forcing broadcast_max=0 routes chunk_dedup / decontaminate
+    through the bucketed semi-count exchange; results must be identical
+    to the broadcast searchsorted path."""
+    from osmquadtree_depreceated_ray.pipelines.queries_pack import (
+        q_chunk_dedup,
+        q_decontaminate,
+    )
+
+    for fn in (q_chunk_dedup, q_decontaminate):
+        a = (fn(SF).to_pandas().sort_values("doc_id")
+             .reset_index(drop=True))
+        b = (fn(SF, broadcast_max=0).to_pandas().sort_values("doc_id")
+             .reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b[a.columns.tolist()])
+
+
 def test_decontaminate_vs_sets(ray_session, docs):
     from osmquadtree_depreceated_ray.pipelines.queries_pack import (
         EVAL_MOD,
