@@ -41,8 +41,6 @@ def _explode_words(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     if not texts:
         return doc[:0], np.asarray([], dtype=object)
     words = np.asarray(" ".join(texts).split(" "), dtype=object)
-    import pandas as pd
-
     lens = (pd.Series(texts).str.count(" ") + 1).to_numpy()
     return np.repeat(doc, lens), words
 

@@ -253,10 +253,16 @@ def _doc_chunks(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     total = int(nchunks.sum())
     mat = np.full((total, CHUNK_W), "", dtype=object)
     mat[cid, pos % CHUNK_W] = words
+    # padding cells are identified by POSITION (a chunk's length),
+    # never by cell value — a genuine "" token (consecutive spaces in
+    # the text) is a real word and must stay in the joined chunk,
+    # exactly as the oracle's array_to_string does
+    chunk_len = np.full(total, CHUNK_W, dtype=np.int64)
+    last_idx = chunk_base + nchunks - 1
+    chunk_len[last_idx] = nw - (nchunks - 1) * CHUNK_W
     s = mat[:, 0]
     for j in range(1, CHUNK_W):
-        col = mat[:, j]
-        s = np.where(col == "", s, s + " " + col)
+        s = np.where(j < chunk_len, s + " " + mat[:, j], s)
     chunk_doc = np.repeat(doc_id.astype(np.int64), nchunks)
     return chunk_doc, s
 
@@ -339,10 +345,8 @@ def q_chunk_dedup(sf_dir: str, broadcast_max: int | None = None):
             isdup = dset[j] == gh
         else:
             isdup = np.zeros(len(gh), bool)
-        n_all = np.bincount(
-            np.searchsorted(np.unique(d), d),
-            minlength=len(np.unique(d))).astype(np.int64)
-        docs = np.unique(d)
+        docs, n_all = np.unique(d, return_counts=True)
+        n_all = n_all.astype(np.int64)
         n_dup = np.bincount(
             np.searchsorted(docs, d), weights=isdup.astype(np.float64),
             minlength=len(docs)).astype(np.int64)
@@ -636,8 +640,15 @@ def q_curate_e2e(sf_dir: str):
             stop_n = nw
         prefix = t.str.extract(r"^(\S*(?: \S*)?)", expand=False)
         codes, uniq = pd.factorize(prefix)
-        kh = _md5_lower64(uniq.astype(object)).view(np.int64)[codes] \
-            if n else np.empty(0, np.int64)
+        if n:
+            base = _md5_lower64(uniq.astype(object)).view(np.int64) \
+                if len(uniq) else np.zeros(1, np.int64)
+            kh = base[codes]
+            # NULL text factorizes to code -1 (would alias the last
+            # unique prefix); SQL groups NULLs together — reserve 0
+            kh[codes == -1] = np.int64(0)
+        else:
+            kh = np.empty(0, np.int64)
         return pa.table(
             {
                 "doc_id": b.column("doc_id"),

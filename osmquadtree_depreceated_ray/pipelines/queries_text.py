@@ -157,7 +157,12 @@ def q_dedup_exact(sf_dir: str):
         # heavily by construction
         prefix = t.str.extract(r"^(\S*(?: \S*)?)", expand=False)
         codes, uniq = pd.factorize(prefix)
-        key = np.asarray([_md5(s) for s in uniq], dtype=object)[codes]
+        key = np.asarray([_md5(s) for s in uniq] or [None],
+                         dtype=object)[codes]
+        # factorize codes NULL text as -1, which would otherwise alias
+        # the LAST unique prefix's hash; SQL groups NULLs together
+        # (md5(NULL) IS NULL), so give them one reserved key instead
+        key[codes == -1] = "__null__"
         return pa.table(
             {"key_hash": pa.array(key, pa.string()), "doc_id": b.column("doc_id")}
         )

@@ -1347,13 +1347,23 @@ def _window_bucket_fn(part: list, specs: list):
                 res = ((last_pos + 1) / cnt).astype(np.float64)
             elif fname in ("lag", "lead"):
                 # off may be (offset, default) when LAG/LEAD got a
-                # third argument: default fills out-of-window rows
+                # third argument: default fills ONLY out-of-window rows
+                # (SQL semantics) — a genuinely NULL lagged value stays
+                # NULL, so fillna (which conflates the two NaN sources)
+                # is wrong; mask on partition position instead
                 off_v, dflt = off if isinstance(off, tuple) else (off, None)
                 res = x.groupby(gv).shift(off_v if fname == "lag" else -off_v)
                 if dflt is not None:
-                    res = res.fillna(dflt)
+                    pos = x.groupby(gv).cumcount()
+                    if fname == "lag":
+                        oow = pos < off_v
+                    else:
+                        cnt = x.groupby(gv).transform("size")
+                        oow = pos >= cnt - off_v
+                    res = res.mask(oow, dflt)
                     if x.dtype.kind in "iu" and isinstance(dflt, int) \
-                            and not isinstance(dflt, bool):
+                            and not isinstance(dflt, bool) \
+                            and not res.isna().any():
                         res = res.astype(np.int64)
                 elif res.dtype.kind in "iu":
                     res = res.astype(np.float64)
@@ -1940,7 +1950,9 @@ def _resolve_exists(sub_sel, tables, broadcast_threshold, outer_names,
         "set_ops": [], "order": None, "desc": None, "limit": None}
     probe = ("col", oc)
     vals_ds = _exec_ast(sub_ast, tables, broadcast_threshold).materialize()
-    if vals_ds.count() > PROBE_COLLECT_THRESHOLD:
+    # probe is always a plain column here; collect instead of raising
+    # when the context has no join support (pending is None)
+    if vals_ds.count() > PROBE_COLLECT_THRESHOLD and pending is not None:
         m = _pending_semi_join(vals_ds, probe, pending)
         # NULL outer probes never match the marker join, so the
         # null-test alone is exact for both polarities
@@ -2037,7 +2049,12 @@ def _resolve_subqueries(node, tables, broadcast_threshold,
                            broadcast_threshold).materialize()
         e = _resolve_subqueries(node[1], tables, broadcast_threshold,
                                 outer_names, pending)
-        if sub_ds.count() > PROBE_COLLECT_THRESHOLD:
+        # the bucketed fallback joins on a plain probe COLUMN; an
+        # expression probe (e.g. lower(c) IN (...)) keeps the collect
+        # path whatever the set size — correct, just driver-bound
+        can_bucket = (pending is not None and isinstance(e, tuple)
+                      and len(e) > 0 and e[0] == "col")
+        if sub_ds.count() > PROBE_COLLECT_THRESHOLD and can_bucket:
             if node[0] == "not_in_sub":
                 # SQL 3VL: any NULL in the set makes NOT IN never TRUE.
                 # The null check is distributed (O(blocks) result)

@@ -502,30 +502,50 @@ def _ordered_tiles_and_paths(out_dir: str):
     its block index the same way); tiles on disk but not in the manifest
     are uncommitted and skipped.  Falls back to the directory listing
     for manifest-less layouts (bare write_tiled output in tests)."""
-    dd = mf.data_dir(out_dir)
+    import posixpath
+
+    from ..state import fsio
+
+    fs, root = fsio.get_fs(out_dir)
+    dd = mf.data_dir(root)
     man = mf.read_manifest(out_dir)
     if man is not None:
         tiles = sorted(int(t) for t in man.column("tile").to_pylist())
     else:
         tiles = sorted(
-            int(name.split("=", 1)[1]) for name in os.listdir(dd)
-            if name.startswith("tile="))
+            int(posixpath.basename(p).split("=", 1)[1])
+            for p in fs.ls(dd, detail=False)
+            if posixpath.basename(p).startswith("tile="))
+    # scheme-qualify non-local paths so remote read tasks and Ray Data's
+    # read_parquet resolve the same backend (local paths stay plain —
+    # the zero-overhead fast path).  Per-process backends (memory://)
+    # are driver-visible only, same caveat as the sink contract.
+    proto = fs.protocol if isinstance(fs.protocol, str) else fs.protocol[0]
+    local = proto in ("file", "local")
     per_tile = []
     for t in tiles:
-        d = os.path.join(dd, f"tile={t}")
-        if not os.path.isdir(d):
+        d = fsio.join(dd, f"tile={t}")
+        if not fs.isdir(d):
             continue
-        fs = [os.path.join(d, f) for f in sorted(os.listdir(d))
-              if f.endswith(".parquet")]
-        if fs:
-            per_tile.append((t, fs))
+        files = sorted(p for p in fs.ls(d, detail=False)
+                       if p.endswith(".parquet"))
+        if not local:
+            files = [fs.unstrip_protocol(p) for p in files]
+        if files:
+            per_tile.append((t, files))
     return per_tile
 
 
 def _read_tile_impl(paths, columns):
     import pyarrow.parquet as _pq
 
-    tabs = [_pq.read_table(p, columns=columns) for p in paths]
+    from ..state import fsio
+
+    tabs = []
+    for p in paths:
+        fs, pp = fsio.get_fs(p)
+        with fs.open(pp, "rb") as f:
+            tabs.append(_pq.read_table(f, columns=columns))
     return tabs[0] if len(tabs) == 1 else pa.concat_tables(
         tabs, promote_options="default")
 

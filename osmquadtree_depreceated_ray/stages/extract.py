@@ -36,7 +36,10 @@ def extract_text(batch: pa.Table) -> pa.Table:
     (``pc.replace_substring_regex``) — byte-equivalent to the per-row
     ``re.sub(rb"<[^>]+>", b"")`` for valid-UTF-8 html, because the
     char class ``[^>]`` delimits identical spans at byte and codepoint
-    level.  Non-UTF-8 payloads fall back to the per-row bytes path.
+    level.  Non-UTF-8 payloads fall back to the per-row bytes path with
+    U+FFFD replacement — the standard web-corpus contract (lossy by
+    design for corrupt payloads; the byte-identity invariant applies to
+    valid-UTF-8 html, which the whole fixture corpus is).
     """
     html = batch.column("html")
     try:

@@ -152,3 +152,34 @@ def test_commit_parquet_local_atomic(tmp_path):
     fsio.commit_parquet(pa.table({"a": [1, 2]}), fs, dest)
     assert pq.read_table(dest).num_rows == 2
     assert [p.name for p in tmp_path.iterdir()] == ["x.parquet"]
+
+
+def test_ordered_read_on_memory_fs(memfs):
+    """The ordered readers are scheme-routed like the sink: a tiled
+    layout committed to memory:// lists and reads back in qt order
+    (driver-side — the memory backend is per-process)."""
+    from osmquadtree_depreceated_ray.pipelines.tile import (
+        _ordered_tiles_and_paths, _read_tile_impl)
+
+    t = _demo_table()
+    tiles = np.array([10, 20, 30], dtype=np.int64)
+    counts = np.array([40, 30, 30], dtype=np.int64)
+    wid = _writer_ranges(tiles, counts, 2)
+    n_writers = int(wid.max()) + 1
+    pieces = [_split_impl(tiles, wid, n_writers, None, b)
+              for b in (t.slice(0, 55), t.slice(55))]
+    out = "memory://osink"
+    data = "memory://osink/data"
+    for w in range(n_writers):
+        _write_range_impl(w, data, None, None,
+                          *[pieces[b][w] for b in range(len(pieces))])
+    manifest.write_manifest(out, tiles, counts)
+
+    per = _ordered_tiles_and_paths(out)
+    assert [t_ for t_, _f in per] == [10, 20, 30]
+    got_rows = 0
+    for t_, files in per:
+        assert all(f.startswith("memory://") for f in files)
+        tab = _read_tile_impl(files, None)
+        got_rows += tab.num_rows
+    assert got_rows == 100

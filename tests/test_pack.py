@@ -99,6 +99,27 @@ def test_chunk_dedup_vs_counter(ray_session, docs):
         exp["n_dup"].to_numpy() / exp["n_chunks"].to_numpy())
 
 
+def test_doc_chunks_empty_tokens_preserved():
+    """Padding cells are identified by position, not value: a genuine
+    empty token (consecutive spaces) stays in the joined chunk, exactly
+    as the oracle's array_to_string does."""
+    import pyarrow as pa
+
+    from osmquadtree_depreceated_ray.pipelines.queries_pack import (
+        CHUNK_W,
+        _doc_chunks,
+    )
+
+    texts = ["a  b c", " ".join(f"w{i}" for i in range(2 * CHUNK_W + 3))]
+    b = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(texts)})
+    d, s = _doc_chunks(b)
+    exp = [(i, " ".join(t.split(" ")[j:j + CHUNK_W]))
+           for i, t in enumerate(texts)
+           for j in range(0, len(t.split(" ")), CHUNK_W)]
+    assert list(zip(d.tolist(), s.tolist())) == exp
+
+
 def test_bucketed_fallback_matches_broadcast(ray_session):
     """Forcing broadcast_max=0 routes chunk_dedup / decontaminate
     through the bucketed semi-count exchange; results must be identical

@@ -865,3 +865,36 @@ def test_cte_does_not_mutate_table_map(ray_session, t1):
     parse_sql("WITH c AS (SELECT k FROM t1 WHERE k < 5) "
               "SELECT COUNT(*) AS n FROM c", tabs)
     assert set(tabs) == {"t1"}
+
+
+def test_lag_default_preserves_genuine_nulls(ray_session):
+    """LAG/LEAD default fills ONLY out-of-window rows; a genuinely NULL
+    lagged value stays NULL (SQL semantics, vs fillna which conflates
+    the two NaN sources)."""
+    import ray
+
+    t = pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "v": pa.array([None, 5, 7], pa.int64()),
+    })
+    sql = ("SELECT k, LAG(v, 1, 0) OVER (ORDER BY k) AS lg, "
+           "LEAD(v, 1, -1) OVER (ORDER BY k) AS ld FROM t ORDER BY k")
+    got = parse_sql(sql, {"t": ray.data.from_arrow(t)}).to_pandas()
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(sql).df()
+    assert got["lg"].fillna(-99).tolist() == want["lg"].fillna(-99).tolist()
+    assert got["ld"].fillna(-99).tolist() == want["ld"].fillna(-99).tolist()
+
+
+def test_in_subquery_expression_probe_collects(ray_session, t1, t2,
+                                               monkeypatch):
+    """An EXPRESSION probe (upper(s) IN (subquery)) cannot take the
+    bucketed semi-join fallback; above the threshold it must keep the
+    collect path and still return correct results, not raise."""
+    from osmquadtree_depreceated_ray.pipelines import sqlparse as sp
+
+    monkeypatch.setattr(sp, "PROBE_COLLECT_THRESHOLD", 0)
+    sql = ("SELECT k FROM t1 WHERE upper(s) IN "
+           "(SELECT upper(gkey) FROM t2 WHERE g < 3) ORDER BY k LIMIT 40")
+    _run_both(sql, None, {"t1": t1, "t2": t2})

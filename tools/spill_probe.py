@@ -33,9 +33,9 @@ def main():
 
     from osmquadtree_depreceated_ray.pipelines import tile as tp
 
-    out = f"{bench.OUT_BASE}/out_spill"
-    # the spill probe's tiled output goes to DISK (not /dev/shm): at
-    # 64M pages the output is ~10 GB and must not eat the tmpfs
+    # the spill probe's tiled output goes to DISK (not bench.OUT_BASE's
+    # /dev/shm): at 64M pages the output is ~10 GB and must not eat the
+    # tmpfs
     out = "/tmp/oqr_bench/out_spill"
     shutil.rmtree(out, ignore_errors=True)
     t0 = time.time()
