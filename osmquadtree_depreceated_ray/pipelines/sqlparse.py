@@ -43,6 +43,7 @@ Surface (the reference's grammar, plus LIMIT):
 Scalar functions: coalesce nullif replace substr char_length/length
 concat upper lower trim ltrim rtrim reverse abs sign floor ceil round
 sqrt ln starts_with ends_with contains strpos left right repeat
+md5 regexp_extract regexp_replace split_part lpad rpad,
 numchar maxwidth (reference functions.go:52-94),
 temporal year/month/day/hour/minute/second, EXTRACT(field FROM ts)
 (incl. dow, Sunday=0), date_trunc(unit, ts), arithmetic + - * / % and
@@ -933,6 +934,103 @@ def _compile_expr(node) -> Expr:
                 raise ValueError(f"unsupported date_trunc unit {unit}")
             return Expr(lambda t, _a=a1, _u=unit: _pc.floor_temporal(
                 _a(t), unit=_u), "date_trunc")
+        if name == "md5":
+            a0 = args[0]
+
+            def _md5_kern(t, _a=a0):
+                import hashlib as _h
+
+                import pandas as _pd
+
+                s = _pd.Series(_a(t).to_pandas()).astype("object")
+                codes, uniq = _pd.factorize(s)
+                hx = np.asarray(
+                    [_h.md5(str(u).encode()).hexdigest() for u in uniq]
+                    or [None], dtype=object)[codes]
+                hx = np.asarray(hx, dtype=object)
+                hx[codes == -1] = None       # md5(NULL) IS NULL
+                return pa.array(hx, pa.string())
+
+            return Expr(_md5_kern, "md5")
+        if name == "regexp_extract":
+            import re as _re
+
+            pat = str(_lit_arg(1))
+            grp = int(_lit_arg(2)) if len(args) > 2 else 0
+            rx = _re.compile(f"({pat})" if grp == 0 else pat)
+            gi = 1 if grp == 0 else grp
+            a0 = args[0]
+
+            def _rext(t, _a=a0, _rx=rx, _g=gi):
+                import pandas as _pd
+
+                s = _pd.Series(_a(t).to_pandas()).astype("object")
+                out = s.str.extract(_rx, expand=True)
+                col = out[_g - 1]
+                # DuckDB returns '' for no match but NULL for NULL input
+                col = col.where(~(col.isna() & s.notna()), "")
+                col = col.where(s.notna(), None)
+                return pa.array(col.to_numpy(dtype=object), pa.string())
+
+            return Expr(_rext, "regexp_extract")
+        if name == "regexp_replace":
+            import re as _re
+
+            pat = _re.compile(str(_lit_arg(1)))
+            repl = str(_lit_arg(2))
+            # DuckDB replaces the FIRST match unless the 'g' option is
+            # passed as a fourth argument
+            n_sub = -1 if (len(args) > 3 and "g" in str(_lit_arg(3))) else 1
+            a0 = args[0]
+
+            def _rrep(t, _a=a0, _p=pat, _r=repl, _n=n_sub):
+                import pandas as _pd
+
+                s = _pd.Series(_a(t).to_pandas()).astype("object")
+                out = s.str.replace(_p, _r, n=_n, regex=True)
+                return pa.array(out.to_numpy(dtype=object), pa.string())
+
+            return Expr(_rrep, "regexp_replace")
+        if name == "split_part":
+            sep = str(_lit_arg(1))
+            idx = int(_lit_arg(2))
+            if idx < 1:
+                raise ValueError("split_part index is 1-based")
+            a0 = args[0]
+
+            def _spart(t, _a=a0, _s=sep, _i=idx):
+                import pandas as _pd
+
+                s = _pd.Series(_a(t).to_pandas()).astype("object")
+                col = s.str.split(_s, regex=False).str[_i - 1]
+                # DuckDB's split_part returns '' out-of-range AND for
+                # NULL input (no null propagation, unlike its regexps)
+                col = col.fillna("")
+                return pa.array(col.to_numpy(dtype=object), pa.string())
+
+            return Expr(_spart, "split_part")
+        if name in ("lpad", "rpad"):
+            width = int(_lit_arg(1))
+            fill = str(_lit_arg(2))
+            if len(fill) != 1:
+                raise ValueError(
+                    f"{name}() supports a single-char fill, got {fill!r}")
+            a0 = args[0]
+            left = name == "lpad"
+
+            def _pad(t, _a=a0, _w=width, _f=fill, _l=left):
+                import pandas as _pd
+
+                s = _pd.Series(_a(t).to_pandas()).astype("object")
+                side = "left" if _l else "right"
+                out = s.str.pad(_w, side=side, fillchar=_f[0]) \
+                    if _f else s
+                # SQL lpad/rpad TRUNCATE to the target width (keep the
+                # leftmost chars), which pandas pad does not
+                out = out.str.slice(0, _w)
+                return pa.array(out.to_numpy(dtype=object), pa.string())
+
+            return Expr(_pad, name)
         raise ValueError(f"unknown SQL function {name}")
     raise ValueError(f"unknown SQL op {op}")
 

@@ -898,3 +898,28 @@ def test_in_subquery_expression_probe_collects(ray_session, t1, t2,
     sql = ("SELECT k FROM t1 WHERE upper(s) IN "
            "(SELECT upper(gkey) FROM t2 WHERE g < 3) ORDER BY k LIMIT 40")
     _run_both(sql, None, {"t1": t1, "t2": t2})
+
+
+def test_string_hash_regex_functions(ray_session):
+    """md5 / regexp_extract / regexp_replace / split_part / lpad / rpad
+    against DuckDB on the identical string (null propagation included)."""
+    import ray
+
+    t = pa.table({
+        "k": pa.array([0, 1, 2, 3], pa.int64()),
+        "s": pa.array(["abc-123", "no digits", "x-7", None]),
+    })
+    sql = ("SELECT k, md5(s) AS h, "
+           "regexp_extract(s, '[0-9]+') AS d, "
+           "regexp_replace(s, '[0-9]', '#') AS r1, "
+           "regexp_replace(s, '[0-9]', '#', 'g') AS rg, "
+           "split_part(s, '-', 2) AS p2, "
+           "lpad(s, 5, '_') AS lp, rpad(s, 5, '_') AS rp "
+           "FROM t ORDER BY k")
+    got = parse_sql(sql, {"t": ray.data.from_arrow(t)}).to_pandas()
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(sql).df()
+    for c in ("h", "d", "r1", "rg", "p2", "lp", "rp"):
+        assert got[c].fillna("<N>").tolist() == \
+            want[c].fillna("<N>").tolist(), (c, got[c], want[c])
