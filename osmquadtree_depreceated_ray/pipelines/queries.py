@@ -1073,6 +1073,44 @@ QUERIES["sql_cte"] = q_sql_cte
 ORACLES["sql_cte"] = SQL_CTE_TEXT
 
 
+SQL_RECURSIVE_TEXT = (
+    "WITH RECURSIVE p AS (SELECT c_custkey AS k, "
+    "CAST(floor(c_custkey / 10) AS BIGINT) AS pk FROM customer "
+    "WHERE c_custkey > 0), "
+    "anc AS (SELECT k, k AS root FROM p WHERE pk = 0 "
+    "UNION ALL SELECT p.k, a.root FROM p JOIN anc a ON p.pk = a.k) "
+    "SELECT root, COUNT(*) AS n_desc, CAST(SUM(k) AS BIGINT) AS sum_k "
+    "FROM anc GROUP BY root"
+)
+
+
+def q_sql_recursive(sf_dir: str):
+    """WITH RECURSIVE through the SQL string front-end: transitive
+    closure of the digit-truncation parent chain (k -> floor(k/10)) over
+    customer keys, i.e. every key tagged with its single-digit root,
+    then re-aggregated per root.  Runs as an iterative distributed
+    fixpoint — each round is one distributed join of the base relation
+    against the previous round's frontier ONLY (semi-naive), frontiers
+    live in the object store, the driver holds refs + a count per round
+    (_exec_recursive_cte).  Key 0 is excluded because its parent is
+    itself — an infinite UNION ALL recursion in ANY engine, DuckDB
+    included.  Depth at sf0.01 is 4 rounds.  Oracle = the IDENTICAL
+    string in DuckDB."""
+    import ray
+
+    from .sqlparse import parse_sql
+
+    tables = {
+        "customer": ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey"]),
+    }
+    return parse_sql(SQL_RECURSIVE_TEXT, tables)
+
+
+QUERIES["sql_recursive"] = q_sql_recursive
+ORACLES["sql_recursive"] = SQL_RECURSIVE_TEXT
+
+
 def q_hll_distinct(sf_dir: str):
     """Mergeable-sketch aggregation (the brief's 'novel sketch' class):
     HyperLogLog distinct-user estimate over events.  Map-side fixed-size

@@ -1825,7 +1825,14 @@ def _broadcast_join(ds_a, ds_b, lcol: str, rcol: str, how: str = "inner"):
     in exactly one batch."""
     import ray
 
-    b_tbl = pa.concat_tables(ray.get(ds_b.to_arrow_refs()))
+    # blocks may be Arrow or pandas (a prior join / map_groups stage
+    # yields pandas blocks) — normalize before concatenating
+    blocks = ray.get(ds_b.to_arrow_refs())
+    b_tbl = pa.concat_tables(
+        [b if isinstance(b, pa.Table)
+         else pa.Table.from_pandas(b, preserve_index=False)
+         for b in blocks],
+        promote_options="default")
     b_df = b_tbl.to_pandas()
     # SQL NULL keys never match — drop them from the build side once
     # (pandas merge would pair NaN==NaN)
@@ -2229,6 +2236,123 @@ def _set_op(ds_a, ds_b, cols: list, op: str):
     return bucketed_apply(both, cols, fn, n_buckets=32)
 
 
+RECURSIVE_MAX_ROUNDS = 100
+
+
+def _rename_positional(ds, names: list):
+    """Rename a Dataset's columns to ``names`` positionally (CTE column
+    list / set-op alignment)."""
+    cur = ds.schema().names
+    if len(cur) != len(names):
+        raise ValueError(
+            f"CTE column list has {len(names)} names, query produces "
+            f"{len(cur)} columns")
+    if cur == list(names):
+        return ds
+
+    def rn(t: pa.Table, _n=list(names)) -> pa.Table:
+        return t.rename_columns(_n)
+
+    return ds.map_batches(rn, batch_format="pyarrow")
+
+
+def _ast_references(ast, name: str) -> bool:
+    """Does any select in ``ast`` read table ``name`` (FROM, JOIN, or a
+    nested derived table)?"""
+    for sel in ast["selects"]:
+        t = sel["table"]
+        if t == name:
+            return True
+        if isinstance(t, tuple) and t[0] == "derived" \
+                and _ast_references(t[1], name):
+            return True
+        for jt, *_rest in (sel["join"] or []):
+            if jt == name:
+                return True
+    return False
+
+
+def _exec_recursive_cte(name: str, colnames, ast, tables: dict,
+                        broadcast_threshold: int):
+    """Iterative distributed fixpoint for one recursive CTE.
+
+    The LAST select of the body is the step arm (it must be the only
+    arm referencing ``name``); everything before it is the base.  Each
+    round binds ``name`` to the previous round's frontier and re-plans
+    the step — semi-naive evaluation, so a round's work is proportional
+    to the NEW rows, not the accumulated result.  ``UNION`` (distinct
+    mode) subtracts already-seen rows through the tagged bucketed
+    exchange (:func:`_set_op` EXCEPT) before testing emptiness, which is
+    what terminates cyclic step relations.  Frontiers are materialized
+    per round (object-store blocks; the driver holds refs + a count);
+    the returned Dataset is the lazy union of all frontiers.
+
+    The reference has no recursive SQL — its iterative fixpoints are
+    bespoke (e.g. the relation closure loop, calcqts/calculate.go) —
+    so this models them once, at the SQL surface."""
+    from ..stages.shuffle import distinct as _distinct
+
+    selects, set_ops = ast["selects"], ast["set_ops"]
+    if ast.get("order") or ast.get("limit") is not None:
+        raise ValueError(
+            "ORDER BY / LIMIT inside a recursive CTE body unsupported")
+    if len(selects) < 2:
+        raise ValueError(
+            "recursive CTE needs `base UNION [ALL] step` arms")
+    for sop in set_ops:
+        if sop not in ("union", "union_all"):
+            raise ValueError(
+                "recursive CTE arms must combine with UNION [ALL], "
+                f"got {sop.upper()}")
+    for sel in selects[:-1]:
+        one = {"selects": [sel], "set_ops": [], "order": None,
+               "desc": None, "limit": None, "offset": 0}
+        if _ast_references(one, name):
+            raise ValueError(
+                "recursive reference must appear only in the final "
+                "UNION arm")
+    mode = set_ops[-1]
+    base_ast = {"selects": selects[:-1], "set_ops": set_ops[:-1],
+                "order": None, "desc": None, "limit": None, "offset": 0}
+    base = _exec_ast(base_ast, tables, broadcast_threshold)
+    if colnames:
+        base = _rename_positional(base, colnames)
+    names = base.schema().names
+    if mode == "union":
+        base = _distinct(base, names)
+    frontier = base.materialize()
+    acc = [frontier]
+    seen = frontier  # union-mode only: all rows produced so far
+    step_ast = {"selects": [selects[-1]], "set_ops": [], "order": None,
+                "desc": None, "limit": None, "offset": 0}
+    for _round in range(RECURSIVE_MAX_ROUNDS):
+        if frontier.count() == 0:
+            break
+        bound = dict(tables)
+        bound[name] = frontier
+        nxt = _exec_ast(step_ast, bound, broadcast_threshold).materialize()
+        if nxt.count() == 0:
+            break  # empty rounds have no schema — stop before aligning
+        nxt = _align_positional(names, nxt)
+        if mode == "union":
+            nxt = _set_op(
+                _distinct(nxt, names), seen, names, "except").materialize()
+            if nxt.count() == 0:
+                break
+        if mode == "union":
+            seen = seen.union(nxt)
+        acc.append(nxt)
+        frontier = nxt
+    else:
+        raise ValueError(
+            f"recursive CTE {name!r} exceeded {RECURSIVE_MAX_ROUNDS} "
+            "rounds without reaching a fixpoint")
+    out = acc[0]
+    for a in acc[1:]:
+        out = out.union(a)
+    return out
+
+
 def parse_sql(sql: str, tables: dict,
               broadcast_threshold: int = 1_000_000) -> "ray.data.Dataset":  # noqa: F821
     """Parse a SQL string and execute it over the given name->Dataset
@@ -2240,23 +2364,44 @@ def parse_sql(sql: str, tables: dict,
     body plans once, in order, into a shadowed copy of the table map
     (later CTEs and the main query see earlier ones; the input map is
     never mutated).  A CTE referenced several times shares ONE planned
-    Dataset lineage.  ``WITH RECURSIVE`` is rejected explicitly —
-    iterative fixpoints belong to the dedicated operators
-    (dedup_components' label propagation), not the SQL surface."""
+    Dataset lineage.
+
+    ``WITH RECURSIVE name [(cols)] AS (base UNION [ALL] step)`` runs as
+    an iterative distributed fixpoint (semi-naive evaluation): the base
+    arm seeds the frontier, then each round re-plans the step arm with
+    the CTE name bound to the PREVIOUS round's frontier only — never
+    the accumulated result — and stops when a round produces no rows.
+    ``UNION`` (without ALL) additionally subtracts already-seen rows
+    each round via the tagged-exchange EXCEPT, which is what makes
+    cyclic step relations terminate.  Every round's frontier is
+    materialized into the object store (the driver holds block refs and
+    one row-count int per round); the final result is the lazy union of
+    the per-round frontiers, so the accumulated rows are never
+    collected.  Bounded by ``RECURSIVE_MAX_ROUNDS``."""
     p = _Parser(_tokenize(sql))
     if p.accept("kw", "with"):
-        if p.accept("kw", "recursive"):
-            raise ValueError(
-                "WITH RECURSIVE unsupported: use the iterative operators "
-                "(e.g. connected-components label propagation) instead")
+        recursive = bool(p.accept("kw", "recursive"))
         tables = dict(tables)
         while True:
             name = p.expect("ident")[1]
+            colnames = None
+            if p.accept("op", "("):
+                colnames = [p.expect("ident")[1]]
+                while p.accept("op", ","):
+                    colnames.append(p.expect("ident")[1])
+                p.expect("op", ")")
             p.expect("kw", "as")
             p.expect("op", "(")
             sub = p.parse_query(nested=True)
             p.expect("op", ")")
-            tables[name] = _exec_ast(sub, tables, broadcast_threshold)
+            if recursive and _ast_references(sub, name):
+                tables[name] = _exec_recursive_cte(
+                    name, colnames, sub, tables, broadcast_threshold)
+            else:
+                ds = _exec_ast(sub, tables, broadcast_threshold)
+                if colnames:
+                    ds = _rename_positional(ds, colnames)
+                tables[name] = ds
             if not p.accept("op", ","):
                 break
     ast = p.parse_query()

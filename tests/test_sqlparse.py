@@ -849,12 +849,68 @@ def test_cte_matches_duckdb(ray_session, t1, t2, sql):
     _run_both(sql, None, {"t1": t1, "t2": t2})
 
 
-def test_cte_recursive_rejected(ray_session, t1):
+RECURSIVE_CASES = [
+    # transitive closure of the floor(k/7) parent chain, re-aggregated
+    "WITH RECURSIVE p AS (SELECT k, CAST(floor(k / 7) AS BIGINT) AS pk "
+    "FROM t1 WHERE k > 0), "
+    "anc AS (SELECT k, k AS root FROM p WHERE pk = 0 "
+    "UNION ALL SELECT p.k, a.root FROM p JOIN anc a ON p.pk = a.k) "
+    "SELECT root, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sk "
+    "FROM anc GROUP BY root",
+    # cyclic step relation: UNION (distinct) terminates at the fixpoint
+    "WITH RECURSIVE r AS (SELECT k FROM t1 WHERE k = 1 "
+    "UNION SELECT (r.k * 3) % 10 AS k FROM r) SELECT k FROM r",
+    # CTE column list renames positionally; step sees the new names
+    "WITH RECURSIVE c (n, tot) AS ("
+    "SELECT k AS x, k AS y FROM t1 WHERE k = 1 "
+    "UNION ALL SELECT n + 1, tot + n + 1 FROM c WHERE n < 10) "
+    "SELECT n, tot FROM c",
+    # RECURSIVE keyword with a non-self-referencing CTE = plain CTE
+    "WITH RECURSIVE c AS (SELECT k, v FROM t1 WHERE k < 50) "
+    "SELECT COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sv FROM c",
+]
+
+
+@pytest.mark.parametrize("sql", RECURSIVE_CASES)
+def test_recursive_cte_matches_duckdb(ray_session, t1, sql):
+    _run_both(sql, None, {"t1": t1})
+
+
+def test_recursive_step_only_in_final_arm(ray_session, t1):
     import ray
 
-    with pytest.raises(ValueError, match="RECURSIVE"):
+    with pytest.raises(ValueError, match="final UNION arm"):
         parse_sql(
-            "WITH RECURSIVE r AS (SELECT k FROM t1) SELECT * FROM r",
+            "WITH RECURSIVE r AS (SELECT k FROM r UNION ALL "
+            "SELECT k FROM t1 WHERE k = 1) SELECT * FROM r",
+            {"t1": ray.data.from_arrow(t1)})
+
+
+def test_recursive_rejects_setops_and_order(ray_session, t1):
+    import ray
+
+    tabs = {"t1": ray.data.from_arrow(t1)}
+    with pytest.raises(ValueError, match="UNION"):
+        parse_sql(
+            "WITH RECURSIVE r AS (SELECT k FROM t1 WHERE k = 1 "
+            "INTERSECT SELECT k + 1 AS k FROM r) SELECT * FROM r", tabs)
+    with pytest.raises(ValueError, match="ORDER BY / LIMIT"):
+        parse_sql(
+            "WITH RECURSIVE r AS (SELECT k FROM t1 WHERE k = 1 "
+            "UNION ALL SELECT k + 1 AS k FROM r WHERE k < 5 "
+            "ORDER BY k LIMIT 3) SELECT * FROM r", tabs)
+
+
+def test_recursive_depth_limit(ray_session, t1, monkeypatch):
+    import ray
+
+    from osmquadtree_depreceated_ray.pipelines import sqlparse as sp
+
+    monkeypatch.setattr(sp, "RECURSIVE_MAX_ROUNDS", 4)
+    with pytest.raises(ValueError, match="4 rounds"):
+        parse_sql(
+            "WITH RECURSIVE r AS (SELECT k FROM t1 WHERE k = 1 "
+            "UNION ALL SELECT k + 1 AS k FROM r) SELECT * FROM r",
             {"t1": ray.data.from_arrow(t1)})
 
 
