@@ -735,6 +735,236 @@ def sql_curate_e2e() -> str:
     )
 
 
+# ------------------- 6. duplicated-substring spans (Lee et al. 2022)
+#
+# "Deduplicating Training Data Makes Language Models Better" removes
+# EXACT substrings (>= 50 tokens) shared between documents, found with
+# a suffix array.  The distributed equivalent here: slide NGRAM_W-word
+# windows over every doc, mark windows whose text occurs in >= 2
+# distinct docs, and report per doc the duplicated-window count AND the
+# LONGEST CONSECUTIVE RUN of duplicated windows (max_run + NGRAM_W - 1
+# words = the longest shared substring, the paper's removal criterion).
+# A suffix array is driver-hostile at 100 TB; the sliding-window
+# run-length view is the standard shuffle-friendly reformulation (same
+# family as the chunk_dedup / decontaminate operators above, plus the
+# positional run statistic).
+
+def _doc_ngrams_pos(b: pa.Table):
+    """(row, pos, gram) sliding whitespace NGRAM_W-grams per doc with
+    1-based within-doc positions, in document order (explode preserves
+    element order; a doc's grams are contiguous)."""
+    t = b.column("text").to_pandas()
+    ex = t.str.split(" ").explode()
+    g = ex.groupby(level=0)
+    pos = g.cumcount().to_numpy()
+    s = ex
+    for j in range(1, NGRAM_W):
+        s = s + " " + g.shift(-j)
+    mask = s.notna().to_numpy()
+    return (s.index.to_numpy()[mask].astype(np.int64),
+            pos[mask].astype(np.int64) + 1,
+            s.to_numpy()[mask])
+
+
+def _run_stats(row: np.ndarray, isdup: np.ndarray):
+    """Per contiguous row group: (rows, n_grams, n_dup, max_run) where
+    max_run is the longest consecutive True run.  One pass, no Python
+    loop: run starts are True positions not continuing a same-row True,
+    run lengths come from one bincount over run ids."""
+    docs = np.unique(row)
+    idx = np.searchsorted(docs, row)
+    n_grams = np.bincount(idx, minlength=len(docs)).astype(np.int64)
+    n_dup = np.bincount(
+        idx, weights=isdup.astype(np.float64),
+        minlength=len(docs)).astype(np.int64)
+    prev_same = np.concatenate(
+        [[False], isdup[:-1] & (row[1:] == row[:-1])])
+    starts = isdup & ~prev_same
+    max_run = np.zeros(len(docs), np.int64)
+    n_runs = int(starts.sum())
+    if n_runs:
+        run_id = np.cumsum(starts) - 1
+        run_len = np.bincount(run_id[isdup], minlength=n_runs)
+        np.maximum.at(max_run, idx[starts], run_len)
+    return docs, n_grams, n_dup, max_run
+
+
+def q_dup_spans(sf_dir: str, broadcast_max: int | None = None):
+    """Per-doc duplicated-substring stats: (doc_id, n_grams, n_dup,
+    max_run) over sliding NGRAM_W-word windows, where a window is "dup"
+    iff its exact text occurs in >= 2 distinct docs and max_run is the
+    longest consecutive duplicated-window run (Lee et al.'s longest
+    shared substring, in window units).
+
+    Pass 1 = distinct (doc, gram-hash) pairs -> map-side-combined count
+    per hash -> the duplicated-hash set (tiny for real corpora), sorted
+    + broadcast via ray.put; pass 2 = per-batch searchsorted membership
+    + one vectorized run-length pass (:func:`_run_stats`).  Above
+    ``broadcast_max`` the probe instead runs as two bucketed exchanges
+    carrying (doc_id, pos) hit rows — positions, not counts, because
+    the run statistic needs them — and the dup set never collects to
+    the driver."""
+    import ray
+
+    from ..stages.shuffle import bucketed_apply, grouped_agg
+
+    if broadcast_max is None:
+        broadcast_max = DUP_BROADCAST_MAX
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        _row, _pos, s = _doc_ngrams_pos(b)
+        df = pd.DataFrame({"r": _row, "g": s}).drop_duplicates()
+        codes, uniq = pd.factorize(df["g"], sort=False)
+        gh = _md5_lower64(uniq).view(np.int64)[codes] \
+            if len(df) else np.empty(0, np.int64)
+        return pa.table({"gh": pa.array(gh),
+                         "one": pa.array(np.ones(len(df), np.int64))})
+
+    counts = grouped_agg(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        ["gh"], {"n_docs": ("one", "sum")})
+    dup_ds = counts.filter(expr="n_docs >= 2").select_columns(["gh"])
+
+    if dup_ds.count() > broadcast_max:
+        # scale path: position-carrying bucketed semi-join, then a
+        # per-doc exchange computing the run statistic from positions
+        def occ(b: pa.Table) -> pa.Table:
+            row, pos, s = _doc_ngrams_pos(b)
+            codes, uniq = pd.factorize(pd.Series(s), sort=False)
+            gh = _md5_lower64(uniq).view(np.int64)[codes] \
+                if len(s) else np.empty(0, np.int64)
+            doc = b.column("doc_id").to_numpy()[row].astype(np.int64)
+            return pa.table({"doc_id": pa.array(doc),
+                             "pos": pa.array(pos),
+                             "gh": pa.array(gh)})
+
+        def tag_set(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"doc_id": pa.array(np.full(t.num_rows, -1, np.int64)),
+                 "pos": pa.array(np.zeros(t.num_rows, np.int64)),
+                 "gh": t.column("gh")})
+
+        both = ds.map_batches(occ, batch_format="pyarrow").union(
+            dup_ds.map_batches(tag_set, batch_format="pyarrow"))
+
+        def hit(g: pd.DataFrame) -> pd.DataFrame:
+            mem = g.loc[g["doc_id"] == -1, "gh"]
+            o = g[g["doc_id"] != -1]
+            o = o[o["gh"].isin(mem)]
+            return pd.DataFrame({"doc_id": o["doc_id"].to_numpy(np.int64),
+                                 "pos": o["pos"].to_numpy(np.int64)})
+
+        hits = bucketed_apply(both, ["gh"], hit)
+
+        def totals(b: pa.Table) -> pa.Table:
+            row, _pos, _s = _doc_ngrams_pos(b)
+            r, n = np.unique(row, return_counts=True)
+            doc = b.column("doc_id").to_numpy()[r].astype(np.int64)
+            return pa.table({"doc_id": pa.array(doc),
+                             "pos": pa.array(
+                                 np.full(len(r), -1, np.int64)),
+                             "tot": pa.array(n.astype(np.int64))})
+
+        def tag_hits(t: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": t.column("doc_id"),
+                             "pos": t.column("pos"),
+                             "tot": pa.array(
+                                 np.zeros(t.num_rows, np.int64))})
+
+        u = hits.map_batches(tag_hits, batch_format="pyarrow").union(
+            ds.map_batches(totals, batch_format="pyarrow"))
+
+        def fin(g: pd.DataFrame) -> pd.DataFrame:
+            gg = g.sort_values(["doc_id", "pos"], kind="stable")
+            d = gg["doc_id"].to_numpy(np.int64)
+            p = gg["pos"].to_numpy(np.int64)
+            t = gg["tot"].to_numpy(np.int64)
+            docs = np.unique(d)
+            idx = np.searchsorted(docs, d)
+            n_grams = np.bincount(
+                idx, weights=t.astype(np.float64),
+                minlength=len(docs)).astype(np.int64)
+            ishit = p >= 0
+            n_dup = np.bincount(
+                idx, weights=ishit.astype(np.float64),
+                minlength=len(docs)).astype(np.int64)
+            # positions are sorted per doc: a run continues while the
+            # next position is prev+1 within the same doc
+            cont = np.concatenate(
+                [[False],
+                 ishit[:-1] & ishit[1:] & (d[1:] == d[:-1])
+                 & (p[1:] == p[:-1] + 1)])
+            starts = ishit & ~cont
+            max_run = np.zeros(len(docs), np.int64)
+            n_runs = int(starts.sum())
+            if n_runs:
+                run_id = np.cumsum(starts) - 1
+                run_len = np.bincount(run_id[ishit], minlength=n_runs)
+                np.maximum.at(max_run, idx[starts], run_len)
+            return pd.DataFrame({"doc_id": docs, "n_grams": n_grams,
+                                 "n_dup": n_dup, "max_run": max_run})
+
+        return bucketed_apply(u, ["doc_id"], fin)
+
+    dup = dup_ds.to_pandas()
+    dup_ref = ray.put(np.sort(dup["gh"].to_numpy().astype(np.int64)))
+
+    def probe(b: pa.Table) -> pa.Table:
+        dset = ray.get(dup_ref)
+        row, _pos, s = _doc_ngrams_pos(b)
+        if not len(row):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_grams": pa.array([], pa.int64()),
+                             "n_dup": pa.array([], pa.int64()),
+                             "max_run": pa.array([], pa.int64())})
+        codes, uniq = pd.factorize(pd.Series(s), sort=False)
+        gh = _md5_lower64(uniq).view(np.int64)[codes]
+        if len(dset):
+            j = np.searchsorted(dset, gh)
+            j[j >= len(dset)] = len(dset) - 1
+            isdup = dset[j] == gh
+        else:
+            isdup = np.zeros(len(gh), bool)
+        rows, n_grams, n_dup, max_run = _run_stats(row, isdup)
+        doc = b.column("doc_id").to_numpy()[rows].astype(np.int64)
+        return pa.table({"doc_id": pa.array(doc),
+                         "n_grams": pa.array(n_grams),
+                         "n_dup": pa.array(n_dup),
+                         "max_run": pa.array(max_run)})
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def sql_dup_spans() -> str:
+    return (
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws "
+        "FROM documents), "
+        "g AS (SELECT doc_id, unnest(list_transform("
+        f"range(1, len(ws) - {NGRAM_W - 2}), "
+        "i -> struct_pack(pos := i, gram := array_to_string("
+        f"list_slice(ws, i, i + {NGRAM_W - 1}), ' '))), "
+        "recursive := true) FROM w), "
+        "d AS (SELECT gram FROM g GROUP BY gram "
+        "HAVING COUNT(DISTINCT doc_id) >= 2), "
+        "h AS (SELECT g.doc_id, g.pos, d.gram IS NOT NULL AS isdup "
+        "FROM g LEFT JOIN d ON g.gram = d.gram), "
+        "runs AS (SELECT doc_id, isdup, pos - ROW_NUMBER() OVER "
+        "(PARTITION BY doc_id, isdup ORDER BY pos) AS grp FROM h), "
+        "mr AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS max_run FROM "
+        "(SELECT doc_id, grp, COUNT(*) AS c FROM runs WHERE isdup "
+        "GROUP BY doc_id, grp) t GROUP BY doc_id), "
+        "tot AS (SELECT doc_id, COUNT(*) AS n_grams, "
+        "CAST(SUM(CASE WHEN isdup THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_dup FROM h GROUP BY doc_id) "
+        "SELECT tot.doc_id, tot.n_grams, tot.n_dup, "
+        "COALESCE(mr.max_run, CAST(0 AS BIGINT)) AS max_run "
+        "FROM tot LEFT JOIN mr ON tot.doc_id = mr.doc_id"
+    )
+
+
 QUERIES = {
     "seq_pack": q_seq_pack,
     "pack_export": q_pack_export,
@@ -742,9 +972,11 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "repetition": q_repetition,
     "curate_e2e": q_curate_e2e,
+    "dup_spans": q_dup_spans,
 }
 
 ORACLES = {
+    "dup_spans": sql_dup_spans(),
     "seq_pack": sql_seq_pack(),
     "pack_export": sql_pack_export(),
     "chunk_dedup": sql_chunk_dedup(),

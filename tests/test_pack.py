@@ -129,12 +129,41 @@ def test_bucketed_fallback_matches_broadcast(ray_session):
         q_decontaminate,
     )
 
-    for fn in (q_chunk_dedup, q_decontaminate):
+    from osmquadtree_depreceated_ray.pipelines.queries_pack import (
+        q_dup_spans,
+    )
+
+    for fn in (q_chunk_dedup, q_decontaminate, q_dup_spans):
         a = (fn(SF).to_pandas().sort_values("doc_id")
              .reset_index(drop=True))
         b = (fn(SF, broadcast_max=0).to_pandas().sort_values("doc_id")
              .reset_index(drop=True))
         pd.testing.assert_frame_equal(a, b[a.columns.tolist()])
+
+
+def test_run_stats_kernel():
+    """_run_stats: longest consecutive True run per contiguous row
+    group, against a tiny hand-computed case incl. runs that touch the
+    row boundary (a run must NOT continue across docs)."""
+    import numpy as np
+
+    from osmquadtree_depreceated_ray.pipelines.queries_pack import (
+        _run_stats,
+    )
+
+    row = np.array([0, 0, 0, 0, 1, 1, 1, 3, 3], np.int64)
+    dup = np.array([1, 1, 0, 1, 1, 1, 1, 0, 0], bool)
+    docs, n_grams, n_dup, max_run = _run_stats(row, dup)
+    assert docs.tolist() == [0, 1, 3]
+    assert n_grams.tolist() == [4, 3, 2]
+    assert n_dup.tolist() == [3, 3, 0]
+    assert max_run.tolist() == [2, 3, 0]
+    # boundary: trailing True in doc 0 + leading True in doc 1 stay
+    # separate runs even though adjacent in the flat arrays
+    row2 = np.array([0, 0, 1, 1], np.int64)
+    dup2 = np.array([0, 1, 1, 1], bool)
+    _d, _n, _nd, mr2 = _run_stats(row2, dup2)
+    assert mr2.tolist() == [1, 2]
 
 
 def test_decontaminate_vs_sets(ray_session, docs):
