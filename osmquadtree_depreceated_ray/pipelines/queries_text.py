@@ -592,6 +592,184 @@ def sql_simhash() -> str:
     )
 
 
+# --------------------- corpus-LM familiarity score (CCNet-style filter)
+#
+# CCNet (Wenzek et al. 2020) ranks documents by the perplexity of a
+# language model trained on a trusted corpus; the cheap self-supervised
+# analogue is "how familiar are this document's bigrams to the corpus
+# itself".  Floating log-prob sums are NOT reproducible across engines
+# (summation order), so the oracle-exact formulation keeps integer
+# arithmetic until one final division: familiarity = (sum over the
+# doc's bigram slots of that bigram's CORPUS count) / n_bigrams, plus
+# n_rare = bigram slots whose corpus count is 1 (hapax — occurs nowhere
+# else).  Low familiarity / high rare-rate = gibberish or boilerplate-
+# free unique text; the downstream filter thresholds exactly like a
+# perplexity cut.
+
+LM_BROADCAST_MAX = 2_000_000  # above this bigram-vocabulary size the
+# count table is no longer broadcast — scoring becomes a bucketed join
+# (same contract as TFIDF_BROADCAST_MAX)
+
+
+def _doc_bigrams(b: pa.Table):
+    """(doc_id_per_bigram, bigram_string) in document order."""
+    doc_id = b.column("doc_id").to_numpy()
+    t = b.column("text").to_pandas()
+    ex = t.str.split(" ").explode()
+    big = (ex + " " + ex.groupby(level=0).shift(-1)).dropna()
+    row = big.index.to_numpy().astype(np.int64)
+    return doc_id[row].astype(np.int64), big.to_numpy()
+
+
+def q_lm_score(sf_dir: str, broadcast_max: int | None = None):
+    """Per-doc corpus-bigram familiarity: (doc_id, n_big, sum_freq,
+    n_rare, familiarity).  Pass 1 builds the corpus bigram-count table
+    with one map-side-combined exchange; pass 2 broadcasts it as
+    parallel sorted (hash, count) int64 arrays (~16 B/bigram,
+    searchsorted probe — no dict, no per-row Python) and scores each
+    batch vectorized.  Above ``broadcast_max`` the table never leaves
+    the object store: scoring runs as a bucketed hash-join plus a
+    per-doc partial-sum exchange."""
+    import ray
+
+    from ..stages.shuffle import bucketed_apply, grouped_agg
+
+    if broadcast_max is None:
+        broadcast_max = LM_BROADCAST_MAX
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        _d, g = _doc_bigrams(b)
+        if not len(g):
+            return pa.table({"gh": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        codes, uniq = pd.factorize(pd.Series(g), sort=False)
+        gh = _md5_lower64(uniq).view(np.int64)[codes]
+        h, n = np.unique(gh, return_counts=True)
+        return pa.table({"gh": pa.array(h),
+                         "n": pa.array(n.astype(np.int64))})
+
+    cnt_ds = grouped_agg(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["gh"], {"c": ("n", "sum")})
+
+    if cnt_ds.count() > broadcast_max:
+        # scale path: (doc, bigram, multiplicity) rows co-locate with
+        # the count rows per hash bucket, partials re-bucket per doc
+        def occ(b: pa.Table) -> pa.Table:
+            d, g = _doc_bigrams(b)
+            if not len(g):
+                return pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "gh": pa.array([], pa.int64()),
+                                 "mult": pa.array([], pa.int64())})
+            codes, uniq = pd.factorize(pd.Series(g), sort=False)
+            gh = _md5_lower64(uniq).view(np.int64)[codes]
+            per = (pd.DataFrame({"doc_id": d, "gh": gh})
+                   .groupby(["doc_id", "gh"], sort=False).size()
+                   .reset_index(name="mult"))
+            per["mult"] = per["mult"].astype(np.int64)
+            return pa.Table.from_pandas(per, preserve_index=False)
+
+        def tag_cnt(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return pa.table(
+                {"doc_id": pa.array(np.full(t.num_rows, -1, np.int64)),
+                 "gh": t.column("gh"),
+                 "mult": pc.cast(t.column("c"), pa.int64())})
+
+        both = ds.map_batches(occ, batch_format="pyarrow").union(
+            cnt_ds.map_batches(tag_cnt, batch_format="pyarrow"))
+
+        def join_cnt(g: pd.DataFrame) -> pd.DataFrame:
+            cnts = g[g["doc_id"] == -1]
+            o = g[g["doc_id"] != -1]
+            if o.empty:
+                return pd.DataFrame(
+                    {"doc_id": pd.Series(dtype=np.int64),
+                     "n_big": pd.Series(dtype=np.int64),
+                     "sum_freq": pd.Series(dtype=np.int64),
+                     "n_rare": pd.Series(dtype=np.int64)})
+            lut = pd.Series(cnts["mult"].to_numpy(),
+                            index=cnts["gh"].to_numpy())
+            c = o["gh"].map(lut).to_numpy(np.int64)
+            m = o["mult"].to_numpy(np.int64)
+            per = pd.DataFrame(
+                {"doc_id": o["doc_id"].to_numpy(np.int64),
+                 "n_big": m, "sum_freq": m * c,
+                 "n_rare": m * (c == 1)})
+            out = per.groupby("doc_id", as_index=False, sort=False).sum()
+            return out.astype(np.int64)
+
+        parts = bucketed_apply(both, ["gh"], join_cnt)
+
+        def fin(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.groupby("doc_id", as_index=False, sort=False).sum()
+            out = out.astype(np.int64)
+            out["familiarity"] = (
+                out["sum_freq"].to_numpy(np.float64)
+                / out["n_big"].to_numpy(np.float64))
+            return out
+
+        return bucketed_apply(parts, ["doc_id"], fin)
+
+    cnt = cnt_ds.to_pandas()
+    gh_arr = cnt["gh"].to_numpy().astype(np.int64)
+    c_arr = cnt["c"].to_numpy().astype(np.int64)
+    order = np.argsort(gh_arr, kind="stable")
+    gh_ref = ray.put(gh_arr[order])
+    c_ref = ray.put(c_arr[order])
+
+    def probe(b: pa.Table) -> pa.Table:
+        ghs, cs = ray.get(gh_ref), ray.get(c_ref)
+        d, g = _doc_bigrams(b)
+        if not len(g):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_big": pa.array([], pa.int64()),
+                             "sum_freq": pa.array([], pa.int64()),
+                             "n_rare": pa.array([], pa.int64()),
+                             "familiarity": pa.array([], pa.float64())})
+        codes, uniq = pd.factorize(pd.Series(g), sort=False)
+        gh = _md5_lower64(uniq).view(np.int64)[codes]
+        j = np.searchsorted(ghs, gh)
+        # every bigram is in the corpus table by construction
+        c = cs[j]
+        docs = np.unique(d)
+        idx = np.searchsorted(docs, d)
+        n_big = np.bincount(idx, minlength=len(docs)).astype(np.int64)
+        sum_freq = np.bincount(
+            idx, weights=c.astype(np.float64),
+            minlength=len(docs)).astype(np.int64)
+        n_rare = np.bincount(
+            idx, weights=(c == 1).astype(np.float64),
+            minlength=len(docs)).astype(np.int64)
+        return pa.table(
+            {"doc_id": pa.array(docs),
+             "n_big": pa.array(n_big),
+             "sum_freq": pa.array(sum_freq),
+             "n_rare": pa.array(n_rare),
+             "familiarity": pa.array(sum_freq / n_big)})
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def sql_lm_score() -> str:
+    return (
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws "
+        "FROM documents), "
+        "b AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)), "
+        "i -> ws[i] || ' ' || ws[i+1])) AS g FROM w), "
+        "cnt AS (SELECT g, COUNT(*) AS c FROM b GROUP BY g) "
+        "SELECT b.doc_id, COUNT(*) AS n_big, "
+        "CAST(SUM(cnt.c) AS BIGINT) AS sum_freq, "
+        "CAST(SUM(CASE WHEN cnt.c = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_rare, "
+        "CAST(SUM(cnt.c) AS DOUBLE) / COUNT(*) AS familiarity "
+        "FROM b JOIN cnt ON b.g = cnt.g GROUP BY b.doc_id"
+    )
+
+
 QUERIES = {
     "text_stats": q_text_stats,
     "lang_score": q_lang_score,
@@ -601,9 +779,11 @@ QUERIES = {
     "quality": q_quality,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash": q_simhash,
+    "lm_score": q_lm_score,
 }
 
 ORACLES = {
+    "lm_score": sql_lm_score(),
     "text_stats": sql_text_stats(),
     "lang_score": sql_lang_score(),
     "token_count": sql_token_count(),

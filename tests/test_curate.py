@@ -158,3 +158,42 @@ def test_tfidf_top(ray_session, docs):
         exp_s[["doc_id", "word", "tf", "df_docs", "score"]].astype(
             {"tf": np.int64, "df_docs": np.int64}),
     )
+
+
+def test_lm_score_vs_counter(ray_session, docs):
+    """lm_score against a plain-Python recomputation (Counter over all
+    corpus bigrams), plus bucketed-fallback parity."""
+    from collections import Counter
+
+    from osmquadtree_depreceated_ray.pipelines.queries_text import (
+        q_lm_score,
+    )
+
+    corpus = Counter()
+    per_doc = {}
+    for _i, r in docs.iterrows():
+        ws = r["text"].split(" ")
+        bigs = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        per_doc[r["doc_id"]] = bigs
+        corpus.update(bigs)
+
+    got = (q_lm_score(SF).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    exp_rows = []
+    for did, bigs in sorted(per_doc.items()):
+        if not bigs:
+            continue
+        freqs = [corpus[g] for g in bigs]
+        exp_rows.append({
+            "doc_id": did, "n_big": len(bigs),
+            "sum_freq": sum(freqs),
+            "n_rare": sum(1 for f in freqs if f == 1),
+            "familiarity": sum(freqs) / len(bigs)})
+    exp = pd.DataFrame(exp_rows)
+    pd.testing.assert_frame_equal(
+        got.astype({"n_big": np.int64}), exp.astype({"n_big": np.int64}))
+
+    got2 = (q_lm_score(SF, broadcast_max=0).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], got2[sorted(got2.columns)])
