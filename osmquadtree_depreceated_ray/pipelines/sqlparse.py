@@ -26,7 +26,7 @@ Surface (the reference's grammar, plus LIMIT):
                                           [NOT] EXISTS (subquery),
                                           scalar (SELECT ...) literals,
                                           bitwise & | # ~ << >>
-    GROUP BY [ROLLUP|CUBE (] ... [)]
+    GROUP BY [ROLLUP|CUBE|GROUPING SETS (] ... [)]
                   [HAVING expr]           (keys may be expressions or
                                           SELECT aliases; aggregates
                                           accept FILTER (WHERE ...))
@@ -318,6 +318,7 @@ class _Parser:
         group = None
         having = None
         rollup = False
+        gsets = None
         if self.accept("kw", "group"):
             self.expect("kw", "by")
             group = []
@@ -332,6 +333,39 @@ class _Parser:
                     if not self.accept("op", ","):
                         break
                 self.expect("op", ")")
+            elif (self.peek()[0] == "ident"
+                  and self.peek()[1].lower() == "grouping"
+                  and self.toks[self.i + 1][0] == "ident"
+                  and self.toks[self.i + 1][1].lower() == "sets"):
+                # GROUP BY GROUPING SETS ((a, b), (a), ()): explicit
+                # aggregation levels — same per-level grouped-exchange
+                # executor as ROLLUP/CUBE, levels given by the user.
+                # A bare expr is a one-key set; () is the grand total.
+                self.next()
+                self.next()
+                self.expect("op", "(")
+                rollup = "sets"
+                raw = []
+                while True:
+                    if self.accept("op", "("):
+                        s = []
+                        if not self.accept("op", ")"):
+                            while True:
+                                s.append(self.parse_expr())
+                                if not self.accept("op", ","):
+                                    break
+                            self.expect("op", ")")
+                        raw.append(s)
+                    else:
+                        raw.append([self.parse_expr()])
+                    if not self.accept("op", ","):
+                        break
+                self.expect("op", ")")
+                for s in raw:
+                    for e in s:
+                        if e not in group:
+                            group.append(e)
+                gsets = [[group.index(e) for e in s] for s in raw]
             else:
                 while True:
                     # full expressions (GROUP BY k % 10, substr(s, 1, 4),
@@ -347,7 +381,7 @@ class _Parser:
             # analogue of HAVING); may reference SELECT aliases
             qualify = self.parse_expr()
         return {"items": items, "table": table, "join": join,
-                "qualify": qualify, "rollup": rollup,
+                "qualify": qualify, "rollup": rollup, "gsets": gsets,
                 "where": where, "distinct": distinct, "group": group,
                 "having": having}
 
@@ -1105,7 +1139,11 @@ def _run_rollup_select(ds, sel) -> "ray.data.Dataset":  # noqa: F821
     NULL in that level's projection, levels unioned (each sub-level
     cast to the full level's schema so null-typed columns promote)."""
     group = sel["group"]
-    if sel.get("rollup") == "cube":
+    if sel.get("rollup") == "sets":
+        # GROUPING SETS: the user's explicit levels (index lists over
+        # the distinct key expressions, first-appearance order)
+        levels = sel["gsets"]
+    elif sel.get("rollup") == "cube":
         # CUBE: every subset of the keys
         if len(group) > 4:
             raise ValueError("CUBE supports at most 4 keys (2^n levels)")
@@ -1143,7 +1181,20 @@ def _run_rollup_select(ds, sel) -> "ray.data.Dataset":  # noqa: F821
                     hv = _subst_nonagg(hv, gnode, ("lit", None))
             sel_i["having"] = hv
         outs.append(_run_grouped_select(ds, sel_i))
-    target = outs[0].schema().base_schema
+    # target schema: per column, the first non-null type across levels
+    # (ROLLUP/CUBE always emit the all-keys level first, but GROUPING
+    # SETS levels may each null out a different key)
+    schemas = [o.schema().base_schema for o in outs]
+    fields = []
+    for i, f in enumerate(schemas[0]):
+        typ = f.type
+        if pa.types.is_null(typ):
+            for s2 in schemas[1:]:
+                if not pa.types.is_null(s2.field(i).type):
+                    typ = s2.field(i).type
+                    break
+        fields.append(pa.field(f.name, typ))
+    target = pa.schema(fields)
 
     def cast_to(t: pa.Table, _s=target) -> pa.Table:
         if t.num_rows == 0 and not all(
@@ -1152,7 +1203,7 @@ def _run_rollup_select(ds, sel) -> "ray.data.Dataset":  # noqa: F821
             return _s.empty_table()
         return t.select(_s.names).cast(_s)
 
-    out = outs[0]
+    out = outs[0].map_batches(cast_to, batch_format="pyarrow")
     for o in outs[1:]:
         out = out.union(o.map_batches(cast_to, batch_format="pyarrow"))
     return out

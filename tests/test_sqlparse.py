@@ -704,6 +704,31 @@ def test_cube_matches_duckdb(ray_session, t1):
         None, {"t1": t1})
 
 
+def test_grouping_sets_matches_duckdb(ray_session, t1):
+    """GROUP BY GROUPING SETS: explicit user-chosen aggregation levels
+    (each set one grouped-exchange pass, unioned; unused keys NULL)."""
+    for sql in [
+        # classic rollup-equivalent spelled explicitly, incl. grand total
+        "SELECT s, k % 2 AS par, COUNT(*) AS n, "
+        "CAST(SUM(v) AS BIGINT) AS sv FROM t1 "
+        "GROUP BY GROUPING SETS ((s, k % 2), (s), ())",
+        # disjoint single-key sets — each level nulls a DIFFERENT key,
+        # so the union schema must promote null-typed columns per column
+        "SELECT s, k % 2 AS par, COUNT(*) AS n FROM t1 "
+        "GROUP BY GROUPING SETS ((s), (k % 2))",
+        # bare (unparenthesized) expr as a one-key set
+        "SELECT s, COUNT(*) AS n FROM t1 GROUP BY GROUPING SETS (s, ())",
+        # aggregate whose argument is a grouped key: NULL substitution
+        # must not reach aggregate arguments
+        "SELECT s, COUNT(s) AS cs, CAST(SUM(k) AS BIGINT) AS sk FROM t1 "
+        "GROUP BY GROUPING SETS ((s), ())",
+        # HAVING applies per level
+        "SELECT s, k % 2 AS par, COUNT(*) AS n FROM t1 "
+        "GROUP BY GROUPING SETS ((s), (k % 2), ()) HAVING COUNT(*) > 60",
+    ]:
+        _run_both(sql, None, {"t1": t1})
+
+
 def test_rollup_with_window_raises(ray_session, t1):
     """ROLLUP/CUBE + window functions/QUALIFY: explicit error, not a
     silent degrade to plain GROUP BY."""
