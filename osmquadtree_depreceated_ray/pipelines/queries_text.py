@@ -611,7 +611,7 @@ LM_BROADCAST_MAX = 2_000_000  # above this bigram-vocabulary size the
 # (same contract as TFIDF_BROADCAST_MAX)
 
 
-def _doc_bigrams(b: pa.Table):
+def _doc_bigram_stream(b: pa.Table):
     """(doc_id_per_bigram, bigram_string) in document order."""
     doc_id = b.column("doc_id").to_numpy()
     t = b.column("text").to_pandas()
@@ -641,7 +641,7 @@ def q_lm_score(sf_dir: str, broadcast_max: int | None = None):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def partials(b: pa.Table) -> pa.Table:
-        _d, g = _doc_bigrams(b)
+        _d, g = _doc_bigram_stream(b)
         if not len(g):
             return pa.table({"gh": pa.array([], pa.int64()),
                              "n": pa.array([], pa.int64())})
@@ -659,7 +659,7 @@ def q_lm_score(sf_dir: str, broadcast_max: int | None = None):
         # scale path: (doc, bigram, multiplicity) rows co-locate with
         # the count rows per hash bucket, partials re-bucket per doc
         def occ(b: pa.Table) -> pa.Table:
-            d, g = _doc_bigrams(b)
+            d, g = _doc_bigram_stream(b)
             if not len(g):
                 return pa.table({"doc_id": pa.array([], pa.int64()),
                                  "gh": pa.array([], pa.int64()),
@@ -723,7 +723,7 @@ def q_lm_score(sf_dir: str, broadcast_max: int | None = None):
 
     def probe(b: pa.Table) -> pa.Table:
         ghs, cs = ray.get(gh_ref), ray.get(c_ref)
-        d, g = _doc_bigrams(b)
+        d, g = _doc_bigram_stream(b)
         if not len(g):
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "n_big": pa.array([], pa.int64()),
