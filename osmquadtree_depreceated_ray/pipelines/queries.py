@@ -454,7 +454,8 @@ def _merge_registries():
     QUERIES.update(queries_core.QUERIES)
     ORACLES.update(queries_core.ORACLES)
     for mod_name in ("queries_events", "queries_text", "queries_embed",
-                     "queries_curate", "queries_stats", "queries_pack"):
+                     "queries_curate", "queries_stats", "queries_pack",
+                     "queries_spatial"):
         try:
             import importlib
 

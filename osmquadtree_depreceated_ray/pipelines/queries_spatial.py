@@ -1,0 +1,366 @@
+"""Spatial-join extensions: zonal statistics, rasterization, and
+cell-blocked distance joins.
+
+These complete the north-rule spatial surface around the existing PIP /
+kNN / raster-lookup kernels:
+
+* ``zonal_stats`` — the classic raster/vector *zonal statistics*
+  operator: per-polygon aggregates (count, value sum/mean, bbox of the
+  matched points) computed as PIP join -> map-side-combined grouped
+  aggregation.  The reference computes per-region rollups by filtering
+  then counting (filter/filter.go + calcqts counts); here it is one
+  streaming pass.
+* ``rasterize`` — vector -> raster: aggregate derived entity points
+  into the z=8 slippy grid (count + value sum/mean per tile cell), the
+  inverse direction of ``raster_lookup`` (quadtree.go:181-203 tuple
+  mapping).  Together they close the raster<->vector loop the north
+  rule names.
+* ``dist_selfjoin`` — distance self-join (all pairs within R) via
+  grid-cell blocking: each point is replicated to the <=4 cells that
+  could own one of its pairs (pair ownership = the elementwise-min cell
+  of the two homes, so every qualifying pair is emitted EXACTLY once,
+  no global dedup pass), pairs are found with a vectorized hash
+  self-merge per bucket.  Replication is x4 regardless of R; candidate
+  work is bounded by per-cell density, never all-pairs.
+* ``nn_join`` — capped nearest-neighbour join (each point's nearest
+  other point within R, standard bounded-NN semantics): the same
+  blocking machinery emitting both directions, finished by a per-point
+  argmin inside the bucketed exchange.
+
+All distance math is exact: int64 coordinate diffs (cell blocking keeps
+|diff| <= 2R, far from overflow), squared distances kept as BIGINT end
+to end (R^2 = 1e16 exceeds 2^53, so DOUBLE would round); the DuckDB
+oracles compute the squares in HUGEINT after an abs prefilter.  At
+100 TB the shuffles move only fixed-width candidate rows — text never
+enters any of these pipelines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..sources import derive
+
+
+def _q():
+    """Deferred import of the root registry module (it imports this
+    module back when merging registries)."""
+    from . import queries
+
+    return queries
+
+# distance-join radius in 1e-7-degree units (10 degrees): chosen so the
+# sf0.01 corpus yields a few hundred pairs and sf0.1 tens of thousands.
+DIST_R = 100_000_000
+RASTER_Z = 8
+
+
+# --------------------------------------------------------------------------
+# zonal_stats
+# --------------------------------------------------------------------------
+
+
+def q_zonal_stats(sf_dir: str):
+    """Per-polygon zonal statistics over the derived document points:
+    (poly_id, n, sum_chars, mean_chars, minx, miny, maxx, maxy).
+
+    PIP join (broadcast polygon index, once-per-worker) -> grouped_agg
+    keyed on poly_id with map-side combine: the exchange moves
+    O(polygons x tasks) partial rows, independent of corpus size."""
+    import ray
+
+    from ..stages.shuffle import grouped_agg
+    from ..stages.spatial import PolygonIndex, pip_map_fn
+
+    index = PolygonIndex.from_table(_q().rect_polys_table())
+    ref = ray.put(index)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).map_batches(
+        lambda b: _q()._derive_batch(b, "doc_id"), batch_format="pyarrow"
+    )
+    pairs = ds.map_batches(
+        pip_map_fn(ref, ("doc_id", "n_chars")), batch_format="pyarrow")
+    agg = grouped_agg(
+        pairs,
+        ["poly_id"],
+        {
+            "n": ("doc_id", "size"),
+            "sum_chars": ("n_chars", "sum"),
+            "minx": ("lon", "min"),
+            "miny": ("lat", "min"),
+            "maxx": ("lon", "max"),
+            "maxy": ("lat", "max"),
+        },
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy().astype(np.int64)
+        s = b.column("sum_chars").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "poly_id": b.column("poly_id"),
+                "n": pa.array(n),
+                "sum_chars": pa.array(s),
+                "mean_chars": pa.array(s.astype(np.float64) / n),
+                "minx": b.column("minx"),
+                "miny": b.column("miny"),
+                "maxx": b.column("maxx"),
+                "maxy": b.column("maxy"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_zonal_stats() -> str:
+    lon, lat = derive.sql_lonlat_expr("doc_id")
+    return (
+        f"WITH {_q().sql_rects_cte()}, "
+        f"e AS (SELECT doc_id, n_chars, {lon} AS lon, {lat} AS lat "
+        f"FROM documents) "
+        f"SELECT CAST(r.poly_id AS BIGINT) AS poly_id, "
+        f"COUNT(*) AS n, CAST(SUM(e.n_chars) AS BIGINT) AS sum_chars, "
+        f"CAST(SUM(e.n_chars) AS DOUBLE) / COUNT(*) AS mean_chars, "
+        f"MIN(e.lon) AS minx, MIN(e.lat) AS miny, "
+        f"MAX(e.lon) AS maxx, MAX(e.lat) AS maxy "
+        f"FROM e JOIN rects r ON e.lon >= r.minx AND e.lon < r.maxx "
+        f"AND e.lat >= r.miny AND e.lat < r.maxy "
+        f"GROUP BY r.poly_id"
+    )
+
+
+# --------------------------------------------------------------------------
+# rasterize
+# --------------------------------------------------------------------------
+
+
+def q_rasterize(sf_dir: str):
+    """Vector -> raster: count + n_chars sum/mean per z=8 slippy cell,
+    sparse output (x, y, n, sum_chars, mean_chars).
+
+    Per-batch partial aggregation (np.unique on the packed cell id +
+    bincount) keeps the exchange at O(occupied cells), exactly the
+    tile_counts shape at a fixed zoom."""
+    import ray
+
+    from ..functions.quadtree import calculate_point, qt_round, qt_tuple
+    from ..stages.assign import QT_BUFFER, QT_MAX_LEVEL
+    from ..stages.shuffle import grouped_agg
+
+    n_side = 1 << RASTER_Z
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        d = _q()._derive_batch(b, "doc_id")
+        lon = d.column("lon").to_numpy()
+        lat = d.column("lat").to_numpy()
+        qt = calculate_point(lon, lat, QT_BUFFER, QT_MAX_LEVEL)
+        zx, zy, _ = qt_tuple(qt_round(qt, RASTER_Z))
+        packed = zx * n_side + zy
+        vals, inv, counts = np.unique(
+            packed, return_inverse=True, return_counts=True)
+        chars = b.column("n_chars").to_numpy().astype(np.int64)
+        # bincount weights are float64; n_chars sums stay far below 2^53
+        sums = np.bincount(inv, weights=chars,
+                           minlength=len(vals)).astype(np.int64)
+        return pa.table(
+            {
+                "x": pa.array(vals // n_side),
+                "y": pa.array(vals % n_side),
+                "n": pa.array(counts.astype(np.int64)),
+                "sum_chars": pa.array(sums),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    agg = grouped_agg(
+        ds.map_batches(per_batch, batch_format="pyarrow"),
+        ["x", "y"],
+        {"n": ("n", "sum"), "sum_chars": ("sum_chars", "sum")},
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy().astype(np.int64)
+        s = b.column("sum_chars").to_numpy().astype(np.int64)
+        return b.append_column(
+            "mean_chars", pa.array(s.astype(np.float64) / n))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_rasterize() -> str:
+    kx, ky = derive.sql_cells_expr("doc_id")
+    shift = 18 - RASTER_Z
+    x = f"({kx} >> {shift})"
+    y = f"((262143 - {ky}) >> {shift})"
+    return (
+        f"SELECT {x} AS x, {y} AS y, COUNT(*) AS n, "
+        f"CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
+        f"CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars "
+        f"FROM documents GROUP BY 1, 2"
+    )
+
+
+# --------------------------------------------------------------------------
+# dist_selfjoin / nn_join
+# --------------------------------------------------------------------------
+
+
+def _replicated_points(sf_dir: str, r: int):
+    """Derived points replicated to the <=4 grid cells that may own one
+    of their pairs (cell ownership = elementwise-min home cell)."""
+    import ray
+
+    def rep(b: pa.Table) -> pa.Table:
+        d = _q()._derive_batch(b, "doc_id")
+        doc = d.column("doc_id").to_numpy().astype(np.int64)
+        lon = d.column("lon").to_numpy()
+        lat = d.column("lat").to_numpy()
+        hx = np.floor_divide(lon, r)
+        hy = np.floor_divide(lat, r)
+        n = len(doc)
+        idx = np.tile(np.arange(n, dtype=np.int64), 4)
+        dx = np.repeat(np.array([0, 1, 0, 1], dtype=np.int64), n)
+        dy = np.repeat(np.array([0, 0, 1, 1], dtype=np.int64), n)
+        return pa.table(
+            {
+                "cx": pa.array(hx[idx] - dx),
+                "cy": pa.array(hy[idx] - dy),
+                "doc_id": pa.array(doc[idx]),
+                "lon": pa.array(lon[idx]),
+                "lat": pa.array(lat[idx]),
+                "hx": pa.array(hx[idx]),
+                "hy": pa.array(hy[idx]),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return ds.map_batches(rep, batch_format="pyarrow")
+
+
+def _cell_pairs(g: pd.DataFrame, r: int) -> pd.DataFrame:
+    """All (a < b, dist2 <= r^2) pairs owned by cells in this bucket:
+    vectorized hash self-merge on the replica cell, then the exactly-
+    once ownership filter (cell == min of the two home cells)."""
+    m = g.merge(g, on=["cx", "cy"], suffixes=("_a", "_b"))
+    if m.empty:
+        return pd.DataFrame(
+            {"a": pd.Series(dtype=np.int64),
+             "b": pd.Series(dtype=np.int64),
+             "dist2": pd.Series(dtype=np.int64)})
+    keep = (
+        (m["doc_id_a"].to_numpy() < m["doc_id_b"].to_numpy())
+        & (m["cx"].to_numpy()
+           == np.minimum(m["hx_a"].to_numpy(), m["hx_b"].to_numpy()))
+        & (m["cy"].to_numpy()
+           == np.minimum(m["hy_a"].to_numpy(), m["hy_b"].to_numpy()))
+    )
+    m = m[keep]
+    dlon = m["lon_a"].to_numpy() - m["lon_b"].to_numpy()
+    dlat = m["lat_a"].to_numpy() - m["lat_b"].to_numpy()
+    d2 = dlon * dlon + dlat * dlat  # int64 exact; |diff| <= 2r
+    ok = d2 <= r * r
+    return pd.DataFrame(
+        {
+            "a": m["doc_id_a"].to_numpy()[ok],
+            "b": m["doc_id_b"].to_numpy()[ok],
+            "dist2": d2[ok],
+        }
+    )
+
+
+def q_dist_selfjoin(sf_dir: str, r: int = DIST_R):
+    """Distance self-join: every document pair within ``r`` (1e-7 deg)
+    as (a, b, dist2), a < b, each pair exactly once."""
+    from ..stages.shuffle import bucketed_apply
+
+    pts = _replicated_points(sf_dir, r)
+    return bucketed_apply(pts, ["cx", "cy"], lambda g: _cell_pairs(g, r))
+
+
+def _sql_dist_pairs(r: int) -> str:
+    lon, lat = derive.sql_lonlat_expr("doc_id")
+    # HUGEINT squares: exact for any diff (R^2 = 1e16 > 2^53 rules out
+    # DOUBLE; unfiltered diffs squared would overflow BIGINT)
+    d2 = (
+        "CAST(a.lon - b.lon AS HUGEINT) * CAST(a.lon - b.lon AS HUGEINT) + "
+        "CAST(a.lat - b.lat AS HUGEINT) * CAST(a.lat - b.lat AS HUGEINT)"
+    )
+    return (
+        f"e AS (SELECT doc_id, {lon} AS lon, {lat} AS lat FROM documents), "
+        f"pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, "
+        f"CAST({d2} AS BIGINT) AS dist2 "
+        f"FROM e a JOIN e b ON a.doc_id < b.doc_id "
+        f"AND abs(a.lon - b.lon) <= {r} AND abs(a.lat - b.lat) <= {r} "
+        f"AND {d2} <= {r}::HUGEINT * {r}::HUGEINT)"
+    )
+
+
+def sql_dist_selfjoin() -> str:
+    return f"WITH {_sql_dist_pairs(DIST_R)} SELECT a, b, dist2 FROM pairs"
+
+
+def q_nn_join(sf_dir: str, r: int = DIST_R):
+    """Capped nearest-neighbour join: (doc_id, nn, dist2) = each
+    document's nearest other document within ``r`` (docs with no
+    neighbour in range are absent — standard bounded-NN contract).
+
+    Same blocking exchange as dist_selfjoin; candidates flow into a
+    per-doc argmin exchange as fixed-width rows.  Ties break on the
+    smaller neighbour id (deterministic, matches the SQL oracle)."""
+    from ..stages.shuffle import bucketed_apply
+
+    pts = _replicated_points(sf_dir, r)
+
+    def both_dirs(g: pd.DataFrame) -> pd.DataFrame:
+        p = _cell_pairs(g, r)
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate(
+                    [p["a"].to_numpy(), p["b"].to_numpy()]),
+                "nn": np.concatenate(
+                    [p["b"].to_numpy(), p["a"].to_numpy()]),
+                "dist2": np.tile(p["dist2"].to_numpy(), 2),
+            }
+        )
+
+    cands = bucketed_apply(pts, ["cx", "cy"], both_dirs)
+
+    def argmin(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["dist2", "nn"], kind="stable")
+        return g.groupby("doc_id", as_index=False, sort=False).first()
+
+    # argmin is safe on partial per-key data -> map-side combine
+    return bucketed_apply(cands, ["doc_id"], argmin, combine=argmin)
+
+
+def sql_nn_join() -> str:
+    return (
+        f"WITH {_sql_dist_pairs(DIST_R)}, "
+        "bd AS (SELECT a AS doc_id, b AS nn, dist2 FROM pairs "
+        "UNION ALL SELECT b, a, dist2 FROM pairs) "
+        "SELECT doc_id, nn, dist2 FROM (SELECT doc_id, nn, dist2, "
+        "row_number() OVER (PARTITION BY doc_id ORDER BY dist2, nn) AS rn "
+        "FROM bd) WHERE rn = 1"
+    )
+
+
+QUERIES = {
+    "zonal_stats": q_zonal_stats,
+    "rasterize": q_rasterize,
+    "dist_selfjoin": q_dist_selfjoin,
+    "nn_join": q_nn_join,
+}
+
+# lazy (callable) oracles: building the SQL needs the root registry
+# module's rect CTE, which imports this module back during its own init
+ORACLES = {
+    "zonal_stats": sql_zonal_stats,
+    "rasterize": sql_rasterize,
+    "dist_selfjoin": sql_dist_selfjoin,
+    "nn_join": sql_nn_join,
+}

@@ -1,0 +1,129 @@
+"""Spatial-extension operator tests: zonal statistics, rasterize,
+cell-blocked distance self-join, capped NN join.
+
+Each check recomputes the expected result independently with brute
+force (O(n^2) pair scan, plain pandas rollups) on sf0.001 — the DuckDB
+hash-exact gate runs separately via tools/check_oracles.py."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from osmquadtree_depreceated_ray.sources import derive
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def points():
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "n_chars"]).to_pandas()
+    lon, lat = derive.derive_lonlat(docs["doc_id"].to_numpy())
+    return docs.assign(lon=lon, lat=lat)
+
+
+def _brute_pairs(points, r):
+    lon = points["lon"].to_numpy()
+    lat = points["lat"].to_numpy()
+    ids = points["doc_id"].to_numpy()
+    # abs prefilter first: raw global diffs squared overflow int64 and
+    # exceed float64's 2^53 near the r^2 boundary
+    dlon = lon[:, None] - lon[None, :]
+    dlat = lat[:, None] - lat[None, :]
+    cand = ((np.abs(dlon) <= r) & (np.abs(dlat) <= r)
+            & (ids[:, None] < ids[None, :]))
+    ia, ib = np.where(cand)
+    d2 = dlon[ia, ib] ** 2 + dlat[ia, ib] ** 2  # int64 exact
+    ok = d2 <= r * r
+    return pd.DataFrame(
+        {"a": ids[ia][ok], "b": ids[ib][ok], "dist2": d2[ok]})
+
+
+def test_dist_selfjoin_vs_brute_force(ray_session, points):
+    from osmquadtree_depreceated_ray.pipelines.queries_spatial import (
+        q_dist_selfjoin,
+    )
+
+    r = 100_000_000
+    got = q_dist_selfjoin(SF, r).to_pandas().sort_values(
+        ["a", "b"]).reset_index(drop=True)
+    want = _brute_pairs(points, r).sort_values(
+        ["a", "b"]).reset_index(drop=True)
+    # exactly-once: no duplicate pairs out of the 4x cell replication
+    assert not got.duplicated(["a", "b"]).any()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_dist_selfjoin_radius_monotone(ray_session):
+    from osmquadtree_depreceated_ray.pipelines.queries_spatial import (
+        q_dist_selfjoin,
+    )
+
+    small = q_dist_selfjoin(SF, 50_000_000).to_pandas()
+    large = q_dist_selfjoin(SF, 150_000_000).to_pandas()
+    assert len(small) < len(large)
+    sk = set(map(tuple, small[["a", "b"]].to_numpy()))
+    lk = set(map(tuple, large[["a", "b"]].to_numpy()))
+    assert sk <= lk
+
+
+def test_nn_join_vs_brute_force(ray_session, points):
+    from osmquadtree_depreceated_ray.pipelines.queries_spatial import (
+        q_nn_join,
+    )
+
+    r = 100_000_000
+    got = q_nn_join(SF, r).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    pairs = _brute_pairs(points, r)
+    bd = pd.concat([
+        pairs.rename(columns={"a": "doc_id", "b": "nn"}),
+        pairs.rename(columns={"b": "doc_id", "a": "nn"}),
+    ])[["doc_id", "nn", "dist2"]]
+    want = (bd.sort_values(["dist2", "nn"], kind="stable")
+            .groupby("doc_id", as_index=False, sort=False).first()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert not got.duplicated("doc_id").any()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_zonal_stats_vs_pandas(ray_session, points):
+    from osmquadtree_depreceated_ray.pipelines.queries import _rect_bounds
+    from osmquadtree_depreceated_ray.pipelines.queries_spatial import (
+        q_zonal_stats,
+    )
+
+    got = q_zonal_stats(SF).to_pandas().sort_values(
+        "poly_id").reset_index(drop=True)
+    k = np.arange(24, dtype=np.int64)
+    a, c, b, d = _rect_bounds(k)
+    rows = []
+    for i in range(24):
+        m = points[(points["lon"] >= a[i]) & (points["lon"] < b[i])
+                   & (points["lat"] >= c[i]) & (points["lat"] < d[i])]
+        if len(m):
+            rows.append({
+                "poly_id": i, "n": len(m),
+                "sum_chars": int(m["n_chars"].sum()),
+                "mean_chars": m["n_chars"].sum() / len(m),
+                "minx": m["lon"].min(), "miny": m["lat"].min(),
+                "maxx": m["lon"].max(), "maxy": m["lat"].max(),
+            })
+    want = pd.DataFrame(rows)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_rasterize_conserves_counts(ray_session, points):
+    from osmquadtree_depreceated_ray.pipelines.queries_spatial import (
+        q_rasterize,
+    )
+
+    got = q_rasterize(SF).to_pandas()
+    assert got["n"].sum() == len(points)
+    assert got["sum_chars"].sum() == points["n_chars"].sum()
+    assert not got.duplicated(["x", "y"]).any()
+    assert ((got["x"] >= 0) & (got["x"] < 256)).all()
+    assert ((got["y"] >= 0) & (got["y"] < 256)).all()
+    np.testing.assert_allclose(
+        got["mean_chars"], got["sum_chars"] / got["n"])
