@@ -19,6 +19,7 @@ split-segment byte width, functions.go:69-94).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -278,7 +279,14 @@ class Query:
         if where is not None or select is not None:
             def fn(t: pa.Table) -> pa.Table:
                 if where is not None:
-                    t = t.filter(where(t))
+                    m = where(t)
+                    if isinstance(m, pa.Scalar):
+                        # constant predicate (e.g. a ROLLUP level's
+                        # HAVING GROUPING(..) literal): broadcast
+                        m = pa.array([bool(m.as_py())] * t.num_rows)
+                    elif isinstance(m, (bool, np.bool_)):
+                        m = pa.array([bool(m)] * t.num_rows)
+                    t = t.filter(m)
                 if select is not None:
                     cols = {}
                     for name, e in select.items():

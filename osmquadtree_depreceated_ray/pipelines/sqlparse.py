@@ -1164,7 +1164,7 @@ def _run_rollup_select(ds, sel) -> "ray.data.Dataset":  # noqa: F821
         keep = set(idx_set)
         items_i = []
         for e, name in named:
-            ne = e
+            ne = _subst_grouping_calls(e, group, keep)
             for j, gnode in enumerate(group):
                 if j not in keep:
                     # NULL-substitute rolled-up keys ONLY outside
@@ -1175,7 +1175,7 @@ def _run_rollup_select(ds, sel) -> "ray.data.Dataset":  # noqa: F821
         sel_i = dict(sel, group=[group[j] for j in idx_set],
                      items=items_i, rollup=False)
         if sel.get("having") is not None:
-            hv = sel["having"]
+            hv = _subst_grouping_calls(sel["having"], group, keep)
             for j, gnode in enumerate(group):
                 if j not in keep:
                     hv = _subst_nonagg(hv, gnode, ("lit", None))
@@ -1207,6 +1207,31 @@ def _run_rollup_select(ds, sel) -> "ray.data.Dataset":  # noqa: F821
     for o in outs[1:]:
         out = out.union(o.map_batches(cast_to, batch_format="pyarrow"))
     return out
+
+
+def _subst_grouping_calls(node, group, keep):
+    """Replace GROUPING(k1 [, k2 ..]) calls with the level's literal
+    bitmask (leftmost argument = most significant bit, 1 when the key
+    is rolled up at this level — standard SQL / DuckDB semantics).
+    Runs BEFORE the NULL substitution so the argument still matches
+    its group-key expression structurally."""
+    if isinstance(node, tuple):
+        if node and node[0] == "call" and node[1] == "grouping":
+            mask = 0
+            for a in node[2]:
+                if a not in group:
+                    raise ValueError(
+                        "GROUPING() arguments must be GROUP BY keys")
+                mask = (mask << 1) | (0 if group.index(a) in keep else 1)
+            return ("lit", mask)
+        return tuple(
+            _subst_grouping_calls(x, group, keep)
+            if isinstance(x, (tuple, list)) else x for x in node)
+    if isinstance(node, list):
+        return [
+            _subst_grouping_calls(x, group, keep)
+            if isinstance(x, (tuple, list)) else x for x in node]
+    return node
 
 
 def _subst_nonagg(node, target, repl):

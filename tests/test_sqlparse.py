@@ -729,6 +729,37 @@ def test_grouping_sets_matches_duckdb(ray_session, t1):
         _run_both(sql, None, {"t1": t1})
 
 
+def test_grouping_function_matches_duckdb(ray_session, t1):
+    """GROUPING(key...) literal per level: 1 when the key is rolled up,
+    multi-arg = bitmask with the leftmost argument most significant."""
+    for sql in [
+        "SELECT s, COUNT(*) AS n, GROUPING(s) AS gs FROM t1 "
+        "GROUP BY ROLLUP (s)",
+        "SELECT s, k % 2 AS par, COUNT(*) AS n, "
+        "GROUPING(s, k % 2) AS gm FROM t1 GROUP BY CUBE (s, k % 2)",
+        "SELECT s, k % 2 AS par, GROUPING(s) AS gs, "
+        "GROUPING(k % 2) AS gp, COUNT(*) AS n FROM t1 "
+        "GROUP BY GROUPING SETS ((s), (k % 2), ())",
+        # GROUPING inside an expression (the subtotal-row label idiom)
+        "SELECT CASE WHEN GROUPING(s) = 1 THEN 'total' ELSE s END "
+        "AS lbl, COUNT(*) AS n FROM t1 GROUP BY ROLLUP (s)",
+        # HAVING on GROUPING: keep only the subtotal levels
+        "SELECT s, k % 2 AS par, COUNT(*) AS n FROM t1 "
+        "GROUP BY CUBE (s, k % 2) HAVING GROUPING(s, k % 2) > 0",
+    ]:
+        _run_both(sql, None, {"t1": t1})
+
+
+def test_grouping_function_non_key_raises(ray_session, t1):
+    import ray
+
+    with pytest.raises(ValueError, match="GROUPING"):
+        parse_sql(
+            "SELECT s, GROUPING(v) AS g, COUNT(*) AS n FROM t1 "
+            "GROUP BY ROLLUP (s)",
+            {"t1": ray.data.from_arrow(t1)})
+
+
 def test_rollup_with_window_raises(ray_session, t1):
     """ROLLUP/CUBE + window functions/QUALIFY: explicit error, not a
     silent degrade to plain GROUP BY."""
