@@ -2401,10 +2401,18 @@ def _exec_recursive_cte(name: str, colnames, ast, tables: dict,
     seen = frontier  # union-mode only: all rows produced so far
     step_ast = {"selects": [selects[-1]], "set_ops": [], "order": None,
                 "desc": None, "limit": None, "offset": 0}
+    # semi-naive wants the STATIC step relations scanned once, not
+    # re-executed from source every round (a lazy Dataset re-runs its
+    # whole lineage each time the step re-plans): pin every table the
+    # step arm references to object-store blocks before iterating
+    static = dict(tables)
+    for tname, tds in tables.items():
+        if tname != name and _ast_references(step_ast, tname):
+            static[tname] = tds.materialize()
     for _round in range(RECURSIVE_MAX_ROUNDS):
         if frontier.count() == 0:
             break
-        bound = dict(tables)
+        bound = dict(static)
         bound[name] = frontier
         nxt = _exec_ast(step_ast, bound, broadcast_threshold).materialize()
         if nxt.count() == 0:
