@@ -685,3 +685,136 @@ def sql_kmeans_iter1() -> str:
 
 QUERIES["kmeans_iter1"] = q_kmeans_iter1
 ORACLES["kmeans_iter1"] = sql_kmeans_iter1()
+
+
+# --- SemDeDup: semantic deduplication inside coarse clusters -----------------
+
+SEMDEDUP_TAU = 0.30
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): drop documents
+    whose embedding is semantically near-identical to an earlier one in
+    the SAME coarse cluster.  Output one row per vector: (vec_id,
+    centroid, max_sim_prev, keep) where max_sim_prev is the max cosine
+    to any smaller-id vector of the cluster (-1.0 when none) and
+    keep = max_sim_prev < tau (first occurrence wins, the same
+    canonical-winner convention as ``dedup_exact``).
+
+    Shape: the deterministic coarse quantizer assigns each vector to a
+    centroid (broadcast matrix, one matmul per batch), then ONE
+    bucketed exchange on centroid moves (vec_id, centroid, quantized
+    embedding bytes) — per-cluster pairwise similarity is the paper's
+    own within-cluster cost, bounded by cluster size (at scale k grows
+    with N so clusters stay O(N/k); the corpus text never moves).
+    Exactness: integer dot matrix / sqrt of float64 norm product is
+    bit-identical to the SQL oracle (each a single exactly-rounded op).
+    """
+    import ray
+
+    from ..stages.shuffle import bucketed_apply
+    from ..stages.spatial import worker_cached
+
+    c_ids, c_mat = _load_small_side(sf_dir, N_CENTROIDS)
+    cref = ray.put({"ids": c_ids, "mat": c_mat})
+
+    class Assign:
+        def __init__(self):
+            d = ray.get(cref)
+            self.c_ids = d["ids"]
+            self.c_mat = d["mat"].astype(np.float64)
+            self.c_n2 = (self.c_mat**2).sum(axis=1)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids, mat = _embed_matrix(b)
+            matf = mat.astype(np.float64)
+            n2 = (matf**2).sum(axis=1)
+            sims = (self.c_mat @ matf.T) / np.sqrt(
+                self.c_n2[:, None] * n2[None, :])
+            best = np.argmax(sims, axis=0)
+            emb = [mat[i].tobytes() for i in range(len(ids))]
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids),
+                    "centroid": pa.array(self.c_ids[best]),
+                    "emb": pa.array(emb, pa.binary()),
+                }
+            )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    assigned = ds.map_batches(
+        worker_cached(("semdedup_assign", cref.hex()), Assign),
+        batch_format="pyarrow")
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for cid, grp in g.groupby("centroid", sort=False):
+            grp = grp.sort_values("vec_id")
+            m = len(grp)
+            mat = np.frombuffer(
+                b"".join(grp["emb"]), dtype=np.int64
+            ).reshape(m, EMBED_DIM).astype(np.float64)
+            dot = mat @ mat.T                      # exact: |dot| < 2^53
+            n2 = (mat * mat).sum(axis=1)
+            sims = dot / np.sqrt(n2[:, None] * n2[None, :])
+            prev = np.where(np.tri(m, k=-1, dtype=bool), sims, -np.inf)
+            mx = prev.max(axis=1, initial=-np.inf)
+            mx = np.where(np.isfinite(mx), mx, -1.0)
+            outs.append(pd.DataFrame(
+                {
+                    "vec_id": grp["vec_id"].to_numpy(),
+                    "centroid": np.full(m, cid, dtype=np.int64),
+                    "max_sim_prev": mx,
+                    "keep": (mx < SEMDEDUP_TAU).astype(np.int64),
+                }
+            ))
+        if not outs:
+            return pd.DataFrame(
+                {"vec_id": pd.Series(dtype=np.int64),
+                 "centroid": pd.Series(dtype=np.int64),
+                 "max_sim_prev": pd.Series(dtype=np.float64),
+                 "keep": pd.Series(dtype=np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed_apply(assigned, ["centroid"], dedup)
+
+
+def sql_semdedup() -> str:
+    quant = "CAST(floor(CAST({e}[i] AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)"
+    ev = quant.format(e="e.embedding")
+    ec = quant.format(e="c.embedding")
+    qa = quant.format(e="a.embedding")
+    qb = quant.format(e="b.embedding")
+    return (
+        f"WITH cents AS (SELECT vec_id AS cid, embedding FROM embeddings "
+        f"WHERE vec_id < {N_CENTROIDS}), "
+        f"adots AS (SELECT e.vec_id, c.cid, SUM({ev} * {ec}) AS dot, "
+        f"SUM({ev} * {ev}) AS ne, SUM({ec} * {ec}) AS nc "
+        f"FROM embeddings e CROSS JOIN cents c, "
+        f"UNNEST(range(1, {EMBED_DIM + 1})) AS t(i) GROUP BY e.vec_id, c.cid), "
+        f"asims AS (SELECT vec_id, cid, CAST(dot AS DOUBLE) / "
+        f"sqrt(CAST(ne AS DOUBLE) * CAST(nc AS DOUBLE)) AS sim FROM adots), "
+        f"asg AS (SELECT vec_id, cid AS centroid FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY vec_id "
+        f"ORDER BY sim DESC, cid) AS rn FROM asims) WHERE rn = 1), "
+        f"pd AS (SELECT b.vec_id AS bi, SUM({qa} * {qb}) AS dot, "
+        f"SUM({qa} * {qa}) AS na, SUM({qb} * {qb}) AS nb "
+        f"FROM embeddings a JOIN asg sa ON sa.vec_id = a.vec_id "
+        f"JOIN asg sb ON sb.centroid = sa.centroid "
+        f"AND a.vec_id < sb.vec_id "
+        f"JOIN embeddings b ON b.vec_id = sb.vec_id, "
+        f"UNNEST(range(1, {EMBED_DIM + 1})) AS t(i) "
+        f"GROUP BY a.vec_id, b.vec_id), "
+        f"mx AS (SELECT bi, MAX(CAST(dot AS DOUBLE) / "
+        f"sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS ms "
+        f"FROM pd GROUP BY bi) "
+        f"SELECT asg.vec_id, CAST(asg.centroid AS BIGINT) AS centroid, "
+        f"COALESCE(mx.ms, -1.0) AS max_sim_prev, "
+        f"CAST(COALESCE(mx.ms, -1.0) < {SEMDEDUP_TAU} AS BIGINT) AS keep "
+        f"FROM asg LEFT JOIN mx ON mx.bi = asg.vec_id"
+    )
+
+
+QUERIES["semdedup"] = q_semdedup
+ORACLES["semdedup"] = sql_semdedup()

@@ -54,3 +54,35 @@ def test_ivf_search_matches_restricted_bruteforce(ray_session):
     for row, (eq, ev, es) in zip(got.itertuples(index=False), expect):
         assert (row.query_id, row.vec_id) == (eq, ev)
         assert row.sim == es
+
+
+def test_semdedup_matches_bruteforce(ray_session):
+    from osmquadtree_depreceated_ray.pipelines.queries_embed import (
+        N_CENTROIDS, SEMDEDUP_TAU, q_semdedup,
+    )
+
+    got = (q_semdedup(SF).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+
+    ids, mat = _quantized(SF)
+    n2 = (mat**2).sum(axis=1)
+    cents = np.flatnonzero(ids < N_CENTROIDS)
+    sims_c = (mat[cents] @ mat.T) / np.sqrt(
+        n2[cents][:, None] * n2[None, :])
+    assign = ids[cents][np.argmax(sims_c, axis=0)]
+
+    exp_max = np.full(len(ids), -1.0)
+    for c in np.unique(assign):
+        idx = np.flatnonzero(assign == c)  # ids sorted ascending
+        sims = (mat[idx] @ mat[idx].T) / np.sqrt(
+            n2[idx][:, None] * n2[idx][None, :])
+        for j in range(1, len(idx)):
+            exp_max[idx[j]] = sims[j, :j].max()
+
+    assert (got["vec_id"].to_numpy() == ids).all()
+    assert (got["centroid"].to_numpy() == assign).all()
+    np.testing.assert_array_equal(got["max_sim_prev"].to_numpy(), exp_max)
+    np.testing.assert_array_equal(
+        got["keep"].to_numpy(), (exp_max < SEMDEDUP_TAU).astype(np.int64))
+    # a meaningful fraction is actually dropped at this tau
+    assert 0 < (got["keep"] == 0).sum() < len(got)
