@@ -530,3 +530,178 @@ def sql_props_extract() -> str:
 
 QUERIES["props_extract"] = q_props_extract
 ORACLES["props_extract"] = sql_props_extract()
+
+
+# grouped HLL: distinct users per day as mergeable sketches ------------------
+
+def q_hll_group(sf_dir: str):
+    """Grouped mergeable-sketch aggregation: HyperLogLog distinct-user
+    estimate PER DAY over events — the per-key form of ``hll_distinct``.
+    Map-side: one uint8[4096] register partial per (day, batch) row;
+    the bucketed exchange merges with elementwise max (associative, so
+    the same merge runs as the map-side combine), so the exchange moves
+    O(days x tasks) fixed-size sketch rows however large the input.
+    The exact per-day distinct (engine's own bucketed distinct + count)
+    rides along, as in the global query.  Full-chain SQL oracle incl.
+    the estimator (same dyadic-exact register-sum argument as
+    ``sql_hll_distinct``)."""
+    import ray
+
+    from ..functions.sketch import HLL_M, hll_estimate, hll_partial
+    from ..stages.shuffle import bucketed_apply, distinct, grouped_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+
+    def add_day(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").to_numpy()
+        day = ts.astype("datetime64[D]").astype("datetime64[s]") \
+            .astype(np.int64)
+        return pa.table({"day": pa.array(day), "user_id": b.column("user_id")})
+
+    days = ds.map_batches(add_day, batch_format="pyarrow")
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        ks, rs = [], []
+        for day, g in df.groupby("day", sort=False):
+            ks.append(day)
+            rs.append(hll_partial(g["user_id"].to_numpy()).tobytes())
+        return pa.table({"day": pa.array(np.asarray(ks, np.int64)),
+                         "regs": pa.array(rs, pa.binary())})
+
+    def merge_regs(g: pd.DataFrame) -> pd.DataFrame:
+        def mx(s):
+            a = np.frombuffer(b"".join(s), dtype=np.uint8)
+            return a.reshape(len(s), HLL_M).max(axis=0).tobytes()
+
+        return g.groupby("day", as_index=False, sort=False).agg(
+            regs=("regs", mx))
+
+    def fin(g: pd.DataFrame) -> pd.DataFrame:
+        g = merge_regs(g)
+        est, used = [], []
+        for rb in g["regs"]:
+            regs = np.frombuffer(rb, dtype=np.uint8)
+            est.append(int(np.floor(hll_estimate(regs) + 0.5)))
+            used.append(int((regs > 0).sum()))
+        return pd.DataFrame({
+            "day": g["day"].to_numpy(),
+            "distinct_est": np.asarray(est, np.int64),
+            "registers_used": np.asarray(used, np.int64),
+        })
+
+    sk = bucketed_apply(
+        days.map_batches(partial, batch_format="pyarrow"),
+        ["day"], fin, combine=merge_regs).to_pandas()
+    ex = grouped_agg(
+        distinct(days, ["day", "user_id"]),
+        ["day"], {"exact_distinct": ("user_id", "size")}).to_pandas()
+    out = sk.merge(ex, on="day")  # both sides O(days) — driver-small
+    return pa.Table.from_pandas(
+        out[["day", "distinct_est", "exact_distinct", "registers_used"]],
+        preserve_index=False)
+
+
+def sql_hll_group() -> str:
+    smear = "\n".join(
+        f"s{i} AS (SELECT k, register, rest, (x | (x >> {s})) AS x "
+        f"FROM {'b' if i == 0 else f's{i - 1}'}),"
+        for i, s in enumerate([1, 2, 4, 8, 16, 32])
+    ).replace("(x | (x >> 1)) AS x FROM b", "(rest | (rest >> 1)) AS x FROM b")
+    return (
+        "WITH h AS (SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) "
+        "AS k, md5_number_lower(CAST(user_id AS VARCHAR)) AS hv "
+        "FROM events), "
+        "b AS (SELECT k, CAST(hv >> 52 AS BIGINT) AS register, "
+        "(hv & ((CAST(1 AS UBIGINT) << 52) - 1)) * CAST(4096 AS UBIGINT) "
+        "AS rest FROM h), "
+        + smear +
+        " r AS (SELECT k, register, CASE WHEN rest = 0 THEN 53 "
+        "ELSE 64 - bit_count(x) + 1 END AS rho FROM s5), "
+        "regs AS (SELECT k, register, MAX(rho) AS rho FROM r "
+        "GROUP BY k, register), "
+        "keys AS (SELECT DISTINCT k FROM h), "
+        "full_regs AS (SELECT keys.k, t.r AS register, "
+        "COALESCE(g.rho, 0) AS rho FROM keys CROSS JOIN range(0, 4096) t(r) "
+        "LEFT JOIN regs g ON g.k = keys.k AND g.register = t.r), "
+        "agg AS (SELECT k, SUM(POWER(2.0, -rho)) AS den, "
+        "SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS zeros, "
+        "SUM(CASE WHEN rho > 0 THEN 1 ELSE 0 END) AS used FROM full_regs "
+        "GROUP BY k), "
+        "est AS (SELECT k, (0.7213/(1.0 + 1.079/4096.0)) * 4096.0 * 4096.0 "
+        "/ den AS raw, zeros, used FROM agg), "
+        "ex AS (SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS k, "
+        "COUNT(DISTINCT user_id) AS exact_distinct FROM events GROUP BY 1) "
+        "SELECT est.k AS day, CAST(FLOOR((CASE WHEN raw <= 2.5*4096.0 "
+        "AND zeros > 0 THEN 4096.0 * ln(4096.0/CAST(zeros AS DOUBLE)) "
+        "ELSE raw END) + 0.5) AS BIGINT) AS distinct_est, "
+        "ex.exact_distinct, CAST(used AS BIGINT) AS registers_used "
+        "FROM est JOIN ex ON ex.k = est.k"
+    )
+
+
+QUERIES["hll_group"] = q_hll_group
+ORACLES["hll_group"] = sql_hll_group()
+
+
+# hopping (sliding) windows --------------------------------------------------
+
+SLIDE_W = 7200   # window size (s)
+SLIDE_S = 3600   # hop (s); W/S = replication factor
+
+
+def q_window_sliding(sf_dir: str):
+    """Hopping-window aggregate (size 2 h, hop 1 h): every event lands
+    in W/S = 2 overlapping windows, identified by their start epoch.
+    Streaming shape: per-batch replicate x2 + pre-aggregate (np.unique
+    on window start), then the map-side-combined grouped exchange moves
+    O(windows x tasks) partial rows — the standard distributed hopping
+    window (tumbling = the W == S special case, ``window_tumbling``)."""
+    import ray
+
+    from ..stages.shuffle import grouped_agg
+
+    reps = SLIDE_W // SLIDE_S
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").to_numpy()
+        hour = ts.astype("datetime64[h]").astype("datetime64[s]") \
+            .astype(np.int64)
+        vm = _value_m(b.column("value").to_numpy())
+        ws = np.concatenate(
+            [hour - k * SLIDE_S for k in range(reps)])
+        vms = np.tile(vm, reps)
+        vals, inv, counts = np.unique(
+            ws, return_inverse=True, return_counts=True)
+        sums = np.bincount(inv, weights=vms.astype(np.float64),
+                           minlength=len(vals)).astype(np.int64)
+        return pa.table({
+            "win_start": pa.array(vals),
+            "n": pa.array(counts.astype(np.int64)),
+            "value_m": pa.array(sums),
+        })
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    return grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["win_start"],
+        {"n": ("n", "sum"), "value_m": ("value_m", "sum")},
+    )
+
+
+def sql_window_sliding() -> str:
+    ks = ", ".join(str(k) for k in range(SLIDE_W // SLIDE_S))
+    return (
+        "WITH e AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) "
+        f"AS hr, {SQL_VALUE_M} AS vm FROM events), "
+        f"r AS (SELECT hr - k * {SLIDE_S} AS win_start, vm "
+        f"FROM e, UNNEST([{ks}]) t(k)) "
+        "SELECT win_start, COUNT(*) AS n, "
+        "CAST(SUM(vm) AS BIGINT) AS value_m FROM r GROUP BY win_start"
+    )
+
+
+QUERIES["window_sliding"] = q_window_sliding
+ORACLES["window_sliding"] = sql_window_sliding()

@@ -438,13 +438,15 @@ def tile_pages(
 
         t0 = time.time()
         shutil.rmtree(ent_path, ignore_errors=True)
-        # ~4 read+extract tasks per core: enough for balance, few enough
-        # that per-task scheduling overhead stays proportional to the
-        # cluster size (a fixed task count penalizes small clusters)
+        # ~8 read+extract tasks per core, derived from cluster size (a
+        # fixed task count penalizes small clusters): measured better
+        # than 4/core at BOTH 8 and 32 cpus on the 16M-page corpus
+        # (smaller blocks cut per-task arrow allocation peaks and tail
+        # imbalance; 16/core loses to scheduling overhead)
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         pages = ray.data.read_parquet(
             pages_path, columns=["url", "warc_ts", "html", "lang"],
-            override_num_blocks=4 * ncpu,
+            override_num_blocks=8 * ncpu,
         )
         # materialize once: the entities table is consumed several times
         # (count pass + assignment pass) — keep it in the object store

@@ -1,0 +1,34 @@
+"""Hopping-window aggregate: independent pandas recompute on sf0.001.
+The DuckDB hash-exact gate runs separately via tools/check_oracles.py."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_window_sliding_vs_pandas(ray_session):
+    from osmquadtree_depreceated_ray.pipelines.queries_events import (
+        SLIDE_S, SLIDE_W, _value_m, q_window_sliding,
+    )
+
+    got = (q_window_sliding(SF).to_pandas()
+           .sort_values("win_start").reset_index(drop=True))
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "value"]).to_pandas()
+    hour = (ev["ts"].to_numpy().astype("datetime64[h]")
+            .astype("datetime64[s]").astype(np.int64))
+    vm = _value_m(ev["value"].to_numpy())
+    reps = SLIDE_W // SLIDE_S
+    ws = np.concatenate([hour - k * SLIDE_S for k in range(reps)])
+    vms = np.tile(vm, reps)
+    want = (pd.DataFrame({"win_start": ws, "vm": vms})
+            .groupby("win_start").agg(n=("vm", "size"), value_m=("vm", "sum"))
+            .reset_index())
+    assert (got["win_start"].to_numpy() == want["win_start"].to_numpy()).all()
+    assert (got["n"].to_numpy() == want["n"].to_numpy()).all()
+    assert (got["value_m"].to_numpy() == want["value_m"].to_numpy()).all()
+    # every interior event is counted W/S times in total
+    assert got["n"].sum() == reps * len(ev)

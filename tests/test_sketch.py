@@ -56,3 +56,37 @@ def test_hll_distinct_query(ray_session):
     exact = int(out["exact_distinct"].iloc[0])
     assert exact > 0
     assert abs(est - exact) / exact < 0.05
+
+
+def test_hll_group_query(ray_session):
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import pytest
+
+    from osmquadtree_depreceated_ray.pipelines.queries import QUERIES
+
+    sf = os.environ.get("GRAFT_SF_SMOKE", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf):
+        pytest.skip(f"test data not found at {sf}")
+    out = (QUERIES["hll_group"](sf).to_pandas()
+           .sort_values("day").reset_index(drop=True))
+
+    ev = pq.read_table(f"{sf}/events.parquet",
+                       columns=["ts", "user_id"]).to_pandas()
+    ev["day"] = (ev["ts"].to_numpy().astype("datetime64[D]")
+                 .astype("datetime64[s]").astype(np.int64))
+    # exact distinct per day recomputed independently
+    exact = ev.groupby("day")["user_id"].nunique()
+    assert (out["day"].to_numpy() == exact.index.to_numpy()).all()
+    assert (out["exact_distinct"].to_numpy() == exact.to_numpy()).all()
+    # per-day estimate equals a single-pass sketch of that day's users
+    # (merge of batch partials must lose nothing)
+    for _, row in out.iterrows():
+        users = ev.loc[ev["day"] == row["day"], "user_id"].to_numpy()
+        regs = hll_partial(users)
+        assert row["distinct_est"] == int(np.floor(hll_estimate(regs) + 0.5))
+        assert row["registers_used"] == int((regs > 0).sum())
+        assert abs(row["distinct_est"] - row["exact_distinct"]) \
+            <= max(0.1 * row["exact_distinct"], 10)
