@@ -793,3 +793,131 @@ ORACLES = {
     "ngram_jaccard": sql_ngram_jaccard(),
     "simhash": sql_simhash(),
 }
+
+
+# ------------------- 9. DSIR-style importance weights
+#
+# Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169) scores raw documents by how target-like their
+# hashed-ngram distribution is, then resamples by the importance
+# weight.  This is the distributed scoring pass with a LINEAR (not
+# log) likelihood ratio so every value stays a deterministic rational
+# of exact integer counts (documented divergence — the selection
+# ORDERING is what the resampler consumes, and x -> (x+1)/(y+1) is
+# monotone in the same count pair the paper's log-ratio uses
+# feature-wise); the resampling step itself is ``stratified_sample``.
+# Target domain here: the lang='en' slice of the corpus.
+
+DSIR_TARGET_LANG = "en"
+
+
+def q_dsir_weights(sf_dir: str, broadcast_max: int | None = None):
+    """Per-doc DSIR importance weight: (doc_id, n_big, t_freq, c_freq,
+    w) with t_freq / c_freq = the doc's bigram-occurrence mass under
+    the target-slice / whole-corpus count tables and
+    w = (t_freq+1)/(c_freq+1).
+
+    ONE pass builds both count tables (the target sum is a masked
+    second aggregate of the same exchange rows, not a second scan);
+    the probe broadcasts parallel sorted int64 arrays (searchsorted,
+    ~24 B/bigram) under the same size contract as ``lm_score`` —
+    above it, reuse that query's bucketed-join shape."""
+    import ray
+
+    from ..stages.shuffle import grouped_agg
+
+    if broadcast_max is None:
+        broadcast_max = LM_BROADCAST_MAX
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        d, g = _doc_bigram_stream(b)
+        if not len(g):
+            return pa.table({"gh": pa.array([], pa.int64()),
+                             "n_all": pa.array([], pa.int64()),
+                             "n_tgt": pa.array([], pa.int64())})
+        lang = b.column("lang").to_numpy()
+        doc_ids = b.column("doc_id").to_numpy()
+        # map each bigram's doc id back to its batch row (ids unique
+        # per batch but not necessarily sorted)
+        o = np.argsort(doc_ids, kind="stable")
+        pos = o[np.searchsorted(doc_ids[o], d)]
+        is_tgt = (lang == DSIR_TARGET_LANG)[pos]
+        codes, uniq = pd.factorize(pd.Series(g), sort=False)
+        gh = _md5_lower64(uniq).view(np.int64)[codes]
+        hs, inv = np.unique(gh, return_inverse=True)
+        n_all = np.bincount(inv, minlength=len(hs)).astype(np.int64)
+        n_tgt = np.bincount(inv, weights=is_tgt.astype(np.float64),
+                            minlength=len(hs)).astype(np.int64)
+        return pa.table({"gh": pa.array(hs),
+                         "n_all": pa.array(n_all),
+                         "n_tgt": pa.array(n_tgt)})
+
+    cnt = grouped_agg(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["gh"], {"c_all": ("n_all", "sum"), "c_tgt": ("n_tgt", "sum")},
+    ).to_pandas()
+    if len(cnt) > broadcast_max:
+        raise NotImplementedError(
+            "bigram vocabulary above the broadcast contract — use the "
+            "lm_score bucketed-join shape (documented scale path)")
+    gh_arr = cnt["gh"].to_numpy().astype(np.int64)
+    order = np.argsort(gh_arr, kind="stable")
+    gh_ref = ray.put(gh_arr[order])
+    ca_ref = ray.put(cnt["c_all"].to_numpy().astype(np.int64)[order])
+    ct_ref = ray.put(cnt["c_tgt"].to_numpy().astype(np.int64)[order])
+
+    def probe(b: pa.Table) -> pa.Table:
+        ghs = ray.get(gh_ref)
+        cas, cts = ray.get(ca_ref), ray.get(ct_ref)
+        d, g = _doc_bigram_stream(b)
+        if not len(g):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_big": pa.array([], pa.int64()),
+                             "t_freq": pa.array([], pa.int64()),
+                             "c_freq": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.float64())})
+        codes, uniq = pd.factorize(pd.Series(g), sort=False)
+        gh = _md5_lower64(uniq).view(np.int64)[codes]
+        j = np.searchsorted(ghs, gh)
+        ca, ct = cas[j], cts[j]  # every gram present by construction
+        docs = np.unique(d)
+        idx = np.searchsorted(docs, d)
+        n_big = np.bincount(idx, minlength=len(docs)).astype(np.int64)
+        t_freq = np.bincount(idx, weights=ct.astype(np.float64),
+                             minlength=len(docs)).astype(np.int64)
+        c_freq = np.bincount(idx, weights=ca.astype(np.float64),
+                             minlength=len(docs)).astype(np.int64)
+        return pa.table(
+            {"doc_id": pa.array(docs),
+             "n_big": pa.array(n_big),
+             "t_freq": pa.array(t_freq),
+             "c_freq": pa.array(c_freq),
+             "w": pa.array((t_freq + 1).astype(np.float64)
+                           / (c_freq + 1).astype(np.float64))})
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def sql_dsir_weights() -> str:
+    return (
+        "WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws "
+        "FROM documents), "
+        "b AS (SELECT doc_id, lang, unnest(list_transform(range(1, "
+        "len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS g FROM w), "
+        "cnt AS (SELECT g, COUNT(*) AS c_all, "
+        f"SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) "
+        "AS c_tgt FROM b GROUP BY g) "
+        "SELECT b.doc_id, COUNT(*) AS n_big, "
+        "CAST(SUM(cnt.c_tgt) AS BIGINT) AS t_freq, "
+        "CAST(SUM(cnt.c_all) AS BIGINT) AS c_freq, "
+        "CAST(CAST(SUM(cnt.c_tgt) AS BIGINT) + 1 AS DOUBLE) / "
+        "CAST(CAST(SUM(cnt.c_all) AS BIGINT) + 1 AS DOUBLE) AS w "
+        "FROM b JOIN cnt ON b.g = cnt.g GROUP BY b.doc_id"
+    )
+
+
+QUERIES["dsir_weights"] = q_dsir_weights
+ORACLES["dsir_weights"] = sql_dsir_weights()
