@@ -438,15 +438,26 @@ def tile_pages(
 
         t0 = time.time()
         shutil.rmtree(ent_path, ignore_errors=True)
-        # ~8 read+extract tasks per core, derived from cluster size (a
-        # fixed task count penalizes small clusters): measured better
-        # than 4/core at BOTH 8 and 32 cpus on the 16M-page corpus
-        # (smaller blocks cut per-task arrow allocation peaks and tail
-        # imbalance; 16/core loses to scheduling overhead)
+        # block size targets ~64k pages/task (measured optimum at 32
+        # cpus on BOTH the 8M and 16M corpora; larger blocks raise
+        # per-task arrow allocation peaks, smaller ones pay scheduling),
+        # clamped to [2, 32] tasks per core so small inputs still fan
+        # out and huge ones don't flood the scheduler.  Row count comes
+        # from a footer-only metadata scan (~0.1 s for 1000 files).
         ncpu = int(ray.cluster_resources().get("CPU", 8))
+        try:
+            import pyarrow.dataset as pds
+
+            n_rows = sum(
+                f.metadata.num_rows
+                for f in pds.dataset(
+                    pages_path, format="parquet").get_fragments())
+            nblocks = max(2 * ncpu, min(32 * ncpu, n_rows // 64_000 or 1))
+        except Exception:
+            nblocks = 4 * ncpu
         pages = ray.data.read_parquet(
             pages_path, columns=["url", "warc_ts", "html", "lang"],
-            override_num_blocks=8 * ncpu,
+            override_num_blocks=nblocks,
         )
         # materialize once: the entities table is consumed several times
         # (count pass + assignment pass) — keep it in the object store
