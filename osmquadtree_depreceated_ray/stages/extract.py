@@ -70,6 +70,13 @@ def extract_entities(batch: pa.Table) -> pa.Table:
     Implementation: one finditer pass over a NUL-joined batch string —
     ~3x fewer allocations than pandas extractall, which matters because
     the extract stage is memory-bandwidth-bound across a full node.
+
+    Measured A/B (8M pages, 32 cpus, warm): an all-Arrow rewrite
+    (pc.split_pattern on the literal prefix + anchored
+    pc.extract_regex over the flattened fragments) ran 6.2-8.1 s vs
+    4.3 s for this version — materializing ~7 fragment strings per
+    page and running RE2 per fragment costs more than the single
+    C-level finditer scan.  Don't retry that shape.
     """
     texts = batch.column("text").to_pylist()
     if not texts:
