@@ -855,14 +855,81 @@ def q_dsir_weights(sf_dir: str, broadcast_max: int | None = None):
                          "n_all": pa.array(n_all),
                          "n_tgt": pa.array(n_tgt)})
 
-    cnt = grouped_agg(
+    cnt_ds = grouped_agg(
         ds.map_batches(partials, batch_format="pyarrow"),
         ["gh"], {"c_all": ("n_all", "sum"), "c_tgt": ("n_tgt", "sum")},
-    ).to_pandas()
-    if len(cnt) > broadcast_max:
-        raise NotImplementedError(
-            "bigram vocabulary above the broadcast contract — use the "
-            "lm_score bucketed-join shape (documented scale path)")
+    )
+
+    if cnt_ds.count() > broadcast_max:
+        # scale path (lm_score's bucketed-join shape): the count table
+        # never leaves the object store — (doc, gh, mult) occurrence
+        # rows co-locate with the (gh, c_all, c_tgt) count rows per
+        # hash bucket, partials re-bucket per doc
+        from ..stages.shuffle import bucketed_apply
+
+        def occ(b: pa.Table) -> pa.Table:
+            d, g = _doc_bigram_stream(b)
+            if not len(g):
+                return pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "gh": pa.array([], pa.int64()),
+                                 "mult": pa.array([], pa.int64()),
+                                 "tgt": pa.array([], pa.int64())})
+            codes, uniq = pd.factorize(pd.Series(g), sort=False)
+            gh = _md5_lower64(uniq).view(np.int64)[codes]
+            per = (pd.DataFrame({"doc_id": d, "gh": gh})
+                   .groupby(["doc_id", "gh"], sort=False).size()
+                   .reset_index(name="mult"))
+            per["mult"] = per["mult"].astype(np.int64)
+            per["tgt"] = np.int64(0)
+            return pa.Table.from_pandas(per, preserve_index=False)
+
+        def tag_cnt(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return pa.table(
+                {"doc_id": pa.array(np.full(t.num_rows, -1, np.int64)),
+                 "gh": t.column("gh"),
+                 "mult": pc.cast(t.column("c_all"), pa.int64()),
+                 "tgt": pc.cast(t.column("c_tgt"), pa.int64())})
+
+        both = ds.map_batches(occ, batch_format="pyarrow").union(
+            cnt_ds.map_batches(tag_cnt, batch_format="pyarrow"))
+
+        def join_cnt(g: pd.DataFrame) -> pd.DataFrame:
+            cnts = g[g["doc_id"] == -1]
+            o = g[g["doc_id"] != -1]
+            if o.empty:
+                return pd.DataFrame(
+                    {"doc_id": pd.Series(dtype=np.int64),
+                     "n_big": pd.Series(dtype=np.int64),
+                     "t_freq": pd.Series(dtype=np.int64),
+                     "c_freq": pd.Series(dtype=np.int64)})
+            lut_all = pd.Series(cnts["mult"].to_numpy(),
+                                index=cnts["gh"].to_numpy())
+            lut_tgt = pd.Series(cnts["tgt"].to_numpy(),
+                                index=cnts["gh"].to_numpy())
+            ca = o["gh"].map(lut_all).to_numpy(np.int64)
+            ct = o["gh"].map(lut_tgt).to_numpy(np.int64)
+            m = o["mult"].to_numpy(np.int64)
+            per = pd.DataFrame(
+                {"doc_id": o["doc_id"].to_numpy(np.int64),
+                 "n_big": m, "t_freq": m * ct, "c_freq": m * ca})
+            return per.groupby(
+                "doc_id", as_index=False, sort=False).sum().astype(np.int64)
+
+        parts = bucketed_apply(both, ["gh"], join_cnt)
+
+        def fin(g: pd.DataFrame) -> pd.DataFrame:
+            out = (g.groupby("doc_id", as_index=False, sort=False)
+                   .sum().astype(np.int64))
+            out["w"] = ((out["t_freq"].to_numpy(np.int64) + 1)
+                        .astype(np.float64)
+                        / (out["c_freq"].to_numpy(np.int64) + 1)
+                        .astype(np.float64))
+            return out
+
+        return bucketed_apply(parts, ["doc_id"], fin)
+
+    cnt = cnt_ds.to_pandas()
     gh_arr = cnt["gh"].to_numpy().astype(np.int64)
     order = np.argsort(gh_arr, kind="stable")
     gh_ref = ray.put(gh_arr[order])

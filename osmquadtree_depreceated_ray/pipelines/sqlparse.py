@@ -1077,7 +1077,7 @@ def _expr_name(node, idx) -> str:
 
 _AGG_FUNCS = {"sum", "count", "min", "max", "avg", "stddev",
               "stddev_samp", "stddev_pop", "variance", "var_samp",
-              "var_pop", "median"}
+              "var_pop", "median", "quantile_cont", "quantile_disc"}
 # pandas named-agg 'how' per SQL aggregate.  The non-associative ones
 # (stddev/var/median) are exact: grouped_agg detects they are not
 # map-side combinable and routes the full rows through the exchange,
@@ -1343,6 +1343,23 @@ def _run_grouped_select(ds, sel) -> "ray.data.Dataset":  # noqa: F821
             continue
         argcol = f"{key}_in"
         pre_cols[argcol] = _compile_expr(args[0])
+        if fname in ("quantile_cont", "quantile_disc"):
+            # DuckDB two-arg form: quantile_cont(x, q) with a literal
+            # fraction.  Exact (non-combinable -> the full rows travel
+            # to the group's bucket, like MEDIAN): cont = linear
+            # interpolation at (n-1)q, disc = the value at
+            # floor((n-1)q) — both pandas interpolation modes
+            if (len(args) != 2 or not isinstance(args[1], tuple)
+                    or args[1][0] != "lit"
+                    or not isinstance(args[1][1], (int, float))):
+                raise ValueError(
+                    f"{fname} needs a literal fraction second argument")
+            frac = float(args[1][1])
+            interp = "linear" if fname == "quantile_cont" else "lower"
+            spec[key] = (argcol,
+                         lambda s, q=frac, i=interp: s.quantile(
+                             q, interpolation=i))
+            continue
         if fname.endswith("!d"):
             # fn(DISTINCT x): exact — each group is complete within its
             # bucket, so a per-group unique pass is correct; grouped_agg

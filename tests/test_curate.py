@@ -197,3 +197,20 @@ def test_lm_score_vs_counter(ray_session, docs):
             .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(
         got[sorted(got.columns)], got2[sorted(got2.columns)])
+
+
+def test_dsir_weights_fallback_matches_broadcast(ray_session):
+    """Forcing broadcast_max=0 routes dsir_weights through the bucketed
+    count-table join; results must equal the broadcast-probe path."""
+    from osmquadtree_depreceated_ray.pipelines.queries_text import (
+        q_dsir_weights,
+    )
+
+    a = (q_dsir_weights(SF).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (q_dsir_weights(SF, broadcast_max=0).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        a[sorted(a.columns)], b[sorted(b.columns)].astype(
+            {c: a[c].dtype for c in a.columns}))
+    assert ((a["w"] > 0) & (a["w"] <= 1.0)).all()

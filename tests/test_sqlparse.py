@@ -501,6 +501,20 @@ def test_statistical_aggregates_match_duckdb(ray_session, t1):
         _run_both(sql, None, {"t1": t1})
 
 
+def test_quantile_aggregates_match_duckdb(ray_session, t1):
+    """quantile_cont / quantile_disc (DuckDB two-arg form): exact
+    per-group compute through the full-row exchange, like MEDIAN."""
+    for sql in [
+        "SELECT s, quantile_cont(v, 0.25) AS q1, "
+        "quantile_cont(v, 0.9) AS q9 FROM t1 GROUP BY s ORDER BY s",
+        "SELECT s, quantile_disc(v, 0.5) AS qm FROM t1 "
+        "GROUP BY s ORDER BY s",
+        "SELECT quantile_cont(f, 0.5) AS med, "
+        "quantile_disc(k, 0.75) AS k75 FROM t1",
+    ]:
+        _run_both(sql, None, {"t1": t1})
+
+
 def test_correlated_scalar_subqueries_match_duckdb(ray_session, t1, t2, t3):
     """Correlated scalar subqueries decorrelate into per-key aggregate
     LEFT joins; missing keys surface as SQL NULL."""
