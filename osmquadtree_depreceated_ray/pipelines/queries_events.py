@@ -705,3 +705,93 @@ def sql_window_sliding() -> str:
 
 QUERIES["window_sliding"] = q_window_sliding
 ORACLES["window_sliding"] = sql_window_sliding()
+
+
+# trajectory steps: per-user ordered movement ---------------------------------
+
+def q_trajectory(sf_dir: str):
+    """Per-user trajectory steps: each user's events ordered by time,
+    with locations derived from the event id, emitted as consecutive
+    steps (user_id, seq, dt_us, dist2) — the GPS-trace shape every
+    movement pipeline reduces to (speed / dwell / path-length are
+    per-step rollups of exactly these columns).
+
+    One bucketed exchange on user_id; inside a bucket the step
+    derivation is a single sort + vectorized shift (no per-user loop).
+    dist2 is DOUBLE: consecutive points are unconstrained, so the
+    squared distance can exceed int64 — both engines compute the same
+    two IEEE multiplies + add on identical int-valued doubles."""
+    import ray
+
+    from ..sources import derive
+    from ..stages.shuffle import bucketed_apply
+
+    def prep(b: pa.Table) -> pa.Table:
+        eid = b.column("event_id").to_numpy().astype(np.int64)
+        lon, lat = derive.derive_lonlat(eid)
+        ts_us = b.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "event_id": pa.array(eid),
+            "ts_us": pa.array(ts_us),
+            "lon": pa.array(lon),
+            "lat": pa.array(lat),
+        })
+
+    def steps(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype=np.int64),
+                "seq": pd.Series(dtype=np.int64),
+                "dt_us": pd.Series(dtype=np.int64),
+                "dist2": pd.Series(dtype=np.float64)})
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="stable")
+        u = g["user_id"].to_numpy()
+        same = np.concatenate([[False], u[1:] == u[:-1]])
+        ts = g["ts_us"].to_numpy()
+        lon = g["lon"].to_numpy().astype(np.float64)
+        lat = g["lat"].to_numpy().astype(np.float64)
+        dt = np.empty_like(ts)
+        dt[1:] = ts[1:] - ts[:-1]
+        dlon = np.empty_like(lon)
+        dlat = np.empty_like(lat)
+        dlon[1:] = lon[1:] - lon[:-1]
+        dlat[1:] = lat[1:] - lat[:-1]
+        seq = (pd.Series(np.ones(len(g), np.int64))
+               .groupby(u, sort=False).cumsum().to_numpy())
+        out = pd.DataFrame({
+            "user_id": u, "seq": seq - 1,
+            "dt_us": dt, "dist2": dlon * dlon + dlat * dlat,
+        })
+        return out[same]
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"])
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    return bucketed_apply(prepped, ["user_id"], steps)
+
+
+def sql_trajectory() -> str:
+    from ..sources import derive
+
+    lon, lat = derive.sql_lonlat_expr("event_id")
+    return (
+        f"WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, "
+        f"{lon} AS lon, {lat} AS lat FROM events), "
+        "s AS (SELECT user_id, "
+        "row_number() OVER w AS rn, "
+        "ts_us - LAG(ts_us) OVER w AS dt_us, "
+        "CAST(lon - LAG(lon) OVER w AS DOUBLE) * "
+        "CAST(lon - LAG(lon) OVER w AS DOUBLE) + "
+        "CAST(lat - LAG(lat) OVER w AS DOUBLE) * "
+        "CAST(lat - LAG(lat) OVER w AS DOUBLE) AS dist2 "
+        "FROM e WINDOW w AS (PARTITION BY user_id "
+        "ORDER BY ts_us, event_id)) "
+        "SELECT user_id, rn - 1 AS seq, dt_us, dist2 FROM s WHERE rn > 1"
+    )
+
+
+QUERIES["trajectory"] = q_trajectory
+ORACLES["trajectory"] = sql_trajectory()

@@ -32,3 +32,36 @@ def test_window_sliding_vs_pandas(ray_session):
     assert (got["value_m"].to_numpy() == want["value_m"].to_numpy()).all()
     # every interior event is counted W/S times in total
     assert got["n"].sum() == reps * len(ev)
+
+
+def test_trajectory_vs_pandas(ray_session):
+    from osmquadtree_depreceated_ray.pipelines.queries_events import (
+        q_trajectory,
+    )
+    from osmquadtree_depreceated_ray.sources import derive
+
+    got = (q_trajectory(SF).to_pandas()
+           .sort_values(["user_id", "seq"]).reset_index(drop=True))
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "ts", "user_id"]).to_pandas()
+    lon, lat = derive.derive_lonlat(ev["event_id"].to_numpy())
+    ev["ts_us"] = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    ev["lon"], ev["lat"] = lon.astype(np.float64), lat.astype(np.float64)
+    ev = ev.sort_values(["user_id", "ts_us", "event_id"])
+    rows = []
+    for uid, g in ev.groupby("user_id"):
+        t = g["ts_us"].to_numpy()
+        lo, la = g["lon"].to_numpy(), g["lat"].to_numpy()
+        for i in range(1, len(g)):
+            dlo, dla = lo[i] - lo[i - 1], la[i] - la[i - 1]
+            rows.append({"user_id": uid, "seq": i,
+                         "dt_us": t[i] - t[i - 1],
+                         "dist2": dlo * dlo + dla * dla})
+    want = (pd.DataFrame(rows).sort_values(["user_id", "seq"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # every user contributes (count - 1) steps
+    per = ev.groupby("user_id").size() - 1
+    assert len(got) == per.sum()
+    assert (got["dt_us"] >= 0).all()
