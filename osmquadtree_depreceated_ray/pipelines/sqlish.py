@@ -202,6 +202,11 @@ class Expr:
     def make_float(self):
         return Expr(lambda t: pc.cast(self(t), pa.float64()), "make_float")
 
+    def make_string(self):
+        # Arrow's int/float -> string cast formats like SQL's CAST AS
+        # VARCHAR (no padding, minimal digits)
+        return Expr(lambda t: pc.cast(self(t), pa.string()), "make_string")
+
 
 def _arr_type(a):
     return a.type

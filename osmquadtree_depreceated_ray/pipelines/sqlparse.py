@@ -604,6 +604,22 @@ class _Parser:
                         args.append(self.parse_expr())
                         if not self.accept("op", ","):
                             break
+                    if (v.lower() == "string_agg"
+                            and self.accept("kw", "order")):
+                        # string_agg(x, sep ORDER BY x [ASC|DESC]) —
+                        # the deterministic subset: the order key must
+                        # be the aggregated expression itself (one
+                        # column travels through the exchange)
+                        self.expect("kw", "by")
+                        oexpr = self.parse_expr()
+                        if oexpr != args[0]:
+                            raise ValueError(
+                                "string_agg ORDER BY must be the "
+                                "aggregated expression itself")
+                        desc = bool(self.accept("kw", "desc"))
+                        if not desc:
+                            self.accept("kw", "asc")
+                        args.append(("lit", "desc" if desc else "asc"))
                     self.expect("op", ")")
                 node = ("calld" if is_distinct else "call", v.lower(), args)
                 if self.peek() == ("kw", "filter"):
@@ -798,6 +814,8 @@ def _compile_expr(node) -> Expr:
             return inner.make_integer()
         if typ in ("double", "float", "real"):
             return inner.make_float()
+        if typ in ("varchar", "text", "string"):
+            return inner.make_string()
         raise ValueError(f"unsupported CAST type {typ}")
     if op in ("bitand", "bitor", "bitxor", "shiftl", "shiftr"):
         a, b = _compile_expr(node[1]), _compile_expr(node[2])
@@ -1077,7 +1095,8 @@ def _expr_name(node, idx) -> str:
 
 _AGG_FUNCS = {"sum", "count", "min", "max", "avg", "stddev",
               "stddev_samp", "stddev_pop", "variance", "var_samp",
-              "var_pop", "median", "quantile_cont", "quantile_disc"}
+              "var_pop", "median", "quantile_cont", "quantile_disc",
+              "string_agg"}
 # pandas named-agg 'how' per SQL aggregate.  The non-associative ones
 # (stddev/var/median) are exact: grouped_agg detects they are not
 # map-side combinable and routes the full rows through the exchange,
@@ -1343,6 +1362,23 @@ def _run_grouped_select(ds, sel) -> "ray.data.Dataset":  # noqa: F821
             continue
         argcol = f"{key}_in"
         pre_cols[argcol] = _compile_expr(args[0])
+        if fname == "string_agg":
+            # string_agg(x, sep ORDER BY x [ASC|DESC]): exact ordered
+            # group-concat through the full-row exchange.  The parser
+            # enforces the ORDER BY (DuckDB's unordered string_agg is
+            # nondeterministic — silent order dependence is worse than
+            # an error) and appends the direction as a literal flag.
+            if (len(args) != 3 or args[1][0] != "lit"
+                    or not isinstance(args[1][1], str)):
+                raise ValueError(
+                    "string_agg needs a literal separator and an "
+                    "ORDER BY over the aggregated expression")
+            sep, asc = args[1][1], args[2][1] == "asc"
+            spec[key] = (argcol,
+                         lambda s, _sep=sep, _a=asc: _sep.join(
+                             s.dropna().astype(str)
+                             .sort_values(ascending=_a, kind="stable")))
+            continue
         if fname in ("quantile_cont", "quantile_disc"):
             # DuckDB two-arg form: quantile_cont(x, q) with a literal
             # fraction.  Exact (non-combinable -> the full rows travel

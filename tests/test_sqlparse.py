@@ -515,6 +515,27 @@ def test_quantile_aggregates_match_duckdb(ray_session, t1):
         _run_both(sql, None, {"t1": t1})
 
 
+def test_string_agg_matches_duckdb(ray_session, t1):
+    """string_agg(x, sep ORDER BY x): exact ordered group-concat; the
+    unordered form is rejected (nondeterministic in any engine)."""
+    import ray
+
+    for sql in [
+        "SELECT s, string_agg(CAST(k AS VARCHAR), ',' "
+        "ORDER BY CAST(k AS VARCHAR)) AS ks FROM t1 "
+        "WHERE k < 40 GROUP BY s ORDER BY s",
+        "SELECT s, string_agg(CAST(k AS VARCHAR), '|' "
+        "ORDER BY CAST(k AS VARCHAR) DESC) AS ks FROM t1 "
+        "WHERE k < 30 GROUP BY s ORDER BY s",
+    ]:
+        _run_both(sql, None, {"t1": t1})
+    with pytest.raises(ValueError, match="string_agg"):
+        parse_sql(
+            "SELECT s, string_agg(CAST(k AS VARCHAR), ',') AS ks "
+            "FROM t1 GROUP BY s",
+            {"t1": ray.data.from_arrow(t1)})
+
+
 def test_correlated_scalar_subqueries_match_duckdb(ray_session, t1, t2, t3):
     """Correlated scalar subqueries decorrelate into per-key aggregate
     LEFT joins; missing keys surface as SQL NULL."""
