@@ -114,7 +114,7 @@ _KEYWORDS = {
     "left", "inner", "outer", "right", "full", "rows", "preceding",
     "unbounded", "current", "row", "following", "filter", "offset",
     "qualify", "intersect", "except", "rollup", "cube", "with",
-    "recursive",
+    "recursive", "range",
 }
 
 
@@ -688,6 +688,21 @@ class _Parser:
                             k2 = int(self.expect("num")[1])
                             self.expect("kw", "following")
                         frame = ("rows", k, k2)
+                    elif self.accept("kw", "range"):
+                        # RANGE BETWEEN <n> PRECEDING AND CURRENT ROW —
+                        # VALUE-based frame over one numeric ascending
+                        # ORDER BY key (the time-window running
+                        # aggregate); CURRENT ROW includes all peers
+                        self.expect("kw", "between")
+                        tk, tv = self.next()
+                        if tk != "num":
+                            raise ValueError(
+                                "RANGE frame needs a numeric bound")
+                        self.expect("kw", "preceding")
+                        self.expect("kw", "and")
+                        self.expect("kw", "current")
+                        self.expect("kw", "row")
+                        frame = ("range", float(tv), 0)
                     self.expect("op", ")")
                     node = ("win", v.lower(), args, tuple(part),
                             tuple(ocols), tuple(odesc), frame)
@@ -1604,6 +1619,48 @@ def _window_bucket_fn(part: list, specs: list):
                 if res.dtype != x.dtype and x.dtype.kind in "iu" \
                         and not res.isna().any():
                     res = res.astype(x.dtype)
+            elif frame is not None and frame[0] == "range":
+                # RANGE <n> PRECEDING .. CURRENT ROW: value window over
+                # ONE ascending numeric ORDER BY key, peers included on
+                # the right (SQL).  Prefix sums + two searchsorted
+                # passes; partitions isolated by striding each
+                # partition's keys into a disjoint numeric band.
+                if len(ocols) != 1 or odesc[0]:
+                    raise ValueError(
+                        "RANGE frames need exactly one ascending "
+                        "ORDER BY key")
+                if fname not in ("sum", "count", "avg"):
+                    raise ValueError(
+                        "RANGE n PRECEDING supports SUM/COUNT/AVG")
+                n = frame[1]
+                try:
+                    keyf = order[ocols[0]].to_numpy().astype(np.float64)
+                except (TypeError, ValueError):
+                    raise ValueError(
+                        "RANGE frame ORDER BY key must be numeric")
+                stride = float(keyf.max() - keyf.min()) + float(n) + 1.0
+                adj = keyf + gv.astype(np.float64) * stride
+                src = (x if x is not None else pd.Series(
+                    np.ones(len(order)), index=order.index))
+                vals = src.fillna(0).to_numpy().astype(np.float64)
+                cnts = src.notna().to_numpy().astype(np.float64)
+                csum = np.concatenate([[0.0], np.cumsum(vals)])
+                ccnt = np.concatenate([[0.0], np.cumsum(cnts)])
+                lo = np.searchsorted(adj, adj - n, side="left")
+                hi = np.searchsorted(adj, adj, side="right")
+                s2 = csum[hi] - csum[lo]
+                n2 = ccnt[hi] - ccnt[lo]
+                if fname == "count":
+                    res = pd.Series(n2.astype(np.int64),
+                                    index=order.index)
+                elif fname == "sum":
+                    res = pd.Series(np.where(n2 > 0, s2, np.nan),
+                                    index=order.index)
+                else:  # avg
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        res = pd.Series(
+                            np.where(n2 > 0, s2 / n2, np.nan),
+                            index=order.index)
             elif frame is not None and frame[2] > 0:
                 # ROWS ... AND m FOLLOWING: exact trailing+leading
                 # decomposition — agg([i-k1, i+k2]) combines the

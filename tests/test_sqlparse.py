@@ -515,6 +515,28 @@ def test_quantile_aggregates_match_duckdb(ray_session, t1):
         _run_both(sql, None, {"t1": t1})
 
 
+def test_range_frames_match_duckdb(ray_session, t1):
+    """RANGE BETWEEN n PRECEDING AND CURRENT ROW: value-based window
+    (peers included on the right), SUM/COUNT/AVG; integer inputs keep
+    the comparison exact."""
+    for sql in [
+        "SELECT k, CAST(SUM(v) OVER (ORDER BY k "
+        "RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS BIGINT) AS sv "
+        "FROM t1 ORDER BY k",
+        "SELECT s, k, COUNT(*) OVER (PARTITION BY s ORDER BY k "
+        "RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS c "
+        "FROM t1 ORDER BY s, k",
+        # duplicate order keys: CURRENT ROW includes all peers
+        "SELECT k % 10 AS m, CAST(SUM(v) OVER (ORDER BY k % 10 "
+        "RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS sv "
+        "FROM t1 WHERE k < 50 ORDER BY m, sv",
+        "SELECT s, k, AVG(v) OVER (PARTITION BY s ORDER BY k "
+        "RANGE BETWEEN 15 PRECEDING AND CURRENT ROW) AS av "
+        "FROM t1 WHERE k < 60 ORDER BY s, k",
+    ]:
+        _run_both(sql, None, {"t1": t1})
+
+
 def test_string_agg_matches_duckdb(ray_session, t1):
     """string_agg(x, sep ORDER BY x): exact ordered group-concat; the
     unordered form is rejected (nondeterministic in any engine)."""
