@@ -364,3 +364,102 @@ ORACLES = {
     "dist_selfjoin": sql_dist_selfjoin,
     "nn_join": sql_nn_join,
 }
+
+
+KNN_JOIN_K = 3
+
+
+def q_knn_join(sf_dir: str, r: int = DIST_R, k: int = KNN_JOIN_K):
+    """kNN join: for EVERY document, its ``k`` nearest other documents
+    within ``r`` (doc_id, rank, nn, dist2) — the all-points
+    generalization of ``nn_join`` (which is the k=1 special case) and
+    the counterpart of the broadcast-queries ``knn``.
+
+    Same blocking exchange; the per-point top-k finish runs inside the
+    bucketed argmin exchange with a rank head, so candidate volume
+    stays bounded by per-cell density.  Ties break on (dist2, nn)."""
+    from ..stages.shuffle import bucketed_apply
+
+    pts = _replicated_points(sf_dir, r)
+
+    def both_dirs(g: pd.DataFrame) -> pd.DataFrame:
+        p = _cell_pairs(g, r)
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate(
+                    [p["a"].to_numpy(), p["b"].to_numpy()]),
+                "nn": np.concatenate(
+                    [p["b"].to_numpy(), p["a"].to_numpy()]),
+                "dist2": np.tile(p["dist2"].to_numpy(), 2),
+            }
+        )
+
+    cands = bucketed_apply(pts, ["cx", "cy"], both_dirs)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["dist2", "nn"], kind="stable")
+        out = g.groupby("doc_id", sort=False).head(k).copy()
+        out["rank"] = out.groupby("doc_id", sort=False).cumcount() + 1
+        return out[["doc_id", "rank", "nn", "dist2"]]
+
+    # head-k per key is safe on partial per-key data -> map-side combine
+    return bucketed_apply(cands, ["doc_id"], topk, combine=topk)
+
+
+def sql_knn_join() -> str:
+    return (
+        f"WITH {_sql_dist_pairs(DIST_R)}, "
+        "bd AS (SELECT a AS doc_id, b AS nn, dist2 FROM pairs "
+        "UNION ALL SELECT b, a, dist2 FROM pairs) "
+        "SELECT doc_id, CAST(rn AS BIGINT) AS rank, nn, dist2 FROM ("
+        "SELECT doc_id, nn, dist2, row_number() OVER ("
+        "PARTITION BY doc_id ORDER BY dist2, nn) AS rn FROM bd) "
+        f"WHERE rn <= {KNN_JOIN_K}"
+    )
+
+
+def q_tile_pyramid(sf_dir: str):
+    """Tile pyramid: the z=8 rasterize aggregate rolled up through
+    every coarser zoom (z, x, y, n, sum_chars) for z = 8..0 — the
+    classic raster pyramid build.
+
+    One distributed exchange produces the base level (O(occupied
+    cells)); each coarser level halves the previous one's coordinates
+    and re-sums — at most 4^8 sparse rows total, so the rollup runs on
+    the driver like the qt counting trie (SURVEY T1), which is the
+    same design point: per-tile summaries are driver-sized by
+    construction."""
+    base = q_rasterize(sf_dir).to_pandas()[["x", "y", "n", "sum_chars"]]
+    levels = []
+    cur = base.assign(z=np.int64(RASTER_Z))
+    levels.append(cur)
+    for z in range(RASTER_Z - 1, -1, -1):
+        prev = levels[-1]
+        nxt = (prev.assign(x=prev["x"] // 2, y=prev["y"] // 2)
+               .groupby(["x", "y"], as_index=False)[["n", "sum_chars"]]
+               .sum().assign(z=np.int64(z)))
+        levels.append(nxt)
+    out = pd.concat(levels, ignore_index=True)
+    return pa.Table.from_pandas(
+        out[["z", "x", "y", "n", "sum_chars"]], preserve_index=False)
+
+
+def sql_tile_pyramid() -> str:
+    kx, ky = derive.sql_cells_expr("doc_id")
+    parts = []
+    for z in range(RASTER_Z, -1, -1):
+        shift = 18 - z
+        x = f"({kx} >> {shift})"
+        y = f"((262143 - {ky}) >> {shift})"
+        parts.append(
+            f"SELECT CAST({z} AS BIGINT) AS z, {x} AS x, {y} AS y, "
+            f"COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
+            f"FROM documents GROUP BY 2, 3"
+        )
+    return " UNION ALL ".join(parts)
+
+
+QUERIES["knn_join"] = q_knn_join
+QUERIES["tile_pyramid"] = q_tile_pyramid
+ORACLES["knn_join"] = sql_knn_join
+ORACLES["tile_pyramid"] = sql_tile_pyramid

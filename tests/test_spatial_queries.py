@@ -127,3 +127,50 @@ def test_rasterize_conserves_counts(ray_session, points):
     assert ((got["y"] >= 0) & (got["y"] < 256)).all()
     np.testing.assert_allclose(
         got["mean_chars"], got["sum_chars"] / got["n"])
+
+
+def test_knn_join_vs_brute_force(ray_session, points):
+    from osmquadtree_depreceated_ray.pipelines.queries_spatial import (
+        KNN_JOIN_K, q_knn_join,
+    )
+
+    r = 100_000_000
+    got = (q_knn_join(SF, r).to_pandas()
+           .sort_values(["doc_id", "rank"]).reset_index(drop=True))
+    pairs = _brute_pairs(points, r)
+    bd = pd.concat([
+        pairs.rename(columns={"a": "doc_id", "b": "nn"}),
+        pairs.rename(columns={"b": "doc_id", "a": "nn"}),
+    ])[["doc_id", "nn", "dist2"]].sort_values(["dist2", "nn"],
+                                              kind="stable")
+    want = bd.groupby("doc_id", sort=False).head(KNN_JOIN_K).copy()
+    want["rank"] = want.groupby("doc_id", sort=False).cumcount() + 1
+    want = (want[["doc_id", "rank", "nn", "dist2"]]
+            .sort_values(["doc_id", "rank"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # nn_join is exactly the rank-1 slice
+    from osmquadtree_depreceated_ray.pipelines.queries_spatial import (
+        q_nn_join,
+    )
+    nn1 = (q_nn_join(SF, r).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    r1 = (got[got["rank"] == 1][["doc_id", "nn", "dist2"]]
+          .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(nn1, r1, check_dtype=False)
+
+
+def test_tile_pyramid_conserves(ray_session, points):
+    from osmquadtree_depreceated_ray.pipelines.queries_spatial import (
+        q_tile_pyramid,
+    )
+
+    got = q_tile_pyramid(SF).to_pandas()
+    for z, g in got.groupby("z"):
+        assert g["n"].sum() == len(points), z
+        assert g["sum_chars"].sum() == points["n_chars"].sum(), z
+        assert not g.duplicated(["x", "y"]).any()
+        assert ((g["x"] >= 0) & (g["x"] < (1 << z))).all()
+        assert ((g["y"] >= 0) & (g["y"] < (1 << z))).all()
+    # z=0 is the single world tile
+    top = got[got["z"] == 0]
+    assert len(top) == 1 and top["n"].iloc[0] == len(points)
