@@ -732,12 +732,16 @@ def q_semdedup(sf_dir: str):
             sims = (self.c_mat @ matf.T) / np.sqrt(
                 self.c_n2[:, None] * n2[None, :])
             best = np.argmax(sims, axis=0)
-            emb = [mat[i].tobytes() for i in range(len(ids))]
+            # one contiguous buffer -> fixed-size-binary column (no
+            # per-row Python tobytes loop)
+            emb = pa.Array.from_buffers(
+                pa.binary(EMBED_DIM * 8), len(ids),
+                [None, pa.py_buffer(np.ascontiguousarray(mat).tobytes())])
             return pa.table(
                 {
                     "vec_id": pa.array(ids),
                     "centroid": pa.array(self.c_ids[best]),
-                    "emb": pa.array(emb, pa.binary()),
+                    "emb": emb,
                 }
             )
 
