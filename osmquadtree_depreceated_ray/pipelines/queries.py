@@ -455,7 +455,7 @@ def _merge_registries():
     ORACLES.update(queries_core.ORACLES)
     for mod_name in ("queries_events", "queries_text", "queries_embed",
                      "queries_curate", "queries_stats", "queries_pack",
-                     "queries_spatial"):
+                     "queries_spatial", "queries_corpus"):
         try:
             import importlib
 

@@ -1,0 +1,398 @@
+"""Corpus-index / sketch operators for a training-data pipeline:
+count-min-sketch frequency estimation, inverted-index posting lists,
+bigram collocation statistics, and weight-proportional priority
+sampling.
+
+These extend the engine beyond the reference's own surface (the task
+brief's "operations a large-scale training-data pipeline would need"),
+like ``queries_curate.py``; distributed shapes reuse the
+bucketed-exchange primitives of ``stages/shuffle.py``.  All numeric
+outputs are exact-integer or correctly-rounded IEEE doubles so the
+DuckDB oracles hash-match (the collocation score is emitted as an exact
+integer numerator/denominator pair for the same reason
+``dsir_weights`` uses a linear ratio).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .queries_curate import _explode_words
+from .queries_text import _doc_bigram_stream, _md5_lower64
+
+# ------------------------------------------------- 1. count-min sketch
+#
+# Mergeable frequency sketch (Cormode & Muthukrishnan 2005): a d x w
+# counter matrix where every occurrence of a word increments one bucket
+# per row; the estimate is the MIN over rows, always >= the true count.
+# Map-side each task emits its batch's (row, bucket, count) partials;
+# one map-side-combined exchange sums them, so the shuffle moves
+# O(d*w x tasks) fixed-size rows however large the corpus — the same
+# bounded-exchange argument as the HLL registers in queries.py.
+#
+# The d row-hashes are d disjoint 10-bit windows of ONE
+# md5_number_lower per unique word (bits [10d, 10d+10)) — md5 bits are
+# uniform and the windows are independent in practice, and this keeps
+# the kernel one-md5-per-word and trivially SQL-expressible
+# (``(hv >> 10*d) & 1023``), like the odd-multiply salts of the
+# minhash kernel in queries_text.py.
+
+CMS_D = 4      # sketch rows
+CMS_W = 1024   # buckets per row (10-bit windows below assume this)
+CMS_K = 20     # report the exact top-K words with their estimates
+
+
+def _cms_buckets(base: np.ndarray) -> np.ndarray:
+    """(d, n) bucket index per word-hash: disjoint 10-bit md5 windows."""
+    d = np.arange(CMS_D, dtype=np.uint64)[:, None]
+    return ((base[None, :] >> (np.uint64(10) * d))
+            & np.uint64(CMS_W - 1)).astype(np.int64)
+
+
+def q_cms_topk(sf_dir: str):
+    """Count-min sketch over the documents word stream: build the
+    (d x w) sketch with one bounded exchange, take the exact top-K
+    words (exact counts from a map-side-combined word-count exchange,
+    per-block top-K, driver finish over O(K x blocks) rows), and report
+    each word's sketch estimate next to its true count.  The
+    ``overestimate`` column is the CMS error, provably >= 0."""
+    import ray
+
+    from ..stages.shuffle import grouped_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def word_counts(b: pa.Table) -> pa.Table:
+        _, words = _explode_words(b)
+        uniq, cnt = np.unique(words, return_counts=True)
+        return pa.table({"word": pa.array(list(uniq), pa.string()),
+                         "cnt": pa.array(cnt, pa.int64())})
+
+    def sketch_partial(b: pa.Table) -> pa.Table:
+        _, words = _explode_words(b)
+        uniq, cnt = np.unique(words, return_counts=True)
+        if not len(uniq):
+            e = pa.array([], pa.int64())
+            return pa.table({"d": e, "bucket": e, "c": e})
+        buckets = _cms_buckets(_md5_lower64(uniq))
+        ds_, bs_, cs_ = [], [], []
+        for d in range(CMS_D):
+            bc = np.bincount(buckets[d], weights=cnt, minlength=CMS_W)
+            nz = np.nonzero(bc)[0]
+            ds_.append(np.full(len(nz), d, np.int64))
+            bs_.append(nz.astype(np.int64))
+            cs_.append(bc[nz].astype(np.int64))
+        return pa.table({"d": pa.array(np.concatenate(ds_)),
+                         "bucket": pa.array(np.concatenate(bs_)),
+                         "c": pa.array(np.concatenate(cs_))})
+
+    counted = ds.map_batches(word_counts, batch_format="pyarrow")
+    exact = grouped_agg(counted, ["word"], {"cnt": ("cnt", "sum")})
+
+    def block_topk(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(
+            ["cnt", "word"], ascending=[False, True], kind="stable")
+        return pa.Table.from_pandas(df.head(CMS_K), preserve_index=False)
+
+    # each word appears in exactly one grouped_agg output block, so a
+    # per-block top-K then a driver top-K over O(K x blocks) rows is
+    # exact — the corpus-wide count table never lands on the driver
+    top = (exact.map_batches(block_topk, batch_format="pyarrow")
+           .to_pandas()
+           .sort_values(["cnt", "word"], ascending=[False, True],
+                        kind="stable")
+           .head(CMS_K)
+           .reset_index(drop=True))
+
+    sketch = grouped_agg(
+        ds.map_batches(sketch_partial, batch_format="pyarrow"),
+        ["d", "bucket"], {"c": ("c", "sum")},
+    ).to_pandas()  # <= d*w = 4096 rows — driver-small by construction
+    mat = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    mat[sketch["d"].to_numpy(), sketch["bucket"].to_numpy()] = \
+        sketch["c"].to_numpy()
+
+    probe = _cms_buckets(_md5_lower64(top["word"].to_numpy(dtype=object)))
+    est = mat[np.arange(CMS_D)[:, None], probe].min(axis=0)
+    cnt = top["cnt"].to_numpy()
+    return pa.table({
+        "word": pa.array(top["word"].to_numpy(dtype=object), pa.string()),
+        "cnt": pa.array(cnt, pa.int64()),
+        "cms_est": pa.array(est, pa.int64()),
+        "overestimate": pa.array(est - cnt, pa.int64()),
+    })
+
+
+def sql_cms_topk() -> str:
+    return (
+        "WITH w AS (SELECT unnest(string_split(text, ' ')) AS word "
+        "FROM documents), "
+        "cnts AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM w "
+        "GROUP BY word), "
+        "h AS (SELECT word, cnt, md5_number_lower(word) AS hv FROM cnts), "
+        f"sk AS (SELECT d, CAST((hv >> CAST(10*d AS UBIGINT)) "
+        f"& {CMS_W - 1} AS BIGINT) AS bucket, "
+        "CAST(SUM(cnt) AS BIGINT) AS c "
+        f"FROM h CROSS JOIN range(0, {CMS_D}) t(d) GROUP BY 1, 2), "
+        f"top AS (SELECT word, cnt, hv FROM h "
+        f"ORDER BY cnt DESC, word LIMIT {CMS_K}), "
+        "est AS (SELECT top.word, top.cnt, MIN(sk.c) AS cms_est "
+        f"FROM top CROSS JOIN range(0, {CMS_D}) t(d) "
+        "JOIN sk ON sk.d = t.d AND sk.bucket = "
+        f"CAST((top.hv >> CAST(10*t.d AS UBIGINT)) & {CMS_W - 1} AS BIGINT) "
+        "GROUP BY 1, 2) "
+        "SELECT word, cnt, cms_est, cms_est - cnt AS overestimate "
+        "FROM est ORDER BY cnt DESC, word"
+    )
+
+
+# ---------------------------------------------- 2. inverted index
+#
+# The classic search-engine build: word -> ordered posting list of the
+# documents containing it, plus the document frequency.  A document is
+# one input row, so per-batch (doc_id, word) dedup is already globally
+# distinct; the exchange then hash-partitions pairs by word and each
+# bucket emits its words' complete postings.  The shuffle moves
+# O(distinct (doc, word) pairs) — that IS the output size, so no
+# combine can shrink it; posting lists stay bucket-local and never
+# concatenate on the driver.
+
+POST_MIN_DF = 8   # emit words appearing in at least this many docs
+
+
+def q_postings(sf_dir: str):
+    """Inverted index over documents: (word, df, postings) with the
+    posting list as the comma-joined ascending doc_id sequence, for
+    words with document frequency >= POST_MIN_DF."""
+    import ray
+
+    from ..stages.shuffle import bucketed_apply
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def doc_word_pairs(b: pa.Table) -> pd.DataFrame:
+        doc, words = _explode_words(b)
+        return pd.DataFrame(
+            {"doc_id": doc.astype(np.int64), "word": words}
+        ).drop_duplicates()
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["word", "doc_id"], kind="stable")
+        out = g.groupby("word", as_index=False, sort=False).agg(
+            df=("doc_id", "size"),
+            postings=("doc_id", lambda s: ",".join(map(str, s.to_numpy()))),
+        )
+        out = out[out["df"] >= POST_MIN_DF]
+        out["df"] = out["df"].astype(np.int64)
+        return out[["word", "df", "postings"]]
+
+    return bucketed_apply(
+        ds.map_batches(doc_word_pairs, batch_format="pyarrow"),
+        ["word"], finish)
+
+
+def sql_postings() -> str:
+    return (
+        "WITH p AS (SELECT DISTINCT doc_id, word FROM (SELECT doc_id, "
+        "unnest(string_split(text, ' ')) AS word FROM documents)) "
+        "SELECT word, CAST(COUNT(*) AS BIGINT) AS df, "
+        "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) "
+        "AS postings FROM p GROUP BY word "
+        f"HAVING COUNT(*) >= {POST_MIN_DF} ORDER BY word"
+    )
+
+
+# ---------------------------------------------- 3. bigram collocations
+#
+# PMI-style association mining: for every adjacent word pair occurring
+# >= COLL_MIN times, report the pair count, each word's unigram count
+# and the PMI ratio as an EXACT integer numerator/denominator pair
+# (pmi = log(num/den); the log is monotone in the rational, and
+# emitting the rational keeps the result hash-exact — the same
+# determinism call as dsir_weights' linear likelihood ratio).
+#
+# Shape: bigram counts via one map-side-combined exchange, survivors
+# (>= COLL_MIN) are driver-small; their unigram counts come from a
+# broadcast-membership filter over the unigram-count dataset
+# (sorted-array searchsorted per batch — the tfidf_top pattern), so the
+# full unigram table never lands on the driver.
+
+COLL_MIN = 5
+
+
+def q_collocations(sf_dir: str):
+    """(w1, w2, cnt_xy, cnt_x, cnt_y, pmi_num=cnt_xy*N,
+    pmi_den=cnt_x*cnt_y) for adjacent pairs with cnt_xy >= COLL_MIN,
+    ordered by (w1, w2)."""
+    import ray
+
+    from ..stages.shuffle import grouped_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def bigram_counts(b: pa.Table) -> pa.Table:
+        _, grams = _doc_bigram_stream(b)
+        uniq, cnt = np.unique(grams, return_counts=True)
+        return pa.table({"g": pa.array(list(uniq), pa.string()),
+                         "cnt": pa.array(cnt, pa.int64())})
+
+    def word_counts(b: pa.Table) -> pa.Table:
+        _, words = _explode_words(b)
+        uniq, cnt = np.unique(words, return_counts=True)
+        return pa.table({"word": pa.array(list(uniq), pa.string()),
+                         "cnt": pa.array(cnt, pa.int64())})
+
+    big = grouped_agg(
+        ds.map_batches(bigram_counts, batch_format="pyarrow"),
+        ["g"], {"cnt": ("cnt", "sum")})
+
+    def survivors(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.greater_equal(b.column("cnt"), COLL_MIN))
+
+    surv = big.map_batches(survivors, batch_format="pyarrow").to_pandas()
+    parts = surv["g"].str.split(" ", n=1, expand=True)
+    if len(surv):
+        surv["w1"], surv["w2"] = parts[0], parts[1]
+    else:
+        surv["w1"] = surv["w2"] = pd.Series([], dtype=object)
+
+    uni = grouped_agg(
+        ds.map_batches(word_counts, batch_format="pyarrow"),
+        ["word"], {"cnt": ("cnt", "sum")})
+    n_total = int(uni.sum("cnt") or 0)
+
+    need = np.unique(np.concatenate([
+        surv["w1"].to_numpy(dtype=object),
+        surv["w2"].to_numpy(dtype=object)]))
+    need_ref = ray.put(np.sort(need))
+
+    def member(b: pa.Table) -> pa.Table:
+        needs = ray.get(need_ref)
+        w = b.column("word").to_numpy(zero_copy_only=False)
+        if not (len(needs) and len(w)):
+            return b.slice(0, 0)
+        j = np.searchsorted(needs, w)
+        j[j >= len(needs)] = len(needs) - 1
+        return b.filter(pa.array(needs[j] == w))
+
+    uc = uni.map_batches(member, batch_format="pyarrow").to_pandas()
+    ucm = dict(zip(uc["word"], uc["cnt"]))  # O(survivor words) — small
+    cx = surv["w1"].map(ucm).to_numpy(dtype=np.int64)
+    cy = surv["w2"].map(ucm).to_numpy(dtype=np.int64)
+    cxy = surv["cnt"].to_numpy(dtype=np.int64)
+    out = pd.DataFrame({
+        "w1": surv["w1"].to_numpy(dtype=object),
+        "w2": surv["w2"].to_numpy(dtype=object),
+        "cnt_xy": cxy, "cnt_x": cx, "cnt_y": cy,
+        "pmi_num": cxy * n_total, "pmi_den": cx * cy,
+    }).sort_values(["w1", "w2"], kind="stable")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def sql_collocations() -> str:
+    return (
+        "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws "
+        "FROM documents), "
+        "u AS (SELECT unnest(ws) AS word FROM tok), "
+        "uni AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM u "
+        "GROUP BY word), "
+        "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u), "
+        "b AS (SELECT unnest(list_transform(range(1, len(ws)), "
+        "i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS s FROM tok), "
+        "bg AS (SELECT s.w1 AS w1, s.w2 AS w2, "
+        "CAST(COUNT(*) AS BIGINT) AS cnt_xy FROM b GROUP BY 1, 2 "
+        f"HAVING COUNT(*) >= {COLL_MIN}) "
+        "SELECT bg.w1, bg.w2, bg.cnt_xy, ux.c AS cnt_x, uy.c AS cnt_y, "
+        "bg.cnt_xy * n.n AS pmi_num, ux.c * uy.c AS pmi_den "
+        "FROM bg, n "
+        "JOIN uni ux ON ux.word = bg.w1 "
+        "JOIN uni uy ON uy.word = bg.w2 "
+        "ORDER BY bg.w1, bg.w2"
+    )
+
+
+# ---------------------------------------------- 4. priority sampling
+#
+# Weight-proportional sampling without replacement (Duffield, Lund &
+# Thorup 2007): each row gets priority weight/u for a uniform u, and
+# the sample is the top-N priorities.  u is the deterministic
+# md5-derived uniform ((hash+1)/2^64) so the sample is reproducible and
+# SQL-checkable; every float op (uint64->double cast, +1.0, divide) is
+# a single correctly-rounded IEEE operation, identical in numpy and
+# DuckDB.  Shape: per-split-task top-N combine, single-bucket finish —
+# the exchange moves O(N x tasks) rows (the stratified_sample
+# combiner, with a constant stratum).
+
+PRI_N = 50
+
+
+def q_priority_sample(sf_dir: str):
+    """Top-PRI_N documents by priority = n_chars / u(doc_id):
+    (rk, doc_id, weight, priority), ordered by rank."""
+    import ray
+
+    from ..stages.shuffle import bucketed_apply
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+
+    def keyed(b: pa.Table) -> pd.DataFrame:
+        doc = b.column("doc_id").to_numpy()
+        w = b.column("n_chars").to_numpy()
+        u = _md5_lower64(
+            np.char.mod("%d", doc)).astype(np.float64) + 1.0
+        return pd.DataFrame({
+            "k": np.zeros(len(doc), np.int64),
+            "doc_id": doc.astype(np.int64),
+            "weight": w.astype(np.int64),
+            "priority": w.astype(np.float64) / u,
+        })
+
+    def topn(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["priority", "doc_id"], ascending=[False, True], kind="stable"
+        ).head(PRI_N)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = topn(g).copy()
+        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["rk", "doc_id", "weight", "priority"]]
+
+    return bucketed_apply(
+        ds.map_batches(keyed, batch_format="pyarrow"),
+        ["k"], finish, combine=topn)
+
+
+def sql_priority_sample() -> str:
+    return (
+        "SELECT CAST(rk AS BIGINT) AS rk, doc_id, "
+        "CAST(n_chars AS BIGINT) AS weight, priority FROM ("
+        "SELECT doc_id, n_chars, CAST(n_chars AS DOUBLE) / "
+        "(CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) AS DOUBLE) + 1.0) "
+        "AS priority, row_number() OVER (ORDER BY CAST(n_chars AS DOUBLE) / "
+        "(CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) AS DOUBLE) + 1.0) "
+        "DESC, doc_id) AS rk FROM documents) "
+        f"WHERE rk <= {PRI_N} ORDER BY rk"
+    )
+
+
+QUERIES = {
+    "cms_topk": q_cms_topk,
+    "postings": q_postings,
+    "collocations": q_collocations,
+    "priority_sample": q_priority_sample,
+}
+
+ORACLES = {
+    "cms_topk": sql_cms_topk(),
+    "postings": sql_postings(),
+    "collocations": sql_collocations(),
+    "priority_sample": sql_priority_sample(),
+}

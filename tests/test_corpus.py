@@ -1,0 +1,119 @@
+"""Corpus-index/sketch operator tests: count-min sketch, inverted
+index postings, bigram collocations, priority sampling.
+
+Each check recomputes the expected result independently
+(collections.Counter, plain dict/sorted) on sf0.001 — the DuckDB
+hash-exact gate runs separately via tools/check_oracles.py."""
+
+import hashlib
+from collections import Counter, defaultdict
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return pq.read_table(f"{SF}/documents.parquet").to_pandas()
+
+
+def _h64(s: str) -> int:
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
+
+
+def test_cms_topk_vs_counter(ray_session, docs):
+    from osmquadtree_depreceated_ray.pipelines.queries_corpus import (
+        CMS_D, CMS_K, CMS_W, q_cms_topk,
+    )
+
+    got = q_cms_topk(SF).to_pandas()
+    cnt = Counter(w for t in docs["text"] for w in t.split(" "))
+
+    # independent sketch: d x w counter matrix
+    mat = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    for w, c in cnt.items():
+        hv = _h64(w)
+        for d in range(CMS_D):
+            mat[d, (hv >> (10 * d)) & (CMS_W - 1)] += c
+
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:CMS_K]
+    assert list(got["word"]) == [w for w, _ in top]
+    assert list(got["cnt"]) == [c for _, c in top]
+    for _, r in got.iterrows():
+        hv = _h64(r["word"])
+        exp = min(mat[d, (hv >> (10 * d)) & (CMS_W - 1)]
+                  for d in range(CMS_D))
+        assert r["cms_est"] == exp
+        assert r["overestimate"] == exp - r["cnt"] >= 0
+
+
+def test_postings_vs_dict(ray_session, docs):
+    from osmquadtree_depreceated_ray.pipelines.queries_corpus import (
+        POST_MIN_DF, q_postings,
+    )
+
+    got = (q_postings(SF).to_pandas()
+           .sort_values("word").reset_index(drop=True))
+    posts = defaultdict(set)
+    for did, t in zip(docs["doc_id"], docs["text"]):
+        for w in set(t.split(" ")):
+            posts[w].add(did)
+    exp = {w: sorted(ds) for w, ds in posts.items()
+           if len(ds) >= POST_MIN_DF}
+    assert list(got["word"]) == sorted(exp)
+    for _, r in got.iterrows():
+        assert r["df"] == len(exp[r["word"]])
+        assert r["postings"] == ",".join(map(str, exp[r["word"]]))
+
+
+def test_collocations_vs_counter(ray_session, docs):
+    from osmquadtree_depreceated_ray.pipelines.queries_corpus import (
+        COLL_MIN, q_collocations,
+    )
+
+    got = q_collocations(SF).to_pandas()
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    n = 0
+    for t in docs["text"]:
+        ws = t.split(" ")
+        uni.update(ws)
+        n += len(ws)
+        big.update(zip(ws, ws[1:]))
+    exp = sorted((p, c) for p, c in big.items() if c >= COLL_MIN)
+    assert [(r["w1"], r["w2"]) for _, r in got.iterrows()] == \
+        [p for p, _ in exp]
+    for _, r in got.iterrows():
+        key = (r["w1"], r["w2"])
+        assert r["cnt_xy"] == big[key]
+        assert r["cnt_x"] == uni[r["w1"]]
+        assert r["cnt_y"] == uni[r["w2"]]
+        assert r["pmi_num"] == big[key] * n
+        assert r["pmi_den"] == uni[r["w1"]] * uni[r["w2"]]
+
+
+def test_priority_sample_vs_sorted(ray_session, docs):
+    from osmquadtree_depreceated_ray.pipelines.queries_corpus import (
+        PRI_N, q_priority_sample,
+    )
+
+    got = q_priority_sample(SF).to_pandas()
+    pri = pd.DataFrame({
+        "doc_id": docs["doc_id"],
+        "weight": docs["n_chars"],
+        "priority": [
+            float(w) / (float(np.float64(_h64(str(d)))) + 1.0)
+            for d, w in zip(docs["doc_id"], docs["n_chars"])],
+    }).sort_values(["priority", "doc_id"], ascending=[False, True],
+                   kind="stable").head(PRI_N).reset_index(drop=True)
+    assert len(got) == min(PRI_N, len(docs))
+    assert list(got["rk"]) == list(range(1, len(got) + 1))
+    assert list(got["doc_id"]) == list(pri["doc_id"])
+    assert np.array_equal(got["priority"].to_numpy(),
+                          pri["priority"].to_numpy())
+    # the sample is weight-biased: its mean weight beats the corpus mean
+    assert got["weight"].mean() > docs["n_chars"].mean()
