@@ -35,7 +35,9 @@ Surface (the reference's grammar, plus LIMIT):
                                           composes with GROUP BY)
     ORDER BY expr [ASC|DESC], ... / LIMIT n [OFFSET m]
     <select> UNION [ALL] <select>         (non-ALL deduplicates)
-    <select> INTERSECT|EXCEPT <select>    (distinct set semantics)
+    <select> INTERSECT|EXCEPT [ALL|DISTINCT] <select>
+                                          (distinct set semantics;
+                                          ALL keeps multiplicities)
     WITH name AS (query) [, ...] <query>  (CTEs, planned once in order
                                           into a shadowed table map;
                                           RECURSIVE rejected)
@@ -186,9 +188,18 @@ class _Parser:
                 set_ops.append(
                     "union_all" if self.accept("kw", "all") else "union")
             elif self.accept("kw", "intersect"):
-                set_ops.append("intersect")
+                # ALL keeps bag multiplicities; DISTINCT is the default
+                if self.accept("kw", "all"):
+                    set_ops.append("intersect_all")
+                else:
+                    self.accept("kw", "distinct")
+                    set_ops.append("intersect")
             elif self.accept("kw", "except"):
-                set_ops.append("except")
+                if self.accept("kw", "all"):
+                    set_ops.append("except_all")
+                else:
+                    self.accept("kw", "distinct")
+                    set_ops.append("except")
             else:
                 break
             selects.append(self.parse_select())
@@ -2124,7 +2135,9 @@ def _split_correlation(sub_sel, tables, kind: str):
     column is the correlation.  Limitation: qualifiers collapse at
     parse time, so a SELF-correlation on the same column name
     (i.s = outer.s over the same table) reads as an inner tautology —
-    correlate on distinct names or pre-alias in a derived table."""
+    rejected loudly below (a same-column equality is never a real
+    filter); correlate on distinct names or pre-alias in a derived
+    table."""
     if not isinstance(sub_sel["table"], str):
         raise ValueError(f"{kind} subquery must reference a plain table")
     if sub_sel.get("join") is not None or sub_sel.get("group"):
@@ -2137,6 +2150,15 @@ def _split_correlation(sub_sel, tables, kind: str):
     for conj in conjs:
         cc: set = set()
         _collect_cols(conj, cc)
+        if (isinstance(conj, tuple) and conj[0] == "eq"
+                and conj[1][0] == "col" and conj[2][0] == "col"
+                and conj[1][1] == conj[2][1]):
+            # x = x: qualifiers collapsed — this is a self-correlation
+            # (i.x = outer.x), which would silently become a tautology
+            raise ValueError(
+                f"{kind} self-correlation on the same column name "
+                f"({conj[1][1]!r}) is unsupported: alias the inner "
+                "column in a derived table")
         if cc <= inner_names:
             inner_conjs.append(conj)
         elif (isinstance(conj, tuple) and conj[0] == "eq"
@@ -2392,10 +2414,14 @@ def _align_positional(left_names, other):
 
 
 def _set_op(ds_a, ds_b, cols: list, op: str):
-    """INTERSECT / EXCEPT with SQL's distinct set semantics: tag each
-    side, union, hash-bucket on ALL columns (identical rows co-locate),
-    then keep one copy of each row present in both sides (intersect) or
-    only in the left (except).  One exchange, no driver materialize."""
+    """INTERSECT / EXCEPT with SQL's distinct set semantics, plus the
+    INTERSECT ALL / EXCEPT ALL bag forms: tag each side, union,
+    hash-bucket on ALL columns (identical rows co-locate), then emit
+    per distinct row — intersect: one copy if present in both;
+    except: one copy if left-only; intersect_all: min(n_left, n_right)
+    copies; except_all: max(0, n_left - n_right) copies.  One exchange,
+    no driver materialize.  Per-side counts are indicator-column sums,
+    so the per-bucket groupby stays a vectorized two-column agg."""
     from ..stages.shuffle import bucketed_apply
 
     def tag(src):
@@ -2411,13 +2437,21 @@ def _set_op(ds_a, ds_b, cols: list, op: str):
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         if g.empty:
             return g[cols]
+        src = g["__src"].to_numpy()
+        g = g.assign(__l=(src == 0).astype(np.int64),
+                     __r=(src == 1).astype(np.int64))
         agg = g.groupby(cols, as_index=False, sort=False, dropna=False)[
-            "__src"].agg(["min", "max"])
+            ["__l", "__r"]].sum()
+        nl, nr = agg["__l"].to_numpy(), agg["__r"].to_numpy()
         if op == "intersect":
-            keep = (agg["min"] == 0) & (agg["max"] == 1)
-        else:  # except
-            keep = agg["max"] == 0
-        return agg.loc[keep, cols]
+            reps = ((nl > 0) & (nr > 0)).astype(np.int64)
+        elif op == "except":
+            reps = ((nl > 0) & (nr == 0)).astype(np.int64)
+        elif op == "intersect_all":
+            reps = np.minimum(nl, nr)
+        else:  # except_all
+            reps = np.maximum(nl - nr, 0)
+        return agg.loc[agg.index.repeat(reps), cols]
 
     return bucketed_apply(both, cols, fn, n_buckets=32)
 

@@ -721,6 +721,21 @@ def test_set_operations_match_duckdb(ray_session, t1):
         # written left-to-right without mixing precedence levels)
         "SELECT s FROM t1 WHERE v > 45 UNION ALL SELECT s FROM t1 "
         "WHERE v < -45",
+        # bag (ALL) forms keep multiplicities: min(l,r) / max(0,l-r)
+        # copies per distinct row — s repeats ~71x per value in t1
+        "SELECT s FROM t1 WHERE v > 0 INTERSECT ALL SELECT s FROM t1 "
+        "WHERE v < 0",
+        "SELECT s FROM t1 WHERE v > 0 EXCEPT ALL SELECT s FROM t1 "
+        "WHERE v < 0",
+        "SELECT k % 5 AS m FROM t1 WHERE v > 0 INTERSECT ALL "
+        "SELECT k % 7 AS m FROM t1 WHERE v < 0 ORDER BY m",
+        "SELECT s, k % 2 AS p FROM t1 WHERE v > 10 EXCEPT ALL "
+        "SELECT s, k % 2 AS p FROM t1 WHERE v > 25 ORDER BY s, p",
+        # explicit DISTINCT keyword is the default
+        "SELECT s FROM t1 WHERE v > 0 INTERSECT DISTINCT SELECT s "
+        "FROM t1 WHERE v < 0",
+        "SELECT s FROM t1 WHERE v > 40 EXCEPT DISTINCT SELECT s "
+        "FROM t1 WHERE v < -40",
     ]:
         _run_both(sql, None, {"t1": t1})
 
@@ -1092,3 +1107,28 @@ def test_string_hash_regex_functions(ray_session):
     for c in ("h", "d", "r1", "rg", "p2", "lp", "rp"):
         assert got[c].fillna("<N>").tolist() == \
             want[c].fillna("<N>").tolist(), (c, got[c], want[c])
+
+
+def test_self_correlation_same_name_rejected(ray_session, t1):
+    """i.s = outer.s over the same column name must raise loudly (the
+    parser collapses qualifiers, so silently it would be a tautology);
+    the documented workaround is aliasing in a derived table."""
+    import ray
+
+    from osmquadtree_depreceated_ray.pipelines.sqlparse import parse_sql
+
+    tabs = {"t1": ray.data.from_arrow(t1)}
+    with pytest.raises(ValueError, match="self-correlation"):
+        parse_sql(
+            "SELECT k FROM t1 WHERE EXISTS "
+            "(SELECT 1 FROM t1 i WHERE i.s = t1.s AND i.v > 40)", tabs)
+    # workaround: alias the inner column through a CTE
+    sql = ("WITH i2 AS (SELECT s AS s2, v AS v2 FROM t1) "
+           "SELECT k FROM t1 WHERE EXISTS "
+           "(SELECT 1 FROM i2 WHERE i2.s2 = t1.s AND i2.v2 > 45) "
+           "ORDER BY k")
+    got = parse_sql(sql, tabs).to_pandas()
+    con = duckdb.connect()
+    con.register("t1", t1)
+    want = con.execute(sql).df()
+    assert list(got["k"]) == list(want["k"])
