@@ -795,3 +795,149 @@ def sql_trajectory() -> str:
 
 QUERIES["trajectory"] = q_trajectory
 ORACLES["trajectory"] = sql_trajectory()
+
+
+# funnel analysis ------------------------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_funnel(sf_dir: str):
+    """Ordered-funnel analysis: how many users complete
+    view -> click -> purchase with each step STRICTLY after the
+    previous (the classic product-analytics query).  One bucketed
+    exchange on user_id; inside each bucket the three step times are
+    vectorized merges (per-user min of step 1, min step 2 after it,
+    min step 3 after that) — no per-user Python loop.  The final count
+    per step is O(steps) rows."""
+    import ray
+
+    from ..stages.shuffle import bucketed_apply
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"])
+
+    def pre(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.is_in(
+            b.column("event_type"),
+            value_set=pa.array(list(FUNNEL_STEPS))))
+
+    def funnel_counts(g: pd.DataFrame) -> pd.DataFrame:
+        # per-user first step-k time, each strictly after step k-1
+        prev = None
+        counts = []
+        for step in FUNNEL_STEPS:
+            e = g[g["event_type"] == step][["user_id", "ts"]]
+            if prev is not None:
+                e = e.merge(prev, on="user_id")
+                e = e[e["ts"] > e["prev_ts"]][["user_id", "ts"]]
+            cur = e.groupby("user_id", as_index=False)["ts"].min()
+            counts.append(len(cur))
+            prev = cur.rename(columns={"ts": "prev_ts"})
+        return pd.DataFrame({
+            "step": np.arange(1, len(FUNNEL_STEPS) + 1, dtype=np.int64),
+            "stage": list(FUNNEL_STEPS),
+            "users": np.asarray(counts, np.int64),
+        })
+
+    # bucket counts are partial per-step user counts: sum across buckets
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["step", "stage"], as_index=False, sort=False)[
+            "users"].sum()
+
+    from ..stages.shuffle import grouped_agg
+
+    per_bucket = bucketed_apply(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["user_id"], funnel_counts)
+    out = grouped_agg(per_bucket, ["step", "stage"],
+                      {"users": ("users", "sum")}).to_pandas()
+    out = out.sort_values("step", kind="stable")
+    return pa.Table.from_pandas(
+        out[["step", "stage", "users"]], preserve_index=False)
+
+
+def sql_funnel() -> str:
+    return (
+        "WITH t1 AS (SELECT user_id, MIN(ts) AS ts1 FROM events "
+        f"WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY 1), "
+        "t2 AS (SELECT e.user_id, MIN(e.ts) AS ts2 FROM events e "
+        "JOIN t1 ON t1.user_id = e.user_id AND e.ts > t1.ts1 "
+        f"WHERE e.event_type = '{FUNNEL_STEPS[1]}' GROUP BY 1), "
+        "t3 AS (SELECT e.user_id, MIN(e.ts) AS ts3 FROM events e "
+        "JOIN t2 ON t2.user_id = e.user_id AND e.ts > t2.ts2 "
+        f"WHERE e.event_type = '{FUNNEL_STEPS[2]}' GROUP BY 1) "
+        f"SELECT CAST(1 AS BIGINT) AS step, '{FUNNEL_STEPS[0]}' AS stage, "
+        "COUNT(*) AS users FROM t1 "
+        f"UNION ALL SELECT 2, '{FUNNEL_STEPS[1]}', COUNT(*) FROM t2 "
+        f"UNION ALL SELECT 3, '{FUNNEL_STEPS[2]}', COUNT(*) FROM t3 "
+        "ORDER BY step"
+    )
+
+
+QUERIES["funnel"] = q_funnel
+ORACLES["funnel"] = sql_funnel()
+
+
+# cohort retention -----------------------------------------------------------
+
+
+def q_retention(sf_dir: str):
+    """Cohort retention: users grouped by their first-activity day
+    (cohort), counted distinct per day-offset since that day — the
+    standard retention triangle.  One bucketed exchange on user_id
+    computes each user's cohort and distinct offsets vectorized; the
+    (cohort, offset) partial counts are map-side-combined into the
+    final grouped sum, so the second exchange moves
+    O(cohorts x offsets x tasks) rows."""
+    import ray
+
+    from ..stages.shuffle import bucketed_apply, grouped_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def add_day(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").to_numpy()
+        day = ts.astype("datetime64[D]").astype(np.int64)
+        return pa.table({"user_id": b.column("user_id"),
+                         "day": pa.array(day)})
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        cohort = g.groupby("user_id")["day"].transform("min")
+        out = pd.DataFrame({
+            "cohort": cohort.to_numpy(),
+            "offset": (g["day"] - cohort).to_numpy(),
+            "user_id": g["user_id"].to_numpy(),
+        }).drop_duplicates()
+        return (out.groupby(["cohort", "offset"], as_index=False)
+                .agg(users=("user_id", "size")))
+
+    per_bucket = bucketed_apply(
+        ds.map_batches(add_day, batch_format="pyarrow"),
+        ["user_id"], per_user)
+    out = grouped_agg(per_bucket, ["cohort", "offset"],
+                      {"users": ("users", "sum")}).to_pandas()
+    out = out.sort_values(["cohort", "offset"], kind="stable")
+    out["users"] = out["users"].astype(np.int64)
+    return pa.Table.from_pandas(
+        out[["cohort", "offset", "users"]], preserve_index=False)
+
+
+def sql_retention() -> str:
+    return (
+        "WITH d AS (SELECT user_id, CAST(epoch(date_trunc('day', ts)) "
+        "/ 86400 AS BIGINT) AS day FROM events), "
+        "c AS (SELECT user_id, MIN(day) AS cohort FROM d GROUP BY 1) "
+        "SELECT c.cohort, d.day - c.cohort AS \"offset\", "
+        "COUNT(DISTINCT d.user_id) AS users "
+        "FROM d JOIN c ON c.user_id = d.user_id "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+
+
+QUERIES["retention"] = q_retention
+ORACLES["retention"] = sql_retention()

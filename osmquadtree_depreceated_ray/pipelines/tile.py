@@ -398,8 +398,15 @@ def tile_entities(
 
     timings["lineage"] = 0.0  # folded into write_tiled
 
-    mf.write_manifest(out_dir, gq, gt, state=dict(state or {}, target=target,
-                                                  minimum=minimum, seq=0))
+    # run metrics ride in state.json (written just before the manifest
+    # commit point): with the per-tile counts in manifest.parquet this
+    # makes every output dir self-describing — lineage + metrics — for
+    # post-hoc inspection and resume decisions
+    mf.write_manifest(out_dir, gq, gt, state=dict(
+        state or {}, target=target, minimum=minimum, seq=0,
+        metrics={"timings": dict(timings), "tiles": int(len(gq)),
+                 "total": int(gt.sum()), "skipped_tiles": int(len(done)),
+                 "cpus": ncpu}))
     return {
         "tiles": int(len(gq)),
         "total": int(gt.sum()),

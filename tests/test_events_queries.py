@@ -65,3 +65,58 @@ def test_trajectory_vs_pandas(ray_session):
     per = ev.groupby("user_id").size() - 1
     assert len(got) == per.sum()
     assert (got["dt_us"] >= 0).all()
+
+
+def test_funnel_vs_pandas(ray_session):
+    import pyarrow.parquet as pq
+
+    from osmquadtree_depreceated_ray.pipelines.queries_events import (
+        FUNNEL_STEPS, q_funnel,
+    )
+
+    got = q_funnel(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    counts = []
+    prev: dict = None
+    for step in FUNNEL_STEPS:
+        cur = {}
+        e = ev[ev["event_type"] == step]
+        for uid, ts in zip(e["user_id"], e["ts"]):
+            if prev is not None and (uid not in prev or ts <= prev[uid]):
+                continue
+            if uid not in cur or ts < cur[uid]:
+                cur[uid] = ts
+        counts.append(len(cur))
+        prev = cur
+    assert list(got["stage"]) == list(FUNNEL_STEPS)
+    assert list(got["users"]) == counts
+    # funnel counts are monotone non-increasing
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+
+
+def test_retention_vs_pandas(ray_session):
+    import pyarrow.parquet as pq
+
+    from osmquadtree_depreceated_ray.pipelines.queries_events import (
+        q_retention,
+    )
+
+    got = q_retention(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    day = (ev["ts"].dt.normalize() - pd.Timestamp(0)).dt.days
+    df = pd.DataFrame({"user_id": ev["user_id"], "day": day})
+    cohort = df.groupby("user_id")["day"].transform("min")
+    want = (pd.DataFrame({"cohort": cohort,
+                          "offset": df["day"] - cohort,
+                          "user_id": df["user_id"]})
+            .drop_duplicates()
+            .groupby(["cohort", "offset"], as_index=False)
+            .agg(users=("user_id", "size"))
+            .sort_values(["cohort", "offset"])
+            .reset_index(drop=True))
+    assert got.reset_index(drop=True).equals(want.astype(
+        {"cohort": "int64", "offset": "int64", "users": "int64"}))
+    # offset 0 row of each cohort counts the full cohort: it is the max
+    m0 = got[got["offset"] == 0].set_index("cohort")["users"]
+    mx = got.groupby("cohort")["users"].max()
+    assert (m0 == mx).all()

@@ -89,6 +89,12 @@ def test_resume_skips_completed(ray_session, tiled):
     # all tiles were skipped -> no duplicate rows were written
     data = pq.read_table(mf.data_dir(out), columns=["qt"])
     assert data.num_rows == res["total"]
+    # the committed state carries the run metrics (self-describing
+    # output: per-tile counts in the manifest + run-level metrics here)
+    st = mf.read_state(out)
+    assert st["metrics"]["total"] == res["total"]
+    assert st["metrics"]["skipped_tiles"] == res["tiles"]
+    assert "assign_write" in st["metrics"]["timings"]
 
 
 def test_qts_writer_and_resort(ray_session, tiled, tmp_path):
