@@ -241,11 +241,18 @@ def q_collocations(sf_dir: str):
         return pa.table({"g": pa.array(list(uniq), pa.string()),
                          "cnt": pa.array(cnt, pa.int64())})
 
+    # the corpus token total rides the SAME unigram exchange as a
+    # sentinel row (one extra row per task), so no second pass / no
+    # second execution of the aggregate lineage is needed for N
+    total_key = "\x00total"
+
     def word_counts(b: pa.Table) -> pa.Table:
         _, words = _explode_words(b)
         uniq, cnt = np.unique(words, return_counts=True)
-        return pa.table({"word": pa.array(list(uniq), pa.string()),
-                         "cnt": pa.array(cnt, pa.int64())})
+        return pa.table({
+            "word": pa.array(list(uniq) + [total_key], pa.string()),
+            "cnt": pa.array(np.concatenate([cnt, [len(words)]]),
+                            pa.int64())})
 
     big = grouped_agg(
         ds.map_batches(bigram_counts, batch_format="pyarrow"),
@@ -266,11 +273,11 @@ def q_collocations(sf_dir: str):
     uni = grouped_agg(
         ds.map_batches(word_counts, batch_format="pyarrow"),
         ["word"], {"cnt": ("cnt", "sum")})
-    n_total = int(uni.sum("cnt") or 0)
 
     need = np.unique(np.concatenate([
         surv["w1"].to_numpy(dtype=object),
-        surv["w2"].to_numpy(dtype=object)]))
+        surv["w2"].to_numpy(dtype=object),
+        np.asarray([total_key], dtype=object)]))
     need_ref = ray.put(np.sort(need))
 
     def member(b: pa.Table) -> pa.Table:
@@ -284,6 +291,7 @@ def q_collocations(sf_dir: str):
 
     uc = uni.map_batches(member, batch_format="pyarrow").to_pandas()
     ucm = dict(zip(uc["word"], uc["cnt"]))  # O(survivor words) — small
+    n_total = int(ucm.pop(total_key, 0))
     cx = surv["w1"].map(ucm).to_numpy(dtype=np.int64)
     cy = surv["w2"].map(ucm).to_numpy(dtype=np.int64)
     cxy = surv["cnt"].to_numpy(dtype=np.int64)
