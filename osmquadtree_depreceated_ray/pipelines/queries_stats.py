@@ -1,7 +1,10 @@
-"""Distributed order statistics and join-pruning operators.
+"""Distributed order statistics, join-pruning and shuffle-diagnostics
+operators.
 
-Two operators a large-scale pipeline needs that neither the reference
-nor the earlier query modules cover:
+Operators a large-scale pipeline needs that neither the reference
+nor the earlier query modules cover (plus ``skew_stats``, the
+measurement side of the explicit-skew-handling contract — see its
+section below):
 
 ``quantiles``
     EXACT distributed quantiles (no sampling, no t-digest error bar)
@@ -315,3 +318,74 @@ ORACLES = {
     "quantiles": sql_quantiles(),
     "bloom_semijoin": sql_bloom_semijoin(),
 }
+
+
+# partition-skew diagnostics --------------------------------------------------
+#
+# The north rule demands EXPLICIT skew handling; this operator is the
+# measurement side of that contract: given a prospective shuffle key it
+# reports, per hash bucket, the row load and distinct-key count the
+# exchange would see, plus each bucket's single heaviest key — exactly
+# the evidence needed to decide between a plain bucketed exchange and
+# the salted two-phase aggregation in stages/shuffle.py.  Shape: one
+# map-side pre-aggregated exchange over (bucket, key) — O(distinct keys)
+# rows, never O(rows); the report itself is O(buckets).
+
+SKEW_BUCKETS = 32
+
+
+def q_skew_stats(sf_dir: str):
+    """Per-bucket shuffle-load report for hash-partitioning lineitem by
+    l_suppkey into SKEW_BUCKETS buckets: (bucket, n_rows, n_keys,
+    max_key_rows), ordered by bucket."""
+    import ray
+
+    from .queries_text import _md5_lower64
+    from ..stages.shuffle import bucketed_apply, grouped_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_suppkey"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        k = b.column("l_suppkey").to_numpy()
+        uniq, cnt = np.unique(k, return_counts=True)
+        bucket = (_md5_lower64(np.char.mod("%d", uniq))
+                  % np.uint64(SKEW_BUCKETS)).astype(np.int64)
+        return pa.table({"bucket": pa.array(bucket),
+                         "key": pa.array(uniq.astype(np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    per_key = grouped_agg(
+        ds.map_batches(keyed, batch_format="pyarrow"),
+        ["bucket", "key"], {"n": ("n", "sum")})
+
+    def report(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("bucket", as_index=False, sort=False).agg(
+            n_rows=("n", "sum"), n_keys=("key", "size"),
+            max_key_rows=("n", "max"))
+        for c in out.columns:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    out = bucketed_apply(per_key, ["bucket"], report).to_pandas()
+    out = out.sort_values("bucket", kind="stable")
+    return pa.Table.from_pandas(
+        out[["bucket", "n_rows", "n_keys", "max_key_rows"]],
+        preserve_index=False)
+
+
+def sql_skew_stats() -> str:
+    return (
+        "WITH k AS (SELECT l_suppkey AS key, COUNT(*) AS n FROM lineitem "
+        "GROUP BY 1), "
+        "b AS (SELECT CAST(md5_number_lower(CAST(key AS VARCHAR)) % "
+        f"{SKEW_BUCKETS} AS BIGINT) AS bucket, key, n FROM k) "
+        "SELECT bucket, CAST(SUM(n) AS BIGINT) AS n_rows, "
+        "CAST(COUNT(*) AS BIGINT) AS n_keys, "
+        "CAST(MAX(n) AS BIGINT) AS max_key_rows "
+        "FROM b GROUP BY bucket ORDER BY bucket"
+    )
+
+
+QUERIES["skew_stats"] = q_skew_stats
+ORACLES["skew_stats"] = sql_skew_stats()

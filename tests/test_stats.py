@@ -78,3 +78,41 @@ def test_bloom_semijoin_vs_pandas(ray_session):
     assert (got["n"].to_numpy() == want["n"].to_numpy()).all()
     assert (got["sum_qty"].to_numpy()
             == want["sum_qty"].to_numpy(np.int64)).all()
+
+
+def test_skew_stats_vs_counter(ray_session):
+    import hashlib
+    from collections import Counter
+
+    from osmquadtree_depreceated_ray.pipelines.queries_stats import (
+        SKEW_BUCKETS, q_skew_stats,
+    )
+
+    got = q_skew_stats(SF).to_pandas()
+    keys = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_suppkey"]
+    )["l_suppkey"].to_numpy()
+    per_key = Counter(keys.tolist())
+
+    def bucket(k: int) -> int:
+        h = int.from_bytes(
+            hashlib.md5(str(k).encode()).digest()[8:16], "little")
+        return h % SKEW_BUCKETS
+
+    rows: Counter = Counter()
+    nkeys: Counter = Counter()
+    mx: dict = {}
+    for k, n in per_key.items():
+        b = bucket(k)
+        rows[b] += n
+        nkeys[b] += 1
+        mx[b] = max(mx.get(b, 0), n)
+
+    assert list(got["bucket"]) == sorted(rows)
+    for _, r in got.iterrows():
+        b = r["bucket"]
+        assert r["n_rows"] == rows[b]
+        assert r["n_keys"] == nkeys[b]
+        assert r["max_key_rows"] == mx[b]
+    # conservation: bucket loads sum to the table size
+    assert got["n_rows"].sum() == len(keys)
