@@ -9,6 +9,8 @@ Usage:
     python tools/oqr.py geojson   --features FILE --out FILE
     python tools/oqr.py filter    --out DIR --bbox minx,miny,maxx,maxy --dest DIR
     python tools/oqr.py qts       --out DIR --dest DIR
+    python tools/oqr.py sql       --query "SELECT ..." [--sf DIR]
+                                  [--table name=path ...] [--dest FILE]
 
 Owns its Ray session (scripts must, per the driver contract the library
 itself never calls ray.init).
@@ -82,6 +84,18 @@ def main(argv=None):
     q = sub.add_parser("qts", help="write the qts-only artifact")
     q.add_argument("--out", required=True)
     q.add_argument("--dest", required=True)
+
+    sq = sub.add_parser(
+        "sql", help="run a SQL query (pipelines/sqlparse front-end) "
+        "over parquet tables")
+    sq.add_argument("--query", required=True)
+    sq.add_argument("--table", action="append", default=[],
+                    help="name=path (parquet file or directory); repeatable")
+    sq.add_argument("--sf", help="directory of <name>.parquet tables to "
+                    "register by stem (e.g. a testdata sf dir)")
+    sq.add_argument("--dest", help="write result parquet here")
+    sq.add_argument("--show", type=int, default=10,
+                    help="print up to N result rows (default 10)")
 
     sv = sub.add_parser(
         "serve", help="T6 per-tile serving store query (PackedDataStore.Filter)")
@@ -158,6 +172,39 @@ def main(argv=None):
             ents = ray.data.read_parquet(os.path.join(args.out, "entities"))
             write_qts(ents, args.dest)
             print(json.dumps({"dest": args.dest}))
+        elif args.cmd == "sql":
+            import glob
+
+            import pyarrow.parquet as pq
+            import ray.data
+
+            from osmquadtree_depreceated_ray.pipelines.sqlparse import parse_sql
+
+            tabs = {}
+            if args.sf:
+                for path in sorted(glob.glob(os.path.join(args.sf, "*.parquet"))):
+                    name = os.path.splitext(os.path.basename(path))[0]
+                    tabs[name] = ray.data.read_parquet(path)
+            for spec in args.table:
+                name, _, path = spec.partition("=")
+                if not path:
+                    raise SystemExit(f"--table expects name=path, got {spec!r}")
+                tabs[name] = ray.data.read_parquet(path)
+            res = parse_sql(args.query, tabs)
+            tbl = res.to_arrow_refs()
+            import ray as _ray
+
+            parts = [t for t in _ray.get(tbl) if t.num_rows]
+            import pyarrow as pa
+
+            out = (pa.concat_tables(parts) if parts
+                   else pa.table({}))
+            if args.dest:
+                pq.write_table(out, args.dest)
+            head = out.slice(0, args.show).to_pylist()
+            print(json.dumps({"rows": out.num_rows,
+                              "columns": out.column_names,
+                              "head": head}, default=str))
         elif args.cmd == "serve":
             import pyarrow.parquet as pq
 
