@@ -45,12 +45,14 @@ Surface (the reference's grammar, plus LIMIT):
 Scalar functions: coalesce nullif replace substr char_length/length
 concat upper lower trim ltrim rtrim reverse abs sign floor ceil round
 sqrt ln starts_with ends_with contains strpos left right repeat
-md5 regexp_extract regexp_replace split_part lpad rpad,
+md5 regexp_extract regexp_replace split_part lpad rpad greatest least,
 numchar maxwidth (reference functions.go:52-94),
 temporal year/month/day/hour/minute/second, EXTRACT(field FROM ts)
 (incl. dow, Sunday=0), date_trunc(unit, ts), arithmetic + - * / % and
 || concatenation, searched and simple CASE, IS [NOT] DISTINCT FROM
-(null-safe), statistical aggregates STDDEV/VAR[_SAMP|_POP]/MEDIAN.
+(null-safe), statistical aggregates STDDEV/VAR[_SAMP|_POP]/MEDIAN,
+boolean aggregates BOOL_AND/BOOL_OR (map-side combinable),
+ORDER BY ... [ASC|DESC] [NULLS FIRST|LAST].
 
 Window functions (beyond the reference grammar): row_number rank
 dense_rank ntile percent_rank cume_dist sum count min max avg lag lead
@@ -116,7 +118,7 @@ _KEYWORDS = {
     "left", "inner", "outer", "right", "full", "rows", "preceding",
     "unbounded", "current", "row", "following", "filter", "offset",
     "qualify", "intersect", "except", "rollup", "cube", "with",
-    "recursive", "range",
+    "recursive", "range", "nulls", "first", "last",
 }
 
 
@@ -203,10 +205,10 @@ class _Parser:
             else:
                 break
             selects.append(self.parse_select())
-        order, desc = None, None
+        order, desc, nulls = None, None, None
         if self.accept("kw", "order"):
             self.expect("kw", "by")
-            order, desc = [], []
+            order, desc, nulls = [], [], []
             while True:
                 # full expressions (ORDER BY v + k, length(s) DESC); a
                 # plain (possibly alias-qualified) column stays a direct
@@ -217,6 +219,17 @@ class _Parser:
                 else:
                     self.accept("kw", "asc")
                     desc.append(False)
+                # NULLS FIRST | NULLS LAST (explicit placement via an
+                # is-null indicator key; engine default matches DuckDB's
+                # nulls_last on the oracle-tested data)
+                if self.accept("kw", "nulls"):
+                    w = self.expect("kw")[1]
+                    if w not in ("first", "last"):
+                        raise ValueError(
+                            f"expected FIRST or LAST after NULLS, got {w}")
+                    nulls.append(w)
+                else:
+                    nulls.append(None)
                 if not self.accept("op", ","):
                     break
         limit = None
@@ -228,8 +241,8 @@ class _Parser:
         if not nested:
             self.expect("eof")
         return {"selects": selects, "set_ops": set_ops,
-                "order": order, "desc": desc, "limit": limit,
-                "offset": offset}
+                "order": order, "desc": desc, "nulls": nulls,
+                "limit": limit, "offset": offset}
 
     def parse_select(self):
         self.expect("kw", "select")
@@ -900,6 +913,16 @@ def _compile_expr(node) -> Expr:
             return args[0].substr(int(_lit_arg(1)), int(_lit_arg(2)))
         if name == "concat":
             return args[0].concat(*args[1:])
+        if name in ("greatest", "least"):
+            # DuckDB semantics: NULL arguments are ignored, all-NULL
+            # rows yield NULL — pyarrow's skip_nulls default
+            import pyarrow.compute as _pc
+
+            kern = (_pc.max_element_wise if name == "greatest"
+                    else _pc.min_element_wise)
+            return Expr(
+                lambda t, _k=kern, _a=list(args): _k(*[a(t) for a in _a]),
+                name)
         if name == "make_integer":
             return args[0].make_integer()
         if name == "make_float":
@@ -1122,7 +1145,7 @@ def _expr_name(node, idx) -> str:
 _AGG_FUNCS = {"sum", "count", "min", "max", "avg", "stddev",
               "stddev_samp", "stddev_pop", "variance", "var_samp",
               "var_pop", "median", "quantile_cont", "quantile_disc",
-              "string_agg"}
+              "string_agg", "bool_and", "bool_or"}
 # pandas named-agg 'how' per SQL aggregate.  The non-associative ones
 # (stddev/var/median) are exact: grouped_agg detects they are not
 # map-side combinable and routes the full rows through the exchange,
@@ -1133,7 +1156,10 @@ _AGG_HOW = {"sum": "sum", "count": "count", "min": "min", "max": "max",
             "stddev_pop": lambda s: s.std(ddof=0),
             "variance": "var", "var_samp": "var",
             "var_pop": lambda s: s.var(ddof=0),
-            "median": "median"}
+            "median": "median",
+            # bool_and/bool_or over a boolean column are min/max —
+            # associative, so the exchange map-side combines them
+            "bool_and": "min", "bool_or": "max"}
 
 
 def _has_agg(node) -> bool:
@@ -2842,14 +2868,32 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
             cols = ds.schema().names
             ds = _set_op(ds, other, cols, sop)
     if ast["order"]:
-        sort_cols, synth = [], []
+        sort_cols, descs, synth = [], [], []
+        nulls_spec = ast.get("nulls") or [None] * len(ast["order"])
         for i, node in enumerate(ast["order"]):
             if isinstance(node, tuple) and node[0] == "col":
-                sort_cols.append(node[1])
+                key = node[1]
             else:
-                cname = f"__ord{i}"
-                sort_cols.append(cname)
-                synth.append((cname, _compile_expr(node)))
+                key = f"__ord{i}"
+                synth.append((key, _compile_expr(node)))
+            if nulls_spec[i] is not None:
+                # explicit NULLS FIRST/LAST: an is-null indicator key
+                # sorted ascending just before the value key places the
+                # null block deterministically whatever the engine's
+                # native null order is
+                import pyarrow.compute as _pc
+
+                ind = f"__nullord{i}"
+                want_first = nulls_spec[i] == "first"
+                synth.append((ind, Expr(
+                    lambda t, _k=key, _f=want_first: (
+                        _pc.invert(_pc.is_null(t.column(_k)))
+                        if _f else _pc.is_null(t.column(_k))),
+                    ind)))
+                sort_cols.append(ind)
+                descs.append(False)
+            sort_cols.append(key)
+            descs.append(ast["desc"][i])
         if synth:
             def add_sort_cols(t: pa.Table) -> pa.Table:
                 for cname, expr in synth:
@@ -2857,7 +2901,7 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
                 return t
 
             ds = ds.map_batches(add_sort_cols, batch_format="pyarrow")
-        ds = ds.sort(sort_cols, descending=ast["desc"])
+        ds = ds.sort(sort_cols, descending=descs)
         if synth:
             ds = ds.drop_columns([c for c, _e in synth])
     if ast["limit"] is not None:

@@ -71,6 +71,18 @@ def _run_both(sql, tabs, arrow_tabs):
 
 CASES = [
     "SELECT k, v + 10 AS v10, v * 2 AS v2 FROM t1 WHERE v >= 0",
+    "SELECT s, bool_and(v > 0) AS ba, bool_or(v > 40) AS bo "
+    "FROM t1 GROUP BY s ORDER BY s",
+    "SELECT k, greatest(v, k, 10) AS g, least(v, f) AS l FROM t1 "
+    "WHERE k < 30",
+    # NULLS FIRST/LAST made observable through LIMIT (the comparator
+    # re-sorts rows, so placement only shows in which rows survive)
+    "SELECT k, nullif(s, 'name_0') AS sx FROM t1 "
+    "ORDER BY sx NULLS FIRST, k LIMIT 40",
+    "SELECT k, nullif(s, 'name_6') AS sx FROM t1 "
+    "ORDER BY sx DESC NULLS LAST, k LIMIT 40",
+    "SELECT k, nullif(v, 23) AS vx FROM t1 "
+    "ORDER BY vx NULLS LAST, k DESC LIMIT 60",
     "SELECT k FROM t1 WHERE s LIKE 'name_3' AND v BETWEEN -10 AND 10",
     "SELECT k, s FROM t1 WHERE s IN ('name_1', 'name_2') ORDER BY k LIMIT 25",
     "SELECT k, CASE WHEN v > 0 THEN 'pos' WHEN v < 0 THEN 'neg' "
