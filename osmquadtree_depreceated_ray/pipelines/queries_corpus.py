@@ -1,7 +1,7 @@
 """Corpus-index / sketch operators for a training-data pipeline:
 count-min-sketch frequency estimation, inverted-index posting lists,
-bigram collocation statistics, and weight-proportional priority
-sampling.
+bigram collocation statistics, weight-proportional priority sampling,
+and a distributed BPE vocabulary learner.
 
 These extend the engine beyond the reference's own surface (the task
 brief's "operations a large-scale training-data pipeline would need"),
@@ -404,3 +404,197 @@ ORACLES = {
     "collocations": sql_collocations(),
     "priority_sample": sql_priority_sample(),
 }
+
+
+# ---------------------------------------------- 5. BPE vocabulary learner
+#
+# Distributed byte-pair-encoding merge learning (Sennrich et al. 2016):
+# the tokenizer-training step of an LLM data pipeline.  BPE is
+# inherently iterative (argmax pair -> merge -> recount), so like
+# kmeans/dedup_components it drops to raw Ray below the Dataset API:
+#
+#   * ONE exchange builds the distinct-word frequency table (the corpus
+#     is never touched again — classic BPE trains on word TYPES
+#     weighted by frequency, O(distinct words) state);
+#   * the word table is sharded across stateful BpeShard ACTORS that
+#     hold their symbol sequences in process memory between rounds
+#     (zero re-shipping; the per-round traffic is each shard's
+#     pre-aggregated pair-count table, O(live pairs));
+#   * per round the driver merges the partials (bounded by the live
+#     pair vocabulary), picks argmax with a deterministic
+#     (cnt desc, left, right) tiebreak, and broadcasts one (left,
+#     right) merge rule back.
+#
+# Invariant (asserted in-query): chosen merge counts are non-increasing
+# — any pair created by a merge occurs at most as often as the merge
+# itself did.  Full-loop exactness is pinned by a pure-Python
+# reference BPE in tests; round-1 pair counts carry a SQL oracle
+# (``bpe_pairs1``), the kmeans_iter1 pattern.
+
+BPE_MERGES = 20
+BPE_SHARDS = 8
+
+
+def _bpe_pair_counts(syms: np.ndarray, wid: np.ndarray,
+                     wfreq: np.ndarray) -> pd.DataFrame:
+    """Adjacent-pair counts weighted by word frequency (vectorized)."""
+    if len(syms) < 2:
+        return pd.DataFrame({"l": [], "r": [], "cnt": []})
+    m = wid[:-1] == wid[1:]
+    return (pd.DataFrame({
+        "l": syms[:-1][m], "r": syms[1:][m],
+        "cnt": wfreq[wid[:-1][m]]})
+        .groupby(["l", "r"], as_index=False)["cnt"].sum())
+
+
+def _bpe_apply(syms: np.ndarray, wid: np.ndarray, left: str,
+               right: str) -> tuple[np.ndarray, np.ndarray]:
+    """Greedy leftmost non-overlapping merge of (left, right), fully
+    vectorized: overlap conflicts (only possible when left == right)
+    are runs of consecutive match positions — keep alternating."""
+    if len(syms) < 2:
+        return syms, wid
+    m = (syms[:-1] == left) & (syms[1:] == right) & (wid[:-1] == wid[1:])
+    p = np.nonzero(m)[0]
+    if not len(p):
+        return syms, wid
+    idx = np.arange(len(p))
+    run_start = np.concatenate([[True], np.diff(p) != 1])
+    run_id = np.cumsum(run_start) - 1
+    pos_in_run = idx - idx[run_start][run_id]
+    p = p[pos_in_run % 2 == 0]
+    out = syms.copy()
+    out[p] = left + right
+    keep = np.ones(len(syms), bool)
+    keep[p + 1] = False
+    return out[keep], wid[keep]
+
+
+def q_bpe_merges(sf_dir: str, n_merges: int = BPE_MERGES):
+    """Learned BPE merge table over the documents word stream:
+    (rank, left, right, cnt), rank 1..n_merges in learn order."""
+    import ray
+
+    from ..stages.shuffle import grouped_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def word_counts(b: pa.Table) -> pa.Table:
+        _, words = _explode_words(b)
+        uniq, cnt = np.unique(words, return_counts=True)
+        return pa.table({"word": pa.array(list(uniq), pa.string()),
+                         "freq": pa.array(cnt, pa.int64())})
+
+    wc = grouped_agg(
+        ds.map_batches(word_counts, batch_format="pyarrow"),
+        ["word"], {"freq": ("freq", "sum")})
+
+    @ray.remote
+    class BpeShard:
+        """Holds one shard of the word table as flattened symbol
+        sequences; state never leaves the actor between rounds."""
+
+        def __init__(self, words: list, freq: np.ndarray):
+            chars = [list(w) for w in words]
+            lens = np.asarray([len(c) for c in chars], np.int64)
+            self.syms = np.asarray(
+                [s for cs in chars for s in cs], dtype=object)
+            self.wid = np.repeat(np.arange(len(words)), lens)
+            self.freq = np.asarray(freq, np.int64)
+
+        def pair_counts(self) -> pd.DataFrame:
+            return _bpe_pair_counts(self.syms, self.wid, self.freq)
+
+        def apply(self, left: str, right: str) -> int:
+            self.syms, self.wid = _bpe_apply(
+                self.syms, self.wid, left, right)
+            return len(self.syms)
+
+    # shard the word table by word hash: deterministic, balanced
+    wtab = wc.to_pandas()  # O(distinct words) — the BPE training set
+    h = _md5_lower64(wtab["word"].to_numpy(dtype=object)) \
+        % np.uint64(BPE_SHARDS)
+    shards = []
+    for s in range(BPE_SHARDS):
+        part = wtab[h == s]
+        shards.append(BpeShard.remote(
+            part["word"].tolist(), part["freq"].to_numpy()))
+
+    ranks, lefts, rights, cnts = [], [], [], []
+    prev_cnt = None
+    for rank in range(1, n_merges + 1):
+        partials = ray.get([sh.pair_counts.remote() for sh in shards])
+        tot = (pd.concat(partials, ignore_index=True)
+               .groupby(["l", "r"], as_index=False)["cnt"].sum())
+        if tot.empty:
+            break
+        tot = tot.sort_values(["cnt", "l", "r"],
+                              ascending=[False, True, True],
+                              kind="stable")
+        left, right, cnt = (tot.iloc[0]["l"], tot.iloc[0]["r"],
+                            int(tot.iloc[0]["cnt"]))
+        # merge counts are non-increasing: a pair created by a merge
+        # occurs at most as often as the merge itself did
+        assert prev_cnt is None or cnt <= prev_cnt, (cnt, prev_cnt)
+        prev_cnt = cnt
+        ray.get([sh.apply.remote(left, right) for sh in shards])
+        ranks.append(rank)
+        lefts.append(left)
+        rights.append(right)
+        cnts.append(cnt)
+    return pa.table({
+        "rank": pa.array(np.asarray(ranks, np.int64)),
+        "left": pa.array(lefts, pa.string()),
+        "right": pa.array(rights, pa.string()),
+        "cnt": pa.array(np.asarray(cnts, np.int64)),
+    })
+
+
+def q_bpe_pairs1(sf_dir: str):
+    """Round-1 BPE pair counts (character bigrams within words,
+    weighted by word frequency) — the SQL-checkable first iteration,
+    like ``kmeans_iter1``."""
+    import ray
+
+    from ..stages.shuffle import grouped_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        _, words = _explode_words(b)
+        uniq, cnt = np.unique(words, return_counts=True)
+        syms = np.asarray(
+            [c for w in uniq for c in w], dtype=object)
+        lens = np.asarray([len(w) for w in uniq], np.int64)
+        wid = np.repeat(np.arange(len(uniq)), lens)
+        df = _bpe_pair_counts(syms, wid, cnt)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = grouped_agg(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        ["l", "r"], {"cnt": ("cnt", "sum")}).to_pandas()
+    out = out.sort_values(["l", "r"], kind="stable")
+    out["cnt"] = out["cnt"].astype(np.int64)
+    return pa.Table.from_pandas(
+        out[["l", "r", "cnt"]], preserve_index=False)
+
+
+def sql_bpe_pairs1() -> str:
+    return (
+        "WITH w AS (SELECT unnest(string_split(text, ' ')) AS word "
+        "FROM documents), "
+        "wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS f FROM w "
+        "GROUP BY word), "
+        "p AS (SELECT unnest(list_transform(range(1, length(word)), "
+        "i -> struct_pack(l := word[i], r := word[i+1]))) AS s, f "
+        "FROM wc) "
+        "SELECT s.l AS l, s.r AS r, CAST(SUM(f) AS BIGINT) AS cnt FROM p "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+
+
+QUERIES["bpe_merges"] = q_bpe_merges
+QUERIES["bpe_pairs1"] = q_bpe_pairs1
+ORACLES["bpe_pairs1"] = sql_bpe_pairs1()

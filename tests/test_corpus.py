@@ -117,3 +117,45 @@ def test_priority_sample_vs_sorted(ray_session, docs):
                           pri["priority"].to_numpy())
     # the sample is weight-biased: its mean weight beats the corpus mean
     assert got["weight"].mean() > docs["n_chars"].mean()
+
+
+def test_bpe_merges_vs_reference(ray_session, docs):
+    """Full-loop exactness of the distributed BPE learner against a
+    pure-Python reference (same word-type frequencies, same greedy
+    leftmost non-overlapping apply, same (cnt desc, l, r) tiebreak)."""
+    from osmquadtree_depreceated_ray.pipelines.queries_corpus import (
+        BPE_MERGES, q_bpe_merges,
+    )
+
+    got = q_bpe_merges(SF).to_pandas()
+
+    word_freq = Counter(w for t in docs["text"] for w in t.split(" "))
+    seqs = {w: list(w) for w in word_freq}
+    merges = []
+    prev = None
+    for rank in range(1, BPE_MERGES + 1):
+        cnt: Counter = Counter()
+        for w, f in word_freq.items():
+            s = seqs[w]
+            for a, b in zip(s, s[1:]):
+                cnt[(a, b)] += f
+        if not cnt:
+            break
+        (left, right), c = min(
+            cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        assert prev is None or c <= prev
+        prev = c
+        merges.append((rank, left, right, c))
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    want = pd.DataFrame(merges, columns=["rank", "left", "right", "cnt"])
+    assert got.astype({"rank": "int64", "cnt": "int64"}).equals(
+        want.astype({"rank": "int64", "cnt": "int64"}))
