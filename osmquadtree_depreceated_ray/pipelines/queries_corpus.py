@@ -22,6 +22,15 @@ import pyarrow as pa
 from .queries_curate import _explode_words
 from .queries_text import _doc_bigram_stream, _md5_lower64
 
+
+def _word_count_table(b: pa.Table, col: str = "cnt") -> pa.Table:
+    """Per-batch unigram counts (word, <col>) — the shared map-side
+    kernel of cms_topk / collocations / bpe_merges."""
+    _, words = _explode_words(b)
+    uniq, cnt = np.unique(words, return_counts=True)
+    return pa.table({"word": pa.array(list(uniq), pa.string()),
+                     col: pa.array(cnt, pa.int64())})
+
 # ------------------------------------------------- 1. count-min sketch
 #
 # Mergeable frequency sketch (Cormode & Muthukrishnan 2005): a d x w
@@ -65,12 +74,6 @@ def q_cms_topk(sf_dir: str):
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-    def word_counts(b: pa.Table) -> pa.Table:
-        _, words = _explode_words(b)
-        uniq, cnt = np.unique(words, return_counts=True)
-        return pa.table({"word": pa.array(list(uniq), pa.string()),
-                         "cnt": pa.array(cnt, pa.int64())})
-
     def sketch_partial(b: pa.Table) -> pa.Table:
         _, words = _explode_words(b)
         uniq, cnt = np.unique(words, return_counts=True)
@@ -89,7 +92,7 @@ def q_cms_topk(sf_dir: str):
                          "bucket": pa.array(np.concatenate(bs_)),
                          "c": pa.array(np.concatenate(cs_))})
 
-    counted = ds.map_batches(word_counts, batch_format="pyarrow")
+    counted = ds.map_batches(_word_count_table, batch_format="pyarrow")
     exact = grouped_agg(counted, ["word"], {"cnt": ("cnt", "sum")})
 
     def block_topk(b: pa.Table) -> pa.Table:
@@ -241,18 +244,23 @@ def q_collocations(sf_dir: str):
         return pa.table({"g": pa.array(list(uniq), pa.string()),
                          "cnt": pa.array(cnt, pa.int64())})
 
-    # the corpus token total rides the SAME unigram exchange as a
-    # sentinel row (one extra row per task), so no second pass / no
+    # the corpus token total rides the SAME unigram exchange as one
+    # extra row per task, keyed OUT OF BAND by the is_total column (a
+    # real token can never collide with it), so no second pass / no
     # second execution of the aggregate lineage is needed for N
-    total_key = "\x00total"
-
     def word_counts(b: pa.Table) -> pa.Table:
-        _, words = _explode_words(b)
-        uniq, cnt = np.unique(words, return_counts=True)
+        t = _word_count_table(b)
+        n = t.num_rows
         return pa.table({
-            "word": pa.array(list(uniq) + [total_key], pa.string()),
-            "cnt": pa.array(np.concatenate([cnt, [len(words)]]),
-                            pa.int64())})
+            "word": pa.concat_arrays(
+                [t.column("word").combine_chunks(), pa.array([""])]),
+            "cnt": pa.concat_arrays(
+                [t.column("cnt").combine_chunks(),
+                 pa.array([int(pa.compute.sum(t.column("cnt")).as_py() or 0)],
+                          pa.int64())]),
+            "is_total": pa.array(
+                np.concatenate([np.zeros(n, np.int8), [1]]), pa.int8()),
+        })
 
     big = grouped_agg(
         ds.map_batches(bigram_counts, batch_format="pyarrow"),
@@ -272,29 +280,40 @@ def q_collocations(sf_dir: str):
 
     uni = grouped_agg(
         ds.map_batches(word_counts, batch_format="pyarrow"),
-        ["word"], {"cnt": ("cnt", "sum")})
+        ["word", "is_total"], {"cnt": ("cnt", "sum")})
 
     need = np.unique(np.concatenate([
         surv["w1"].to_numpy(dtype=object),
-        surv["w2"].to_numpy(dtype=object),
-        np.asarray([total_key], dtype=object)]))
+        surv["w2"].to_numpy(dtype=object)]))
     need_ref = ray.put(np.sort(need))
 
     def member(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         needs = ray.get(need_ref)
         w = b.column("word").to_numpy(zero_copy_only=False)
-        if not (len(needs) and len(w)):
-            return b.slice(0, 0)
-        j = np.searchsorted(needs, w)
-        j[j >= len(needs)] = len(needs) - 1
-        return b.filter(pa.array(needs[j] == w))
+        tot = b.column("is_total").to_numpy() == 1
+        if len(needs) and len(w):
+            j = np.searchsorted(needs, w)
+            j[j >= len(needs)] = len(needs) - 1
+            keep = (needs[j] == w) & ~tot
+        else:
+            keep = np.zeros(len(w), bool)
+        return b.filter(pa.array(keep | tot))
 
     uc = uni.map_batches(member, batch_format="pyarrow").to_pandas()
+    n_total = int(uc.loc[uc["is_total"] == 1, "cnt"].sum())
+    uc = uc[uc["is_total"] == 0]
     ucm = dict(zip(uc["word"], uc["cnt"]))  # O(survivor words) — small
-    n_total = int(ucm.pop(total_key, 0))
     cx = surv["w1"].map(ucm).to_numpy(dtype=np.int64)
     cy = surv["w2"].map(ucm).to_numpy(dtype=np.int64)
     cxy = surv["cnt"].to_numpy(dtype=np.int64)
+    # numpy int64 multiplication wraps silently; the SQL oracle (BIGINT)
+    # would error instead — fail loudly at the same boundary
+    if len(cxy) and (
+            (n_total and int(cxy.max()) > (2**63 - 1) // max(n_total, 1))
+            or int(cx.max()) > (2**63 - 1) // max(int(cy.max()), 1)):
+        raise OverflowError("collocations: pmi_num/pmi_den exceed int64")
     out = pd.DataFrame({
         "w1": surv["w1"].to_numpy(dtype=object),
         "w2": surv["w2"].to_numpy(dtype=object),
@@ -439,7 +458,9 @@ def _bpe_pair_counts(syms: np.ndarray, wid: np.ndarray,
                      wfreq: np.ndarray) -> pd.DataFrame:
     """Adjacent-pair counts weighted by word frequency (vectorized)."""
     if len(syms) < 2:
-        return pd.DataFrame({"l": [], "r": [], "cnt": []})
+        return pd.DataFrame({"l": pd.Series([], dtype=object),
+                             "r": pd.Series([], dtype=object),
+                             "cnt": pd.Series([], dtype=np.int64)})
     m = wid[:-1] == wid[1:]
     return (pd.DataFrame({
         "l": syms[:-1][m], "r": syms[1:][m],
@@ -480,14 +501,9 @@ def q_bpe_merges(sf_dir: str, n_merges: int = BPE_MERGES):
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-    def word_counts(b: pa.Table) -> pa.Table:
-        _, words = _explode_words(b)
-        uniq, cnt = np.unique(words, return_counts=True)
-        return pa.table({"word": pa.array(list(uniq), pa.string()),
-                         "freq": pa.array(cnt, pa.int64())})
-
     wc = grouped_agg(
-        ds.map_batches(word_counts, batch_format="pyarrow"),
+        ds.map_batches(lambda b: _word_count_table(b, "freq"),
+                       batch_format="pyarrow"),
         ["word"], {"freq": ("freq", "sum")})
 
     @ray.remote

@@ -843,11 +843,8 @@ def q_funnel(sf_dir: str):
             "users": np.asarray(counts, np.int64),
         })
 
-    # bucket counts are partial per-step user counts: sum across buckets
-    def finish(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby(["step", "stage"], as_index=False, sort=False)[
-            "users"].sum()
-
+    # bucket outputs are partial per-step user counts: grouped_agg
+    # sums them across buckets (map-side combinable)
     from ..stages.shuffle import grouped_agg
 
     per_bucket = bucketed_apply(

@@ -118,8 +118,11 @@ _KEYWORDS = {
     "left", "inner", "outer", "right", "full", "rows", "preceding",
     "unbounded", "current", "row", "following", "filter", "offset",
     "qualify", "intersect", "except", "rollup", "cube", "with",
-    "recursive", "range", "nulls", "first", "last",
+    "recursive", "range",
 }
+# NOTE: "nulls"/"first"/"last" are deliberately NOT reserved — they are
+# matched contextually in the ORDER BY tail so columns with those names
+# keep parsing as identifiers (DuckDB treats them as unreserved too).
 
 
 def _tokenize(sql: str) -> list[tuple[str, str]]:
@@ -221,9 +224,12 @@ class _Parser:
                     desc.append(False)
                 # NULLS FIRST | NULLS LAST (explicit placement via an
                 # is-null indicator key; engine default matches DuckDB's
-                # nulls_last on the oracle-tested data)
-                if self.accept("kw", "nulls"):
-                    w = self.expect("kw")[1]
+                # nulls_last on the oracle-tested data).  Matched
+                # contextually — "nulls"/"first"/"last" stay unreserved.
+                k, v = self.peek()
+                if k == "ident" and v.lower() == "nulls":
+                    self.next()
+                    w = self.expect("ident")[1].lower()
                     if w not in ("first", "last"):
                         raise ValueError(
                             f"expected FIRST or LAST after NULLS, got {w}")

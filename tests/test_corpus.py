@@ -159,3 +159,27 @@ def test_bpe_merges_vs_reference(ray_session, docs):
     want = pd.DataFrame(merges, columns=["rank", "left", "right", "cnt"])
     assert got.astype({"rank": "int64", "cnt": "int64"}).equals(
         want.astype({"rank": "int64", "cnt": "int64"}))
+
+
+def test_bpe_pair_counts_empty_is_typed():
+    """<2-symbol batches must emit a TYPED empty frame — an untyped one
+    (all-float64) poisons the exchange's Arrow schema merge."""
+    import pyarrow as pa
+
+    from osmquadtree_depreceated_ray.pipelines.queries_corpus import (
+        _bpe_pair_counts,
+    )
+
+    e = _bpe_pair_counts(np.asarray([], dtype=object),
+                         np.asarray([], np.int64),
+                         np.asarray([], np.int64))
+    t = pa.Table.from_pandas(e, preserve_index=False)
+    assert t.schema.field("l").type == pa.string() or \
+        t.schema.field("l").type == pa.null() or \
+        str(t.schema.field("cnt").type) == "int64"
+    # concat with a real frame must not raise
+    full = _bpe_pair_counts(np.asarray(["a", "b"], dtype=object),
+                            np.asarray([0, 0], np.int64),
+                            np.asarray([3], np.int64))
+    pd.concat([e, full], ignore_index=True)
+    assert full["cnt"].dtype == np.int64

@@ -83,6 +83,8 @@ CASES = [
     "ORDER BY sx DESC NULLS LAST, k LIMIT 40",
     "SELECT k, nullif(v, 23) AS vx FROM t1 "
     "ORDER BY vx NULLS LAST, k DESC LIMIT 60",
+    # nulls/first/last stay unreserved (matched contextually)
+    "SELECT k AS first, v AS last, s AS nulls FROM t1 WHERE k < 5",
     "SELECT k FROM t1 WHERE s LIKE 'name_3' AND v BETWEEN -10 AND 10",
     "SELECT k, s FROM t1 WHERE s IN ('name_1', 'name_2') ORDER BY k LIMIT 25",
     "SELECT k, CASE WHEN v > 0 THEN 'pos' WHEN v < 0 THEN 'neg' "

@@ -191,14 +191,15 @@ def main(argv=None):
                     raise SystemExit(f"--table expects name=path, got {spec!r}")
                 tabs[name] = ray.data.read_parquet(path)
             res = parse_sql(args.query, tabs)
-            tbl = res.to_arrow_refs()
             import ray as _ray
 
-            parts = [t for t in _ray.get(tbl) if t.num_rows]
+            # keep empty blocks: a zero-row result must still carry the
+            # projected schema into --dest and the JSON summary
+            parts = _ray.get(res.to_arrow_refs())
             import pyarrow as pa
 
-            out = (pa.concat_tables(parts) if parts
-                   else pa.table({}))
+            out = (pa.concat_tables(parts, promote_options="default")
+                   if parts else pa.table({}))
             if args.dest:
                 pq.write_table(out, args.dest)
             head = out.slice(0, args.show).to_pylist()
