@@ -455,7 +455,8 @@ def _merge_registries():
     ORACLES.update(queries_core.ORACLES)
     for mod_name in ("queries_events", "queries_text", "queries_embed",
                      "queries_curate", "queries_stats", "queries_pack",
-                     "queries_spatial", "queries_corpus"):
+                     "queries_spatial", "queries_corpus",
+                     "queries_graph"):
         try:
             import importlib
 

@@ -1,0 +1,308 @@
+"""Link-graph centrality: distributed PageRank over a web link graph.
+
+Common-Crawl-scale curation ranks pages by link centrality (harmonic /
+PageRank) before quality filtering; this module adds that operator to
+the engine.  The documents table carries no link column, so the graph
+is SYNTHESISED deterministically from doc_ids (a stand-in for a real
+``links(src, dst)`` table — the operator itself never assumes anything
+beyond an edge list): each page emits :data:`PR_LINKS` candidate
+out-links ``dst = (src*48271 + j*11113 + 1) mod (max_id+1)``,
+self-loops dropped, duplicates deduped, and candidates pointing at
+non-existent pages removed by a distributed existence semi-join (so
+gappy id spaces produce dangling pages, handled with the standard
+teleport redistribution).
+
+Distributed shape (the same raw bucketed exchange as the
+connected-components operator in ``queries_curate.py`` — an iterative
+fixpoint is the one place the Dataset API genuinely doesn't fit):
+
+* doc_ids are hash-sharded once into ``node`` buckets; edges are
+  generated FROM each node shard (edge src lives in its own bucket by
+  construction, no routing wave), existence-checked against the dst's
+  home bucket, and returned to the src bucket — two exchange waves,
+  once, at init.
+* each iteration is one scatter/gather exchange: scatter joins the
+  local edge shard to the local rank state, MAP-SIDE COMBINES
+  contributions by dst (``groupby dst sum`` before routing — the
+  exchange carries at most one row per (bucket, dst), not one per
+  edge), and emits the bucket's dangling-rank sum as a scalar side
+  output; gather sums incoming contributions and applies the teleport
+  + dangling terms.  The driver holds only object refs, one float per
+  bucket per round, and the two global counts (N pages, max id).
+* state is O(nodes/bucket) per bucket and never concentrates on the
+  driver; rounds are a fixed ``PR_ITERS``, so the whole run is
+  ``2 + PR_ITERS`` exchange waves.
+
+Ranks are emitted quantized (``floor(r * 1e12 + 0.5)`` as BIGINT, the
+repo-wide convention for hash-stable float oracles) and the DuckDB
+oracle replays the FULL chain — synthesis, semi-join, out-degrees,
+dangling mass, and all PR_ITERS power iterations as chained CTEs.
+
+Reference analogue: osmquadtree's iterative relation round
+(calcqts/calculatequadtrees.go's 5-round relation qt resolution) has
+the same fixpoint-over-exchange shape; no PageRank exists in the
+reference — this extends the engine for the web-corpus payload.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+PR_LINKS = 4
+PR_DAMPING = 0.85
+PR_ITERS = 3
+PR_QUANT = 1e12
+_A, _B, _C = 48271, 11113, 1
+
+
+def _pr_buckets() -> int:
+    from ..stages.shuffle import default_buckets
+
+    return default_buckets(floor=16)
+
+
+def _pr_route(node: np.ndarray, n: int) -> np.ndarray:
+    return (node.astype(np.uint64) % np.uint64(n)).astype(np.int64)
+
+
+def _pr_split_nodes_impl(n, *blocks):
+    """Hash-shard doc_id blocks into n node buckets."""
+    ids = np.concatenate([
+        (b if isinstance(b, pa.Table) else pa.Table.from_pandas(b))
+        .column("doc_id").to_numpy().astype(np.int64)
+        for b in blocks
+    ])
+    bk = _pr_route(ids, n)
+    return tuple(pa.table({"node": ids[bk == i]}) for i in range(n))
+
+
+def _pr_concat_impl(*pieces):
+    return pa.concat_tables(pieces, promote_options="default")
+
+
+def _pr_stats_impl(shard):
+    """(count, max_id) of one node shard — two ints to the driver."""
+    ids = shard.column("node").to_numpy()
+    return (len(ids), int(ids.max()) if len(ids) else -1)
+
+
+def _pr_cand_impl(n, mod, shard):
+    """Generate candidate out-links for this bucket's nodes and route
+    them to the DST's home bucket for the existence check."""
+    src = np.repeat(shard.column("node").to_numpy().astype(np.int64),
+                    PR_LINKS)
+    j = np.tile(np.arange(PR_LINKS, dtype=np.int64), len(shard))
+    dst = (src * _A + j * _B + _C) % mod
+    keep = dst != src
+    src, dst = src[keep], dst[keep]
+    bk = _pr_route(dst, n)
+    return tuple(pa.table({"src": src[bk == i], "dst": dst[bk == i]})
+                 for i in range(n))
+
+
+def _pr_filter_impl(n, nodes, *pieces):
+    """Existence semi-join: keep candidates whose dst is a real page in
+    this bucket, dedupe, and route survivors home to the SRC bucket."""
+    t = pa.concat_tables(pieces, promote_options="default")
+    src = t.column("src").to_numpy().astype(np.int64)
+    dst = t.column("dst").to_numpy().astype(np.int64)
+    have = np.sort(nodes.column("node").to_numpy().astype(np.int64))
+    if len(have):
+        pos = np.searchsorted(have, dst)
+        # a clamped pos (dst > max) can never equal have[0]: dst > all
+        pos[pos == len(have)] = 0
+        keep = have[pos] == dst
+    else:
+        keep = np.zeros(len(dst), bool)
+    src, dst = src[keep], dst[keep]
+    df = pd.DataFrame({"src": src, "dst": dst}).drop_duplicates()
+    bk = _pr_route(df["src"].to_numpy(), n)
+    return tuple(
+        pa.Table.from_pandas(df[bk == i], preserve_index=False)
+        for i in range(n)
+    )
+
+
+def _pr_state_impl(nodes, inv_n, *pieces):
+    """Build one bucket's (edges, state): out-degree per local node
+    (0 = dangling) and the uniform initial rank 1/N."""
+    e = pa.concat_tables(
+        pieces, promote_options="default").to_pandas().drop_duplicates()
+    node = nodes.column("node").to_numpy().astype(np.int64)
+    deg = e.groupby("src", sort=False).size()
+    outdeg = pd.Series(node).map(deg).fillna(0).to_numpy(np.int64)
+    state = pa.table({
+        "node": node,
+        "outdeg": outdeg,
+        "rank": np.full(len(node), inv_n, np.float64),
+    })
+    return pa.Table.from_pandas(e, preserve_index=False), state
+
+
+def _pr_scatter_impl(n, edges, state):
+    """One bucket's scatter: per-edge contribution rank/outdeg, map-side
+    combined by dst, routed to the dst's home bucket; the bucket's
+    dangling-rank sum rides as the final (scalar) return."""
+    e = edges.to_pandas()
+    s = state.to_pandas()
+    m = e.merge(s, left_on="src", right_on="node", how="inner")
+    w = m["rank"].to_numpy() / m["outdeg"].to_numpy()
+    contrib = (pd.DataFrame({"dst": m["dst"].to_numpy(np.int64), "s": w})
+               .groupby("dst", sort=False, as_index=False)["s"].sum())
+    dangling = float(s.loc[s["outdeg"] == 0, "rank"].sum())
+    bk = _pr_route(contrib["dst"].to_numpy(), n)
+    return tuple(
+        pa.Table.from_pandas(contrib[bk == i], preserve_index=False)
+        for i in range(n)
+    ) + (dangling,)
+
+
+def _pr_gather_impl(state, inv_n, dang_total, *pieces):
+    """One bucket's gather: teleport + damped (incoming + dangling/N)."""
+    inc = pa.concat_tables(pieces, promote_options="default").to_pandas()
+    s = state.to_pandas()
+    summed = inc.groupby("dst", sort=False)["s"].sum()
+    base = s["node"].map(summed).fillna(0.0).to_numpy(np.float64)
+    r = ((1.0 - PR_DAMPING) * inv_n
+         + PR_DAMPING * (base + dang_total * inv_n))
+    return pa.table({
+        "node": s["node"].to_numpy(np.int64),
+        "outdeg": s["outdeg"].to_numpy(np.int64),
+        "rank": r,
+    })
+
+
+_PR_FNS: dict = {}
+
+
+def _pr_remote_fns():
+    if not _PR_FNS:
+        import ray
+
+        for k, f in (("split", _pr_split_nodes_impl),
+                     ("concat", _pr_concat_impl),
+                     ("stats", _pr_stats_impl),
+                     ("cand", _pr_cand_impl),
+                     ("filter", _pr_filter_impl),
+                     ("state", _pr_state_impl),
+                     ("scatter", _pr_scatter_impl),
+                     ("gather", _pr_gather_impl)):
+            _PR_FNS[k] = ray.remote(f)
+    return _PR_FNS
+
+
+def pagerank(doc_ids_ds, iters: int = PR_ITERS):
+    """Distributed PageRank over the synthetic link graph of a doc_id
+    Dataset.  Returns a Dataset (doc_id, out_links, pagerank_q12)."""
+    import ray
+
+    fns = _pr_remote_fns()
+    n = _pr_buckets()
+
+    refs = [r for bu in doc_ids_ds.iter_internal_ref_bundles()
+            for r in bu.block_refs]
+    n_tasks = max(1, min(len(refs), n))
+    groups = [refs[i::n_tasks] for i in range(n_tasks)]
+    pieces = [fns["split"].options(num_returns=n).remote(n, *g)
+              for g in groups if g]
+    nodes = [fns["concat"].remote(*[p[b] for p in pieces])
+             for b in range(n)]
+
+    stats = ray.get([fns["stats"].remote(nodes[b]) for b in range(n)])
+    n_docs = sum(c for c, _ in stats)
+    mod = max(m for _, m in stats) + 1
+    if n_docs == 0:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "out_links": pa.array([], pa.int64()),
+            "pagerank_q12": pa.array([], pa.int64())}))
+    inv_n = 1.0 / n_docs
+
+    cand = [fns["cand"].options(num_returns=n).remote(n, mod, nodes[b])
+            for b in range(n)]
+    kept = [fns["filter"].options(num_returns=n).remote(
+        n, nodes[b], *[cand[s][b] for s in range(n)]) for b in range(n)]
+    built = [fns["state"].options(num_returns=2).remote(
+        nodes[b], inv_n, *[kept[s][b] for s in range(n)])
+        for b in range(n)]
+    edges = [bt[0] for bt in built]
+    state = [bt[1] for bt in built]
+
+    for _ in range(iters):
+        outs = [fns["scatter"].options(num_returns=n + 1).remote(
+            n, edges[b], state[b]) for b in range(n)]
+        dang_total = sum(ray.get([outs[b][n] for b in range(n)]))
+        state = [fns["gather"].remote(
+            state[b], inv_n, dang_total, *[outs[s][b] for s in range(n)])
+            for b in range(n)]
+
+    def finish(t: pa.Table) -> pa.Table:
+        r = t.column("rank").to_numpy()
+        return pa.table({
+            "doc_id": t.column("node"),
+            "out_links": t.column("outdeg"),
+            "pagerank_q12": np.floor(r * PR_QUANT + 0.5).astype(np.int64),
+        })
+
+    import ray.data
+
+    return ray.data.from_arrow_refs(state).map_batches(
+        finish, batch_format="pyarrow")
+
+
+def q_pagerank(sf_dir: str):
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    return pagerank(ds)
+
+
+def sql_pagerank() -> str:
+    """Full-chain oracle: edge synthesis, existence semi-join,
+    out-degrees, dangling mass and every power iteration, as chained
+    CTEs (one d/c/r triple per iteration)."""
+    d = "CAST(0.85 AS DOUBLE)"
+    js = ", ".join(f"({j})" for j in range(PR_LINKS))
+    parts = [
+        "WITH m AS (SELECT CAST(MAX(doc_id)+1 AS BIGINT) AS md, "
+        "CAST(COUNT(*) AS DOUBLE) AS n FROM documents)",
+        f"cand AS (SELECT dd.doc_id AS src, "
+        f"(dd.doc_id*{_A} + j.j*{_B} + {_C}) % m.md AS dst "
+        f"FROM documents dd CROSS JOIN m CROSS JOIN (VALUES {js}) j(j))",
+        "e AS (SELECT DISTINCT c.src, c.dst FROM cand c "
+        "JOIN documents t ON t.doc_id = c.dst WHERE c.dst <> c.src)",
+        "outd AS (SELECT dd.doc_id AS v, COUNT(e.src) AS c "
+        "FROM documents dd LEFT JOIN e ON e.src = dd.doc_id "
+        "GROUP BY dd.doc_id)",
+        "r0 AS (SELECT dd.doc_id AS v, 1.0/m.n AS r "
+        "FROM documents dd CROSS JOIN m)",
+    ]
+    prev = "r0"
+    for t in range(1, PR_ITERS + 1):
+        parts.append(
+            f"d{t} AS (SELECT COALESCE(SUM(p.r), 0.0) AS dm FROM {prev} p "
+            f"JOIN outd o ON o.v = p.v WHERE o.c = 0)")
+        parts.append(
+            f"c{t} AS (SELECT e.dst AS v, SUM(p.r / o.c) AS s FROM e "
+            f"JOIN {prev} p ON p.v = e.src JOIN outd o ON o.v = e.src "
+            f"GROUP BY e.dst)")
+        parts.append(
+            f"r{t} AS (SELECT p.v, (1.0 - {d})/m.n + {d}*"
+            f"(COALESCE(c{t}.s, 0.0) + d{t}.dm/m.n) AS r "
+            f"FROM {prev} p CROSS JOIN m CROSS JOIN d{t} "
+            f"LEFT JOIN c{t} ON c{t}.v = p.v)")
+        prev = f"r{t}"
+    parts.append(
+        f"sel AS (SELECT p.v AS doc_id, o.c AS out_links, "
+        f"CAST(FLOOR(p.r * 1e12 + 0.5) AS BIGINT) AS pagerank_q12 "
+        f"FROM {prev} p JOIN outd o ON o.v = p.v)")
+    return ", ".join(parts) + " SELECT * FROM sel"
+
+
+QUERIES = {"pagerank": q_pagerank}
+ORACLES = {"pagerank": sql_pagerank()}

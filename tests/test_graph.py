@@ -1,0 +1,86 @@
+"""PageRank over the synthetic link graph: checked against a plain
+numpy dense power iteration on a GAPPY id space (non-existent dst
+candidates removed, dangling pages redistributing mass) plus the
+rank-conservation invariant.  The DuckDB hash-exact gate runs
+separately via tools/check_oracles.py."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from osmquadtree_depreceated_ray.pipelines.queries_graph import (
+    PR_DAMPING,
+    PR_ITERS,
+    PR_LINKS,
+    PR_QUANT,
+    _A,
+    _B,
+    _C,
+    pagerank,
+)
+
+
+def _dense_reference(ids: np.ndarray, iters: int):
+    """O(V^2) dense PageRank with the same edge synthesis."""
+    ids = np.sort(ids)
+    idx = {v: i for i, v in enumerate(ids)}
+    mod = ids.max() + 1
+    n = len(ids)
+    edges = set()
+    for s in ids:
+        for j in range(PR_LINKS):
+            d = (s * _A + j * _B + _C) % mod
+            if d != s and d in idx:
+                edges.add((s, d))
+    outdeg = np.zeros(n, np.int64)
+    for s, _ in edges:
+        outdeg[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for s, d in edges:
+            contrib[idx[d]] += r[idx[s]] / outdeg[idx[s]]
+        dang = r[outdeg == 0].sum()
+        r = (1 - PR_DAMPING) / n + PR_DAMPING * (contrib + dang / n)
+    return ids, outdeg, r
+
+
+@pytest.mark.parametrize("gappy", [False, True])
+def test_pagerank_matches_dense_reference(ray_session, gappy):
+    import ray.data
+
+    rng = np.random.default_rng(7)
+    if gappy:
+        # sparse id space: many candidate dsts don't exist -> low
+        # out-degrees and genuine dangling pages
+        ids = np.unique(rng.integers(0, 5000, size=220).astype(np.int64))
+    else:
+        ids = np.arange(300, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({"doc_id": ids})).repartition(5)
+    got = pagerank(ds).to_pandas().sort_values("doc_id")
+
+    want_ids, want_deg, want_r = _dense_reference(ids, PR_ITERS)
+    assert np.array_equal(got["doc_id"].to_numpy(), want_ids)
+    assert np.array_equal(got["out_links"].to_numpy(), want_deg)
+    want_q = np.floor(want_r * PR_QUANT + 0.5).astype(np.int64)
+    # both sides sum float contributions (in different orders): allow
+    # the last quantized digit to differ
+    assert np.abs(got["pagerank_q12"].to_numpy() - want_q).max() <= 1
+    if gappy:
+        assert (want_deg == 0).any(), "fixture should have dangling pages"
+
+    # conservation: ranks are a distribution (teleport + dangling
+    # redistribution keep total mass exactly 1)
+    total = got["pagerank_q12"].sum() / PR_QUANT
+    assert abs(total - 1.0) < 1e-6
+
+
+def test_pagerank_empty(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(pa.table({"doc_id": pa.array([], pa.int64())}))
+    out = pagerank(ds)
+    # (Dataset.to_pandas() drops columns on zero-row datasets — assert
+    # on the Dataset schema, which is authoritative)
+    assert out.schema().names == ["doc_id", "out_links", "pagerank_q12"]
+    assert out.count() == 0
