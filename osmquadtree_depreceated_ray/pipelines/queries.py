@@ -885,6 +885,35 @@ QUERIES["sql_window"] = q_sql_window
 ORACLES["sql_window"] = SQL_WINDOW_TEXT
 
 
+SQL_UNNEST_TEXT = (
+    "SELECT word, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS docs "
+    "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word "
+    "FROM documents WHERE doc_id % 3 = 0) t "
+    "GROUP BY word ORDER BY n DESC, word LIMIT 200"
+)
+
+
+def q_sql_unnest(sf_dir: str):
+    """UNNEST row explode through the SQL string front-end (list-valued
+    string_split evaluated per batch, flattened in one streaming
+    map_batches — no shuffle until the GROUP BY); oracle = the
+    IDENTICAL string in DuckDB."""
+    import ray
+
+    from .sqlparse import parse_sql
+
+    tables = {
+        "documents": ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ),
+    }
+    return parse_sql(SQL_UNNEST_TEXT, tables)
+
+
+QUERIES["sql_unnest"] = q_sql_unnest
+ORACLES["sql_unnest"] = SQL_UNNEST_TEXT
+
+
 SQL_EXISTS_TEXT = (
     "SELECT o_orderkey, o_totalprice FROM orders "
     "WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders) "

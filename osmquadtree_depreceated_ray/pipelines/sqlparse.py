@@ -46,6 +46,9 @@ Scalar functions: coalesce nullif replace substr char_length/length
 concat upper lower trim ltrim rtrim reverse abs sign floor ceil round
 sqrt ln starts_with ends_with contains strpos left right repeat
 md5 regexp_extract regexp_replace split_part lpad rpad greatest least,
+string_split/str_split/string_to_array (list-valued) with
+UNNEST(list_expr) as a SELECT item (row explode — one streaming
+map_batches flatten, one UNNEST per select list),
 numchar maxwidth (reference functions.go:52-94),
 temporal year/month/day/hour/minute/second, EXTRACT(field FROM ts)
 (incl. dow, Sunday=0), date_trunc(unit, ts), arithmetic + - * / % and
@@ -1138,6 +1141,19 @@ def _compile_expr(node) -> Expr:
                 return pa.array(out.to_numpy(dtype=object), pa.string())
 
             return Expr(_pad, name)
+        if name in ("string_split", "str_split", "string_to_array"):
+            sep = str(_lit_arg(1))
+            a0 = args[0]
+
+            def _ssplit(t, _a=a0, _s=sep):
+                import pyarrow.compute as _pc
+
+                v = _a(t)
+                if isinstance(v, pa.ChunkedArray):
+                    v = v.combine_chunks()
+                return _pc.split_pattern(v, _s)
+
+            return Expr(_ssplit, "string_split")
         raise ValueError(f"unknown SQL function {name}")
     raise ValueError(f"unknown SQL op {op}")
 
@@ -1166,6 +1182,76 @@ _AGG_HOW = {"sum": "sum", "count": "count", "min": "min", "max": "max",
             # bool_and/bool_or over a boolean column are min/max —
             # associative, so the exchange map-side combines them
             "bool_and": "min", "bool_or": "max"}
+
+
+def _is_unnest(node) -> bool:
+    return (isinstance(node, tuple) and len(node) >= 2
+            and node[0] == "call" and node[1] == "unnest")
+
+
+def _has_unnest(node) -> bool:
+    if _is_unnest(node):
+        return True
+    if isinstance(node, (tuple, list)):
+        return any(_has_unnest(s) for s in node
+                   if isinstance(s, (tuple, list)))
+    return False
+
+
+def _run_unnest_select(ds, sel) -> "ray.data.Dataset":  # noqa: F821
+    """SELECT a, b, UNNEST(list_expr) AS x — explode: evaluate the list
+    expression per batch, flatten it, and repeat every scalar item by
+    its row's list length.  Rows whose list is NULL or empty drop
+    (DuckDB semantics).  Exactly one top-level UNNEST item per SELECT
+    list; UNNEST nested inside a larger expression is rejected.  The
+    explode is a single streaming map_batches stage (pc.list_flatten +
+    one take) — no shuffle, no per-row Python."""
+    items = [(e, name or _expr_name(e, idx))
+             for idx, (e, name) in enumerate(sel["items"])]
+    un = [i for i, (e, _) in enumerate(items) if _is_unnest(e)]
+    nested = [e for i, (e, _) in enumerate(items)
+              if i not in un and _has_unnest(e)]
+    if len(un) != 1 or nested:
+        raise ValueError(
+            "exactly one top-level UNNEST(expr) item per SELECT list "
+            "is supported")
+    ui = un[0]
+    if len(items[ui][0][2]) != 1:
+        raise ValueError("UNNEST takes exactly one argument")
+    list_e = _compile_expr(items[ui][0][2][0])
+    others = [(n, _compile_expr(e))
+              for i, (e, n) in enumerate(items) if i != ui]
+    where = _compile_expr(sel["where"]) if sel["where"] is not None else None
+    out_names = [n for _, n in items]
+    un_name = items[ui][1]
+
+    def fn(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        if where is not None:
+            m = where(t)
+            if isinstance(m, pa.Scalar):
+                m = pa.array([bool(m.as_py())] * t.num_rows)
+            elif isinstance(m, (bool, np.bool_)):
+                m = pa.array([bool(m)] * t.num_rows)
+            t = t.filter(m)
+        lv = list_e(t)
+        if isinstance(lv, pa.ChunkedArray):
+            lv = lv.combine_chunks()
+        lens = _pc.list_value_length(lv).fill_null(0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = _pc.list_flatten(lv)  # NULL/empty lists contribute 0 rows
+        idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        cols = {}
+        for n, e in others:
+            v = e(t)
+            if isinstance(v, pa.Scalar):
+                v = pa.array([v.as_py()] * t.num_rows, type=v.type)
+            cols[n] = _pc.take(v, idx)
+        cols[un_name] = flat
+        return pa.table({n: cols[n] for n in out_names})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def _has_agg(node) -> bool:
@@ -2833,6 +2919,15 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
         ):
             out = (_run_rollup_select(ds, sel) if sel.get("rollup")
                    else _run_grouped_select(ds, sel))
+            if sel["distinct"]:
+                from ..stages.shuffle import distinct as _distinct
+
+                out = _distinct(out, out.schema().names)
+            runs.append(out)
+            continue
+        if sel["items"] is not None and any(
+                _has_unnest(e) for e, _ in sel["items"]):
+            out = _run_unnest_select(ds, sel)
             if sel["distinct"]:
                 from ..stages.shuffle import distinct as _distinct
 

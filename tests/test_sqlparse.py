@@ -1146,3 +1146,65 @@ def test_self_correlation_same_name_rejected(ray_session, t1):
     con.register("t1", t1)
     want = con.execute(sql).df()
     assert list(got["k"]) == list(want["k"])
+
+
+def test_unnest_explode_matches_duckdb(ray_session):
+    """UNNEST(string_split(..)) explode: repeated scalar columns, NULL
+    list drops the row, empty string splits to one '' element (DuckDB
+    semantics, verified against the identical string)."""
+    import duckdb
+    import pyarrow as pa
+    import ray
+
+    from osmquadtree_depreceated_ray.pipelines.sqlparse import parse_sql
+
+    t = pa.table({
+        "k": [1, 2, 3, 4],
+        "s": ["a b c", "", "b b", None],
+    })
+    sql = ("SELECT k, k * 10 AS k10, unnest(string_split(s, ' ')) AS w "
+           "FROM t WHERE k <> 99")
+    got = parse_sql(sql, {"t": ray.data.from_arrow(t)}).to_pandas() \
+        .sort_values(["k", "w"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(sql).df().sort_values(["k", "w"]) \
+        .reset_index(drop=True)
+    assert got.equals(want), (got, want)
+    assert 4 not in got["k"].tolist()  # NULL list dropped
+
+
+def test_unnest_under_group_by_subquery(ray_session):
+    """The explode feeding a GROUP BY through a derived table."""
+    import duckdb
+    import pyarrow as pa
+    import ray
+
+    from osmquadtree_depreceated_ray.pipelines.sqlparse import parse_sql
+
+    t = pa.table({"k": [1, 2], "s": ["x y x", "y"]})
+    sql = ("SELECT w, COUNT(*) AS n FROM "
+           "(SELECT unnest(string_split(s, ' ')) AS w FROM t) q "
+           "GROUP BY w ORDER BY n DESC, w")
+    got = parse_sql(sql, {"t": ray.data.from_arrow(t)}).to_pandas()
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(sql).df()
+    assert got.reset_index(drop=True).equals(want), (got, want)
+
+
+def test_unnest_restrictions(ray_session):
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray
+
+    from osmquadtree_depreceated_ray.pipelines.sqlparse import parse_sql
+
+    t = pa.table({"k": [1], "s": ["a b"]})
+    tabs = {"t": ray.data.from_arrow(t)}
+    with _pytest.raises(ValueError, match="UNNEST"):
+        parse_sql("SELECT unnest(string_split(s, ' ')) AS a, "
+                  "unnest(string_split(s, ' ')) AS b FROM t", tabs)
+    with _pytest.raises(ValueError, match="UNNEST"):
+        parse_sql("SELECT unnest(string_split(s, ' ')) || '!' AS a "
+                  "FROM t", tabs)
