@@ -325,3 +325,57 @@ def hex_cell_parent(cell_id, parent_res: int) -> np.ndarray:
     # invert r = (-lon/3 + sqrt(3)/3 * lat) / size
     lat = (r * size + lon / 3.0) * 3.0 / np.sqrt(3.0)
     return hex_cell_id(lon, lat, parent_res)
+
+
+# --------------------------------------------------------------- geohash
+
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+_GEOHASH32_BYTES = np.frombuffer(_GEOHASH32.encode(), dtype=np.uint8)
+
+
+def _spread_bits32(v: np.ndarray) -> np.ndarray:
+    """Interleave-with-zeros (Morton spread) of an up-to-32-bit int64."""
+    v = v.astype(np.int64)
+    v = (v | (v << 16)) & np.int64(0x0000FFFF0000FFFF)
+    v = (v | (v << 8)) & np.int64(0x00FF00FF00FF00FF)
+    v = (v | (v << 4)) & np.int64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v << 2)) & np.int64(0x3333333333333333)
+    v = (v | (v << 1)) & np.int64(0x5555555555555555)
+    return v
+
+
+def geohash_encode(lon_int, lat_int, precision: int = 8) -> np.ndarray:
+    """Canonical geohash (Niemeyer base32) of integer 1e-7-degree
+    coordinates — PURE int64 arithmetic, so the SQL oracle reproduces
+    it bit-for-bit (no float in the chain, unlike the mercator qt).
+
+    The first 5*precision bits of the standard bisection are exactly
+    ``lonb = floor((lon+180) / 360 * 2^nlon)`` interleaved with the
+    analogous lat bits (lon first); on 1e-7-deg ints that floor is an
+    integer floor-division.  precision <= 12 keeps the products within
+    int64.  Returns an object array of `precision`-char strings.
+    """
+    if not 1 <= precision <= 12:
+        raise ValueError("geohash precision must be in 1..12")
+    lon = np.asarray(lon_int, dtype=np.int64)
+    lat = np.asarray(lat_int, dtype=np.int64)
+    nbits = 5 * precision
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+    lonb = ((lon + np.int64(1_800_000_000)) << np.int64(nlon)) \
+        // np.int64(3_600_000_000)
+    latb = ((lat + np.int64(900_000_000)) << np.int64(nlat)) \
+        // np.int64(1_800_000_000)
+    # exact-east/north edge (lon == +180 etc.) folds into the last cell
+    lonb = np.minimum(lonb, np.int64((1 << nlon) - 1))
+    latb = np.minimum(latb, np.int64((1 << nlat) - 1))
+    if nlon == nlat:
+        # even precision: lon bit i sits at position 2i+1
+        g = _spread_bits32(latb) | (_spread_bits32(lonb) << np.int64(1))
+    else:
+        # odd precision: lon has one extra (lowest) bit at position 0
+        g = _spread_bits32(lonb) | (_spread_bits32(latb) << np.int64(1))
+    shifts = np.arange(precision - 1, -1, -1, dtype=np.int64) * 5
+    idx = (g[:, None] >> shifts[None, :]) & np.int64(31)
+    codes = _GEOHASH32_BYTES[idx]
+    return codes.view(f"S{precision}").ravel().astype(str)

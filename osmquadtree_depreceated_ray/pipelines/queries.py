@@ -649,6 +649,61 @@ def sql_cells_golden() -> str:
     )
 
 
+def q_geohash(sf_dir: str):
+    """Canonical geohash (Niemeyer base32) per derived entity at
+    precision 8, plus the 4-char prefix used as a coarse co-location
+    key.  Unlike the S2/hex/icosa ids (golden-pinned), the geohash
+    chain is PURE integer arithmetic end-to-end, so the oracle
+    recomputes the identical strings in SQL (functions/cells.py
+    geohash_encode)."""
+    import ray
+
+    from ..functions.cells import geohash_encode
+
+    def fn(b: pa.Table) -> pa.Table:
+        key = b.column("doc_id").to_numpy().astype(np.int64)
+        lon, lat = derive.derive_lonlat(key)
+        gh = geohash_encode(lon, lat, 8)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "geohash": pa.array(gh, pa.string()),
+            "gh4": pa.array(gh.astype("<U4"), pa.string()),
+        })
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def sql_geohash() -> str:
+    from ..functions.cells import _GEOHASH32
+
+    lon, lat = derive.sql_lonlat_expr("doc_id")
+    chars = " || ".join(
+        f"substr('{_GEOHASH32}', "
+        f"CAST(((gh >> {5 * (7 - c)}) & 31) AS INTEGER) + 1, 1)"
+        for c in range(8))
+    return (
+        f"WITH e AS (SELECT doc_id, {lon} AS lon, {lat} AS lat "
+        "FROM documents), "
+        "b AS (SELECT doc_id, "
+        "((lon + 1800000000) << 20) // 3600000000 AS lonb, "
+        "((lat + 900000000) << 20) // 1800000000 AS latb FROM e), "
+        "bb AS (SELECT doc_id, "
+        "CASE WHEN lonb > 1048575 THEN 1048575 ELSE lonb END AS lonb, "
+        "CASE WHEN latb > 1048575 THEN 1048575 ELSE latb END AS latb "
+        "FROM b), "
+        f"g AS (SELECT doc_id, ({derive.sql_spread('latb')} | "
+        f"({derive.sql_spread('lonb')} << 1)) AS gh FROM bb), "
+        f"s AS (SELECT doc_id, {chars} AS geohash FROM g) "
+        "SELECT doc_id, geohash, substr(geohash, 1, 4) AS gh4 FROM s"
+    )
+
+
+QUERIES["geohash"] = q_geohash
+ORACLES["geohash"] = sql_geohash  # lazy: resolved by oracle_sql()
+
+
 def q_sample(sf_dir: str):
     """O8: systematic sampling of the events stream (deterministic
     modulo sample so the oracle is exact)."""

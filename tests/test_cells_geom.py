@@ -227,3 +227,63 @@ def test_icosa_cell_parent():
     assert (parent == direct).mean() > 0.85
     # parent at the same res is the identity
     assert (icosa_cell_parent(child, 9) == child).all()
+
+
+def _ref_geohash(lon7: int, lat7: int, precision: int) -> str:
+    """Textbook geohash bisection in exact rational arithmetic."""
+    from fractions import Fraction
+
+    lon = Fraction(int(lon7), 10**7)
+    lat = Fraction(int(lat7), 10**7)
+    lo_lon, hi_lon = Fraction(-180), Fraction(180)
+    lo_lat, hi_lat = Fraction(-90), Fraction(90)
+    bits = []
+    even = True
+    while len(bits) < 5 * precision:
+        if even:
+            mid = (lo_lon + hi_lon) / 2
+            if lon >= mid:
+                bits.append(1)
+                lo_lon = mid
+            else:
+                bits.append(0)
+                hi_lon = mid
+        else:
+            mid = (lo_lat + hi_lat) / 2
+            if lat >= mid:
+                bits.append(1)
+                lo_lat = mid
+            else:
+                bits.append(0)
+                hi_lat = mid
+        even = not even
+    alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    return "".join(
+        alpha[int("".join(map(str, bits[i:i + 5])), 2)]
+        for i in range(0, len(bits), 5))
+
+
+def test_geohash_matches_rational_bisection():
+    from osmquadtree_depreceated_ray.functions.cells import geohash_encode
+
+    rng = np.random.default_rng(11)
+    lon = rng.integers(-1_800_000_000, 1_800_000_001, 300).astype(np.int64)
+    lat = rng.integers(-900_000_000, 900_000_001, 300).astype(np.int64)
+    for p in (1, 4, 5, 8, 11, 12):
+        got = geohash_encode(lon, lat, p)
+        for i in range(len(lon)):
+            want = _ref_geohash(int(lon[i]), int(lat[i]), p)
+            assert got[i] == want, (p, lon[i], lat[i], got[i], want)
+
+
+def test_geohash_known_values():
+    from osmquadtree_depreceated_ray.functions.cells import geohash_encode
+
+    # London (51.5085 N, 0.1257 W) -> the well-known gcpvj0 prefix
+    got = geohash_encode(np.array([-1257000]), np.array([515085000]), 6)
+    assert got[0] == "gcpvj0"
+    # the north-east corner folds into the last cell
+    assert geohash_encode(np.array([1_800_000_000]),
+                          np.array([900_000_000]), 5)[0] == "zzzzz"
+    with pytest.raises(ValueError):
+        geohash_encode(np.array([0]), np.array([0]), 13)
