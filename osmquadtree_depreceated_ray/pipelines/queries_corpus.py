@@ -614,3 +614,113 @@ def sql_bpe_pairs1() -> str:
 QUERIES["bpe_merges"] = q_bpe_merges
 QUERIES["bpe_pairs1"] = q_bpe_pairs1
 ORACLES["bpe_pairs1"] = sql_bpe_pairs1()
+
+
+# ---------------------------------------------- 6. BPE tokenizer encode
+#
+# The other half of the tokenizer story: APPLY a fixed merge table (a
+# pretrained tokenizer is a fixed artifact — this one was learned once
+# by q_bpe_merges on the sf0.01 corpus and frozen).  Semantics: merges
+# applied in RANK ORDER, each exhaustively, greedy leftmost
+# non-overlapping within words (exactly ``_bpe_apply``); merges never
+# cross word boundaries.  This sequential-exhaustive contract is what
+# makes a FULL hash-exact SQL oracle possible: each merge is one
+# left-to-right non-overlapping REPLACE over a separator-delimited
+# symbol string ('_l__r_' -> '_lr_'), whose scan-resume-after-
+# replacement behaviour is provably identical to the greedy merge.
+#
+# Distributed shape: stateless map_batches; the BPE loop runs on the
+# batch's UNIQUE words only (the classic word-type memoization — the
+# corpus re-join back to docs is a vectorized take + grouped concat).
+# At 100-TB scale this becomes an actor-pool stage with an LRU word
+# cache in __init__; the per-batch unique-word dedup already removes
+# the Zipf bulk.
+
+BPE_ENCODE_MERGES = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+]
+
+
+def _bpe_encode_words(uniq: np.ndarray) -> np.ndarray:
+    """Space-joined token strings for an array of unique words."""
+    chars = [list(w) for w in uniq]
+    lens = np.asarray([len(c) for c in chars], np.int64)
+    syms = np.asarray([s for cs in chars for s in cs], dtype=object)
+    wid = np.repeat(np.arange(len(uniq)), lens)
+    for left, right in BPE_ENCODE_MERGES:
+        syms, wid = _bpe_apply(syms, wid, left, right)
+    out = np.full(len(uniq), "", dtype=object)
+    if len(syms):
+        joined = (pd.DataFrame({"wid": wid, "s": syms})
+                  .groupby("wid", sort=True)["s"].agg(" ".join))
+        out[joined.index.to_numpy()] = joined.to_numpy()
+    return out
+
+
+def q_bpe_encode(sf_dir: str):
+    """Tokenize every document with the frozen merge table:
+    (doc_id, tokens, n_tokens), tokens space-joined in word order."""
+    import ray
+
+    def fn(b: pa.Table) -> pa.Table:
+        doc = b.column("doc_id").to_numpy()
+        texts = b.column("text").to_pylist()
+        if not texts:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "tokens": pa.array([], pa.string()),
+                             "n_tokens": pa.array([], pa.int64())})
+        words = np.asarray(" ".join(texts).split(" "), dtype=object)
+        lens = (pd.Series(texts).str.count(" ") + 1).to_numpy()
+        uniq, inv = np.unique(words, return_inverse=True)
+        wt = _bpe_encode_words(uniq)[inv]
+        per_doc = (pd.DataFrame(
+            {"d": np.repeat(np.arange(len(texts)), lens), "t": wt})
+            .groupby("d", sort=True)["t"].agg(" ".join).str.strip())
+        tokens = np.full(len(texts), "", dtype=object)
+        tokens[per_doc.index.to_numpy()] = per_doc.to_numpy()
+        ntok = np.where(
+            tokens == "", 0,
+            np.char.count(tokens.astype(str), " ") + 1).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(doc),
+            "tokens": pa.array(tokens, pa.string()),
+            "n_tokens": pa.array(ntok),
+        })
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def sql_bpe_encode() -> str:
+    """The merge chain as chained REPLACEs over '_'-delimited symbols:
+    '_' separates symbols inside a word, '_ _' marks a word boundary (a
+    merge pattern needs exactly '__' between its sides, so it can never
+    cross).  Valid for this corpus's [a-z ] charset (the char-split
+    step enumerates the alphabet)."""
+    expr = "text"
+    for c in "abcdefghijklmnopqrstuvwxyz":
+        expr = f"replace({expr}, '{c}', '_{c}_')"
+    parts = [f"t0 AS (SELECT doc_id, '_' || {expr} || '_' AS t "
+             "FROM documents)"]
+    prev = "t0"
+    for i, (left, right) in enumerate(BPE_ENCODE_MERGES, 1):
+        parts.append(
+            f"t{i} AS (SELECT doc_id, "
+            f"replace(t, '_{left}__{right}_', '_{left}{right}_') AS t "
+            f"FROM {prev})")
+        prev = f"t{i}"
+    fin = "trim(replace(replace(t, '_ _', '__'), '__', ' '), '_ ')"
+    parts.append(f"sel AS (SELECT doc_id, {fin} AS tokens FROM {prev})")
+    return ("WITH " + ", ".join(parts)
+            + " SELECT doc_id, tokens, "
+            "CAST(CASE WHEN tokens = '' THEN 0 ELSE "
+            "length(tokens) - length(replace(tokens, ' ', '')) + 1 "
+            "END AS BIGINT) AS n_tokens FROM sel")
+
+
+QUERIES["bpe_encode"] = q_bpe_encode
+ORACLES["bpe_encode"] = sql_bpe_encode()

@@ -183,3 +183,64 @@ def test_bpe_pair_counts_empty_is_typed():
                             np.asarray([3], np.int64))
     pd.concat([e, full], ignore_index=True)
     assert full["cnt"].dtype == np.int64
+
+
+def _ref_bpe_word(word: str, merges) -> list:
+    """Independent reference: per-word greedy sequential merge loop."""
+    syms = list(word)
+    for left, right in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if (i + 1 < len(syms) and syms[i] == left
+                    and syms[i + 1] == right):
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_encode_matches_scalar_reference(ray_session):
+    import ray
+
+    from osmquadtree_depreceated_ray.pipelines.queries_corpus import (
+        BPE_ENCODE_MERGES,
+        q_bpe_encode,
+    )
+
+    got = q_bpe_encode("/root/testdata/sf0.001").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    for i in range(len(docs)):
+        toks = [t for w in docs["text"][i].split(" ")
+                for t in _ref_bpe_word(w, BPE_ENCODE_MERGES)]
+        assert got["tokens"][i] == " ".join(toks)
+        assert got["n_tokens"][i] == len(toks)
+
+
+def test_bpe_encode_overlap_and_multichar(ray_session):
+    """left==right overlap runs and multi-char merges, vs the scalar
+    reference (the tricky greedy cases)."""
+    import numpy as np
+
+    from osmquadtree_depreceated_ray.pipelines.queries_corpus import (
+        _bpe_encode_words,
+    )
+
+    merges = [("a", "a"), ("aa", "b"), ("aa", "aa")]
+    import osmquadtree_depreceated_ray.pipelines.queries_corpus as qc
+    old = qc.BPE_ENCODE_MERGES
+    qc.BPE_ENCODE_MERGES = merges
+    try:
+        words = np.asarray(
+            ["aaaa", "aaa", "aab", "aaab", "baaab", "b", ""],
+            dtype=object)
+        got = _bpe_encode_words(words)
+    finally:
+        qc.BPE_ENCODE_MERGES = old
+    for w, g in zip(words, got):
+        assert g == " ".join(_ref_bpe_word(w, merges)), (w, g)
