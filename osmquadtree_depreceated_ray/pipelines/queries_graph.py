@@ -306,3 +306,154 @@ def sql_pagerank() -> str:
 
 QUERIES = {"pagerank": q_pagerank}
 ORACLES = {"pagerank": sql_pagerank()}
+
+
+# ------------------------------------------------- triangle counting
+#
+# Per-page triangle participation over the undirected link graph (the
+# canonical graph-analytics companion to PageRank: triangle density
+# feeds clustering-coefficient/spam-farm signals in web curation).
+# Shape: node-sharded like PageRank; wedges (a,b,c) with b<c are
+# generated per a-bucket by a self-merge of the local adjacency shard
+# (pairs of neighbors — O(d^2)/node, bounded here by the fixed
+# out-degree; at scale orient edges toward the higher-degree endpoint
+# first to cap hub blowup), routed to bucket(b), and closed by an
+# existence semi-join against that bucket's local edges.  Triangle
+# corners route home as (node, 1) rows and sum per node.
+
+def _tri_wedges_impl(n, nodes, edges):
+    """Canonical a<b edges of this bucket -> wedges (a, b, c), b < c,
+    routed by bucket(b) for closure."""
+    e = edges.to_pandas()
+    e = e[e["src"] < e["dst"]]
+    w = e.merge(e, on="src", suffixes=("_1", "_2"))
+    w = w[w["dst_1"] < w["dst_2"]]
+    a = w["src"].to_numpy(np.int64)
+    b = w["dst_1"].to_numpy(np.int64)
+    c = w["dst_2"].to_numpy(np.int64)
+    bk = _pr_route(b, n)
+    return tuple(pa.table({"a": a[bk == i], "b": b[bk == i],
+                           "c": c[bk == i]}) for i in range(n))
+
+
+def _tri_close_impl(n, edges, *pieces):
+    """Close wedges against this bucket's local (b, c) edges; emit each
+    triangle's three corners as (node, 1) partials, pre-summed per
+    node, routed home."""
+    w = pa.concat_tables(pieces, promote_options="default").to_pandas()
+    e = edges.to_pandas()
+    e = e[e["src"] < e["dst"]].rename(columns={"src": "b", "dst": "c"})
+    t = w.merge(e, on=["b", "c"], how="inner")
+    corners = np.concatenate([t["a"].to_numpy(np.int64),
+                              t["b"].to_numpy(np.int64),
+                              t["c"].to_numpy(np.int64)])
+    cnt = (pd.DataFrame({"node": corners})
+           .groupby("node", sort=False).size().reset_index(name="n"))
+    bk = _pr_route(cnt["node"].to_numpy(), n)
+    return tuple(
+        pa.Table.from_pandas(cnt[bk == i], preserve_index=False)
+        for i in range(n)
+    )
+
+
+def _tri_finish_impl(nodes, *pieces):
+    inc = pa.concat_tables(pieces, promote_options="default").to_pandas()
+    node = nodes.column("node").to_numpy().astype(np.int64)
+    summed = inc.groupby("node", sort=False)["n"].sum()
+    out = pd.Series(node).map(summed).fillna(0).to_numpy(np.int64)
+    return pa.table({"doc_id": node, "n_tri": out})
+
+
+def q_triangles(sf_dir: str):
+    """Per-document triangle count over the synthetic link graph:
+    (doc_id, n_tri), zero-filled for triangle-free pages."""
+    import ray
+    import ray.data
+
+    fns = _pr_remote_fns()
+    if "tri_wedges" not in _PR_FNS:
+        _PR_FNS["tri_wedges"] = ray.remote(_tri_wedges_impl)
+        _PR_FNS["tri_close"] = ray.remote(_tri_close_impl)
+        _PR_FNS["tri_finish"] = ray.remote(_tri_finish_impl)
+        _PR_FNS["rev"] = ray.remote(_pr_reverse_impl)
+    n = _pr_buckets()
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    refs = [r for bu in ds.iter_internal_ref_bundles()
+            for r in bu.block_refs]
+    n_tasks = max(1, min(len(refs), n))
+    groups = [refs[i::n_tasks] for i in range(n_tasks)]
+    pieces = [fns["split"].options(num_returns=n).remote(n, *g)
+              for g in groups if g]
+    nodes = [fns["concat"].remote(*[p[b] for p in pieces])
+             for b in range(n)]
+    stats = ray.get([fns["stats"].remote(nodes[b]) for b in range(n)])
+    mod = max((m for _, m in stats), default=-1) + 1
+    if mod == 0:
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_tri": pa.array([], pa.int64())}))
+    # undirected edge shards: same init waves as PageRank, edges keyed
+    # by src with BOTH directions present in the src's bucket
+    cand = [fns["cand"].options(num_returns=n).remote(n, mod, nodes[b])
+            for b in range(n)]
+    kept = [fns["filter"].options(num_returns=n).remote(
+        n, nodes[b], *[cand[s][b] for s in range(n)]) for b in range(n)]
+    built = [fns["state"].options(num_returns=2).remote(
+        nodes[b], 0.0, *[kept[s][b] for s in range(n)])
+        for b in range(n)]
+    fwd = [bt[0] for bt in built]
+    # add the reverse direction: dst-keyed copies routed to bucket(dst)
+    rev = [_PR_FNS["rev"].options(num_returns=n).remote(n, fwd[b])
+           for b in range(n)]
+    edges = [fns["concat"].remote(
+        fwd[b], *[rev[s][b] for s in range(n)]) for b in range(n)]
+
+    wedges = [_PR_FNS["tri_wedges"].options(num_returns=n).remote(
+        n, nodes[b], edges[b]) for b in range(n)]
+    closed = [_PR_FNS["tri_close"].options(num_returns=n).remote(
+        n, edges[b], *[wedges[s][b] for s in range(n)])
+        for b in range(n)]
+    out = [_PR_FNS["tri_finish"].remote(
+        nodes[b], *[closed[s][b] for s in range(n)]) for b in range(n)]
+    return ray.data.from_arrow_refs(out)
+
+
+def _pr_reverse_impl(n, edges):
+    """(src, dst) -> (dst, src) rows routed to bucket(dst)."""
+    src = edges.column("src").to_numpy().astype(np.int64)
+    dst = edges.column("dst").to_numpy().astype(np.int64)
+    bk = _pr_route(dst, n)
+    return tuple(pa.table({"src": dst[bk == i], "dst": src[bk == i]})
+                 for i in range(n))
+
+
+def sql_triangles() -> str:
+    """Oracle: the PageRank edge CTEs (same synthesis + semi-join),
+    undirected-deduped, then the textbook a<b<c three-way join."""
+    js = ", ".join(f"({j})" for j in range(PR_LINKS))
+    return (
+        "WITH m AS (SELECT CAST(MAX(doc_id)+1 AS BIGINT) AS md "
+        "FROM documents), "
+        f"cand AS (SELECT dd.doc_id AS src, "
+        f"(dd.doc_id*{_A} + j.j*{_B} + {_C}) % m.md AS dst "
+        f"FROM documents dd CROSS JOIN m CROSS JOIN (VALUES {js}) j(j)), "
+        "e0 AS (SELECT DISTINCT c.src, c.dst FROM cand c "
+        "JOIN documents t ON t.doc_id = c.dst WHERE c.dst <> c.src), "
+        "u AS (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM e0), "
+        "w AS (SELECT u1.a, u1.b, u2.b AS c FROM u u1 "
+        "JOIN u u2 ON u2.a = u1.a AND u2.b > u1.b), "
+        "t AS (SELECT w.a, w.b, w.c FROM w "
+        "JOIN u ON u.a = w.b AND u.b = w.c), "
+        "corners AS (SELECT a AS v FROM t UNION ALL "
+        "SELECT b FROM t UNION ALL SELECT c FROM t), "
+        "pc AS (SELECT v, COUNT(*) AS n FROM corners GROUP BY v) "
+        "SELECT dd.doc_id, CAST(COALESCE(pc.n, 0) AS BIGINT) AS n_tri "
+        "FROM documents dd LEFT JOIN pc ON pc.v = dd.doc_id"
+    )
+
+
+QUERIES["triangles"] = q_triangles
+ORACLES["triangles"] = sql_triangles()

@@ -84,3 +84,44 @@ def test_pagerank_empty(ray_session):
     # on the Dataset schema, which is authoritative)
     assert out.schema().names == ["doc_id", "out_links", "pagerank_q12"]
     assert out.count() == 0
+
+
+@pytest.mark.parametrize("gappy", [False, True])
+def test_triangles_match_adjacency_cube(ray_session, gappy):
+    """Per-node triangle counts equal diag(A^3)/2 of the undirected
+    adjacency matrix built with the same edge synthesis."""
+    import ray.data
+
+    from osmquadtree_depreceated_ray.pipelines.queries_graph import (
+        q_triangles,  # noqa: F401  (query needs a dir; use pagerank-style direct call)
+    )
+    from osmquadtree_depreceated_ray.pipelines import queries_graph as qg
+
+    rng = np.random.default_rng(13)
+    if gappy:
+        ids = np.unique(rng.integers(0, 2000, size=180).astype(np.int64))
+    else:
+        ids = np.arange(250, dtype=np.int64)
+    # dense reference
+    mod = ids.max() + 1
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    A = np.zeros((n, n), np.int64)
+    for s in ids:
+        for j in range(qg.PR_LINKS):
+            d = (s * qg._A + j * qg._B + qg._C) % mod
+            if d != s and d in idx:
+                A[idx[s], idx[d]] = 1
+                A[idx[d], idx[s]] = 1
+    want = np.diag(A @ A @ A) // 2
+
+    # drive the distributed path on a temp parquet dir
+    import pyarrow.parquet as _pq
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        _pq.write_table(pa.table({"doc_id": ids,
+                                  "text": [""] * n}),
+                        os.path.join(td, "documents.parquet"))
+        got = qg.q_triangles(td).to_pandas().sort_values("doc_id")
+    assert np.array_equal(got["doc_id"].to_numpy(), np.sort(ids))
+    assert np.array_equal(got["n_tri"].to_numpy(), want)
