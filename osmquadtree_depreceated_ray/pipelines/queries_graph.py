@@ -321,6 +321,16 @@ ORACLES = {"pagerank": sql_pagerank()}
 # existence semi-join against that bucket's local edges.  Triangle
 # corners route home as (node, 1) rows and sum per node.
 
+def _pr_undirect_impl(*pieces):
+    """Concat + dedupe directed edge pieces: reciprocal links (a->b AND
+    b->a both synthesised) would otherwise appear twice in a bucket
+    after the reverse wave and inflate wedge counts."""
+    return pa.Table.from_pandas(
+        pa.concat_tables(pieces, promote_options="default")
+        .to_pandas().drop_duplicates(),
+        preserve_index=False)
+
+
 def _tri_wedges_impl(n, nodes, edges):
     """Canonical a<b edges of this bucket -> wedges (a, b, c), b < c,
     routed by bucket(b) for closure."""
@@ -376,6 +386,7 @@ def q_triangles(sf_dir: str):
         _PR_FNS["tri_close"] = ray.remote(_tri_close_impl)
         _PR_FNS["tri_finish"] = ray.remote(_tri_finish_impl)
         _PR_FNS["rev"] = ray.remote(_pr_reverse_impl)
+        _PR_FNS["undirect"] = ray.remote(_pr_undirect_impl)
     n = _pr_buckets()
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
@@ -407,7 +418,7 @@ def q_triangles(sf_dir: str):
     # add the reverse direction: dst-keyed copies routed to bucket(dst)
     rev = [_PR_FNS["rev"].options(num_returns=n).remote(n, fwd[b])
            for b in range(n)]
-    edges = [fns["concat"].remote(
+    edges = [_PR_FNS["undirect"].remote(
         fwd[b], *[rev[s][b] for s in range(n)]) for b in range(n)]
 
     wedges = [_PR_FNS["tri_wedges"].options(num_returns=n).remote(
@@ -457,3 +468,134 @@ def sql_triangles() -> str:
 
 QUERIES["triangles"] = q_triangles
 ORACLES["triangles"] = sql_triangles()
+
+
+# -------------------------------------------- link prediction (CN score)
+#
+# Common-neighbors link prediction over the undirected graph: for every
+# non-edge pair (b, c) the score is the number of shared neighbors a
+# (the classic CN baseline; at web scale this is the "people also link"
+# candidate generator).  Reuses the triangle wedge stream: a wedge
+# (a, b, c) is one common-neighbor witness for the pair (b, c), and all
+# wedges of a pair route to bucket(b) — so the per-bucket (b, c) count
+# IS the global count (single-owner aggregation, no second exchange),
+# followed by a local anti-join against bucket(b)'s edges to drop
+# existing links.  Pairs below MIN_COMMON are suppressed (the CN tail
+# is quadratic; the threshold keeps output O(strong candidates)).
+
+LP_MIN_COMMON = 2
+
+
+def _lp_wedges_impl(n, edges):
+    """FULL-adjacency wedges for CN scoring: every common neighbor a of
+    a pair (b, c) is a witness, whatever its id order (triangles use
+    the a<b<c form instead, which counts each triangle exactly once).
+    Wedges route by bucket(b), b < c."""
+    e = edges.to_pandas()
+    w = e.merge(e, on="src", suffixes=("_1", "_2"))
+    w = w[w["dst_1"] < w["dst_2"]]
+    b = w["dst_1"].to_numpy(np.int64)
+    c = w["dst_2"].to_numpy(np.int64)
+    bk = _pr_route(b, n)
+    return tuple(pa.table({"b": b[bk == i], "c": c[bk == i]})
+                 for i in range(n))
+
+
+def _lp_close_impl(edges, *pieces):
+    """One bucket's finish: count wedge witnesses per (b, c), drop
+    pairs that are already edges, keep count >= LP_MIN_COMMON."""
+    w = pa.concat_tables(pieces, promote_options="default").to_pandas()
+    cnt = (w.groupby(["b", "c"], sort=False).size()
+           .reset_index(name="common"))
+    e = edges.to_pandas()
+    e = e[e["src"] < e["dst"]].rename(columns={"src": "b", "dst": "c"})
+    m = cnt.merge(e.assign(_e=1), on=["b", "c"], how="left")
+    out = m[m["_e"].isna() & (m["common"] >= LP_MIN_COMMON)]
+    return pa.table({
+        "src": out["b"].to_numpy(np.int64),
+        "dst": out["c"].to_numpy(np.int64),
+        "common": out["common"].to_numpy(np.int64),
+    })
+
+
+def q_link_predict(sf_dir: str):
+    """Common-neighbor link-prediction candidates over the synthetic
+    link graph: (src, dst, common) for src < dst non-edges with at
+    least LP_MIN_COMMON shared neighbors."""
+    import ray
+    import ray.data
+
+    fns = _pr_remote_fns()
+    if "tri_wedges" not in _PR_FNS:
+        _PR_FNS["tri_wedges"] = ray.remote(_tri_wedges_impl)
+        _PR_FNS["tri_close"] = ray.remote(_tri_close_impl)
+        _PR_FNS["tri_finish"] = ray.remote(_tri_finish_impl)
+        _PR_FNS["rev"] = ray.remote(_pr_reverse_impl)
+        _PR_FNS["undirect"] = ray.remote(_pr_undirect_impl)
+    if "lp_close" not in _PR_FNS:
+        _PR_FNS["lp_close"] = ray.remote(_lp_close_impl)
+        _PR_FNS["lp_wedges"] = ray.remote(_lp_wedges_impl)
+    n = _pr_buckets()
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    refs = [r for bu in ds.iter_internal_ref_bundles()
+            for r in bu.block_refs]
+    n_tasks = max(1, min(len(refs), n))
+    groups = [refs[i::n_tasks] for i in range(n_tasks)]
+    pieces = [fns["split"].options(num_returns=n).remote(n, *g)
+              for g in groups if g]
+    nodes = [fns["concat"].remote(*[p[b] for p in pieces])
+             for b in range(n)]
+    stats = ray.get([fns["stats"].remote(nodes[b]) for b in range(n)])
+    mod = max((m for _, m in stats), default=-1) + 1
+    if mod == 0:
+        return ray.data.from_arrow(pa.table({
+            "src": pa.array([], pa.int64()),
+            "dst": pa.array([], pa.int64()),
+            "common": pa.array([], pa.int64())}))
+    cand = [fns["cand"].options(num_returns=n).remote(n, mod, nodes[b])
+            for b in range(n)]
+    kept = [fns["filter"].options(num_returns=n).remote(
+        n, nodes[b], *[cand[s][b] for s in range(n)]) for b in range(n)]
+    built = [fns["state"].options(num_returns=2).remote(
+        nodes[b], 0.0, *[kept[s][b] for s in range(n)])
+        for b in range(n)]
+    fwd = [bt[0] for bt in built]
+    rev = [_PR_FNS["rev"].options(num_returns=n).remote(n, fwd[b])
+           for b in range(n)]
+    edges = [_PR_FNS["undirect"].remote(
+        fwd[b], *[rev[s][b] for s in range(n)]) for b in range(n)]
+    wedges = [_PR_FNS["lp_wedges"].options(num_returns=n).remote(
+        n, edges[b]) for b in range(n)]
+    out = [_PR_FNS["lp_close"].remote(
+        edges[b], *[wedges[s][b] for s in range(n)]) for b in range(n)]
+    return ray.data.from_arrow_refs(out)
+
+
+def sql_link_predict() -> str:
+    js = ", ".join(f"({j})" for j in range(PR_LINKS))
+    return (
+        "WITH m AS (SELECT CAST(MAX(doc_id)+1 AS BIGINT) AS md "
+        "FROM documents), "
+        f"cand AS (SELECT dd.doc_id AS src, "
+        f"(dd.doc_id*{_A} + j.j*{_B} + {_C}) % m.md AS dst "
+        f"FROM documents dd CROSS JOIN m CROSS JOIN (VALUES {js}) j(j)), "
+        "e0 AS (SELECT DISTINCT c.src, c.dst FROM cand c "
+        "JOIN documents t ON t.doc_id = c.dst WHERE c.dst <> c.src), "
+        "u AS (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM e0), "
+        "adj AS (SELECT a AS v, b AS w FROM u "
+        "UNION ALL SELECT b, a FROM u), "
+        "wg AS (SELECT a1.v AS via, a1.w AS p, a2.w AS q FROM adj a1 "
+        "JOIN adj a2 ON a2.v = a1.v AND a2.w > a1.w), "
+        "cn AS (SELECT p, q, COUNT(*) AS common FROM wg GROUP BY p, q) "
+        "SELECT cn.p AS src, cn.q AS dst, "
+        "CAST(cn.common AS BIGINT) AS common FROM cn "
+        "LEFT JOIN u ON u.a = cn.p AND u.b = cn.q "
+        f"WHERE u.a IS NULL AND cn.common >= {LP_MIN_COMMON}"
+    )
+
+
+QUERIES["link_predict"] = q_link_predict
+ORACLES["link_predict"] = sql_link_predict()

@@ -125,3 +125,43 @@ def test_triangles_match_adjacency_cube(ray_session, gappy):
         got = qg.q_triangles(td).to_pandas().sort_values("doc_id")
     assert np.array_equal(got["doc_id"].to_numpy(), np.sort(ids))
     assert np.array_equal(got["n_tri"].to_numpy(), want)
+
+
+@pytest.mark.parametrize("gappy", [False, True])
+def test_link_predict_matches_adjacency_square(ray_session, gappy):
+    """CN candidates equal {(b,c): b<c, A[b,c]=0, (A^2)[b,c] >= 2}.
+    The dense-id case includes reciprocal directed links (a->b and
+    b->a both synthesised) — the duplicate-undirected-edge regression."""
+    from osmquadtree_depreceated_ray.pipelines import queries_graph as qg
+
+    rng = np.random.default_rng(17)
+    if gappy:
+        ids = np.unique(rng.integers(0, 2000, size=180).astype(np.int64))
+    else:
+        ids = np.arange(250, dtype=np.int64)
+    mod = ids.max() + 1
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    A = np.zeros((n, n), np.int64)
+    for s in ids:
+        for j in range(qg.PR_LINKS):
+            d = (s * qg._A + j * qg._B + qg._C) % mod
+            if d != s and d in idx:
+                A[idx[s], idx[d]] = 1
+                A[idx[d], idx[s]] = 1
+    C = A @ A
+    want = []
+    for i in range(n):
+        for k in range(i + 1, n):
+            if A[i, k] == 0 and C[i, k] >= qg.LP_MIN_COMMON:
+                want.append((ids[i], ids[k], C[i, k]))
+    want = sorted(want)
+
+    import pyarrow.parquet as _pq
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        _pq.write_table(pa.table({"doc_id": ids, "text": [""] * n}),
+                        os.path.join(td, "documents.parquet"))
+        got = qg.q_link_predict(td).to_pandas() \
+            .sort_values(["src", "dst"]).reset_index(drop=True)
+    assert list(map(tuple, got.to_numpy())) == want
