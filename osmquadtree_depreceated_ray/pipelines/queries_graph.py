@@ -331,7 +331,7 @@ def _pr_undirect_impl(*pieces):
         preserve_index=False)
 
 
-def _tri_wedges_impl(n, nodes, edges):
+def _tri_wedges_impl(n, edges):
     """Canonical a<b edges of this bucket -> wedges (a, b, c), b < c,
     routed by bucket(b) for closure."""
     e = edges.to_pandas()
@@ -374,21 +374,34 @@ def _tri_finish_impl(nodes, *pieces):
     return pa.table({"doc_id": node, "n_tri": out})
 
 
-def q_triangles(sf_dir: str):
-    """Per-document triangle count over the synthetic link graph:
-    (doc_id, n_tri), zero-filled for triangle-free pages."""
+def _register_graph_fns():
+    import ray
+
+    fns = _pr_remote_fns()
+    for k, f in (("tri_wedges", _tri_wedges_impl),
+                 ("tri_close", _tri_close_impl),
+                 ("tri_finish", _tri_finish_impl),
+                 ("rev", _pr_reverse_impl),
+                 ("undirect", _pr_undirect_impl),
+                 ("lp_wedges", _lp_wedges_impl),
+                 ("lp_close", _lp_close_impl),
+                 ("coef_finish", _coef_finish_impl)):
+        if k not in _PR_FNS:
+            _PR_FNS[k] = ray.remote(f)
+    return fns
+
+
+def _graph_shards(sf_dir: str):
+    """Node + UNDIRECTED edge shards of the synthetic link graph:
+    the PageRank init waves (shard, synthesise, existence-semi-join)
+    plus one reverse wave and a dedup, shared by every undirected
+    graph operator.  Returns (n, nodes, edges); edges is None for an
+    empty documents table."""
     import ray
     import ray.data
 
-    fns = _pr_remote_fns()
-    if "tri_wedges" not in _PR_FNS:
-        _PR_FNS["tri_wedges"] = ray.remote(_tri_wedges_impl)
-        _PR_FNS["tri_close"] = ray.remote(_tri_close_impl)
-        _PR_FNS["tri_finish"] = ray.remote(_tri_finish_impl)
-        _PR_FNS["rev"] = ray.remote(_pr_reverse_impl)
-        _PR_FNS["undirect"] = ray.remote(_pr_undirect_impl)
+    fns = _register_graph_fns()
     n = _pr_buckets()
-
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id"])
     refs = [r for bu in ds.iter_internal_ref_bundles()
@@ -402,11 +415,7 @@ def q_triangles(sf_dir: str):
     stats = ray.get([fns["stats"].remote(nodes[b]) for b in range(n)])
     mod = max((m for _, m in stats), default=-1) + 1
     if mod == 0:
-        return ray.data.from_arrow(pa.table({
-            "doc_id": pa.array([], pa.int64()),
-            "n_tri": pa.array([], pa.int64())}))
-    # undirected edge shards: same init waves as PageRank, edges keyed
-    # by src with BOTH directions present in the src's bucket
+        return n, nodes, None
     cand = [fns["cand"].options(num_returns=n).remote(n, mod, nodes[b])
             for b in range(n)]
     kept = [fns["filter"].options(num_returns=n).remote(
@@ -415,14 +424,25 @@ def q_triangles(sf_dir: str):
         nodes[b], 0.0, *[kept[s][b] for s in range(n)])
         for b in range(n)]
     fwd = [bt[0] for bt in built]
-    # add the reverse direction: dst-keyed copies routed to bucket(dst)
     rev = [_PR_FNS["rev"].options(num_returns=n).remote(n, fwd[b])
            for b in range(n)]
     edges = [_PR_FNS["undirect"].remote(
         fwd[b], *[rev[s][b] for s in range(n)]) for b in range(n)]
+    return n, nodes, edges
 
+
+def q_triangles(sf_dir: str):
+    """Per-document triangle count over the synthetic link graph:
+    (doc_id, n_tri), zero-filled for triangle-free pages."""
+    import ray.data
+
+    n, nodes, edges = _graph_shards(sf_dir)
+    if edges is None:
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_tri": pa.array([], pa.int64())}))
     wedges = [_PR_FNS["tri_wedges"].options(num_returns=n).remote(
-        n, nodes[b], edges[b]) for b in range(n)]
+        n, edges[b]) for b in range(n)]
     closed = [_PR_FNS["tri_close"].options(num_returns=n).remote(
         n, edges[b], *[wedges[s][b] for s in range(n)])
         for b in range(n)]
@@ -522,50 +542,14 @@ def q_link_predict(sf_dir: str):
     """Common-neighbor link-prediction candidates over the synthetic
     link graph: (src, dst, common) for src < dst non-edges with at
     least LP_MIN_COMMON shared neighbors."""
-    import ray
     import ray.data
 
-    fns = _pr_remote_fns()
-    if "tri_wedges" not in _PR_FNS:
-        _PR_FNS["tri_wedges"] = ray.remote(_tri_wedges_impl)
-        _PR_FNS["tri_close"] = ray.remote(_tri_close_impl)
-        _PR_FNS["tri_finish"] = ray.remote(_tri_finish_impl)
-        _PR_FNS["rev"] = ray.remote(_pr_reverse_impl)
-        _PR_FNS["undirect"] = ray.remote(_pr_undirect_impl)
-    if "lp_close" not in _PR_FNS:
-        _PR_FNS["lp_close"] = ray.remote(_lp_close_impl)
-        _PR_FNS["lp_wedges"] = ray.remote(_lp_wedges_impl)
-    n = _pr_buckets()
-
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id"])
-    refs = [r for bu in ds.iter_internal_ref_bundles()
-            for r in bu.block_refs]
-    n_tasks = max(1, min(len(refs), n))
-    groups = [refs[i::n_tasks] for i in range(n_tasks)]
-    pieces = [fns["split"].options(num_returns=n).remote(n, *g)
-              for g in groups if g]
-    nodes = [fns["concat"].remote(*[p[b] for p in pieces])
-             for b in range(n)]
-    stats = ray.get([fns["stats"].remote(nodes[b]) for b in range(n)])
-    mod = max((m for _, m in stats), default=-1) + 1
-    if mod == 0:
+    n, nodes, edges = _graph_shards(sf_dir)
+    if edges is None:
         return ray.data.from_arrow(pa.table({
             "src": pa.array([], pa.int64()),
             "dst": pa.array([], pa.int64()),
             "common": pa.array([], pa.int64())}))
-    cand = [fns["cand"].options(num_returns=n).remote(n, mod, nodes[b])
-            for b in range(n)]
-    kept = [fns["filter"].options(num_returns=n).remote(
-        n, nodes[b], *[cand[s][b] for s in range(n)]) for b in range(n)]
-    built = [fns["state"].options(num_returns=2).remote(
-        nodes[b], 0.0, *[kept[s][b] for s in range(n)])
-        for b in range(n)]
-    fwd = [bt[0] for bt in built]
-    rev = [_PR_FNS["rev"].options(num_returns=n).remote(n, fwd[b])
-           for b in range(n)]
-    edges = [_PR_FNS["undirect"].remote(
-        fwd[b], *[rev[s][b] for s in range(n)]) for b in range(n)]
     wedges = [_PR_FNS["lp_wedges"].options(num_returns=n).remote(
         n, edges[b]) for b in range(n)]
     out = [_PR_FNS["lp_close"].remote(
@@ -599,3 +583,91 @@ def sql_link_predict() -> str:
 
 QUERIES["link_predict"] = q_link_predict
 ORACLES["link_predict"] = sql_link_predict()
+
+
+# --------------------------------------------- local clustering coefficient
+#
+# coef(v) = 2 * triangles(v) / (deg(v) * (deg(v) - 1)) — the standard
+# local transitivity signal (near-1 cliques are link farms, near-0 hubs
+# are portals).  One extra column on the triangle finish: the degree is
+# each bucket's local neighbor count, the ratio is a single IEEE
+# division of exact ints (identical in both engines), quantized q12.
+
+def _coef_finish_impl(nodes, edges, *pieces):
+    inc = pa.concat_tables(pieces, promote_options="default").to_pandas()
+    node = nodes.column("node").to_numpy().astype(np.int64)
+    tri = pd.Series(node).map(
+        inc.groupby("node", sort=False)["n"].sum()).fillna(0) \
+        .to_numpy(np.int64)
+    e = edges.to_pandas()
+    deg = pd.Series(node).map(
+        e.groupby("src", sort=False).size()).fillna(0).to_numpy(np.int64)
+    denom = deg * (deg - 1)
+    coef = np.where(deg >= 2, 2.0 * tri / np.maximum(denom, 1), 0.0)
+    return pa.table({
+        "doc_id": node,
+        "degree": deg,
+        "n_tri": tri,
+        "coef_q12": np.floor(coef * PR_QUANT + 0.5).astype(np.int64),
+    })
+
+
+def q_clustering(sf_dir: str):
+    """Per-document local clustering coefficient over the synthetic
+    link graph: (doc_id, degree, n_tri, coef_q12)."""
+    import ray.data
+
+    n, nodes, edges = _graph_shards(sf_dir)
+    if edges is None:
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "degree": pa.array([], pa.int64()),
+            "n_tri": pa.array([], pa.int64()),
+            "coef_q12": pa.array([], pa.int64())}))
+    wedges = [_PR_FNS["tri_wedges"].options(num_returns=n).remote(
+        n, edges[b]) for b in range(n)]
+    closed = [_PR_FNS["tri_close"].options(num_returns=n).remote(
+        n, edges[b], *[wedges[s][b] for s in range(n)])
+        for b in range(n)]
+    out = [_PR_FNS["coef_finish"].remote(
+        nodes[b], edges[b], *[closed[s][b] for s in range(n)])
+        for b in range(n)]
+    return ray.data.from_arrow_refs(out)
+
+
+def sql_clustering() -> str:
+    js = ", ".join(f"({j})" for j in range(PR_LINKS))
+    return (
+        "WITH m AS (SELECT CAST(MAX(doc_id)+1 AS BIGINT) AS md "
+        "FROM documents), "
+        f"cand AS (SELECT dd.doc_id AS src, "
+        f"(dd.doc_id*{_A} + j.j*{_B} + {_C}) % m.md AS dst "
+        f"FROM documents dd CROSS JOIN m CROSS JOIN (VALUES {js}) j(j)), "
+        "e0 AS (SELECT DISTINCT c.src, c.dst FROM cand c "
+        "JOIN documents t ON t.doc_id = c.dst WHERE c.dst <> c.src), "
+        "u AS (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM e0), "
+        "adj AS (SELECT a AS v, b AS w FROM u "
+        "UNION ALL SELECT b, a FROM u), "
+        "dg AS (SELECT v, COUNT(*) AS c FROM adj GROUP BY v), "
+        "w AS (SELECT u1.a, u1.b, u2.b AS c FROM u u1 "
+        "JOIN u u2 ON u2.a = u1.a AND u2.b > u1.b), "
+        "t AS (SELECT w.a, w.b, w.c FROM w "
+        "JOIN u ON u.a = w.b AND u.b = w.c), "
+        "corners AS (SELECT a AS v FROM t UNION ALL "
+        "SELECT b FROM t UNION ALL SELECT c FROM t), "
+        "pc AS (SELECT v, COUNT(*) AS n FROM corners GROUP BY v) "
+        "SELECT dd.doc_id, "
+        "CAST(COALESCE(dg.c, 0) AS BIGINT) AS degree, "
+        "CAST(COALESCE(pc.n, 0) AS BIGINT) AS n_tri, "
+        "CAST(FLOOR(CASE WHEN COALESCE(dg.c, 0) >= 2 THEN "
+        "2.0 * COALESCE(pc.n, 0) / (dg.c * (dg.c - 1)) ELSE 0.0 END "
+        "* 1e12 + 0.5) AS BIGINT) AS coef_q12 "
+        "FROM documents dd "
+        "LEFT JOIN dg ON dg.v = dd.doc_id "
+        "LEFT JOIN pc ON pc.v = dd.doc_id"
+    )
+
+
+QUERIES["clustering_coef"] = q_clustering
+ORACLES["clustering_coef"] = sql_clustering()

@@ -165,3 +165,33 @@ def test_link_predict_matches_adjacency_square(ray_session, gappy):
         got = qg.q_link_predict(td).to_pandas() \
             .sort_values(["src", "dst"]).reset_index(drop=True)
     assert list(map(tuple, got.to_numpy())) == want
+
+
+def test_clustering_coef_matches_dense(ray_session):
+    from osmquadtree_depreceated_ray.pipelines import queries_graph as qg
+
+    ids = np.arange(250, dtype=np.int64)
+    mod = ids.max() + 1
+    n = len(ids)
+    A = np.zeros((n, n), np.int64)
+    for s in ids:
+        for j in range(qg.PR_LINKS):
+            d = (s * qg._A + j * qg._B + qg._C) % mod
+            if d != s:
+                A[s, d] = 1
+                A[d, s] = 1
+    tri = np.diag(A @ A @ A) // 2
+    deg = A.sum(axis=1)
+    coef = np.where(deg >= 2, 2.0 * tri / np.maximum(deg * (deg - 1), 1),
+                    0.0)
+    want_q = np.floor(coef * qg.PR_QUANT + 0.5).astype(np.int64)
+
+    import pyarrow.parquet as _pq
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        _pq.write_table(pa.table({"doc_id": ids, "text": [""] * n}),
+                        os.path.join(td, "documents.parquet"))
+        got = qg.q_clustering(td).to_pandas().sort_values("doc_id")
+    assert np.array_equal(got["degree"].to_numpy(), deg)
+    assert np.array_equal(got["n_tri"].to_numpy(), tri)
+    assert np.array_equal(got["coef_q12"].to_numpy(), want_q)
