@@ -97,6 +97,18 @@ def main(argv=None):
     sq.add_argument("--show", type=int, default=10,
                     help="print up to N result rows (default 10)")
 
+    qr = sub.add_parser(
+        "query", help="run a registry query (__ray_entry__.queries()) "
+        "over an sf-style table directory")
+    qr.add_argument("--name", help="query name (omit with --list)")
+    qr.add_argument("--sf", default="/root/testdata/sf0.001",
+                    help="directory of <table>.parquet inputs")
+    qr.add_argument("--dest", help="write result parquet here")
+    qr.add_argument("--show", type=int, default=10,
+                    help="print up to N result rows (default 10)")
+    qr.add_argument("--list", action="store_true",
+                    help="print the available query names and exit")
+
     sv = sub.add_parser(
         "serve", help="T6 per-tile serving store query (PackedDataStore.Filter)")
     sv.add_argument("--out", required=True)
@@ -206,6 +218,35 @@ def main(argv=None):
             print(json.dumps({"rows": out.num_rows,
                               "columns": out.column_names,
                               "head": head}, default=str))
+        elif args.cmd == "query":
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            from osmquadtree_depreceated_ray.pipelines.queries import QUERIES
+
+            if args.list or not args.name:
+                print(json.dumps({"queries": sorted(QUERIES)}))
+            else:
+                if args.name not in QUERIES:
+                    raise SystemExit(f"unknown query {args.name!r} "
+                                     "(use --list)")
+                res = QUERIES[args.name](args.sf)
+                if isinstance(res, pa.Table):
+                    out = res
+                elif hasattr(res, "to_arrow_refs"):
+                    parts = ray.get(res.to_arrow_refs())
+                    out = (pa.concat_tables(parts,
+                                            promote_options="default")
+                           if parts else pa.table({}))
+                else:  # pandas
+                    out = pa.Table.from_pandas(res, preserve_index=False)
+                if args.dest:
+                    pq.write_table(out, args.dest)
+                head = out.slice(0, args.show).to_pylist()
+                print(json.dumps({"query": args.name,
+                                  "rows": out.num_rows,
+                                  "columns": out.column_names,
+                                  "head": head}, default=str))
         elif args.cmd == "serve":
             import pyarrow.parquet as pq
 
