@@ -671,3 +671,174 @@ def sql_clustering() -> str:
 
 QUERIES["clustering_coef"] = q_clustering
 ORACLES["clustering_coef"] = sql_clustering()
+
+
+# ------------------------------------------------------------- TrustRank
+#
+# Seed-restricted PageRank (Gyongyi et al. 2004): teleport and dangling
+# mass flow ONLY to a trusted seed set, so trust decays with link
+# distance from the seeds — the classic link-spam demotion signal.
+# Seeds here are the deterministic doc_id % TRUST_SEED_MOD == 0 slice
+# (a stand-in for a curated whitelist).  Same scatter as PageRank
+# (contributions don't care about the teleport vector); only the gather
+# and the initial state differ.
+
+TRUST_SEED_MOD = 25
+
+
+def _tr_seed_impl(state, n_seeds):
+    """Re-initialise a PageRank state shard for TrustRank: rank =
+    seed indicator / n_seeds; the indicator rides as a column."""
+    node = state.column("node").to_numpy().astype(np.int64)
+    seed = (node % TRUST_SEED_MOD == 0).astype(np.int64)
+    return pa.table({
+        "node": node,
+        "outdeg": state.column("outdeg"),
+        "seed": seed,
+        "rank": seed.astype(np.float64) / n_seeds,
+    })
+
+
+def _tr_gather_impl(state, inv_s, dang_total, *pieces):
+    """Gather with the seed teleport vector: non-seeds receive only
+    damped in-link mass."""
+    inc = pa.concat_tables(pieces, promote_options="default").to_pandas()
+    s = state.to_pandas()
+    summed = inc.groupby("dst", sort=False)["s"].sum()
+    base = s["node"].map(summed).fillna(0.0).to_numpy(np.float64)
+    sv = s["seed"].to_numpy(np.float64) * inv_s
+    r = (1.0 - PR_DAMPING) * sv + PR_DAMPING * (base + dang_total * sv)
+    return pa.table({
+        "node": s["node"].to_numpy(np.int64),
+        "outdeg": s["outdeg"].to_numpy(np.int64),
+        "seed": s["seed"].to_numpy(np.int64),
+        "rank": r,
+    })
+
+
+def q_trustrank(sf_dir: str):
+    """TrustRank scores over the synthetic link graph:
+    (doc_id, is_seed, trust_q12) after PR_ITERS iterations."""
+    import ray
+    import ray.data
+
+    fns = _pr_remote_fns()
+    if "tr_seed" not in _PR_FNS:
+        _PR_FNS["tr_seed"] = ray.remote(_tr_seed_impl)
+        _PR_FNS["tr_gather"] = ray.remote(_tr_gather_impl)
+    n = _pr_buckets()
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    refs = [r for bu in ds.iter_internal_ref_bundles()
+            for r in bu.block_refs]
+    n_tasks = max(1, min(len(refs), n))
+    groups = [refs[i::n_tasks] for i in range(n_tasks)]
+    pieces = [fns["split"].options(num_returns=n).remote(n, *g)
+              for g in groups if g]
+    nodes = [fns["concat"].remote(*[p[b] for p in pieces])
+             for b in range(n)]
+    stats = ray.get([fns["stats"].remote(nodes[b]) for b in range(n)])
+    n_docs = sum(c for c, _ in stats)
+    mod = max((m for _, m in stats), default=-1) + 1
+    if n_docs == 0:
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "is_seed": pa.array([], pa.int64()),
+            "trust_q12": pa.array([], pa.int64())}))
+    cand = [fns["cand"].options(num_returns=n).remote(n, mod, nodes[b])
+            for b in range(n)]
+    kept = [fns["filter"].options(num_returns=n).remote(
+        n, nodes[b], *[cand[s][b] for s in range(n)]) for b in range(n)]
+    built = [fns["state"].options(num_returns=2).remote(
+        nodes[b], 0.0, *[kept[s][b] for s in range(n)])
+        for b in range(n)]
+    edges = [bt[0] for bt in built]
+    base_state = [bt[1] for bt in built]
+
+    if "seed_count" not in _PR_FNS:
+        _PR_FNS["seed_count"] = ray.remote(_seed_count_impl)
+    # global seed count: one int per bucket
+    n_seeds = sum(ray.get([
+        _PR_FNS["seed_count"].remote(nodes[b]) for b in range(n)]))
+    if n_seeds == 0:
+        raise ValueError(
+            f"TrustRank needs at least one seed "
+            f"(doc_id % {TRUST_SEED_MOD} == 0)")
+    inv_s = 1.0 / n_seeds
+    state = [_PR_FNS["tr_seed"].remote(base_state[b], n_seeds)
+             for b in range(n)]
+    for _ in range(PR_ITERS):
+        outs = [fns["scatter"].options(num_returns=n + 1).remote(
+            n, edges[b], state[b]) for b in range(n)]
+        dang_total = sum(ray.get([outs[b][n] for b in range(n)]))
+        state = [_PR_FNS["tr_gather"].remote(
+            state[b], inv_s, dang_total, *[outs[s][b] for s in range(n)])
+            for b in range(n)]
+
+    def finish(t: pa.Table) -> pa.Table:
+        r = t.column("rank").to_numpy()
+        return pa.table({
+            "doc_id": t.column("node"),
+            "is_seed": t.column("seed"),
+            "trust_q12": np.floor(r * PR_QUANT + 0.5).astype(np.int64),
+        })
+
+    return ray.data.from_arrow_refs(state).map_batches(
+        finish, batch_format="pyarrow")
+
+
+def _seed_count_impl(nodes):
+    node = nodes.column("node").to_numpy().astype(np.int64)
+    return int((node % TRUST_SEED_MOD == 0).sum())
+
+
+def sql_trustrank() -> str:
+    """Oracle: the PageRank chain with the seed teleport vector."""
+    d = "CAST(0.85 AS DOUBLE)"
+    js = ", ".join(f"({j})" for j in range(PR_LINKS))
+    parts = [
+        "WITH m AS (SELECT CAST(MAX(doc_id)+1 AS BIGINT) AS md "
+        "FROM documents)",
+        f"ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM documents "
+        f"WHERE doc_id % {TRUST_SEED_MOD} = 0)",
+        f"cand AS (SELECT dd.doc_id AS src, "
+        f"(dd.doc_id*{_A} + j.j*{_B} + {_C}) % m.md AS dst "
+        f"FROM documents dd CROSS JOIN m CROSS JOIN (VALUES {js}) j(j))",
+        "e AS (SELECT DISTINCT c.src, c.dst FROM cand c "
+        "JOIN documents t ON t.doc_id = c.dst WHERE c.dst <> c.src)",
+        "outd AS (SELECT dd.doc_id AS v, COUNT(e.src) AS c "
+        "FROM documents dd LEFT JOIN e ON e.src = dd.doc_id "
+        "GROUP BY dd.doc_id)",
+        f"sv AS (SELECT dd.doc_id AS v, CASE WHEN dd.doc_id % "
+        f"{TRUST_SEED_MOD} = 0 THEN 1.0/ns.k ELSE 0.0 END AS w "
+        "FROM documents dd CROSS JOIN ns)",
+        "r0 AS (SELECT v, w AS r FROM sv)",
+    ]
+    prev = "r0"
+    for t in range(1, PR_ITERS + 1):
+        parts.append(
+            f"d{t} AS (SELECT COALESCE(SUM(p.r), 0.0) AS dm FROM {prev} p "
+            f"JOIN outd o ON o.v = p.v WHERE o.c = 0)")
+        parts.append(
+            f"c{t} AS (SELECT e.dst AS v, SUM(p.r / o.c) AS s FROM e "
+            f"JOIN {prev} p ON p.v = e.src JOIN outd o ON o.v = e.src "
+            f"GROUP BY e.dst)")
+        parts.append(
+            f"r{t} AS (SELECT p.v, (1.0 - {d})*sv.w + {d}*"
+            f"(COALESCE(c{t}.s, 0.0) + d{t}.dm*sv.w) AS r "
+            f"FROM {prev} p CROSS JOIN d{t} "
+            f"JOIN sv ON sv.v = p.v "
+            f"LEFT JOIN c{t} ON c{t}.v = p.v)")
+        prev = f"r{t}"
+    parts.append(
+        f"sel AS (SELECT p.v AS doc_id, "
+        f"CAST(CASE WHEN p.v % {TRUST_SEED_MOD} = 0 THEN 1 ELSE 0 END "
+        f"AS BIGINT) AS is_seed, "
+        f"CAST(FLOOR(p.r * 1e12 + 0.5) AS BIGINT) AS trust_q12 "
+        f"FROM {prev} p)")
+    return ", ".join(parts) + " SELECT * FROM sel"
+
+
+QUERIES["trustrank"] = q_trustrank
+ORACLES["trustrank"] = sql_trustrank()

@@ -195,3 +195,45 @@ def test_clustering_coef_matches_dense(ray_session):
     assert np.array_equal(got["degree"].to_numpy(), deg)
     assert np.array_equal(got["n_tri"].to_numpy(), tri)
     assert np.array_equal(got["coef_q12"].to_numpy(), want_q)
+
+
+def test_trustrank_matches_dense_reference(ray_session):
+    """Seed-teleport power iteration vs a dense numpy reference; trust
+    must decay with distance (non-seed max < seed min is NOT generally
+    true, but total mass is 1 and non-reachable pages get 0)."""
+    from osmquadtree_depreceated_ray.pipelines import queries_graph as qg
+
+    ids = np.arange(200, dtype=np.int64)
+    mod = ids.max() + 1
+    n = len(ids)
+    A = np.zeros((n, n))
+    outdeg = np.zeros(n, np.int64)
+    for s in ids:
+        for j in range(qg.PR_LINKS):
+            d = (s * qg._A + j * qg._B + qg._C) % mod
+            if d != s and A[s, d] == 0:
+                A[s, d] = 1
+                outdeg[s] += 1
+    seed = (ids % qg.TRUST_SEED_MOD == 0).astype(float)
+    sv = seed / seed.sum()
+    r = sv.copy()
+    for _ in range(qg.PR_ITERS):
+        contrib = np.zeros(n)
+        for s in ids:
+            if outdeg[s]:
+                contrib += A[s] * (r[s] / outdeg[s])
+        dang = r[outdeg == 0].sum()
+        r = (1 - qg.PR_DAMPING) * sv + qg.PR_DAMPING * (contrib + dang * sv)
+    want_q = np.floor(r * qg.PR_QUANT + 0.5).astype(np.int64)
+
+    import pyarrow.parquet as _pq
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        _pq.write_table(pa.table({"doc_id": ids, "text": [""] * n}),
+                        os.path.join(td, "documents.parquet"))
+        got = qg.q_trustrank(td).to_pandas().sort_values("doc_id")
+    assert np.array_equal(got["is_seed"].to_numpy(),
+                          seed.astype(np.int64))
+    assert np.abs(got["trust_q12"].to_numpy() - want_q).max() <= 1
+    # mass conservation
+    assert abs(got["trust_q12"].sum() / qg.PR_QUANT - 1.0) < 1e-6
