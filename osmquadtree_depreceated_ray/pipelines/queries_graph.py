@@ -193,6 +193,40 @@ def _pr_remote_fns():
     return _PR_FNS
 
 
+def _directed_shards(sf_dir: str, inv_n_for_state: float = 0.0):
+    """Node shards + DIRECTED edge/state shards (the PageRank init
+    waves).  Returns (n, nodes, stats, edges, state); edges/state are
+    None for an empty documents table."""
+    import ray
+    import ray.data
+
+    fns = _pr_remote_fns()
+    n = _pr_buckets()
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    refs = [r for bu in ds.iter_internal_ref_bundles()
+            for r in bu.block_refs]
+    n_tasks = max(1, min(len(refs), n))
+    groups = [refs[i::n_tasks] for i in range(n_tasks)]
+    pieces = [fns["split"].options(num_returns=n).remote(n, *g)
+              for g in groups if g]
+    nodes = [fns["concat"].remote(*[p[b] for p in pieces])
+             for b in range(n)]
+    stats = ray.get([fns["stats"].remote(nodes[b]) for b in range(n)])
+    mod = max((m for _, m in stats), default=-1) + 1
+    if mod == 0:
+        return n, nodes, stats, None, None
+    cand = [fns["cand"].options(num_returns=n).remote(n, mod, nodes[b])
+            for b in range(n)]
+    kept = [fns["filter"].options(num_returns=n).remote(
+        n, nodes[b], *[cand[s][b] for s in range(n)]) for b in range(n)]
+    built = [fns["state"].options(num_returns=2).remote(
+        nodes[b], inv_n_for_state, *[kept[s][b] for s in range(n)])
+        for b in range(n)]
+    return (n, nodes, stats, [bt[0] for bt in built],
+            [bt[1] for bt in built])
+
+
 def pagerank(doc_ids_ds, iters: int = PR_ITERS):
     """Distributed PageRank over the synthetic link graph of a doc_id
     Dataset.  Returns a Dataset (doc_id, out_links, pagerank_q12)."""
@@ -397,33 +431,10 @@ def _graph_shards(sf_dir: str):
     plus one reverse wave and a dedup, shared by every undirected
     graph operator.  Returns (n, nodes, edges); edges is None for an
     empty documents table."""
-    import ray
-    import ray.data
-
-    fns = _register_graph_fns()
-    n = _pr_buckets()
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id"])
-    refs = [r for bu in ds.iter_internal_ref_bundles()
-            for r in bu.block_refs]
-    n_tasks = max(1, min(len(refs), n))
-    groups = [refs[i::n_tasks] for i in range(n_tasks)]
-    pieces = [fns["split"].options(num_returns=n).remote(n, *g)
-              for g in groups if g]
-    nodes = [fns["concat"].remote(*[p[b] for p in pieces])
-             for b in range(n)]
-    stats = ray.get([fns["stats"].remote(nodes[b]) for b in range(n)])
-    mod = max((m for _, m in stats), default=-1) + 1
-    if mod == 0:
+    _register_graph_fns()
+    n, nodes, _stats, fwd, _state = _directed_shards(sf_dir)
+    if fwd is None:
         return n, nodes, None
-    cand = [fns["cand"].options(num_returns=n).remote(n, mod, nodes[b])
-            for b in range(n)]
-    kept = [fns["filter"].options(num_returns=n).remote(
-        n, nodes[b], *[cand[s][b] for s in range(n)]) for b in range(n)]
-    built = [fns["state"].options(num_returns=2).remote(
-        nodes[b], 0.0, *[kept[s][b] for s in range(n)])
-        for b in range(n)]
-    fwd = [bt[0] for bt in built]
     rev = [_PR_FNS["rev"].options(num_returns=n).remote(n, fwd[b])
            for b in range(n)]
     edges = [_PR_FNS["undirect"].remote(
@@ -726,35 +737,13 @@ def q_trustrank(sf_dir: str):
     if "tr_seed" not in _PR_FNS:
         _PR_FNS["tr_seed"] = ray.remote(_tr_seed_impl)
         _PR_FNS["tr_gather"] = ray.remote(_tr_gather_impl)
-    n = _pr_buckets()
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                               columns=["doc_id"])
-    refs = [r for bu in ds.iter_internal_ref_bundles()
-            for r in bu.block_refs]
-    n_tasks = max(1, min(len(refs), n))
-    groups = [refs[i::n_tasks] for i in range(n_tasks)]
-    pieces = [fns["split"].options(num_returns=n).remote(n, *g)
-              for g in groups if g]
-    nodes = [fns["concat"].remote(*[p[b] for p in pieces])
-             for b in range(n)]
-    stats = ray.get([fns["stats"].remote(nodes[b]) for b in range(n)])
-    n_docs = sum(c for c, _ in stats)
-    mod = max((m for _, m in stats), default=-1) + 1
-    if n_docs == 0:
+    n, nodes, stats, edges, base_state = _directed_shards(sf_dir)
+    if edges is None:
         return ray.data.from_arrow(pa.table({
             "doc_id": pa.array([], pa.int64()),
             "is_seed": pa.array([], pa.int64()),
             "trust_q12": pa.array([], pa.int64())}))
-    cand = [fns["cand"].options(num_returns=n).remote(n, mod, nodes[b])
-            for b in range(n)]
-    kept = [fns["filter"].options(num_returns=n).remote(
-        n, nodes[b], *[cand[s][b] for s in range(n)]) for b in range(n)]
-    built = [fns["state"].options(num_returns=2).remote(
-        nodes[b], 0.0, *[kept[s][b] for s in range(n)])
-        for b in range(n)]
-    edges = [bt[0] for bt in built]
-    base_state = [bt[1] for bt in built]
 
     if "seed_count" not in _PR_FNS:
         _PR_FNS["seed_count"] = ray.remote(_seed_count_impl)
