@@ -988,3 +988,99 @@ def sql_dsir_weights() -> str:
 
 QUERIES["dsir_weights"] = q_dsir_weights
 ORACLES["dsir_weights"] = sql_dsir_weights()
+
+
+# ----------------------------------------- near-dup candidate verification
+#
+# The verification step real dedup pipelines run AFTER LSH candidate
+# generation: candidates are cheap-but-noisy; an edit-similarity check
+# decides which pairs are true near-duplicates.  Shape: the candidate
+# stream (tiny relative to the corpus) is hash-joined to the documents
+# table twice through the bucketed exchange (one side per join — text
+# never broadcasts), then each bucket computes Levenshtein on its own
+# pairs.  The per-pair DP is a numpy row recurrence (O(len) vector ops
+# per character, minimum.accumulate resolves the insertion chain) —
+# per-PAIR iteration is the right granularity here because candidate
+# pairs are O(duplicates), not O(corpus).
+
+NEARDUP_MAX_RATIO = 5  # is_dup iff ratio * dist <= max(len_a, len_b)
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Unit-cost Levenshtein, identical to DuckDB's levenshtein()."""
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    ca = np.frombuffer(a.encode(), dtype=np.uint8)
+    cb = np.frombuffer(b.encode(), dtype=np.uint8)
+    n = len(ca)
+    idx = np.arange(n + 1)
+    prev = idx.copy()
+    for i in range(len(cb)):
+        t = np.empty(n + 1, np.int64)
+        t[0] = i + 1
+        np.minimum(prev[:-1] + (ca != cb[i]), prev[1:] + 1, out=t[1:])
+        # cur[j] = min_k<=j (t[k] + j - k): insertion chain in one pass
+        prev = np.minimum.accumulate(t - idx) + idx
+    return int(prev[-1])
+
+
+def q_neardup_verify(sf_dir: str):
+    """Edit-distance verification of the MinHash-LSH candidate pairs:
+    (a, b, dist, len_a, len_b, is_dup) with is_dup an all-integer
+    ratio test (NEARDUP_MAX_RATIO * dist <= max(len))."""
+    import ray
+
+    from .sqlparse import _join_on
+
+    pairs = q_minhash_pairs(sf_dir)
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def ren(suffix):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns([f"doc{suffix}", f"text{suffix}"])
+        return fn
+
+    da = docs.map_batches(ren("_a"), batch_format="pyarrow")
+    db = docs.map_batches(ren("_b"), batch_format="pyarrow")
+    j = _join_on(pairs, da, "a", "doc_a")
+    j = _join_on(j, db, "b", "doc_b")
+
+    def verify(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy()
+        b = t.column("b").to_numpy()
+        ta = t.column("text_a").to_pylist()
+        tb = t.column("text_b").to_pylist()
+        dist = np.fromiter(
+            (_levenshtein(x, y) for x, y in zip(ta, tb)),
+            np.int64, len(ta))
+        la = np.fromiter((len(x) for x in ta), np.int64, len(ta))
+        lb = np.fromiter((len(y) for y in tb), np.int64, len(tb))
+        return pa.table({
+            "a": a, "b": b, "dist": dist, "len_a": la, "len_b": lb,
+            "is_dup": (NEARDUP_MAX_RATIO * dist
+                       <= np.maximum(la, lb)).astype(np.int64),
+        })
+
+    return j.map_batches(verify, batch_format="pyarrow")
+
+
+def sql_neardup_verify() -> str:
+    return (
+        f"WITH pairs AS ({sql_minhash_pairs()}), "
+        "j AS (SELECT p.a, p.b, da.text AS ta, db.text AS tb "
+        "FROM pairs p JOIN documents da ON da.doc_id = p.a "
+        "JOIN documents db ON db.doc_id = p.b) "
+        "SELECT a, b, CAST(levenshtein(ta, tb) AS BIGINT) AS dist, "
+        "CAST(length(ta) AS BIGINT) AS len_a, "
+        "CAST(length(tb) AS BIGINT) AS len_b, "
+        f"CAST(CASE WHEN {NEARDUP_MAX_RATIO} * levenshtein(ta, tb) <= "
+        "GREATEST(length(ta), length(tb)) THEN 1 ELSE 0 END AS BIGINT) "
+        "AS is_dup FROM j"
+    )
+
+
+QUERIES["neardup_verify"] = q_neardup_verify
+ORACLES["neardup_verify"] = sql_neardup_verify()

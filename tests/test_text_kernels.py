@@ -62,3 +62,40 @@ def test_simhash_bit_math_against_reference_formula():
     # simhash64 wraps to signed int64 by subtracting 2^63 when the top bit
     # is set — normalize both the same way
     assert got == (want if want < (1 << 63) else want - (1 << 64))
+
+
+def test_levenshtein_matches_reference_and_duckdb():
+    import duckdb
+    import numpy as np
+
+    from osmquadtree_depreceated_ray.pipelines.queries_text import (
+        _levenshtein,
+    )
+
+    def ref(a, b):
+        m, n = len(a), len(b)
+        d = [[0] * (n + 1) for _ in range(m + 1)]
+        for i in range(m + 1):
+            d[i][0] = i
+        for j in range(n + 1):
+            d[0][j] = j
+        for i in range(1, m + 1):
+            for j in range(1, n + 1):
+                d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1,
+                              d[i - 1][j - 1] + (a[i - 1] != b[j - 1]))
+        return d[m][n]
+
+    rng = np.random.default_rng(23)
+    con = duckdb.connect()
+    cases = [("", ""), ("", "abc"), ("abc", ""), ("kitten", "sitting"),
+             ("abc", "abc")]
+    for _ in range(40):
+        la, lb = rng.integers(0, 30, 2)
+        a = "".join(rng.choice(list("abcde "), la))
+        b = "".join(rng.choice(list("abcde "), lb))
+        cases.append((a, b))
+    for a, b in cases:
+        want = ref(a, b)
+        assert _levenshtein(a, b) == want, (a, b)
+        got_db = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+        assert got_db == want, (a, b)
