@@ -121,8 +121,23 @@ class Expr:
         return (self >= lo) & (self <= hi)
 
     def isin(self, values):
-        vs = pa.array(values)
-        return Expr(lambda t: pc.is_in(self(t), value_set=vs), "in")
+        # SQL three-valued IN: a NULL probe yields NULL (pc.is_in says
+        # false), and a NULL in the member set turns every non-match
+        # into NULL (x IN (1, NULL) is TRUE or NULL, never FALSE).
+        # Under a bare WHERE both collapse to "filtered", but NOT / CASE
+        # composed over the result must see the NULL.
+        had_null = any(v is None for v in values)
+        vs = pa.array([v for v in values if v is not None])
+
+        def fn(t):
+            x = self(t)
+            m = pc.is_in(x, value_set=vs)
+            m = pc.if_else(pc.is_null(x), pa.scalar(None, pa.bool_()), m)
+            if had_null:
+                m = pc.or_kleene(m, pa.scalar(None, pa.bool_()))
+            return m
+
+        return Expr(fn, "in")
 
     def is_null(self):
         return Expr(lambda t: pc.is_null(self(t)), "isnull")

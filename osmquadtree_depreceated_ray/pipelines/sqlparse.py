@@ -881,11 +881,10 @@ def _compile_expr(node) -> Expr:
         return _compile_expr(node[1]).between(
             _compile_expr(node[2]), _compile_expr(node[3]))
     if op == "in":
-        # IN (.., NULL): a non-member probe yields NULL in SQL — filtered
-        # either way, so dropping the NULL from the member set is exact
-        # under WHERE (NOT IN is rewritten before compilation, _negate_in)
-        return _compile_expr(node[1]).isin(
-            [v for v in node[2] if v is not None])
+        # Expr.isin carries full three-valued semantics (NULL probe ->
+        # NULL; NULL member -> non-matches become NULL), so the raw
+        # member list passes through
+        return _compile_expr(node[1]).isin(list(node[2]))
     if op == "isnull":
         return _compile_expr(node[1]).is_null()
     if op == "notnull":
@@ -1453,6 +1452,14 @@ def _run_grouped_select(ds, sel) -> "ray.data.Dataset":  # noqa: F821
     group_cols: list = []
     gexprs: list = []  # (ast_node, synthetic_name)
     for i, gnode in enumerate(raw_group):
+        if (isinstance(gnode, tuple) and gnode[0] == "lit"
+                and isinstance(gnode[1], int)
+                and not isinstance(gnode[1], bool)):
+            # SQL ordinal: GROUP BY 1 names the first SELECT item
+            pos = gnode[1]
+            if not 1 <= pos <= len(sel["items"]):
+                raise ValueError(f"GROUP BY ordinal {pos} out of range")
+            gnode = sel["items"][pos - 1][0]
         if (isinstance(gnode, tuple) and gnode[0] == "col"
                 and gnode[1] in alias_map
                 and gnode[1] not in schema_names
@@ -1548,12 +1555,30 @@ def _run_grouped_select(ds, sel) -> "ray.data.Dataset":  # noqa: F821
             base = fname[:-2]
             spec[key] = (argcol, {
                 "count": "nunique",
-                "sum": lambda s: s.drop_duplicates().sum(),
+                "sum": lambda s: s.drop_duplicates().sum(min_count=1),
                 "avg": lambda s: s.drop_duplicates().mean(),
                 "min": "min", "max": "max",
             }[base])
         else:
             spec[key] = (argcol, _AGG_HOW[fname])
+    # SQL SUM over zero non-NULL values is NULL; pandas sum says 0.
+    # Ride a hidden count of the same argument through the (still
+    # map-side-combinable) exchange and CASE the sum to NULL after.
+    sum_fix = [(key, f"{key}_nn") for key, fname, _a in aggs
+               if fname == "sum"]
+    for key, ck in sum_fix:
+        spec[ck] = (spec[key][0], "count")
+    if sum_fix:
+        def _null_empty_sums(node):
+            for key, ck in sum_fix:
+                node = _subst(node, ("col", key), ("case", [
+                    (("gt", ("col", ck), ("lit", 0)), ("col", key))],
+                    ("lit", None)))
+            return node
+        post_items = [(_null_empty_sums(ne), name)
+                      for ne, name in post_items]
+        if having_node is not None:
+            having_node = _null_empty_sums(having_node)
     agg_ds = grouped_agg(q.select(**pre_cols).run(), group_cols, spec)
     if global_agg:
         # SQL returns exactly ONE row for a global aggregate even on
@@ -1569,6 +1594,8 @@ def _run_grouped_select(ds, sel) -> "ray.data.Dataset":  # noqa: F821
                 base = fname[:-2] if fname.endswith("!d") else fname
                 row[key] = (pa.array([0], pa.int64()) if base == "count"
                             else pa.array([None], pa.float64()))
+            for _key, ck in sum_fix:
+                row[ck] = pa.array([0], pa.int64())
             agg_ds = _ray.data.from_arrow(pa.table(row))
     q2 = Query(agg_ds)
     if having_node is not None:
@@ -2972,6 +2999,15 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
         sort_cols, descs, synth = [], [], []
         nulls_spec = ast.get("nulls") or [None] * len(ast["order"])
         for i, node in enumerate(ast["order"]):
+            if (isinstance(node, tuple) and node[0] == "lit"
+                    and isinstance(node[1], int)
+                    and not isinstance(node[1], bool)):
+                # SQL ordinal: ORDER BY 1 names the first output column
+                names = ds.schema().names
+                if not 1 <= node[1] <= len(names):
+                    raise ValueError(
+                        f"ORDER BY ordinal {node[1]} out of range")
+                node = ("col", names[node[1] - 1])
             if isinstance(node, tuple) and node[0] == "col":
                 key = node[1]
             else:

@@ -224,7 +224,11 @@ def grouped_agg(
     """
 
     def agg(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby(list(keys), as_index=False, sort=False).agg(
+        # dropna=False: SQL groups NULL keys together (a key that is
+        # NULL in every engine-visible sense — None/NaN — forms its own
+        # group; pandas silently drops it by default)
+        out = g.groupby(list(keys), as_index=False, sort=False,
+                        dropna=False).agg(
             **{k: v for k, v in agg_spec.items()}
         )
         return out
@@ -235,7 +239,8 @@ def grouped_agg(
         }
 
         def merge(g: pd.DataFrame) -> pd.DataFrame:
-            return g.groupby(list(keys), as_index=False, sort=False).agg(
+            return g.groupby(list(keys), as_index=False, sort=False,
+                             dropna=False).agg(
                 **merge_spec
             )
 
