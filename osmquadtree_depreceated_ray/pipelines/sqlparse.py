@@ -681,10 +681,14 @@ class _Parser:
                     if self.accept("kw", "partition"):
                         self.expect("kw", "by")
                         while True:
-                            c = self.expect("ident")[1]
-                            if self.accept("op", "."):
-                                c = self.expect("ident")[1]
-                            part.append(c)
+                            # full expressions: a plain column keeps
+                            # its name (string), anything else stays an
+                            # AST node and is pre-projected as a
+                            # synthetic partition column by the runner
+                            e = self.parse_expr()
+                            part.append(
+                                e[1] if (isinstance(e, tuple)
+                                         and e[0] == "col") else e)
                             if not self.accept("op", ","):
                                 break
                     if self.accept("kw", "order"):
@@ -2051,6 +2055,25 @@ def _run_window_select(ds, sel) -> "ray.data.Dataset":  # noqa: F821
         q = q.where(_compile_expr(sel["where"]))
     names = ds.schema().names
     pre = {c: col(c) for c in names}
+    # normalize PARTITION BY entries: plain column names pass through,
+    # expression entries become synthetic pre-projected partition
+    # columns (shared when the same expression repeats across windows)
+    pexpr_names: dict = {}
+    norm_wins = []
+    for key, fname, args, part, ocols, odesc, frame in wins:
+        npart = []
+        for pnode in part:
+            if isinstance(pnode, str):
+                npart.append(pnode)
+            else:
+                pname = pexpr_names.get(pnode)
+                if pname is None:
+                    pname = f"__wp{len(pexpr_names)}"
+                    pexpr_names[pnode] = pname
+                    pre[pname] = _compile_expr(pnode)
+                npart.append(pname)
+        norm_wins.append((key, fname, args, npart, ocols, odesc, frame))
+    wins = norm_wins
     need_const = any(not part for _k, _f, _a, part, _o, _d, _fr in wins)
     if need_const:
         pre["__wg"] = lit(0)

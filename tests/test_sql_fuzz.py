@@ -167,3 +167,88 @@ def test_fuzz_distinct_order_limit(ray_session, e, w, d):
     sql = (f"SELECT {dk}{e} AS v FROM t WHERE {w} "
            f"ORDER BY v NULLS LAST LIMIT 25")
     _run_both(ray_session, sql)
+
+
+# ------------------------------------------------- joins and windows
+
+def _table_u() -> pa.Table:
+    rng = np.random.default_rng(37)
+    m = rng.integers(-9, 10, 15).astype(object)
+    m[3] = None
+    m[9] = None
+    return pa.table({
+        "m": pa.array(list(m), pa.int64()),
+        "v": pa.array(rng.integers(0, 100, 15), pa.int64()),
+    })
+
+
+TABLE_U = _table_u()
+
+
+def _run_both2(ray_session, sql: str):
+    import ray
+
+    from osmquadtree_depreceated_ray.pipelines.sqlparse import parse_sql
+
+    res = parse_sql(sql, {"t": ray.data.from_arrow(TABLE),
+                          "u": ray.data.from_arrow(TABLE_U)})
+    parts = ray.get(res.to_arrow_refs())
+    got = (pa.concat_tables(parts, promote_options="default").to_pandas()
+           if parts else pd.DataFrame())
+    con = duckdb.connect()
+    con.register("t", TABLE)
+    con.register("u", TABLE_U)
+    want = con.execute(sql).df()
+    assert len(got) == len(want), (sql, len(got), len(want))
+    if len(want) == 0:
+        return
+    g, w = _canon(got), _canon(want)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False), sql
+
+
+@settings(max_examples=50, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(how=st.sampled_from(["JOIN", "LEFT JOIN"]),
+       w=bool_expr(1), e=int_expr(2))
+def test_fuzz_join(ray_session, how, w, e):
+    """Equi-join with a nullable, duplicated key on both sides (NULL
+    keys never match; LEFT preserves unmatched rows)."""
+    sql = (f"SELECT k, m, v, {e} AS e FROM t {how} u ON j = m "
+           f"WHERE {w}")
+    _run_both2(ray_session, sql)
+
+
+_WIN = [
+    "ROW_NUMBER()",
+    "RANK()",
+    "DENSE_RANK()",
+    "COUNT(*)",
+    "SUM(i)",
+    "MIN(i)",
+    "MAX(i)",
+    "AVG(k)",
+    "LAG(i)",
+    "LEAD(i)",
+    "FIRST_VALUE(i)",
+    "LAG(i, 2, 0)",
+]
+
+
+@settings(max_examples=50, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(fn=st.sampled_from(_WIN),
+       part=st.sampled_from(["", "PARTITION BY (i % 3)",
+                             "PARTITION BY (k % 4)"]),
+       frame=st.sampled_from(["", " ROWS BETWEEN 2 PRECEDING AND "
+                                  "CURRENT ROW",
+                              " ROWS BETWEEN 1 PRECEDING AND "
+                              "1 FOLLOWING"]))
+def test_fuzz_window(ray_session, fn, part, frame):
+    if frame and ("(" in fn.split("(")[0] or fn.split("(")[0]
+                  not in ("COUNT", "SUM", "MIN", "MAX", "AVG")):
+        frame = ""  # ranking/offset functions take no frame
+    sql = (f"SELECT k, {fn} OVER ({part}{' ' if part else ''}"
+           f"ORDER BY k{frame}) AS w FROM t ORDER BY k")
+    _run_both2(ray_session, sql)
