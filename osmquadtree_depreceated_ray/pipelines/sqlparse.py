@@ -2601,10 +2601,28 @@ def _set_op(ds_a, ds_b, cols: list, op: str):
 
     both = ds_a.map_batches(tag(0), batch_format="pyarrow").union(
         ds_b.map_batches(tag(1), batch_format="pyarrow"))
+    # the per-bucket frame takes a pandas round trip: a bucket whose
+    # int column holds a NULL comes back float64 (NaN) while other
+    # buckets stay int64 — inconsistent block schemas downstream.
+    # Restore via pandas' nullable Int64 when BOTH sides declare ints
+    # (same hazard _join_on handles).
+    def _int_names(sch):
+        if sch is None:  # a zero-row side has no schema to contradict
+            return None
+        return {n for n, t in zip(sch.names, sch.types)
+                if isinstance(t, pa.DataType) and pa.types.is_integer(t)}
+
+    ia = _int_names(ds_a.schema())
+    ib = _int_names(ds_b.schema())
+    int_cols = sorted((ia if ib is None else ib if ia is None
+                       else ia & ib) or set())
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         if g.empty:
-            return g[cols]
+            # a schema-less zero-row piece has no columns to select
+            return pd.DataFrame({
+                c: pd.Series([], dtype="Int64" if c in int_cols
+                             else "object") for c in cols})
         src = g["__src"].to_numpy()
         g = g.assign(__l=(src == 0).astype(np.int64),
                      __r=(src == 1).astype(np.int64))
@@ -2619,7 +2637,10 @@ def _set_op(ds_a, ds_b, cols: list, op: str):
             reps = np.minimum(nl, nr)
         else:  # except_all
             reps = np.maximum(nl - nr, 0)
-        return agg.loc[agg.index.repeat(reps), cols]
+        out = agg.loc[agg.index.repeat(reps), cols]
+        for c in int_cols:
+            out[c] = out[c].astype("Int64")
+        return out
 
     return bucketed_apply(both, cols, fn, n_buckets=32)
 

@@ -61,7 +61,20 @@ def default_buckets(floor: int = 8, cap: int = 4096) -> int:
 
 
 def _stable_bucket(df: pd.DataFrame, keys: list[str], n_buckets: int) -> np.ndarray:
-    h = pd.util.hash_pandas_object(df[list(keys)], index=False).to_numpy()
+    """Dtype-insensitive hash routing.  pandas hashing is dtype-
+    sensitive, and an int64 Arrow column containing a NULL arrives as
+    float64 after to_pandas while a NULL-free block of the SAME column
+    stays int64 — the same key value would route to different buckets
+    depending on which block it sat in.  Canonicalize numeric/bool key
+    columns to float64 before hashing (routing needs consistency, not
+    injectivity, so the 2^53 mantissa limit only costs collisions)."""
+    df = df[list(keys)]
+    num = df.select_dtypes(include=["number", "bool"]).columns
+    if len(num):
+        df = df.copy()
+        for c in num:
+            df[c] = df[c].astype("float64")
+    h = pd.util.hash_pandas_object(df, index=False).to_numpy()
     return (h % np.uint64(n_buckets)).astype(np.int64)
 
 
@@ -84,7 +97,8 @@ def _split_impl(keys, n_buckets, combine, *blocks):
         # classic partial-aggregation pattern — exchange volume becomes
         # O(distinct keys per split task), not O(rows))
         block = pa.Table.from_pandas(
-            combine(block.to_pandas()), preserve_index=False)
+            combine(block.to_pandas()),
+            preserve_index=False).replace_schema_metadata(None)
     df = block.select(list(keys)).to_pandas()
     bk = _stable_bucket(df, list(keys), n_buckets)
     outs = []
@@ -102,7 +116,11 @@ def _reduce_impl(fn, *pieces):
         else pa.table({})
     out = fn(tbl.to_pandas())
     if not isinstance(out, pa.Table):
-        out = pa.Table.from_pandas(out, preserve_index=False)
+        # strip the pandas schema metadata: it would round-trip
+        # extension dtypes (Int64) back out of to_pandas(), making
+        # result dtypes depend on which code path produced a block
+        out = pa.Table.from_pandas(
+            out, preserve_index=False).replace_schema_metadata(None)
     # second return: row count, so the driver can drop empty blocks
     # (an empty pandas frame infers null-typed columns — unioning those
     # into the result dataset triggers schema-mismatch hazards)
@@ -289,10 +307,23 @@ def distinct(ds, keys: list[str], n_buckets: int | None = None):
     """Exact distributed distinct over ``keys`` (map-side project +
     pre-dedup fused into the split tasks, per-bucket final dedup)."""
 
+    int_cols = [n for n, t in zip(ds.schema().names, ds.schema().types)
+                if n in keys and isinstance(t, pa.DataType)
+                and pa.types.is_integer(t)]
+
+    def _restore(g: pd.DataFrame) -> pd.DataFrame:
+        # a NULL-bearing int column comes back float64 from the pandas
+        # round trip; pin the declared integer type (nullable Int64) so
+        # every block carries the same schema
+        for c in int_cols:
+            if g[c].dtype.kind == "f":
+                g = g.assign(**{c: g[c].astype("Int64")})
+        return g
+
     def pre(g: pd.DataFrame) -> pd.DataFrame:
-        return g[list(keys)].drop_duplicates()
+        return _restore(g[list(keys)].drop_duplicates())
 
     def dd(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates()
+        return _restore(g.drop_duplicates())
 
     return bucketed_apply(ds, keys, dd, n_buckets, combine=pre)

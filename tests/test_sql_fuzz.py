@@ -252,3 +252,43 @@ def test_fuzz_window(ray_session, fn, part, frame):
     sql = (f"SELECT k, {fn} OVER ({part}{' ' if part else ''}"
            f"ORDER BY k{frame}) AS w FROM t ORDER BY k")
     _run_both2(ray_session, sql)
+
+
+@settings(max_examples=40, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(op=st.sampled_from(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"]),
+       w1=bool_expr(1), w2=bool_expr(1), e=int_expr(1))
+def test_fuzz_set_ops(ray_session, op, w1, w2, e):
+    sql = (f"SELECT i, {e} AS e FROM t WHERE {w1} "
+           f"{op} SELECT j, k FROM t WHERE {w2}")
+    _run_both(ray_session, sql)
+
+
+@settings(max_examples=40, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(neg=st.sampled_from(["", "NOT "]),
+       inner=st.sampled_from(["SELECT m FROM u",
+                              "SELECT m FROM u WHERE v > 50",
+                              "SELECT m FROM u WHERE m IS NOT NULL"]),
+       w=bool_expr(1))
+def test_fuzz_in_subquery(ray_session, neg, inner, w):
+    """IN/NOT IN over a subquery whose value set may contain NULL —
+    the three-valued trap (x NOT IN (...NULL...) matches nothing)."""
+    sql = (f"SELECT k, i FROM t WHERE (i {neg}IN ({inner})) "
+           f"AND {w} ORDER BY k")
+    _run_both2(ray_session, sql)
+
+
+@settings(max_examples=40, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(key=int_expr(1), w=bool_expr(1),
+       hv=st.sampled_from(["COUNT(*) > 2", "SUM(i) > 0",
+                           "MIN(i) < 0 AND COUNT(*) >= 1",
+                           "CAST(SUM(j) AS BIGINT) IS NULL"]))
+def test_fuzz_having(ray_session, key, w, hv):
+    sql = (f"SELECT {key} AS g, COUNT(*) AS n FROM t WHERE {w} "
+           f"GROUP BY 1 HAVING {hv}")
+    _run_both(ray_session, sql)
