@@ -1026,6 +1026,49 @@ def _levenshtein(a: str, b: str) -> int:
     return int(prev[-1])
 
 
+def _levenshtein_batch(ta: list, tb: list) -> np.ndarray:
+    """Unit-cost Levenshtein for a BATCH of string pairs: one padded
+    (pairs x len) DP advanced row-by-row, vectorized across every pair
+    in the block at once (the per-pair row recurrence only vectorizes
+    over one string's length — batching multiplies the vector width by
+    the block's pair count).  Pad symbols are chosen so they can never
+    match; each pair's distance is captured the moment its own last
+    row completes, and later (padded) rows cannot corrupt columns at or
+    left of that pair's length."""
+    n = len(ta)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    la = np.fromiter((len(x) for x in ta), np.int64, n)
+    lb = np.fromiter((len(y) for y in tb), np.int64, n)
+    ml_a, ml_b = int(la.max()), int(lb.max())
+    if ml_a == 0 or ml_b == 0:
+        return np.where(la == 0, lb, la)
+    # int16 codepoint planes with distinct negative pads (never equal)
+    a_mat = np.full((n, ml_a), -1, np.int16)
+    b_mat = np.full((n, ml_b), -2, np.int16)
+    for i, x in enumerate(ta):
+        if x:
+            a_mat[i, :len(x)] = np.frombuffer(x.encode(), np.uint8)
+    for i, y in enumerate(tb):
+        if y:
+            b_mat[i, :len(y)] = np.frombuffer(y.encode(), np.uint8)
+    idx = np.arange(ml_a + 1, dtype=np.int32)
+    prev = np.tile(idx, (n, 1))
+    out = la.astype(np.int64).copy()  # lb == 0 pairs: distance = la
+    rows = np.arange(n)
+    t = np.empty_like(prev)
+    for i in range(ml_b):
+        ci = b_mat[:, i:i + 1]
+        t[:, 0] = i + 1
+        np.minimum(prev[:, :-1] + (a_mat != ci),
+                   prev[:, 1:] + 1, out=t[:, 1:])
+        prev = np.minimum.accumulate(t - idx, axis=1) + idx
+        done = lb == i + 1
+        if done.any():
+            out[done] = prev[rows[done], la[done]]
+    return out
+
+
 def q_neardup_verify(sf_dir: str):
     """Edit-distance verification of the MinHash-LSH candidate pairs:
     (a, b, dist, len_a, len_b, is_dup) with is_dup an all-integer
@@ -1047,15 +1090,28 @@ def q_neardup_verify(sf_dir: str):
     db = docs.map_batches(ren("_b"), batch_format="pyarrow")
     j = _join_on(pairs, da, "a", "doc_a")
     j = _join_on(j, db, "b", "doc_b")
+    # the DP dominates end-to-end cost: spread it over the cluster
+    # (the join emits a handful of bucket blocks) — candidate pairs
+    # are small rows, so this repartition is cheap
+    from ..stages.shuffle import default_buckets
+
+    j = j.repartition(4 * default_buckets(floor=8))
 
     def verify(t: pa.Table) -> pa.Table:
         a = t.column("a").to_numpy()
         b = t.column("b").to_numpy()
         ta = t.column("text_a").to_pylist()
         tb = t.column("text_b").to_pylist()
-        dist = np.fromiter(
-            (_levenshtein(x, y) for x, y in zip(ta, tb)),
-            np.int64, len(ta))
+        # length-bucket the batch (4 chunks of the length-sorted
+        # order) so short pairs don't pay the longest pair's padding
+        order = np.argsort(np.maximum(
+            np.fromiter((len(x) for x in ta), np.int64, len(ta)),
+            np.fromiter((len(y) for y in tb), np.int64, len(tb))),
+            kind="stable")
+        dist = np.empty(len(ta), np.int64)
+        for chunk in np.array_split(order, min(4, max(1, len(order)))):
+            dist[chunk] = _levenshtein_batch(
+                [ta[i] for i in chunk], [tb[i] for i in chunk])
         la = np.fromiter((len(x) for x in ta), np.int64, len(ta))
         lb = np.fromiter((len(y) for y in tb), np.int64, len(tb))
         return pa.table({

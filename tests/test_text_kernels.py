@@ -99,3 +99,24 @@ def test_levenshtein_matches_reference_and_duckdb():
         assert _levenshtein(a, b) == want, (a, b)
         got_db = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
         assert got_db == want, (a, b)
+
+
+def test_levenshtein_batch_matches_scalar():
+    import numpy as np
+
+    from osmquadtree_depreceated_ray.pipelines.queries_text import (
+        _levenshtein,
+        _levenshtein_batch,
+    )
+
+    rng = np.random.default_rng(41)
+    ta, tb = [], []
+    for _ in range(200):
+        la, lb = rng.integers(0, 50, 2)
+        ta.append("".join(rng.choice(list("abcde "), la)))
+        tb.append("".join(rng.choice(list("abcde "), lb)))
+    ta += ["", "", "abc"]
+    tb += ["", "xy", ""]
+    got = _levenshtein_batch(ta, tb)
+    want = np.array([_levenshtein(a, b) for a, b in zip(ta, tb)])
+    assert np.array_equal(got, want)
