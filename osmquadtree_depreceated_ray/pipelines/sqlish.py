@@ -143,9 +143,29 @@ class Expr:
         return Expr(lambda t: pc.is_null(self(t)), "isnull")
 
     def substr(self, start: int, length: int):
-        """1-based SQL substr (functions.go:137-165)."""
+        """1-based SQL substr (functions.go:137-165), with DuckDB's edge
+        semantics: a negative start anchors from the END of the string
+        (Python-style), start 0 anchors one before the first character,
+        and a negative length extends BACKWARD from the anchor. All
+        cases compile to constant-bound slice kernels — the from-end
+        anchor uses reverse -> slice -> reverse so per-row string
+        lengths never reach Python."""
+        if start >= 0:
+            anchor = start - 1
+            lo = max(min(anchor, anchor + length), 0)
+            hi = max(max(anchor, anchor + length), 0)
+            return Expr(
+                lambda t: pc.utf8_slice_codeunits(self(t), lo, hi),
+                "substr",
+            )
+        # start < 0: interval [len+start+min(0,length), len+start+max(0,length))
+        # in forward coords == [-start-max(0,length), -start-min(0,length))
+        # in reversed coords, which is constant per query
+        lo_r = max(-start - max(0, length), 0)
+        hi_r = max(-start - min(0, length), 0)
         return Expr(
-            lambda t: pc.utf8_slice_codeunits(self(t), start - 1, start - 1 + length),
+            lambda t: pc.utf8_reverse(
+                pc.utf8_slice_codeunits(pc.utf8_reverse(self(t)), lo_r, hi_r)),
             "substr",
         )
 

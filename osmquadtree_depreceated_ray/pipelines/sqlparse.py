@@ -908,6 +908,11 @@ def _compile_expr(node) -> Expr:
             # a column/expression there would silently compile the AST
             # slot's raw value — reject it loudly instead
             a = node[2][i]
+            # fold unary minus over a numeric literal (the parser emits
+            # ('neg', ('lit', n)) for "-n")
+            if (isinstance(a, tuple) and len(a) == 2 and a[0] == "neg"
+                    and isinstance(a[1], tuple) and a[1][0] == "lit"):
+                a = ("lit", -a[1][1])
             if not (isinstance(a, tuple) and a and a[0] == "lit"):
                 raise ValueError(
                     f"{name}() argument {i} must be a literal, got {a!r}")
@@ -1015,10 +1020,10 @@ def _compile_expr(node) -> Expr:
             import pyarrow.compute as _pc
 
             n2 = int(_lit_arg(1))
-            if n2 < 0:
-                raise ValueError(f"{name}() needs a non-negative length")
             a0 = args[0]
             if name == "left":
+                # n >= 0: first n chars; n < 0: all but the last |n|
+                # (DuckDB semantics) — both are the Python slice s[0:n]
                 return Expr(lambda t, _a=a0, _n=n2:
                             _pc.utf8_slice_codeunits(_a(t), 0, _n),
                             "left")
@@ -1026,8 +1031,9 @@ def _compile_expr(node) -> Expr:
                 return Expr(lambda t, _a=a0:
                             _pc.utf8_slice_codeunits(_a(t), 0, 0),
                             "right")
-            # negative start clamps at 0, so n > len returns the whole
-            # string (SQL semantics)
+            # n > 0: last n chars = s[-n:] (clamped so n > len gives the
+            # whole string); n < 0: all but the first |n| = s[|n|:]
+            # (DuckDB semantics) — both are the Python slice s[-n:]
             return Expr(lambda t, _a=a0, _n=n2:
                         _pc.utf8_slice_codeunits(_a(t), -_n), "right")
         if name == "repeat":

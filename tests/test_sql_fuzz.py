@@ -292,3 +292,63 @@ def test_fuzz_having(ray_session, key, w, hv):
     sql = (f"SELECT {key} AS g, COUNT(*) AS n FROM t WHERE {w} "
            f"GROUP BY 1 HAVING {hv}")
     _run_both(ray_session, sql)
+
+
+def _table_ts() -> pa.Table:
+    rng = np.random.default_rng(43)
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    offs = rng.integers(0, 400 * 24 * 3600, 30).astype("timedelta64[s]")
+    return pa.table({
+        "k": pa.array(np.arange(30, dtype=np.int64)),
+        "ts": pa.array(base + offs),
+        "i": pa.array(rng.integers(-5, 6, 30), pa.int64()),
+    })
+
+
+TABLE_TS = _table_ts()
+
+_TEMPORAL = [
+    "YEAR(ts)", "MONTH(ts)", "DAY(ts)", "HOUR(ts)", "MINUTE(ts)",
+    "EXTRACT(dow FROM ts)", "EXTRACT(month FROM ts)",
+    "date_trunc('day', ts)", "date_trunc('month', ts)",
+    "date_trunc('hour', ts)",
+]
+
+
+@settings(max_examples=30, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(f1=st.sampled_from(_TEMPORAL), f2=st.sampled_from(_TEMPORAL),
+       w=st.sampled_from(["i > 0", "i <= 0", "k % 2 = 0", "1 = 1"]))
+def test_fuzz_temporal(ray_session, f1, f2, w):
+    import ray
+
+    from osmquadtree_depreceated_ray.pipelines.sqlparse import parse_sql
+
+    sql = (f"SELECT k, {f1} AS a, {f2} AS b FROM ts WHERE {w} "
+           f"ORDER BY k")
+    res = parse_sql(sql, {"ts": ray.data.from_arrow(TABLE_TS)})
+    parts = ray.get(res.to_arrow_refs())
+    got = (pa.concat_tables(parts, promote_options="default").to_pandas()
+           if parts else pd.DataFrame())
+    con = duckdb.connect()
+    con.register("ts", TABLE_TS)
+    want = con.execute(sql).df()
+    g, w_ = _canon(got), _canon(want)
+    pd.testing.assert_frame_equal(g, w_, check_dtype=False), sql
+
+
+@settings(max_examples=60, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(start=st.integers(-3, 6), length=st.integers(0, 6),
+       fn=st.sampled_from(["SUBSTR", "LEFT", "RIGHT"]))
+def test_fuzz_string_edges(ray_session, start, length, fn):
+    """SUBSTR/LEFT/RIGHT with edge positions (zero, negative,
+    past-the-end) — classic dialect-divergence territory."""
+    if fn == "SUBSTR":
+        expr = f"SUBSTR(s, {start}, {length})"
+    else:
+        expr = f"{fn}(s, {start})"
+    sql = f"SELECT k, {expr} AS e FROM t ORDER BY k"
+    _run_both(ray_session, sql)
