@@ -599,3 +599,86 @@ ORACLES = {
     "pii_redact": sql_pii_redact(),
     "tfidf_top": sql_tfidf_top(),
 }
+
+
+# --------------------------------------------------- robust outliers
+
+# Per-language robust outlier detection on document length: the classic
+# median / MAD (median absolute deviation) screen used in corpus
+# quality control — |x - median| > K * MAD flags documents whose length
+# is anomalous FOR THEIR LANGUAGE (a z-score screen would be wrecked by
+# the very outliers it hunts; the median/MAD pair has a 50% breakdown
+# point).  MAD = 0 (over half the group at the median) degenerates to
+# "any deviation flags", the standard convention.
+#
+# Distributed shape: medians are not map-combinable, so the group's
+# rows ride one bucketed exchange hashed on lang (the documented
+# exact-median pattern, same as the MEDIAN SQL aggregate); everything
+# inside the bucket is vectorized pandas.  Languages are few and heavy
+# — the exchange is skewed by construction, but each group reduces to
+# O(1) rows of driver-visible output, and the per-bucket work is a
+# linear scan + two sorts.
+
+OUTLIER_K = 3.0
+
+
+def q_outliers_mad(sf_dir: str):
+    """Per-document robust-outlier annotation: (doc_id, lang, n_chars,
+    med_q12, mad_q12, is_outlier) where is_outlier flags |n_chars -
+    median| > OUTLIER_K * MAD within the document's language."""
+    import ray.data
+
+    from ..stages.shuffle import bucketed_apply
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "n_chars"])
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _lang, grp in g.groupby("lang", sort=False, dropna=False):
+            x = grp["n_chars"].to_numpy(np.float64)
+            med = float(np.median(x))
+            mad = float(np.median(np.abs(x - med)))
+            sub = grp[["doc_id", "lang", "n_chars"]].copy()
+            sub["med_q12"] = np.int64(np.floor(med * 1e12 + 0.5))
+            sub["mad_q12"] = np.int64(np.floor(mad * 1e12 + 0.5))
+            sub["is_outlier"] = (np.abs(x - med)
+                                 > OUTLIER_K * mad).astype(np.int64)
+            outs.append(sub)
+        if not outs:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "lang": pd.Series([], dtype="string"),
+                "n_chars": pd.Series([], dtype="int64"),
+                "med_q12": pd.Series([], dtype="int64"),
+                "mad_q12": pd.Series([], dtype="int64"),
+                "is_outlier": pd.Series([], dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed_apply(ds, ["lang"], flag)
+
+
+def sql_outliers_mad() -> str:
+    """DuckDB oracle: group medians via window MEDIAN (interpolated,
+    matching numpy), MAD in a second layer, quantized q12."""
+    return f"""
+WITH med AS (
+  SELECT doc_id, lang, n_chars,
+         MEDIAN(n_chars) OVER (PARTITION BY lang) AS med
+  FROM documents
+), mad AS (
+  SELECT doc_id, lang, n_chars, med,
+         MEDIAN(ABS(n_chars - med)) OVER (PARTITION BY lang) AS mad
+  FROM med
+)
+SELECT doc_id, lang, n_chars,
+       CAST(FLOOR(med * 1e12 + 0.5) AS BIGINT) AS med_q12,
+       CAST(FLOOR(mad * 1e12 + 0.5) AS BIGINT) AS mad_q12,
+       CAST(CASE WHEN ABS(n_chars - med) > {OUTLIER_K} * mad
+            THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+FROM mad
+"""
+
+
+QUERIES["outliers_mad"] = q_outliers_mad
+ORACLES["outliers_mad"] = sql_outliers_mad()

@@ -69,11 +69,14 @@ def _pr_route(node: np.ndarray, n: int) -> np.ndarray:
 
 def _pr_split_nodes_impl(n, *blocks):
     """Hash-shard doc_id blocks into n node buckets."""
-    ids = np.concatenate([
-        (b if isinstance(b, pa.Table) else pa.Table.from_pandas(b))
-        .column("doc_id").to_numpy().astype(np.int64)
-        for b in blocks
-    ])
+    tbls = [b if isinstance(b, pa.Table) else pa.Table.from_pandas(b)
+            for b in blocks]
+    # a zero-row parquet read can emit a schema-less block (Ray skips
+    # UDFs on empty blocks) — treat it as zero ids
+    arrs = [t.column("doc_id").to_numpy().astype(np.int64)
+            for t in tbls if "doc_id" in t.column_names]
+    ids = (np.concatenate(arrs) if arrs
+           else np.zeros(0, np.int64))
     bk = _pr_route(ids, n)
     return tuple(pa.table({"node": ids[bk == i]}) for i in range(n))
 
@@ -831,3 +834,153 @@ def sql_trustrank() -> str:
 
 QUERIES["trustrank"] = q_trustrank
 ORACLES["trustrank"] = sql_trustrank()
+
+
+# ----------------------------------------------------------------- HITS
+
+# Kleinberg's HITS (hubs and authorities) over the same directed link
+# graph, run UNNORMALIZED: h0 = 1, then each round computes
+# a_t(v) = sum of h_{t-1}(u) over in-edges (u -> v) followed by
+# h_t(u) = sum of a_t(v) over out-edges (u -> v).  The canonical
+# algorithm L2-normalizes every round; normalization is a positive
+# scalar, so the RANKING is identical and skipping it keeps every score
+# an exact int64 — the oracle is hash-exact instead of quantized (same
+# documented-divergence convention as DSIR's linear likelihood ratio).
+# With PR_LINKS out-links per page, scores grow like deg^(2*iters),
+# far below 2^63 at HITS_ITERS=3.
+#
+# Distributed shape: the PageRank scatter/gather exchange run in BOTH
+# directions — the a-step scatters h along forward edge shards (keyed
+# by src bucket, built by _directed_shards), the h-step scatters a
+# along reverse shards (keyed by dst bucket, built once at init with
+# one extra routing wave).  Each step's exchange carries at most one
+# combined row per (bucket, endpoint), never one per edge.
+
+HITS_ITERS = 3
+
+
+def _hits_rev_impl(n, edges):
+    """Route one src-bucket edge shard to the DST's home bucket (the
+    reverse adjacency, built once at init)."""
+    src = edges.column("src").to_numpy().astype(np.int64)
+    dst = edges.column("dst").to_numpy().astype(np.int64)
+    bk = _pr_route(dst, n)
+    return tuple(pa.table({"src": src[bk == i], "dst": dst[bk == i]})
+                 for i in range(n))
+
+
+def _hits_ones_impl(nodes):
+    node = nodes.column("node").to_numpy().astype(np.int64)
+    return pa.table({"node": node, "v": np.ones(len(node), np.int64)})
+
+
+def _hits_scatter_impl(n, from_col, to_col, edges, vals):
+    """Per-edge contribution vals[from_col], map-side combined by
+    to_col, routed to the to-endpoint's home bucket."""
+    e = edges.to_pandas()
+    s = vals.to_pandas()
+    m = e.merge(s, left_on=from_col, right_on="node", how="inner")
+    contrib = (m.groupby(to_col, sort=False, as_index=False)["v"].sum()
+               .rename(columns={to_col: "to"}))
+    bk = _pr_route(contrib["to"].to_numpy(np.int64), n)
+    return tuple(
+        pa.Table.from_pandas(contrib[bk == i], preserve_index=False)
+        for i in range(n))
+
+
+def _hits_gather_impl(nodes, *pieces):
+    inc = pa.concat_tables(pieces, promote_options="default").to_pandas()
+    node = nodes.column("node").to_numpy().astype(np.int64)
+    summed = inc.groupby("to", sort=False)["v"].sum()
+    v = pd.Series(node).map(summed).fillna(0).to_numpy(np.int64)
+    return pa.table({"node": node, "v": v})
+
+
+def _hits_finish_impl(h, a):
+    hd = h.to_pandas().rename(columns={"v": "hub_score"})
+    ad = a.to_pandas().rename(columns={"v": "auth_score"})
+    out = hd.merge(ad, on="node")
+    return pa.table({
+        "doc_id": out["node"].to_numpy(np.int64),
+        "hub_score": out["hub_score"].to_numpy(np.int64),
+        "auth_score": out["auth_score"].to_numpy(np.int64)})
+
+
+def q_hits(sf_dir: str):
+    """(doc_id, hub_score, auth_score) after HITS_ITERS unnormalized
+    rounds over the synthetic link graph."""
+    import ray
+    import ray.data
+
+    _pr_remote_fns()
+    for k, f in (("hits_rev", _hits_rev_impl),
+                 ("hits_ones", _hits_ones_impl),
+                 ("hits_scatter", _hits_scatter_impl),
+                 ("hits_gather", _hits_gather_impl),
+                 ("hits_finish", _hits_finish_impl)):
+        if k not in _PR_FNS:
+            _PR_FNS[k] = ray.remote(f)
+
+    n, nodes, stats, edges, _state = _directed_shards(sf_dir)
+    if edges is None:
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "hub_score": pa.array([], pa.int64()),
+            "auth_score": pa.array([], pa.int64())}))
+
+    rev = [_PR_FNS["hits_rev"].options(num_returns=n).remote(n, edges[b])
+           for b in range(n)]
+    redges = [_PR_FNS["concat"].remote(*[rev[s][b] for s in range(n)])
+              for b in range(n)]
+    h = [_PR_FNS["hits_ones"].remote(nodes[b]) for b in range(n)]
+    a = None
+    for _ in range(HITS_ITERS):
+        outs = [_PR_FNS["hits_scatter"].options(num_returns=n).remote(
+            n, "src", "dst", edges[b], h[b]) for b in range(n)]
+        a = [_PR_FNS["hits_gather"].remote(
+            nodes[b], *[outs[s][b] for s in range(n)]) for b in range(n)]
+        outs2 = [_PR_FNS["hits_scatter"].options(num_returns=n).remote(
+            n, "dst", "src", redges[b], a[b]) for b in range(n)]
+        h = [_PR_FNS["hits_gather"].remote(
+            nodes[b], *[outs2[s][b] for s in range(n)]) for b in range(n)]
+    fin = [_PR_FNS["hits_finish"].remote(h[b], a[b]) for b in range(n)]
+    return ray.data.from_arrow_refs(fin)
+
+
+def sql_hits() -> str:
+    """Full-chain integer oracle: edge synthesis + every (a, h) round
+    as chained CTEs — all BIGINT, hash-exact."""
+    js = ", ".join(f"({j})" for j in range(PR_LINKS))
+    parts = [
+        "WITH m AS (SELECT CAST(MAX(doc_id)+1 AS BIGINT) AS md "
+        "FROM documents)",
+        f"cand AS (SELECT dd.doc_id AS src, "
+        f"(dd.doc_id*{_A} + j.j*{_B} + {_C}) % m.md AS dst "
+        f"FROM documents dd CROSS JOIN m CROSS JOIN (VALUES {js}) j(j))",
+        "e AS (SELECT DISTINCT c.src, c.dst FROM cand c "
+        "JOIN documents t ON t.doc_id = c.dst WHERE c.dst <> c.src)",
+        "h0 AS (SELECT doc_id AS v, CAST(1 AS BIGINT) AS x "
+        "FROM documents)",
+    ]
+    prev_h = "h0"
+    for t in range(1, HITS_ITERS + 1):
+        parts.append(
+            f"a{t} AS (SELECT dd.doc_id AS v, "
+            f"CAST(COALESCE(SUM(p.x), 0) AS BIGINT) AS x "
+            f"FROM documents dd LEFT JOIN e ON e.dst = dd.doc_id "
+            f"LEFT JOIN {prev_h} p ON p.v = e.src GROUP BY dd.doc_id)")
+        parts.append(
+            f"h{t} AS (SELECT dd.doc_id AS v, "
+            f"CAST(COALESCE(SUM(q.x), 0) AS BIGINT) AS x "
+            f"FROM documents dd LEFT JOIN e ON e.src = dd.doc_id "
+            f"LEFT JOIN a{t} q ON q.v = e.dst GROUP BY dd.doc_id)")
+        prev_h = f"h{t}"
+    parts.append(
+        f"sel AS (SELECT h.v AS doc_id, h.x AS hub_score, "
+        f"q.x AS auth_score FROM h{HITS_ITERS} h "
+        f"JOIN a{HITS_ITERS} q ON q.v = h.v)")
+    return ", ".join(parts) + " SELECT * FROM sel"
+
+
+QUERIES["hits"] = q_hits
+ORACLES["hits"] = sql_hits()

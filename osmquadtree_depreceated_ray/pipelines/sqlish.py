@@ -269,10 +269,14 @@ def case_when(branches, default=None) -> Expr:
         out = _wrap(default)(t) if default is not None else None
         for cond, val in reversed(branches):
             v = _wrap(val)(t)
+            # SQL: a NULL WHEN condition does NOT match (falls through
+            # to the next branch / ELSE); pc.if_else would propagate
+            # the null into the result instead
+            c = pc.fill_null(cond(t), False)
             if out is None:
-                out = pc.if_else(cond(t), v, pa.scalar(None, _arr_type(v)))
+                out = pc.if_else(c, v, pa.scalar(None, _arr_type(v)))
             else:
-                out = pc.if_else(cond(t), v, out)
+                out = pc.if_else(c, v, out)
         return out
 
     return Expr(fn, "case")

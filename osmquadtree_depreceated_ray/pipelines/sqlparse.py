@@ -466,9 +466,23 @@ class _Parser:
             return _negate_in(e, self._parse_in_tail(e))
         if k == "op" and v in ("=", "<>", "!=", "<", "<=", ">", ">="):
             self.next()
-            return ({"=": "eq", "<>": "ne", "!=": "ne", "<": "lt",
-                     "<=": "le", ">": "gt", ">=": "ge"}[v],
-                    e, self.parse_bit())
+            opn = {"=": "eq", "<>": "ne", "!=": "ne", "<": "lt",
+                   "<=": "le", ">": "gt", ">=": "ge"}[v]
+            nk, nv = self.peek()
+            if (nk in ("kw", "ident")
+                    and str(nv).lower() in ("any", "all", "some")):
+                # quantified comparison: x op ANY/ALL (subquery) —
+                # resolved at plan time from four subquery-side scalars
+                # (min / max / count / non-null count)
+                quant = "all" if str(nv).lower() == "all" else "any"
+                self.next()
+                self.expect("op", "(")
+                if self.peek() != ("kw", "select"):
+                    raise ValueError("ANY/ALL requires a subquery")
+                sub = self.parse_select()
+                self.expect("op", ")")
+                return ("quant", opn, e, quant, sub)
+            return (opn, e, self.parse_bit())
         if k == "kw" and v == "like":
             self.next()
             return ("like", e, self.expect("str")[1])
@@ -821,8 +835,22 @@ class _Parser:
 
 def _never(e):
     """A predicate no row satisfies, as an ARRAY-producing node: e != e
-    is FALSE for non-null e and NULL for null e — both filtered."""
+    is FALSE for non-null e and NULL for null e — both filtered.  Only
+    polarity-safe where NULL is an acceptable stand-in for FALSE; a
+    strictly-boolean predicate (EXISTS, IN over an empty set) must use
+    :func:`_always_false` so an enclosing NOT yields TRUE."""
     return ("ne", e, e)
+
+
+def _always_false(e):
+    """Strict FALSE for every row, NULL probes included (isnull/notnull
+    never return NULL, and Kleene AND of TRUE/FALSE is FALSE)."""
+    return ("and", ("isnull", e), ("notnull", e))
+
+
+def _always_true(e):
+    """Strict TRUE for every row, NULL probes included."""
+    return ("or", ("isnull", e), ("notnull", e))
 
 
 def _negate_in(e, in_node):
@@ -833,10 +861,11 @@ def _negate_in(e, in_node):
     if in_node[0] == "in_sub":
         # NULL handling deferred to plan time (the set isn't known yet)
         return ("not_in_sub", e, in_node[2])
-    vals = in_node[2]
-    if any(v is None for v in vals):
-        return _never(e)
-    return ("and", ("notnull", e), ("not", in_node))
+    # Expr.isin carries full 3VL (NULL probe -> NULL; NULL member ->
+    # non-matches NULL), so plain negation is exact in every polarity:
+    # member -> FALSE, non-member-with-null-in-set -> NULL, NULL probe
+    # -> NULL — and an enclosing NOT re-inverts correctly
+    return ("not", in_node)
 
 
 # -- compilation to the sqlish Expr layer -----------------------------------
@@ -900,6 +929,38 @@ def _compile_expr(node) -> Expr:
                     for c, v in node[1]]
         default = _compile_expr(node[2]) if node[2] is not None else None
         return case_when(branches, default)
+    if op == "cum_probe":
+        # inequality-correlated scalar aggregate: one searchsorted into
+        # the broadcast cumulative arrays picks each row's window (see
+        # _build_cum_probe)
+        import pyarrow.compute as _pc
+
+        xe = _compile_expr(node[1])
+        p = node[2]
+
+        def _cum_fn(t, _xe=xe, _p=p):
+            xa = _pc.cast(_xe(t), pa.float64())
+            xf = xa.to_numpy(zero_copy_only=False)
+            isnan = np.isnan(xf)
+            j = np.searchsorted(_p["keys"], np.where(isnan, 0.0, xf),
+                                side=_p["side"])
+            kind = _p["kind"]
+            if kind == "count":
+                out = _p["c"][j].astype(np.int64)
+                # a NULL outer probe selects no rows: COUNT is 0
+                out[isnan] = 0
+                return pa.array(out, pa.int64())
+            if kind in ("sum", "avg"):
+                cs, cc = _p["s"][j], _p["c"][j]
+                vals = cs / np.where(cc == 0, 1.0, cc) \
+                    if kind == "avg" else cs
+                mask = isnan | (cc == 0)
+                return pa.array(vals, pa.float64(), mask=mask)
+            vm = _p["v"][j]
+            mask = isnan | np.isnan(vm)
+            return pa.array(vm, pa.float64(), mask=mask)
+
+        return Expr(_cum_fn, "cum_probe")
     if op == "call":
         name, args = node[1], [_compile_expr(a) for a in node[2]]
 
@@ -1353,6 +1414,13 @@ def _run_rollup_select(ds, sel) -> "ray.data.Dataset":  # noqa: F821
                     hv = _subst_nonagg(hv, gnode, ("lit", None))
             sel_i["having"] = hv
         outs.append(_run_grouped_select(ds, sel_i))
+    # a keyed level over an EMPTY input is a void (schema-less zero-row)
+    # relation — drop it from the union; the () level still emits its
+    # one grand-total row through the global-aggregate path
+    live = [o for o in outs if _schema_names_or_none(o) is not None]
+    if not live:
+        return outs[0]
+    outs = live
     # target schema: per column, the first non-null type across levels
     # (ROLLUP/CUBE always emit the all-keys level first, but GROUPING
     # SETS levels may each null out a different key)
@@ -2318,7 +2386,8 @@ def _split_correlation(sub_sel, tables, kind: str):
         raise ValueError(f"{kind} subquery with JOIN/GROUP BY unsupported")
     inner = tables[sub_sel["table"]]
     inner_names = set(inner.schema().names)
-    corr, inner_conjs = [], []
+    corr, ineq, inner_conjs = [], [], []
+    _FLIP = {"gt": "lt", "ge": "le", "lt": "gt", "le": "ge"}
     conjs = (_split_conjuncts(sub_sel["where"])
              if sub_sel["where"] is not None else [])
     for conj in conjs:
@@ -2344,11 +2413,25 @@ def _split_correlation(sub_sel, tables, kind: str):
                 corr.append((b, a))
             else:
                 raise ValueError(f"unresolvable {kind} conjunct: {conj}")
+        elif (isinstance(conj, tuple) and conj[0] in _FLIP
+              and conj[1][0] == "col" and conj[2][0] == "col"):
+            # inequality correlation, normalized to "inner OP outer"
+            a, b = conj[1][1], conj[2][1]
+            if a in inner_names and b not in inner_names:
+                ineq.append((conj[0], a, b))
+            elif b in inner_names and a not in inner_names:
+                ineq.append((_FLIP[conj[0]], b, a))
+            else:
+                raise ValueError(f"unresolvable {kind} conjunct: {conj}")
         else:
             raise ValueError(f"unsupported {kind} conjunct: {conj}")
     if len(corr) > 1:
         raise ValueError(f"{kind} supports a single correlation equality")
-    return inner_conjs, corr
+    if len(ineq) > 1 or (ineq and corr):
+        raise ValueError(
+            f"{kind} supports a single correlation conjunct (one "
+            "equality OR one inequality)")
+    return inner_conjs, corr, ineq
 
 
 def _pending_semi_join(vals_ds, probe_node, pending):
@@ -2409,7 +2492,35 @@ def _resolve_exists(sub_sel, tables, broadcast_threshold, outer_names,
     ``PROBE_COLLECT_THRESHOLD`` broadcast as literals; larger sets take
     the bucketed semi-join fallback (:func:`_pending_semi_join`).  NOT
     EXISTS is true for a NULL outer probe (unlike NOT IN's 3VL)."""
-    inner_conjs, corr = _split_correlation(sub_sel, tables, "EXISTS")
+    inner_conjs, corr, ineq = _split_correlation(sub_sel, tables, "EXISTS")
+    if ineq:
+        # single inequality correlation (inner.m OP outer.x): EXISTS
+        # iff the inner side's extreme value satisfies it — m > x has a
+        # witness iff MAX(m) > x, m < x iff MIN(m) < x.  One global
+        # aggregate over the filtered inner side (a scalar to the
+        # driver, never the value set)
+        iop, ic, oc = ineq[0]
+        agg = "max" if iop in ("gt", "ge") else "min"
+        sub_ast = {"selects": [dict(
+            sub_sel, items=[(("call", agg, [("col", ic)]), "v")],
+            where=_and_fold(inner_conjs), distinct=False, group=None)],
+            "set_ops": [], "order": None, "desc": None, "limit": None}
+        ext = _exec_ast(sub_ast, tables, broadcast_threshold).to_pandas()
+        v = ext.iloc[0, 0] if len(ext) else None
+        v = None if v is None or (isinstance(v, float) and np.isnan(v)) \
+            else (v.item() if hasattr(v, "item") else v)
+        probe = ("col", oc)
+        if v is None:
+            # empty inner (or all-NULL m): no witness exists — EXISTS
+            # is strictly boolean, so the constant must be polarity-safe
+            return _always_true(probe) if negated else _always_false(probe)
+        flip = {"gt": "lt", "ge": "le", "lt": "gt", "le": "ge"}
+        cmp_node = (flip[iop], probe, ("lit", v))
+        if negated:
+            # a NULL outer probe satisfies NOT EXISTS (no inner row can
+            # compare true against NULL)
+            return ("or", ("isnull", probe), ("not", cmp_node))
+        return cmp_node
     if not corr:
         # uncorrelated EXISTS: a constant — probe one row.  The constant
         # predicate must still be ARRAY-producing for the filter kernel,
@@ -2423,9 +2534,7 @@ def _resolve_exists(sub_sel, tables, broadcast_threshold, outer_names,
         outer = (outer_names() if callable(outer_names)
                  else (outer_names or set()))
         anchor = ("col", sorted(outer)[0])
-        if truthy:
-            return ("or", ("isnull", anchor), ("notnull", anchor))
-        return _never(anchor)
+        return _always_true(anchor) if truthy else _always_false(anchor)
     ic, oc = corr[0]
     outer = outer_names() if callable(outer_names) else (outer_names or set())
     if outer and oc not in outer:
@@ -2451,6 +2560,70 @@ def _resolve_exists(sub_sel, tables, broadcast_threshold, outer_names,
         # NULL probe rows satisfy NOT EXISTS (no inner row can equal NULL)
         return ("or", ("isnull", probe), ("not", ("in", probe, vals)))
     return ("in", probe, vals)
+
+
+def _build_cum_probe(pk: pd.DataFrame, fname: str, iop: str, oc: str):
+    """Compile an inequality-correlated scalar aggregate (``SELECT
+    AGG(v) FROM inner WHERE inner.m OP outer.x``) into a sorted
+    cumulative-aggregate probe node.
+
+    Per-distinct-key partial aggregates (keys-sized — the same
+    driver-small contract as the equality decorrelation) are sorted by
+    key and accumulated from the side the inequality selects; each
+    outer row then picks its window with ONE searchsorted.  O(distinct
+    keys) broadcast state, O(log k) per outer row, no per-row subquery
+    execution.  Keys compare as float64 (exact to 2^53, the same
+    mantissa contract as the exchange's routing canonicalization)."""
+    if "__m" not in pk.columns:
+        # empty inner side: Dataset.to_pandas() drops columns on
+        # zero-row datasets — every window is empty
+        pk = pd.DataFrame({c: pd.Series([], dtype="float64")
+                           for c in ("__m", "__s", "__c", "__v")})
+    pk = pk.dropna(subset=["__m"])
+    try:
+        m = pk["__m"].to_numpy(np.float64)
+    except (TypeError, ValueError):
+        raise ValueError(
+            "inequality-correlated scalar subquery needs a numeric "
+            "correlation column") from None
+    order = np.argsort(m, kind="stable")
+    m = m[order]
+    n = len(m)
+    from_high = iop in ("gt", "ge")
+    # cut index j = searchsorted(keys, x, side) partitions keys into
+    # keys[:j] (the lt/le window) and keys[j:] (the gt/ge window)
+    side = {"gt": "right", "ge": "left", "lt": "left", "le": "right"}[iop]
+    payload = {"keys": m, "side": side, "kind": fname}
+    if fname in ("sum", "avg", "count"):
+        c = pk["__c"].to_numpy(np.float64)[order] if n else np.zeros(0)
+        cum_c = np.zeros(n + 1)
+        if from_high:
+            cum_c[:n] = np.cumsum(c[::-1])[::-1]
+        else:
+            cum_c[1:] = np.cumsum(c)
+        payload["c"] = cum_c
+        if fname in ("sum", "avg"):
+            s = np.nan_to_num(pd.to_numeric(pk["__s"], errors="coerce")
+                              .to_numpy(np.float64)[order]) if n \
+                else np.zeros(0)
+            cum_s = np.zeros(n + 1)
+            if from_high:
+                cum_s[:n] = np.cumsum(s[::-1])[::-1]
+            else:
+                cum_s[1:] = np.cumsum(s)
+            payload["s"] = cum_s
+    else:  # min / max
+        v = (pd.to_numeric(pk["__v"], errors="coerce")
+             .to_numpy(np.float64)[order] if n else np.zeros(0))
+        acc = np.fmin if fname == "min" else np.fmax
+        vm = np.full(n + 1, np.nan)
+        if n:
+            if from_high:
+                vm[:n] = acc.accumulate(v[::-1])[::-1]
+            else:
+                vm[1:] = acc.accumulate(v)
+        payload["v"] = vm
+    return ("cum_probe", ("col", oc), payload)
 
 
 def _resolve_subqueries(node, tables, broadcast_threshold,
@@ -2483,12 +2656,50 @@ def _resolve_subqueries(node, tables, broadcast_threshold,
     if node[0] == "scalar_sub":
         sub_sel = node[1]
         corr: list = []
+        ineq: list = []
         inner_conjs = None
         if (isinstance(sub_sel["table"], str)
                 and sub_sel.get("join") is None
                 and not sub_sel.get("group")):
-            inner_conjs, corr = _split_correlation(
+            inner_conjs, corr, ineq = _split_correlation(
                 sub_sel, tables, "scalar subquery")
+        if ineq:
+            # single inequality correlation: decorrelate into a sorted
+            # cumulative-aggregate probe (see _build_cum_probe)
+            items = sub_sel["items"]
+            if (items is None or len(items) != 1
+                    or not _has_agg(items[0][0])):
+                raise ValueError(
+                    "correlated scalar subquery must select exactly "
+                    "one aggregate expression")
+            aggs: list = []
+            rewritten = _extract_aggs(items[0][0], aggs)
+            if len(aggs) != 1 or rewritten != ("col", aggs[0][0]):
+                raise ValueError(
+                    "inequality-correlated scalar subquery must be a "
+                    "single plain aggregate call")
+            _key, fname, fargs = aggs[0]
+            if fname not in ("sum", "count", "min", "max", "avg"):
+                raise ValueError(
+                    f"inequality-correlated scalar aggregate {fname!r} "
+                    "unsupported (sum/count/min/max/avg)")
+            iop, ic, oc = ineq[0]
+            part_items = [(("col", ic), "__m")]
+            if fname in ("sum", "avg"):
+                part_items += [(("call", "sum", fargs), "__s"),
+                               (("call", "count", fargs), "__c")]
+            elif fname == "count":
+                part_items += [(("call", "count", fargs), "__c")]
+            else:
+                part_items += [(("call", fname, fargs), "__v")]
+            sub_ast = {"selects": [dict(
+                sub_sel, items=part_items, where=_and_fold(inner_conjs),
+                group=[("col", ic)], distinct=False)],
+                "set_ops": [], "order": None, "desc": None,
+                "limit": None}
+            pk = _exec_ast(sub_ast, tables,
+                           broadcast_threshold).to_pandas()
+            return _build_cum_probe(pk, fname, iop, oc)
         if corr:
             if pending is None:
                 raise ValueError(
@@ -2501,10 +2712,36 @@ def _resolve_subqueries(node, tables, broadcast_threshold,
                     "aggregate expression")
             ic, oc = corr[0]
             i = len(pending)
-            kcol, vcol = f"__sck{i}", f"__scv{i}"
+            kcol = f"__sck{i}"
+            # compute each DISTINCT aggregate inside the item as its
+            # own per-key column; after the left join, COUNT-kind
+            # columns coalesce to 0 for unmatched keys (SQL: a scalar
+            # COUNT over an empty match set is 0, not NULL), while
+            # SUM/MIN/... stay NULL — then the item's surrounding
+            # expression evaluates over the substituted columns
+            aggs: list = []
+            rewritten = _extract_aggs(items[0][0], aggs)
+            sub_items = [(("col", ic), kcol)]
+            subst = {}
+            for j, (akey, afname, aargs) in enumerate(aggs):
+                vcol = f"__scv{i}_{j}"
+                if afname.endswith("!d"):
+                    call = ("calld", afname[:-2], aargs)
+                else:
+                    call = ("call", afname, aargs)
+                sub_items.append((call, vcol))
+                if afname in ("count", "count!d"):
+                    # the left join turns the int64 count into float64
+                    # (NaN for unmatched keys) — coalesce to 0 and cast
+                    # back so a scalar COUNT stays BIGINT
+                    subst[akey] = ("cast", ("call", "coalesce",
+                                            [("col", vcol), ("lit", 0)]),
+                                   "bigint")
+                else:
+                    subst[akey] = ("col", vcol)
             sub_ast = {"selects": [dict(
                 sub_sel,
-                items=[(("col", ic), kcol), (items[0][0], vcol)],
+                items=sub_items,
                 where=_and_fold(inner_conjs),
                 group=[("col", ic)], distinct=False)],
                 "set_ops": [], "order": None, "desc": None,
@@ -2514,12 +2751,30 @@ def _resolve_subqueries(node, tables, broadcast_threshold,
 
             # the per-key aggregate is keys-sized (same driver-small
             # contract as IN (subquery)); materialize so the join
-            # planner sees an in-memory build side and broadcasts it
+            # planner sees an in-memory build side and broadcasts it.
+            # permissive: buckets whose key slice contained a NULL come
+            # back float64 while NULL-free buckets stay int64 — promote
+            # rather than fail (the pandas probe merge casts numeric
+            # keys to a common dtype, exact to 2^53)
             tbl = pa.concat_tables(
                 _ray.get(agg_ds.to_arrow_refs()),
-                promote_options="default")
+                promote_options="permissive")
             pending.append((_ray.data.from_arrow(tbl), oc, kcol, "left"))
-            return ("col", vcol)
+
+            def _subst_agg_cols(nd):
+                if isinstance(nd, tuple):
+                    if len(nd) == 2 and nd[0] == "col" and nd[1] in subst:
+                        return subst[nd[1]]
+                    return tuple(
+                        _subst_agg_cols(x) if isinstance(x, (tuple, list))
+                        else x for x in nd)
+                if isinstance(nd, list):
+                    return [
+                        _subst_agg_cols(x) if isinstance(x, (tuple, list))
+                        else x for x in nd]
+                return nd
+
+            return _subst_agg_cols(rewritten)
         sub_ast = {"selects": [sub_sel], "set_ops": [], "order": None,
                    "desc": None, "limit": 2}
         sub = _exec_ast(sub_ast, tables, broadcast_threshold).to_pandas()
@@ -2529,6 +2784,74 @@ def _resolve_subqueries(node, tables, broadcast_threshold,
         if v is not None and hasattr(v, "item"):
             v = v.item()
         return ("lit", v)
+    if node[0] == "quant":
+        # quantified comparison x op ANY/ALL (subquery): the subquery
+        # side reduces to FOUR scalars (non-null min/max, row count,
+        # non-null count) computed distributed per block — cheaper than
+        # IN's value-set collect whatever the set size.  Lowering (SQL
+        # 3VL): ANY is true iff the comparison holds against the best
+        # element, false only when no element could satisfy it AND the
+        # set is NULL-free; ALL is the dual.
+        _opn, quant, sub_sel = node[1], node[3], node[4]
+        e = _resolve_subqueries(node[2], tables, broadcast_threshold,
+                                outer_names, pending)
+        if _opn == "eq" and quant == "any":
+            return _resolve_subqueries(("in_sub", node[2], sub_sel),
+                                       tables, broadcast_threshold,
+                                       outer_names, pending)
+        if _opn == "ne" and quant == "all":
+            return _resolve_subqueries(("not_in_sub", node[2], sub_sel),
+                                       tables, broadcast_threshold,
+                                       outer_names, pending)
+        sub_ast = {"selects": [sub_sel], "set_ops": [], "order": None,
+                   "desc": None, "limit": None}
+        sds = _exec_ast(sub_ast, tables, broadcast_threshold)
+
+        def blockstats(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            c = t.column(0)
+            return pa.table({
+                "mn": pa.array([_pc.min(c).as_py()]),
+                "mx": pa.array([_pc.max(c).as_py()]),
+                "n": pa.array([t.num_rows], pa.int64()),
+                "nn": pa.array([len(c) - c.null_count], pa.int64())})
+
+        parts = sds.map_batches(blockstats,
+                                batch_format="pyarrow").to_pandas()
+        n_rows = int(parts["n"].sum()) if "n" in parts.columns else 0
+        nn = int(parts["nn"].sum()) if n_rows else 0
+        if n_rows == 0:
+            # empty set: ANY is vacuously FALSE, ALL vacuously TRUE —
+            # strictly boolean, so NULL probes get the constant too
+            return _always_false(e) if quant == "any" else _always_true(e)
+        if nn == 0:
+            # every element NULL: every comparison is NULL
+            return ("case", [(_never(e), ("lit", True))], None)
+        mn = parts["mn"].dropna().min()
+        mx = parts["mx"].dropna().max()
+        mn = mn.item() if hasattr(mn, "item") else mn
+        mx = mx.item() if hasattr(mx, "item") else mx
+        has_null = nn < n_rows
+        if _opn in ("eq", "ne"):
+            # eq/ALL: false iff some non-null element differs;
+            # ne/ANY: true under exactly that condition
+            diff = ("or", ("ne", e, ("lit", mn)), ("ne", e, ("lit", mx)))
+            if quant == "any":  # ne/any
+                return ("case", [(diff, ("lit", True))], None) \
+                    if has_null else diff
+            return ("case", [(diff, ("lit", False))], None) \
+                if has_null else ("not", diff)
+        if quant == "any":
+            best = mn if _opn in ("gt", "ge") else mx
+            cmp_t = (_opn, e, ("lit", best))
+            return ("case", [(cmp_t, ("lit", True))], None) \
+                if has_null else cmp_t
+        worst = mx if _opn in ("gt", "ge") else mn
+        neg_op = {"gt": "le", "ge": "lt", "lt": "ge", "le": "gt"}[_opn]
+        fail = (neg_op, e, ("lit", worst))
+        return ("case", [(fail, ("lit", False))], None) \
+            if has_null else ("not", fail)
     if node[0] in ("in_sub", "not_in_sub"):
         sub_ast = {"selects": [node[2]], "set_ops": [], "order": None,
                    "desc": None, "limit": None}
@@ -2542,31 +2865,65 @@ def _resolve_subqueries(node, tables, broadcast_threshold,
         can_bucket = (pending is not None and isinstance(e, tuple)
                       and len(e) > 0 and e[0] == "col")
         if sub_ds.count() > PROBE_COLLECT_THRESHOLD and can_bucket:
+            # full 3VL over the marker join, polarity-safe: a member
+            # probe carries the marker (m IS NOT NULL); a NULL probe
+            # never matches; a NULL in the value set makes every
+            # non-match NULL.  The null check is distributed (O(blocks))
+            set_has_null = bool(_null_count_col0(sub_ds))
+            m = _pending_semi_join(sub_ds, e, pending)
             if node[0] == "not_in_sub":
-                # SQL 3VL: any NULL in the set makes NOT IN never TRUE.
-                # The null check is distributed (O(blocks) result)
-                if _null_count_col0(sub_ds):
-                    return _never(e)
-                m = _pending_semi_join(sub_ds, e, pending)
-                return ("and", ("notnull", e), ("isnull", m))
-            # a NULL probe joins to no marker -> excluded, matching the
-            # literal path's WHERE semantics (NULL IN (...) is filtered)
-            return ("notnull", _pending_semi_join(sub_ds, e, pending))
+                if set_has_null:
+                    # member -> FALSE, anything else -> NULL
+                    return ("case", [(("notnull", m), ("lit", False))],
+                            None)
+                # member -> FALSE, non-null non-member -> TRUE,
+                # NULL probe -> NULL
+                return ("case", [(("notnull", m), ("lit", False)),
+                                 (("notnull", e), ("lit", True))], None)
+            if set_has_null:
+                # member -> TRUE, anything else -> NULL
+                return ("case", [(("notnull", m), ("lit", True))], None)
+            return ("case", [(("notnull", m), ("lit", True)),
+                             (("notnull", e), ("lit", False))], None)
         sub = sub_ds.to_pandas()
+        if len(sub.columns) == 0 or len(sub) == 0:
+            # EMPTY value set (to_pandas drops columns on zero-row
+            # datasets): the quantification is vacuous — IN is FALSE
+            # and NOT IN is TRUE for EVERY probe, including NULL
+            if node[0] == "not_in_sub":
+                return _always_true(e)
+            return _always_false(e)
         col0 = sub[sub.columns[0]]
-        vals = col0.dropna().unique().tolist()
+        # keep NULL members (normalized from NaN): Expr.isin carries
+        # full 3VL, so a NULL in the set makes non-matches NULL — which
+        # NOT (x IN (...)) then propagates correctly
+        vals = [None if (v is None or (isinstance(v, float)
+                                       and np.isnan(v))) else v
+                for v in col0.unique().tolist()]
         if node[0] == "not_in_sub":
-            # SQL 3VL: a NULL in the subquery result makes NOT IN never
-            # TRUE; otherwise exclude members and NULL probes
-            if col0.isna().any():
-                return _never(e)
-            return ("and", ("notnull", e), ("not", ("in", e, vals)))
+            # Expr.isin carries full 3VL (NULL probe -> NULL; NULL
+            # member -> non-matches NULL), so plain negation is exact:
+            # a NULL in the set makes NOT IN never TRUE, and the NULL
+            # (not FALSE) non-matches survive an enclosing NOT
+            # correctly — a _never()/notnull rewrite would only be
+            # equivalent in positive WHERE polarity
+            return ("not", ("in", e, vals))
         return ("in", e, vals)
     return tuple(
         _resolve_subqueries(x, tables, broadcast_threshold, outer_names,
                             pending)
         if isinstance(x, (tuple, list)) else x for x in node
     )
+
+
+def _schema_names_or_none(ds):
+    """Column names of ``ds``, or None for a schema-less empty relation.
+    Ray Data skips map_batches UDFs on zero-row blocks, so a pipeline
+    over an empty stream can lose its schema entirely — consumers must
+    treat such a dataset as 'empty, unknown columns' rather than crash
+    on ``ds.schema()`` being None."""
+    s = ds.schema(fetch_if_missing=True)
+    return list(s.names) if s is not None and s.names else None
 
 
 def _align_positional(left_names, other):
@@ -2987,7 +3344,9 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
             if sel["distinct"]:
                 from ..stages.shuffle import distinct as _distinct
 
-                out = _distinct(out, out.schema().names)
+                _dn = _schema_names_or_none(out)
+                if _dn is not None:
+                    out = _distinct(out, _dn)
             runs.append(out)
             continue
         if sel.get("group") or (
@@ -2999,7 +3358,9 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
             if sel["distinct"]:
                 from ..stages.shuffle import distinct as _distinct
 
-                out = _distinct(out, out.schema().names)
+                _dn = _schema_names_or_none(out)
+                if _dn is not None:
+                    out = _distinct(out, _dn)
             runs.append(out)
             continue
         if sel["items"] is not None and any(
@@ -3008,7 +3369,9 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
             if sel["distinct"]:
                 from ..stages.shuffle import distinct as _distinct
 
-                out = _distinct(out, out.schema().names)
+                _dn = _schema_names_or_none(out)
+                if _dn is not None:
+                    out = _distinct(out, _dn)
             runs.append(out)
             continue
         q = Query(ds)
@@ -3023,14 +3386,40 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
         if sel["distinct"]:
             from ..stages.shuffle import distinct as _distinct
 
-            out = _distinct(out, out.schema().names)
+            _dn = _schema_names_or_none(out)
+            if _dn is not None:
+                out = _distinct(out, _dn)
         runs.append(out)
     ds = runs[0]
     set_ops = ast.get("set_ops") or ["union_all"] * (len(runs) - 1)
     for other, sop in zip(runs[1:], set_ops):
+        lnames = _schema_names_or_none(ds)
+        rnames = _schema_names_or_none(other)
+        if rnames is None:
+            # right side is a schema-less empty relation: UNION ALL and
+            # EXCEPT [ALL] keep the left unchanged, UNION still dedups
+            # it, INTERSECT [ALL] with nothing is nothing
+            if sop == "union" and lnames is not None:
+                from ..stages.shuffle import distinct as _distinct
+
+                ds = _distinct(ds, lnames)
+            elif sop in ("intersect", "intersect_all") \
+                    and lnames is not None:
+                ds = ds.limit(0)
+            continue
+        if lnames is None:
+            # empty left: UNION [ALL] adopts the right side;
+            # (empty) INTERSECT/EXCEPT x stays empty
+            if sop == "union_all":
+                ds = other
+            elif sop == "union":
+                from ..stages.shuffle import distinct as _distinct
+
+                ds = _distinct(other, rnames)
+            continue
         # SQL set operations align columns by POSITION, not name:
         # positionally rename the right side to the left's schema
-        other = _align_positional(ds.schema().names, other)
+        other = _align_positional(lnames, other)
         if sop == "union_all":
             ds = ds.union(other)
         elif sop == "union":
@@ -3038,13 +3427,16 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
             # (left-associative, sqlselect/sql.go)
             from ..stages.shuffle import distinct as _distinct
 
-            ds = _distinct(ds.union(other), ds.schema().names)
+            ds = _distinct(ds.union(other), lnames)
         else:
             # INTERSECT / EXCEPT: distinct set semantics — tag each
             # side, co-locate identical rows via the bucketed exchange,
             # keep one copy of rows present in both (or left-only)
-            cols = ds.schema().names
-            ds = _set_op(ds, other, cols, sop)
+            ds = _set_op(ds, other, lnames, sop)
+    if _schema_names_or_none(ds) is None:
+        # fully-void result (schema lost over an empty stream):
+        # ORDER BY / LIMIT over an empty relation are no-ops
+        return ds
     if ast["order"]:
         sort_cols, descs, synth = [], [], []
         nulls_spec = ast.get("nulls") or [None] * len(ast["order"])

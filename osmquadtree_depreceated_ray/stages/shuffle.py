@@ -88,7 +88,12 @@ def _split_impl(keys, n_buckets, combine, *blocks):
     live = [t for t in tbls
             if t.num_rows or all(k in t.column_names for k in keys)]
     if not live:
-        empty = tbls[0].slice(0, 0)
+        # no block carries the key columns (Ray's pandas map_batches
+        # skips the UDF on zero-row blocks, so computed keys never
+        # materialize on an empty stream) — emit explicitly schema-less
+        # empties; the reduce treats an all-schema-less bucket as
+        # zero rows without calling fn
+        empty = pa.table({})
         return tuple(empty for _ in range(n_buckets)) if n_buckets > 1 else empty
     block = live[0] if len(live) == 1 else pa.concat_tables(
         live, promote_options="default")
@@ -112,8 +117,13 @@ def _split_impl(keys, n_buckets, combine, *blocks):
 
 def _reduce_impl(fn, *pieces):
     live = [p for p in pieces if p.num_columns]
-    tbl = pa.concat_tables(live, promote_options="default") if live \
-        else pa.table({})
+    if not live:
+        # every split task saw only schema-less empty blocks: the
+        # keyed input is empty, and fn's contract (a frame carrying
+        # the key columns) cannot be met — a keyed aggregate/apply
+        # over an empty relation is empty
+        return pa.table({}), 0
+    tbl = pa.concat_tables(live, promote_options="default")
     out = fn(tbl.to_pandas())
     if not isinstance(out, pa.Table):
         # strip the pandas schema metadata: it would round-trip

@@ -214,3 +214,23 @@ def test_dsir_weights_fallback_matches_broadcast(ray_session):
         a[sorted(a.columns)], b[sorted(b.columns)].astype(
             {c: a[c].dtype for c in a.columns}))
     assert ((a["w"] > 0) & (a["w"] <= 1.0)).all()
+
+
+def test_outliers_mad_vs_pandas(ray_session, docs):
+    from osmquadtree_depreceated_ray.pipelines.queries_curate import (
+        OUTLIER_K,
+        q_outliers_mad,
+    )
+
+    got = (q_outliers_mad(SF).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert len(got) == len(docs)
+    for lang, grp in got.groupby("lang"):
+        x = docs.loc[docs["lang"] == lang, "n_chars"].to_numpy(float)
+        med = float(np.median(x))
+        mad = float(np.median(np.abs(x - med)))
+        assert (grp["med_q12"] == np.int64(np.floor(med * 1e12 + 0.5))).all()
+        assert (grp["mad_q12"] == np.int64(np.floor(mad * 1e12 + 0.5))).all()
+        gx = grp["n_chars"].to_numpy(float)
+        assert (grp["is_outlier"].to_numpy()
+                == (np.abs(gx - med) > OUTLIER_K * mad).astype(np.int64)).all()

@@ -237,3 +237,56 @@ def test_trustrank_matches_dense_reference(ray_session):
     assert np.abs(got["trust_q12"].to_numpy() - want_q).max() <= 1
     # mass conservation
     assert abs(got["trust_q12"].sum() / qg.PR_QUANT - 1.0) < 1e-6
+
+
+@pytest.mark.parametrize("gappy", [False, True])
+def test_hits_matches_dense_reference(ray_session, gappy):
+    """Unnormalized integer HITS vs a dense adjacency-matrix reference:
+    a_t = A^T h_{t-1}, h_t = A a_t — exact int64 equality."""
+    from osmquadtree_depreceated_ray.pipelines import queries_graph as qg
+
+    rng = np.random.default_rng(11)
+    if gappy:
+        ids = np.unique(rng.integers(0, 4000, size=180).astype(np.int64))
+    else:
+        ids = np.arange(250, dtype=np.int64)
+    ids = np.sort(ids)
+    idx = {v: i for i, v in enumerate(ids)}
+    mod = ids.max() + 1
+    n = len(ids)
+    A = np.zeros((n, n), np.int64)
+    for s in ids:
+        for j in range(qg.PR_LINKS):
+            d = (s * qg._A + j * qg._B + qg._C) % mod
+            if d != s and d in idx:
+                A[idx[s], idx[d]] = 1
+    h = np.ones(n, np.int64)
+    a = np.zeros(n, np.int64)
+    for _ in range(qg.HITS_ITERS):
+        a = A.T @ h
+        h = A @ a
+
+    import pyarrow.parquet as _pq
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        _pq.write_table(pa.table({"doc_id": ids, "text": [""] * n}),
+                        os.path.join(td, "documents.parquet"))
+        got = qg.q_hits(td).to_pandas().sort_values("doc_id")
+    assert np.array_equal(got["doc_id"].to_numpy(), ids)
+    assert np.array_equal(got["hub_score"].to_numpy(), h)
+    assert np.array_equal(got["auth_score"].to_numpy(), a)
+
+
+def test_hits_empty(ray_session):
+    from osmquadtree_depreceated_ray.pipelines import queries_graph as qg
+
+    import pyarrow.parquet as _pq
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        _pq.write_table(
+            pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string())}),
+            os.path.join(td, "documents.parquet"))
+        out = qg.q_hits(td)
+        assert out.schema().names == ["doc_id", "hub_score", "auth_score"]
+        assert out.count() == 0

@@ -352,3 +352,138 @@ def test_fuzz_string_edges(ray_session, start, length, fn):
         expr = f"{fn}(s, {start})"
     sql = f"SELECT k, {expr} AS e FROM t ORDER BY k"
     _run_both(ray_session, sql)
+
+
+# ------------------------------------ nesting, subtotals, aggregates
+
+@settings(max_examples=40, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(e=int_expr(2), w1=bool_expr(1), w2=bool_expr(1))
+def test_fuzz_derived_table(ray_session, e, w1, w2):
+    """Aliased derived table: the inner projection/filter must be
+    resolved before the outer one sees its columns."""
+    w2 = (w2.replace("i", "n").replace("j", "n").replace("k", "g")
+          .replace("s", "'a'"))
+    sql = (f"SELECT g, n FROM (SELECT (i % 4) AS g, {e} AS n FROM t "
+           f"WHERE {w1}) sub WHERE {w2} "
+           f"ORDER BY g NULLS LAST, n NULLS LAST")
+    _run_both(ray_session, sql)
+
+
+@settings(max_examples=40, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(e=int_expr(2), w=bool_expr(1), reuse=st.booleans())
+def test_fuzz_cte(ray_session, e, w, reuse):
+    """WITH chains; optionally the same CTE consumed twice via a
+    self-union."""
+    body = f"SELECT k, i, j, {e} AS e FROM t WHERE {w}"
+    tail = ("SELECT e, COUNT(*) AS n FROM c GROUP BY 1 "
+            "UNION ALL SELECT e, 0 FROM c WHERE e > 3" if reuse
+            else "SELECT e, COUNT(*) AS n FROM c GROUP BY 1")
+    sql = f"WITH c AS ({body}) {tail}"
+    _run_both(ray_session, sql)
+
+
+@settings(max_examples=40, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(form=st.sampled_from([
+    "ROLLUP ((i % 3), (j % 2))",
+    "CUBE ((i % 3), (j % 2))",
+    "GROUPING SETS (((i % 3)), ((j % 2)), ())",
+    "GROUPING SETS (((i % 3), (j % 2)), ())",
+]), w=bool_expr(1), agg=st.sampled_from(["SUM(k)", "COUNT(*)", "MIN(i)",
+                                         "SUM(j)", "COUNT(j)"]))
+def test_fuzz_rollup(ray_session, form, w, agg):
+    """Subtotal levels: aggregate arguments must NOT be NULLed on
+    rolled-up rows, and GROUPING() must track the level bitmask."""
+    sql = (f"SELECT (i % 3) AS a, (j % 2) AS b, "
+           f"CAST({agg} AS BIGINT) AS v, "
+           f"GROUPING((i % 3)) AS ga, GROUPING((j % 2)) AS gb "
+           f"FROM t WHERE {w} GROUP BY {form}")
+    _run_both(ray_session, sql)
+
+
+@settings(max_examples=40, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(e=int_expr(1), w=bool_expr(1),
+       fw=st.sampled_from(["i > 0", "j IS NOT NULL", "k % 2 = 0"]))
+def test_fuzz_distinct_agg_filter(ray_session, e, w, fw):
+    """DISTINCT aggregates and the FILTER clause, together and apart."""
+    sql = (f"SELECT (k % 3) AS g, COUNT(DISTINCT {e}) AS cd, "
+           f"CAST(SUM({e}) FILTER (WHERE {fw}) AS BIGINT) AS sf, "
+           f"COUNT(*) FILTER (WHERE {fw}) AS cf "
+           f"FROM t WHERE {w} GROUP BY 1")
+    _run_both(ray_session, sql)
+
+
+@settings(max_examples=30, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(neg=st.sampled_from(["", "NOT "]),
+       cmp_=st.sampled_from(["u.m = t.j", "u.m = t.j AND u.v > 40",
+                             "u.m > t.i"]),
+       w=bool_expr(1))
+def test_fuzz_exists(ray_session, neg, cmp_, w):
+    """[NOT] EXISTS with a correlated predicate (decorrelated into a
+    per-key aggregate join by the planner)."""
+    sql = (f"SELECT k, i, j FROM t WHERE {neg}EXISTS "
+           f"(SELECT 1 FROM u WHERE {cmp_}) AND {w} ORDER BY k")
+    _run_both2(ray_session, sql)
+
+
+@settings(max_examples=30, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(inner=st.sampled_from([
+    "(SELECT MAX(v) FROM u WHERE u.m = t.j)",
+    "(SELECT COUNT(*) FROM u WHERE u.m = t.j)",
+    "(SELECT MIN(v) FROM u)",
+    "(SELECT SUM(v) FROM u WHERE u.m > t.i)",
+]), w=bool_expr(1))
+def test_fuzz_scalar_subquery(ray_session, inner, w):
+    """Scalar subqueries in the projection — correlated (per-key and
+    inequality) and uncorrelated."""
+    sql = (f"SELECT k, CAST({inner} AS BIGINT) AS sq FROM t "
+           f"WHERE {w} ORDER BY k")
+    _run_both2(ray_session, sql)
+
+
+@settings(max_examples=40, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(k1=st.sampled_from(["i", "j", "(i % 3)", "s"]),
+       d1=st.sampled_from(["ASC", "DESC"]),
+       n1=st.sampled_from(["NULLS FIRST", "NULLS LAST"]),
+       d2=st.sampled_from(["ASC", "DESC"]),
+       off=st.integers(0, 45), lim=st.integers(1, 45))
+def test_fuzz_order_offset(ray_session, k1, d1, n1, d2, off, lim):
+    """Multi-key ORDER BY with NULLS FIRST/LAST and LIMIT..OFFSET.
+    k is a unique tiebreak so the prefix order is total."""
+    sql = (f"SELECT k, i, j, s FROM t ORDER BY {k1} {d1} {n1}, "
+           f"k {d2} LIMIT {lim} OFFSET {off}")
+    _run_both(ray_session, sql)
+
+
+@settings(max_examples=50, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(op=st.sampled_from(["=", "<>", "<", "<=", ">", ">="]),
+       quant=st.sampled_from(["ANY", "ALL", "SOME"]),
+       inner=st.sampled_from(["SELECT m FROM u",
+                              "SELECT m FROM u WHERE v > 50",
+                              "SELECT m FROM u WHERE m IS NOT NULL",
+                              "SELECT m FROM u WHERE m IS NULL",
+                              "SELECT m FROM u WHERE 1 = 2"]),
+       probe=st.sampled_from(["i", "j"]), neg=st.booleans())
+def test_fuzz_quantified(ray_session, op, quant, inner, probe, neg):
+    """x op ANY/ALL/SOME (subquery) with NULL elements, NULL probes,
+    all-NULL and empty sets — full 3VL vs DuckDB."""
+    pred = f"{probe} {op} {quant} ({inner})"
+    if neg:
+        pred = f"NOT ({pred})"
+    sql = f"SELECT k, i, j FROM t WHERE {pred} ORDER BY k"
+    _run_both2(ray_session, sql)

@@ -1208,3 +1208,141 @@ def test_unnest_restrictions(ray_session):
     with _pytest.raises(ValueError, match="UNNEST"):
         parse_sql("SELECT unnest(string_split(s, ' ')) || '!' AS a "
                   "FROM t", tabs)
+
+
+@pytest.fixture(scope="module")
+def tq():
+    """Nullable integer pair for quantified/inequality subquery tests."""
+    rng = np.random.default_rng(41)
+    m = rng.integers(-9, 10, 20).astype(object)
+    m[4] = None
+    m[11] = None
+    return pa.table({
+        "m": pa.array(list(m), pa.int64()),
+        "w": pa.array(rng.integers(0, 100, 20), pa.int64()),
+    })
+
+
+QUANT_CASES = [
+    "SELECT k, v FROM t1 WHERE v > ANY (SELECT m FROM u) ORDER BY k",
+    "SELECT k, v FROM t1 WHERE v > ALL (SELECT m FROM u) ORDER BY k",
+    "SELECT k, v FROM t1 WHERE NOT (v >= ANY (SELECT m FROM u)) ORDER BY k",
+    "SELECT k, v FROM t1 WHERE v <= ALL (SELECT m FROM u WHERE m IS "
+    "NOT NULL) ORDER BY k",
+    "SELECT k, v FROM t1 WHERE v = ANY (SELECT m FROM u) ORDER BY k",
+    "SELECT k, v FROM t1 WHERE v <> ALL (SELECT m FROM u WHERE m IS "
+    "NOT NULL) ORDER BY k",
+    "SELECT k, v FROM t1 WHERE v = ALL (SELECT m FROM u WHERE m = 5) "
+    "ORDER BY k",
+    "SELECT k, v FROM t1 WHERE v <> ANY (SELECT m FROM u) ORDER BY k",
+    "SELECT k, v FROM t1 WHERE v > SOME (SELECT m FROM u WHERE w > 90) "
+    "ORDER BY k",
+    "SELECT k, v FROM t1 WHERE v > ALL (SELECT m FROM u WHERE 1 = 2) "
+    "ORDER BY k",
+    "SELECT k, v FROM t1 WHERE v < ANY (SELECT m FROM u WHERE 1 = 2) "
+    "ORDER BY k",
+    "SELECT k, v FROM t1 WHERE v <= ALL (SELECT m FROM u WHERE m IS "
+    "NULL) ORDER BY k",
+    "SELECT k, v, CAST((CASE WHEN v > ANY (SELECT m FROM u) THEN 1 "
+    "ELSE 0 END) AS BIGINT) AS f FROM t1 ORDER BY k",
+]
+
+
+@pytest.mark.parametrize("sql", QUANT_CASES)
+def test_quantified_comparisons(ray_session, t1, tq, sql):
+    """x op ANY/ALL/SOME (subquery) — lowered from four subquery-side
+    scalars with full 3VL (NULL elements / NULL probes), vs DuckDB on
+    the identical string."""
+    _run_both(sql, None, {"t1": t1, "u": tq})
+
+
+INEQ_CORR_CASES = [
+    "SELECT k, v FROM t1 WHERE EXISTS (SELECT 1 FROM u WHERE u.m > t1.v) "
+    "ORDER BY k",
+    "SELECT k, v FROM t1 WHERE NOT EXISTS (SELECT 1 FROM u WHERE "
+    "u.m <= t1.v AND u.w > 50) ORDER BY k",
+    "SELECT k, CAST((SELECT SUM(w) FROM u WHERE u.m > t1.v) AS BIGINT) "
+    "AS sq FROM t1 ORDER BY k",
+    "SELECT k, (SELECT COUNT(*) FROM u WHERE u.m >= t1.v) AS sq FROM t1 "
+    "ORDER BY k",
+    "SELECT k, CAST((SELECT MIN(w) FROM u WHERE u.m < t1.v) AS BIGINT) "
+    "AS sq FROM t1 ORDER BY k",
+    "SELECT k, CAST((SELECT MAX(w) FROM u WHERE u.m <= t1.v AND u.w > 30)"
+    " AS BIGINT) AS sq FROM t1 ORDER BY k",
+    "SELECT k, (SELECT AVG(w) FROM u WHERE u.m <= t1.v) AS sq FROM t1 "
+    "ORDER BY k",
+]
+
+
+@pytest.mark.parametrize("sql", INEQ_CORR_CASES)
+def test_inequality_correlated_subqueries(ray_session, t1, tq, sql):
+    """Inequality-correlated EXISTS (extreme-value witness) and scalar
+    aggregates (sorted cumulative probe) vs DuckDB."""
+    _run_both(sql, None, {"t1": t1, "u": tq})
+
+
+CORR_COUNT_CASES = [
+    "SELECT g, (SELECT COUNT(*) FROM t3 WHERE t3.h = t2.g) AS c "
+    "FROM t2 ORDER BY g",
+    "SELECT g, (SELECT COUNT(tag) FROM t3 WHERE t3.h = t2.g) AS c "
+    "FROM t2 ORDER BY g",
+    "SELECT g, CAST((SELECT COUNT(*) + COALESCE(SUM(h), 0) FROM t3 "
+    "WHERE t3.h = t2.g) AS BIGINT) AS c FROM t2 ORDER BY g",
+]
+
+
+@pytest.mark.parametrize("sql", CORR_COUNT_CASES)
+def test_correlated_count_zero_for_unmatched(ray_session, t2, t3, sql):
+    """A correlated scalar COUNT over an empty match set is 0, not NULL
+    (the left-join decorrelation coalesces count-kind aggregates)."""
+    _run_both(sql, None, {"t2": t2, "t3": t3})
+
+
+def test_case_null_condition_falls_through(ray_session):
+    import ray
+
+    t = pa.table({"j": pa.array([1, None, 5], pa.int64())})
+    sql = ("SELECT j, CAST((CASE WHEN j > 3 THEN 1 ELSE 0 END) "
+           "AS BIGINT) AS f FROM t")
+    _run_both(sql, None, {"t": t})
+
+
+SUBSTR_EDGE_CASES = [
+    "SELECT k, SUBSTR(s, -3, 2) AS a FROM t1 ORDER BY k LIMIT 20",
+    "SELECT k, SUBSTR(s, 0, 3) AS a FROM t1 ORDER BY k LIMIT 20",
+    "SELECT k, SUBSTR(s, -7, 8) AS a FROM t1 ORDER BY k LIMIT 20",
+    "SELECT k, LEFT(s, -2) AS a FROM t1 ORDER BY k LIMIT 20",
+    "SELECT k, RIGHT(s, -3) AS a FROM t1 ORDER BY k LIMIT 20",
+]
+
+
+@pytest.mark.parametrize("sql", SUBSTR_EDGE_CASES)
+def test_substr_edge_semantics(ray_session, t1, sql):
+    """Negative/zero start positions follow DuckDB's from-the-end
+    anchoring; LEFT/RIGHT accept negative lengths."""
+    _run_both(sql, None, {"t1": t1})
+
+
+NOT_POLARITY_BUCKETED = [
+    # NULL probe + NULL member under NOT(...): the marker-join lowering
+    # must yield genuine NULLs (not FALSE) for the undetermined rows
+    "SELECT w, m FROM u WHERE NOT (m IN (SELECT m FROM u WHERE "
+    "w > 50)) ORDER BY w",
+    "SELECT w, m FROM u WHERE NOT (m IN (SELECT m FROM u WHERE "
+    "m IS NOT NULL)) ORDER BY w",
+    "SELECT w, m FROM u WHERE NOT (m NOT IN (SELECT m FROM u WHERE "
+    "m IS NOT NULL)) ORDER BY w",
+    "SELECT w, m FROM u WHERE NOT (m NOT IN (SELECT m FROM u WHERE "
+    "m IS NOT NULL AND w > 50)) ORDER BY w",
+]
+
+
+@pytest.mark.parametrize("sql", NOT_POLARITY_BUCKETED)
+def test_semi_join_fallback_not_polarity(ray_session, tq, monkeypatch,
+                                         sql):
+    """The bucketed marker-join IN/NOT IN lowering keeps full 3VL in
+    every polarity (NOT-wrapped probes, NULL members, NULL probes)."""
+    from osmquadtree_depreceated_ray.pipelines import sqlparse as sp
+
+    monkeypatch.setattr(sp, "PROBE_COLLECT_THRESHOLD", 0)
+    _run_both(sql, None, {"u": tq})
