@@ -93,9 +93,17 @@ def _cc_route(node: np.ndarray, n: int) -> np.ndarray:
 def _cc_init_split_impl(n, kind, *blocks):
     """Hash-shard pair blocks (kind='edges': emit both directions,
     keyed by src) or doc_id blocks (kind='labels') into n buckets."""
+    need = ("a", "b") if kind == "edges" else ("doc_id",)
     tbls = [b if isinstance(b, pa.Table) else pa.Table.from_pandas(b)
             for b in blocks]
-    df = pa.concat_tables(tbls, promote_options="default").to_pandas()
+    # schema-less zero-row blocks (Ray skips UDFs on empty blocks) are
+    # zero rows of the right shape
+    tbls = [t for t in tbls
+            if all(c in t.column_names for c in need)]
+    if not tbls:
+        df = pd.DataFrame({c: pd.Series([], dtype="int64") for c in need})
+    else:
+        df = pa.concat_tables(tbls, promote_options="default").to_pandas()
     if kind == "edges":
         a, b_ = df["a"].to_numpy(np.int64), df["b"].to_numpy(np.int64)
         out = pd.DataFrame({"src": np.concatenate([a, b_]),
@@ -182,10 +190,13 @@ def _cc_remote_fns():
     return _CC_FNS
 
 
-def q_dedup_components(sf_dir: str):
+def cc_label_refs(pairs_ds, ids_ds):
+    """Run the pointer-doubling label propagation over an undirected
+    pair Dataset (columns a, b) and a node Dataset (column doc_id);
+    returns the per-bucket (node, label) Arrow table refs at fixpoint.
+    Labels hold the minimum reachable node id.  Shared by the LSH
+    dedup clustering and spatial DBSCAN."""
     import ray
-
-    from .queries_text import q_minhash_pairs
 
     fns = _cc_remote_fns()
     n = _cc_buckets()
@@ -197,14 +208,18 @@ def q_dedup_components(sf_dir: str):
         groups = [refs[i::n_tasks] for i in range(n_tasks)]
         pieces = [fns["init"].options(num_returns=n).remote(n, kind, *g)
                   for g in groups if g]
+        if not pieces:
+            empty = pa.table({"node": pa.array([], pa.int64()),
+                              "label": pa.array([], pa.int64())})
+            if kind == "edges":
+                empty = pa.table({"src": pa.array([], pa.int64()),
+                                  "dst": pa.array([], pa.int64())})
+            return [ray.put(empty) for _ in range(n)]
         return [fns["concat"].remote(*[p[b] for p in pieces])
                 for b in range(n)]
 
-    edges = shard(q_minhash_pairs(sf_dir), "edges")
-    labels = shard(
-        ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                              columns=["doc_id"]),
-        "labels")
+    edges = shard(pairs_ds, "edges")
+    labels = shard(ids_ds, "labels")
     for _ in range(CC_MAX_ROUNDS):
         outs = [fns["scatter"].options(num_returns=n).remote(
             n, edges[b], labels[b]) for b in range(n)]
@@ -215,6 +230,18 @@ def q_dedup_components(sf_dir: str):
         labels = [g[1] for g in gathered]
         if sum(ray.get([g[2] for g in gathered])) == 0:
             break
+    return labels
+
+
+def q_dedup_components(sf_dir: str):
+    import ray
+
+    from .queries_text import q_minhash_pairs
+
+    labels = cc_label_refs(
+        q_minhash_pairs(sf_dir),
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id"]))
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(

@@ -463,3 +463,210 @@ QUERIES["knn_join"] = q_knn_join
 QUERIES["tile_pyramid"] = q_tile_pyramid
 ORACLES["knn_join"] = sql_knn_join
 ORACLES["tile_pyramid"] = sql_tile_pyramid
+
+
+# --------------------------------------------------------------------------
+# DBSCAN density clustering
+# --------------------------------------------------------------------------
+#
+# Distributed DBSCAN over the derived point set, composed entirely from
+# existing distributed primitives — no broadcast of any O(points)
+# state, no driver materialization:
+#
+#   1. eps-neighbor pairs via the grid-blocked distance self-join
+#      (_replicated_points/_cell_pairs — each pair found exactly once);
+#   2. degrees by one map-side-combined grouped count; core points are
+#      |N_eps(p)| >= minpts (the neighborhood includes p itself);
+#   3. core-core edges by two tagged co-location exchanges (pairs and
+#      the core table hash on the same key and filter bucket-locally —
+#      a semi-join, not a broadcast);
+#   4. cluster labels = connected components over core-core edges via
+#      the pointer-doubling label-propagation exchange shared with
+#      dedup_components (cc_label_refs);
+#   5. border points adopt the MINIMUM cluster label among their core
+#      neighbors (one more tagged co-location + a grouped min) — the
+#      classic DBSCAN border tie is order-dependent; the min rule makes
+#      it deterministic, and the oracle implements the same rule;
+#   6. everything else is noise (cluster = -1).
+#
+# Output: (doc_id, is_core, cluster), cluster = min core doc_id of the
+# cluster, -1 for noise.  Oracle: the identical construction in SQL
+# with a recursive-CTE closure for step 4 (dedup_components pattern).
+
+DBSCAN_EPS = 200_000_000
+DBSCAN_MINPTS = 8
+
+
+def _tag_frame(t: pa.Table, k, v1, v2, tag: int) -> pa.Table:
+    n = t.num_rows
+    zeros = np.zeros(n, np.int64)
+    return pa.table({
+        "k": t.column(k) if isinstance(k, str) else pa.array(zeros),
+        "v1": t.column(v1) if isinstance(v1, str) else pa.array(zeros),
+        "v2": t.column(v2) if isinstance(v2, str) else pa.array(zeros),
+        "tag": pa.array(np.full(n, tag, np.int64)),
+    })
+
+
+def _semi_filter_pairs(pairs_ds, key_col: str, members_ds):
+    """Pair rows whose ``key_col`` endpoint appears in ``members_ds``
+    (column doc_id): tagged co-location on the key, bucket-local
+    vectorized membership — a distributed semi-join."""
+    from ..stages.shuffle import bucketed_apply
+
+    tagged = pairs_ds.map_batches(
+        lambda t: _tag_frame(t, key_col, "a", "b", 0),
+        batch_format="pyarrow",
+    ).union(members_ds.map_batches(
+        lambda t: _tag_frame(t, "doc_id", None, None, 1),
+        batch_format="pyarrow"))
+
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        mem = g.loc[g["tag"] == 1, "k"]
+        p = g[g["tag"] == 0]
+        keep = p["k"].isin(mem).to_numpy()
+        return pd.DataFrame({"a": p["v1"].to_numpy(np.int64)[keep],
+                             "b": p["v2"].to_numpy(np.int64)[keep]})
+
+    return bucketed_apply(tagged, ["k"], f)
+
+
+def q_dbscan(sf_dir: str, eps: int = DBSCAN_EPS,
+             minpts: int = DBSCAN_MINPTS):
+    import ray
+    import ray.data
+
+    from ..stages.shuffle import bucketed_apply, grouped_agg
+    from .queries_curate import cc_label_refs
+
+    pts = _replicated_points(sf_dir, eps)
+    # pairs feed three downstream consumers (degrees, core-core filter,
+    # border assignment) — materialize once instead of recomputing the
+    # self-join lineage three times; O(pairs) in the object store
+    pairs = bucketed_apply(
+        pts, ["cx", "cy"], lambda g: _cell_pairs(g, eps)).materialize()
+
+    def explode(t: pa.Table) -> pa.Table:
+        if "a" not in t.column_names:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "one": pa.array([], pa.int64())})
+        a = t.column("a").to_numpy().astype(np.int64)
+        b = t.column("b").to_numpy().astype(np.int64)
+        n = np.concatenate([a, b])
+        return pa.table({"node": pa.array(n),
+                         "one": pa.array(np.ones(len(n), np.int64))})
+
+    deg = grouped_agg(pairs.map_batches(explode, batch_format="pyarrow"),
+                      ["node"], {"nb": ("one", "sum")})
+
+    def core_only(t: pa.Table) -> pa.Table:
+        if "node" not in t.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        nb = t.column("nb").to_numpy().astype(np.int64)
+        keep = nb + 1 >= minpts  # the neighborhood includes the point
+        return pa.table({"doc_id": t.column("node").filter(pa.array(keep))})
+
+    core = deg.map_batches(core_only, batch_format="pyarrow").materialize()
+
+    cc_pairs = _semi_filter_pairs(
+        _semi_filter_pairs(pairs, "a", core), "b", core)
+    labels = cc_label_refs(cc_pairs, core)
+    labels_ds = ray.data.from_arrow_refs(labels)
+
+    # border candidates: for each directed neighbor edge whose head is
+    # a core, emit (tail, cluster(head)); labels only exist for cores,
+    # so co-locating on the head id IS the core filter
+    def directed(t: pa.Table) -> pa.Table:
+        if "a" not in t.column_names:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64())})
+        a = t.column("a").to_numpy().astype(np.int64)
+        b = t.column("b").to_numpy().astype(np.int64)
+        return pa.table({"src": np.concatenate([a, b]),
+                         "dst": np.concatenate([b, a])})
+
+    und = pairs.map_batches(directed, batch_format="pyarrow")
+    tagged = und.map_batches(
+        lambda t: _tag_frame(t, "dst", "src", None, 0),
+        batch_format="pyarrow",
+    ).union(labels_ds.map_batches(
+        lambda t: _tag_frame(t, "node", "label", None, 1),
+        batch_format="pyarrow"))
+
+    def adopt(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g["tag"] == 1]
+        edges = g[g["tag"] == 0]
+        m = edges.merge(lab[["k", "v1"]].rename(columns={"v1": "lbl"}),
+                        on="k", how="inner")
+        if m.empty:
+            return pd.DataFrame({"node": pd.Series(dtype=np.int64),
+                                 "cand": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"node": m["v1"].to_numpy(np.int64),
+                             "cand": m["lbl"].to_numpy(np.int64)})
+
+    cand = grouped_agg(bucketed_apply(tagged, ["k"], adopt),
+                       ["node"], {"cand": ("cand", "min")})
+
+    # final assembly: documents + core labels + border candidates,
+    # co-located by doc id
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    allt = (docs.map_batches(
+        lambda t: _tag_frame(t, "doc_id", None, None, 0),
+        batch_format="pyarrow")
+        .union(labels_ds.map_batches(
+            lambda t: _tag_frame(t, "node", "label", None, 1),
+            batch_format="pyarrow"))
+        .union(cand.map_batches(
+            lambda t: _tag_frame(t, "node", "cand", None, 2),
+            batch_format="pyarrow")))
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.loc[g["tag"] == 0, ["k"]].rename(columns={"k": "doc_id"})
+        lab = g[g["tag"] == 1].set_index("k")["v1"]
+        bo = g[g["tag"] == 2].set_index("k")["v1"]
+        own = d["doc_id"].map(lab)
+        adopt_ = d["doc_id"].map(bo)
+        is_core = own.notna()
+        cluster = np.where(is_core, own.fillna(-1),
+                           adopt_.fillna(-1)).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": d["doc_id"].to_numpy(np.int64),
+            "is_core": is_core.to_numpy().astype(np.int64),
+            "cluster": cluster,
+        })
+
+    return bucketed_apply(allt, ["k"], assemble)
+
+
+def sql_dbscan() -> str:
+    return (
+        f"WITH RECURSIVE {_sql_dist_pairs(DBSCAN_EPS)}, "
+        "und AS (SELECT a AS src, b AS dst FROM pairs "
+        "UNION ALL SELECT b, a FROM pairs), "
+        "deg AS (SELECT d.doc_id AS v, 1 + COUNT(u.dst) AS dg "
+        "FROM documents d LEFT JOIN und u ON u.src = d.doc_id "
+        "GROUP BY d.doc_id), "
+        f"core AS (SELECT v FROM deg WHERE dg >= {DBSCAN_MINPTS}), "
+        "ce AS (SELECT u.src, u.dst FROM und u "
+        "JOIN core c1 ON c1.v = u.src JOIN core c2 ON c2.v = u.dst), "
+        "walk(node, lab) AS (SELECT v, v FROM core "
+        "UNION SELECT ce.dst, w.lab FROM walk w JOIN ce ON ce.src = w.node), "
+        "clab AS (SELECT node, MIN(lab) AS cluster FROM walk "
+        "GROUP BY node), "
+        "border AS (SELECT u.src AS v, MIN(cl.cluster) AS cluster "
+        "FROM und u JOIN clab cl ON cl.node = u.dst "
+        "LEFT JOIN core cs ON cs.v = u.src WHERE cs.v IS NULL "
+        "GROUP BY u.src) "
+        "SELECT d.doc_id, "
+        "CAST(CASE WHEN cl.node IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) "
+        "AS is_core, "
+        "CAST(COALESCE(cl.cluster, bo.cluster, -1) AS BIGINT) AS cluster "
+        "FROM documents d "
+        "LEFT JOIN clab cl ON cl.node = d.doc_id "
+        "LEFT JOIN border bo ON bo.v = d.doc_id"
+    )
+
+
+QUERIES["dbscan"] = q_dbscan
+ORACLES["dbscan"] = sql_dbscan

@@ -174,3 +174,62 @@ def test_tile_pyramid_conserves(ray_session, points):
     # z=0 is the single world tile
     top = got[got["z"] == 0]
     assert len(top) == 1 and top["n"].iloc[0] == len(points)
+
+
+def _brute_dbscan(points, eps, minpts):
+    """Dense-reference DBSCAN with the engine's deterministic rules:
+    cluster label = min core id in the component (union by closure),
+    border adopts the min cluster among core neighbors."""
+    ids = points["doc_id"].to_numpy()
+    pairs = _brute_pairs(points, eps)
+    import collections
+    adj = collections.defaultdict(set)
+    for a, b in zip(pairs["a"], pairs["b"]):
+        adj[a].add(b)
+        adj[b].add(a)
+    core = {v for v in ids if 1 + len(adj[v]) >= minpts}
+    # components over core-core edges (BFS)
+    label = {}
+    for v in sorted(core):
+        if v in label:
+            continue
+        comp, stack = [], [v]
+        seen = {v}
+        while stack:
+            x = stack.pop()
+            comp.append(x)
+            for y in adj[x]:
+                if y in core and y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        root = min(comp)
+        for x in comp:
+            label[x] = root
+    rows = []
+    for v in ids:
+        if v in core:
+            rows.append((v, 1, label[v]))
+        else:
+            cand = [label[u] for u in adj[v] if u in core]
+            rows.append((v, 0, min(cand) if cand else -1))
+    return pd.DataFrame(rows, columns=["doc_id", "is_core", "cluster"])
+
+
+@pytest.mark.parametrize("eps,minpts", [(200_000_000, 8),
+                                        (300_000_000, 5),
+                                        (100_000_000, 3)])
+def test_dbscan_vs_brute_force(ray_session, points, eps, minpts):
+    from osmquadtree_depreceated_ray.pipelines.queries_spatial import (
+        q_dbscan,
+    )
+
+    got = q_dbscan(SF, eps, minpts).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    want = _brute_dbscan(points, eps, minpts).sort_values(
+        "doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # every cluster's label is one of its own core members
+    cl = got[got["cluster"] >= 0]
+    core_by_cluster = cl[cl["is_core"] == 1].groupby("cluster")
+    for label, grp in core_by_cluster:
+        assert label in set(grp["doc_id"])
