@@ -822,3 +822,138 @@ def sql_semdedup() -> str:
 
 QUERIES["semdedup"] = q_semdedup
 ORACLES["semdedup"] = sql_semdedup()
+
+
+# --- Product quantization: PQ encode + ADC search ---------------------------
+#
+# Jegou et al. 2011 ("Product Quantization for Nearest Neighbor
+# Search"): vectors split into PQ_M subspaces, each subvector encoded
+# as its nearest codebook entry, and queries scored with Asymmetric
+# Distance Computation — a per-subspace lookup table of exact query->
+# codeword distances, so scoring a database vector is PQ_M table
+# lookups + adds instead of an EMBED_DIM-wide arithmetic pass.  The
+# memory story at 10^12 vectors is the point: PQ_M uint8 codes per
+# vector instead of EMBED_DIM floats.
+#
+# The codebook here is DETERMINISTIC — the subvectors of the first
+# PQ_K vectors (the embed_ivf first-N convention; a trained codebook
+# would run the kmeans machinery per subspace).  All arithmetic is
+# integer-quantized, so codes, distance tables and ADC sums are exact
+# int64 and the DuckDB oracle replays the FULL chain (codebook, code
+# assignment with smallest-code tie-break, ADC scoring, ranking)
+# hash-exact.
+#
+# Distributed shape: the codebook + query distance tables broadcast
+# once via ray.put (PQ_M x PQ_K ints per query — independent of corpus
+# size); encode+score is one stateful map_batches pass emitting each
+# batch's per-query top-k partials; one bucketed exchange finishes the
+# global top-k per query.  No shuffle touches the corpus itself.
+
+PQ_M = 4          # subspaces
+PQ_SUBD = EMBED_DIM // PQ_M
+PQ_K = 8          # codes per subspace
+PQ_NQ = 3         # query vectors (vec_id < PQ_NQ)
+PQ_TOPK = 4
+
+
+def q_pq_search(sf_dir: str):
+    """ADC top-k per query over PQ-encoded vectors:
+    (query_id, vec_id, adist, rank)."""
+    import ray
+
+    cb_ids, cb_mat = _load_small_side(sf_dir, PQ_K)
+    q_ids, q_mat = _load_small_side(sf_dir, PQ_NQ)
+    cb = cb_mat.reshape(PQ_K, PQ_M, PQ_SUBD)
+    qs = q_mat.reshape(len(q_ids), PQ_M, PQ_SUBD)
+    # query distance tables qd[q, m, c] = ||q_m - cb[c]_m||^2 (int64)
+    diff = qs[:, None, :, :] - cb[None, :, :, :]
+    qd = (diff * diff).sum(axis=3).transpose(0, 2, 1)
+    cref = ray.put({"cb": cb, "qd": qd, "q_ids": q_ids})
+
+    class EncodeScore:
+        def __init__(self):
+            d = ray.get(cref)
+            self.cb = d["cb"]
+            self.qd = d["qd"]
+            self.q_ids = d["q_ids"]
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids, mat = _embed_matrix(b)
+            v = mat.reshape(len(ids), PQ_M, PQ_SUBD)
+            d2 = ((v[:, None, :, :] - self.cb[None, :, :, :]) ** 2
+                  ).sum(axis=3)                      # (N, K, M)
+            # argmin picks the FIRST minimum -> smallest code id on
+            # ties, matching the oracle's ORDER BY d, code
+            codes = np.argmin(d2, axis=1)            # (N, M)
+            picked = self.qd[:, np.arange(PQ_M)[None, :], codes]
+            adist = picked.sum(axis=2)               # (Q, N)
+            k = min(PQ_TOPK, adist.shape[1])
+            # PQ codes collapse many vectors onto identical code tuples,
+            # so exact adist TIES are the norm — the batch partial must
+            # use the same (adist, vec_id) tie-break as the global
+            # finish, or a tie split across batches drops the winner
+            out_q, out_v, out_a = [], [], []
+            for qi in range(len(self.q_ids)):
+                row = adist[qi]
+                ordk = np.lexsort((ids, row))[:k]
+                out_q.append(np.full(k, self.q_ids[qi], np.int64))
+                out_v.append(ids[ordk])
+                out_a.append(row[ordk].astype(np.int64))
+            return pa.table({
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "adist": pa.array(np.concatenate(out_a)),
+            })
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    from ..stages.spatial import worker_cached
+
+    cands = ds.map_batches(
+        worker_cached(("pq_search", cref.hex()), EncodeScore),
+        batch_format="pyarrow", batch_size=4096)
+
+    from ..stages.shuffle import bucketed_apply
+
+    def topk(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(["adist", "vec_id"])
+        out = b.groupby("query_id", as_index=False, sort=False) \
+            .head(PQ_TOPK).copy()
+        out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
+        return out
+
+    return bucketed_apply(cands, ["query_id"], topk, n_buckets=4)
+
+
+def sql_pq_search() -> str:
+    quant = ("CAST(floor(CAST({e}[CAST(i AS INTEGER)] AS DOUBLE) "
+             "* 10000.0 + 0.5) AS BIGINT)")
+    ev = quant.format(e="e.embedding")
+    ec = quant.format(e="c.embedding")
+    return (
+        f"WITH cb AS (SELECT vec_id AS code, embedding FROM embeddings "
+        f"WHERE vec_id < {PQ_K}), "
+        f"ms AS (SELECT UNNEST(range(0, {PQ_M})) AS m), "
+        f"dmc AS (SELECT e.vec_id, ms.m, c.code, "
+        f"SUM(({ev} - {ec}) * ({ev} - {ec})) AS d "
+        f"FROM embeddings e CROSS JOIN cb c CROSS JOIN ms, "
+        f"UNNEST(range(ms.m * {PQ_SUBD} + 1, "
+        f"ms.m * {PQ_SUBD} + {PQ_SUBD} + 1)) AS t(i) "
+        f"GROUP BY e.vec_id, ms.m, c.code), "
+        f"codes AS (SELECT vec_id, m, code FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY vec_id, m "
+        f"ORDER BY d, code) AS rn FROM dmc) WHERE rn = 1), "
+        f"qd AS (SELECT vec_id AS qid, m, code, d FROM dmc "
+        f"WHERE vec_id < {PQ_NQ}), "
+        f"ad AS (SELECT qd.qid AS query_id, cd.vec_id, "
+        f"CAST(SUM(qd.d) AS BIGINT) AS adist "
+        f"FROM codes cd JOIN qd ON qd.m = cd.m AND qd.code = cd.code "
+        f"GROUP BY qd.qid, cd.vec_id) "
+        f"SELECT query_id, vec_id, adist, CAST(rn AS BIGINT) AS rank "
+        f"FROM (SELECT *, row_number() OVER (PARTITION BY query_id "
+        f"ORDER BY adist, vec_id) AS rn FROM ad) WHERE rn <= {PQ_TOPK}"
+    )
+
+
+QUERIES["pq_search"] = q_pq_search
+ORACLES["pq_search"] = sql_pq_search()

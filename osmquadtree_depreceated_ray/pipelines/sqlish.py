@@ -105,17 +105,27 @@ class Expr:
 
     # -- scalar functions ----------------------------------------------------
     def like(self, pattern: str):
-        """LIKE limited to %x, x%, %x% (functions.go:335-374)."""
-        if pattern.startswith("%") and pattern.endswith("%"):
-            pat = pattern.strip("%")
-            return Expr(lambda t: pc.match_substring(self(t), pat), "like")
-        if pattern.endswith("%"):
-            pat = pattern[:-1]
-            return Expr(lambda t: pc.starts_with(self(t), pat), "like")
-        if pattern.startswith("%"):
-            pat = pattern[1:]
-            return Expr(lambda t: pc.ends_with(self(t), pat), "like")
-        return Expr(lambda t: pc.equal(self(t), pattern), "like")
+        """Full SQL LIKE.  Patterns using only a leading/trailing %
+        (the reference's surface, functions.go:335-374) keep the cheap
+        specialized kernels; anything with ``_`` wildcards, interior %
+        or escapes routes through pc.match_like (SQL semantics,
+        NULL-propagating)."""
+        simple = "_" not in pattern and "\\" not in pattern \
+            and "%" not in pattern.strip("%")
+        if simple:
+            if pattern.startswith("%") and pattern.endswith("%") \
+                    and len(pattern) >= 2:
+                pat = pattern.strip("%")
+                return Expr(lambda t: pc.match_substring(self(t), pat),
+                            "like")
+            if pattern.endswith("%"):
+                pat = pattern[:-1]
+                return Expr(lambda t: pc.starts_with(self(t), pat), "like")
+            if pattern.startswith("%"):
+                pat = pattern[1:]
+                return Expr(lambda t: pc.ends_with(self(t), pat), "like")
+            return Expr(lambda t: pc.equal(self(t), pattern), "like")
+        return Expr(lambda t: pc.match_like(self(t), pattern), "like")
 
     def between(self, lo, hi):
         return (self >= lo) & (self <= hi)

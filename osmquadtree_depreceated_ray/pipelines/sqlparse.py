@@ -1863,9 +1863,10 @@ def _window_bucket_fn(part: list, specs: list):
                     raise ValueError(
                         "RANGE frames need exactly one ascending "
                         "ORDER BY key")
-                if fname not in ("sum", "count", "avg"):
+                if fname not in ("sum", "count", "avg", "min", "max"):
                     raise ValueError(
-                        "RANGE n PRECEDING supports SUM/COUNT/AVG")
+                        "RANGE n PRECEDING supports SUM/COUNT/AVG/"
+                        "MIN/MAX")
                 n = frame[1]
                 try:
                     keyf = order[ocols[0]].to_numpy().astype(np.float64)
@@ -1882,19 +1883,54 @@ def _window_bucket_fn(part: list, specs: list):
                 ccnt = np.concatenate([[0.0], np.cumsum(cnts)])
                 lo = np.searchsorted(adj, adj - n, side="left")
                 hi = np.searchsorted(adj, adj, side="right")
-                s2 = csum[hi] - csum[lo]
-                n2 = ccnt[hi] - ccnt[lo]
-                if fname == "count":
-                    res = pd.Series(n2.astype(np.int64),
-                                    index=order.index)
-                elif fname == "sum":
-                    res = pd.Series(np.where(n2 > 0, s2, np.nan),
-                                    index=order.index)
-                else:  # avg
-                    with np.errstate(invalid="ignore", divide="ignore"):
-                        res = pd.Series(
-                            np.where(n2 > 0, s2 / n2, np.nan),
-                            index=order.index)
+                if fname in ("min", "max"):
+                    # variable-width windows with monotone bounds:
+                    # vectorized sparse-table range min/max — O(n log n)
+                    # build, one gather per row (fmin/fmax skip NaN, so
+                    # NULL values drop out and all-NULL windows stay
+                    # NULL, matching SQL)
+                    acc = np.fmin if fname == "min" else np.fmax
+                    valsm = src.to_numpy().astype(np.float64)
+                    nrow = len(valsm)
+                    w = hi - lo
+                    out = np.full(len(w), np.nan)
+                    nz = w > 0
+                    if nz.any() and nrow > 0:
+                        kmax = max(1, int(np.floor(
+                            np.log2(max(int(w.max()), 1)))) + 1)
+                        st = np.full((kmax, nrow), np.nan)
+                        st[0] = valsm
+                        for kk in range(1, kmax):
+                            step = 1 << (kk - 1)
+                            m2 = nrow - (1 << kk) + 1
+                            if m2 <= 0:
+                                break
+                            st[kk, :m2] = acc(st[kk - 1, :m2],
+                                              st[kk - 1,
+                                                 step:step + m2])
+                        jj = np.zeros(len(w), np.int64)
+                        jj[nz] = np.floor(
+                            np.log2(w[nz])).astype(np.int64)
+                        out[nz] = acc(
+                            st[jj[nz], lo[nz]],
+                            st[jj[nz],
+                               hi[nz] - np.left_shift(1, jj[nz])])
+                    res = pd.Series(out, index=order.index)
+                else:
+                    s2 = csum[hi] - csum[lo]
+                    n2 = ccnt[hi] - ccnt[lo]
+                    if fname == "count":
+                        res = pd.Series(n2.astype(np.int64),
+                                        index=order.index)
+                    elif fname == "sum":
+                        res = pd.Series(np.where(n2 > 0, s2, np.nan),
+                                        index=order.index)
+                    else:  # avg
+                        with np.errstate(invalid="ignore",
+                                         divide="ignore"):
+                            res = pd.Series(
+                                np.where(n2 > 0, s2 / n2, np.nan),
+                                index=order.index)
             elif frame is not None and frame[2] > 0:
                 # ROWS ... AND m FOLLOWING: exact trailing+leading
                 # decomposition — agg([i-k1, i+k2]) combines the
@@ -3228,6 +3264,18 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
                 (_resolve_subqueries(e, tables, broadcast_threshold,
                                      _outer_names, pending_sc), name)
                 for e, name in sel["items"]])
+        if sel.get("having") is not None:
+            # HAVING runs post-aggregation, so correlated decorrelation
+            # (which LEFT-joins pre-aggregation columns) is out of
+            # scope: pending=None restricts to eagerly-evaluated
+            # (uncorrelated) subqueries, which resolve to literals
+            sel = dict(sel, having=_resolve_subqueries(
+                sel["having"], tables, broadcast_threshold,
+                _outer_names, None))
+        if sel.get("qualify") is not None:
+            sel = dict(sel, qualify=_resolve_subqueries(
+                sel["qualify"], tables, broadcast_threshold,
+                _outer_names, None))
         if pending_sc:
             # decorrelated scalar subqueries: LEFT-join their per-key
             # aggregates onto this select's pipeline

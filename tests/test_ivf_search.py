@@ -86,3 +86,40 @@ def test_semdedup_matches_bruteforce(ray_session):
         got["keep"].to_numpy(), (exp_max < SEMDEDUP_TAU).astype(np.int64))
     # a meaningful fraction is actually dropped at this tau
     assert 0 < (got["keep"] == 0).sum() < len(got)
+
+
+def test_pq_search_matches_dense_adc(ray_session):
+    """PQ encode + ADC vs a dense numpy reference: codes by per-
+    subspace argmin, adist by exact table lookup, rank by (adist,
+    vec_id)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from osmquadtree_depreceated_ray.pipelines import queries_embed as qe
+
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    mat = qe._quant(np.asarray(
+        t.column("embedding").combine_chunks().flatten())).reshape(
+        len(ids), -1)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    cb = mat[: qe.PQ_K].reshape(qe.PQ_K, qe.PQ_M, qe.PQ_SUBD)
+    v = mat.reshape(len(ids), qe.PQ_M, qe.PQ_SUBD)
+    d2 = ((v[:, None, :, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
+    codes = np.argmin(d2, axis=1)
+    qs = v[: qe.PQ_NQ]
+    qd = ((qs[:, None, :, :] - cb[None, :, :, :]) ** 2).sum(
+        axis=3).transpose(0, 2, 1)
+    adist = qd[:, np.arange(qe.PQ_M)[None, :], codes].sum(axis=2)
+
+    got = qe.q_pq_search(SF).to_pandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    for qi in range(qe.PQ_NQ):
+        row = adist[qi]
+        want_order = np.lexsort((ids, row))[: qe.PQ_TOPK]
+        g = got[got["query_id"] == ids[qi]]
+        assert list(g["vec_id"]) == list(ids[want_order])
+        assert list(g["adist"]) == [int(row[j]) for j in want_order]
+        assert list(g["rank"]) == list(range(1, qe.PQ_TOPK + 1))

@@ -487,3 +487,78 @@ def test_fuzz_quantified(ray_session, op, quant, inner, probe, neg):
         pred = f"NOT ({pred})"
     sql = f"SELECT k, i, j FROM t WHERE {pred} ORDER BY k"
     _run_both2(ray_session, sql)
+
+
+@settings(max_examples=30, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(e1=int_expr(1), e2=int_expr(1), w1=bool_expr(1),
+       w2=st.sampled_from(["x > 0", "y <= 2", "x + y < 5", "1 = 1"]),
+       w3=st.sampled_from(["x >= 0", "x % 2 = 0", "1 = 1"]))
+def test_fuzz_nested_derived(ray_session, e1, e2, w1, w2, w3):
+    """Two levels of derived tables, each with its own filter."""
+    sql = (f"SELECT x, y FROM (SELECT x, (x % 3) AS y FROM "
+           f"(SELECT ({e1} + {e2}) AS x FROM t WHERE {w1}) s1 "
+           f"WHERE {w3}) s2 WHERE {w2} ORDER BY x NULLS LAST, y NULLS LAST")
+    _run_both(ray_session, sql)
+
+
+@settings(max_examples=30, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(hv=st.sampled_from([
+    "COUNT(*) > (SELECT COUNT(*) FROM u WHERE v > 50)",
+    "MIN(i) < (SELECT MIN(m) FROM u WHERE m IS NOT NULL)",
+    "CAST(SUM(i) AS BIGINT) > COALESCE((SELECT MAX(m) FROM u), 0)",
+]), key=st.sampled_from(["(i % 3)", "(k % 4)"]), w=bool_expr(1))
+def test_fuzz_having_subquery(ray_session, hv, key, w):
+    """Uncorrelated subqueries inside HAVING."""
+    sql = (f"SELECT {key} AS g, COUNT(*) AS n FROM t WHERE {w} "
+           f"GROUP BY 1 HAVING {hv}")
+    _run_both2(ray_session, sql)
+
+
+@settings(max_examples=40, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(pat=st.sampled_from(["a%", "%x", "_b%", "a_c%", "%_%", "___",
+                            "", "%", "_", "ab", "a%c"]),
+       neg=st.booleans())
+def test_fuzz_like_wildcards(ray_session, pat, neg):
+    """LIKE with both wildcard kinds and degenerate patterns."""
+    n = "NOT " if neg else ""
+    sql = f"SELECT k, s FROM t WHERE s {n}LIKE '{pat}' ORDER BY k"
+    _run_both(ray_session, sql)
+
+
+@settings(max_examples=30, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(fn=st.sampled_from(["SUM(i)", "COUNT(*)", "AVG(i)",
+                           "MIN(i)", "MAX(i)"]),
+       n=st.integers(0, 5),
+       part=st.sampled_from(["", "PARTITION BY (k % 3) "]))
+def test_fuzz_window_range(ray_session, fn, n, part):
+    """RANGE value frames over an integer ORDER BY key."""
+    sql = (f"SELECT k, CAST({fn} OVER ({part}ORDER BY i "
+           f"RANGE BETWEEN {n} PRECEDING AND CURRENT ROW) AS DOUBLE) "
+           f"AS w FROM t ORDER BY k")
+    _run_both(ray_session, sql)
+
+
+@settings(max_examples=30, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(e=int_expr(1), w=bool_expr(1),
+       gs=st.sampled_from([
+           "GROUPING SETS (((i % 2), (k % 3)), ((i % 2)), ())",
+           "GROUPING SETS (((k % 3)), ((i % 2)))",
+           "ROLLUP ((i % 2), (k % 3))",
+       ]))
+def test_fuzz_grouping_sets_expr(ray_session, e, w, gs):
+    """GROUPING SETS / ROLLUP over expression keys with an expression
+    aggregate argument."""
+    sql = (f"SELECT (i % 2) AS a, (k % 3) AS b, "
+           f"CAST(SUM({e}) AS BIGINT) AS v, COUNT(*) AS n "
+           f"FROM t WHERE {w} GROUP BY {gs}")
+    _run_both(ray_session, sql)
