@@ -71,3 +71,94 @@ def hll_estimate(regs: np.ndarray) -> float:
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)
     return float(est)
+
+
+# ---------------------------------------------------------------- KLL
+
+class KLL:
+    """Deterministic Karnin-Lang-Liberty quantile sketch (KLL16,
+    arXiv:1603.05346) — the mergeable streaming-quantile path for
+    corpora where the exact distinct-value histogram (queries_stats
+    quantiles) would exchange O(distinct) rows.
+
+    Differences from the paper, chosen for reproducibility in a
+    distributed setting:
+    * fixed per-level capacity ``k`` (the paper shrinks capacities
+      geometrically; fixed k only costs a log factor in space);
+    * the compaction offset alternates by the level's compaction COUNT
+      instead of a coin flip — fully deterministic, so identical input
+      partitions and merge order reproduce identical sketches;
+    * SELF-CERTIFYING: every compaction at level h discards items of
+      weight 2^h and contributes at most 2^h worst-case rank error;
+      the running total rides in ``err``, and merges add it — so a
+      consumer can ASSERT any estimate against the sketch's own exact
+      error certificate rather than trust an asymptotic bound.
+    """
+
+    def __init__(self, k: int = 256):
+        self.k = int(k)
+        self.levels = [np.zeros(0, np.float64)]
+        self.ccount = [0]
+        self.n = 0
+        self.err = 0
+
+    def add(self, vals) -> "KLL":
+        v = np.asarray(vals, np.float64)
+        v = v[~np.isnan(v)]
+        self.n += len(v)
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self._compress()
+        return self
+
+    def _compress(self) -> None:
+        h = 0
+        while h < len(self.levels):
+            if len(self.levels[h]) > self.k:
+                buf = np.sort(self.levels[h], kind="stable")
+                off = self.ccount[h] & 1
+                keep = buf[off::2]
+                self.ccount[h] += 1
+                self.err += 1 << h
+                self.levels[h] = np.zeros(0, np.float64)
+                if h + 1 == len(self.levels):
+                    self.levels.append(np.zeros(0, np.float64))
+                    self.ccount.append(0)
+                self.levels[h + 1] = np.concatenate(
+                    [self.levels[h + 1], keep])
+            h += 1
+
+    def merge(self, other: "KLL") -> "KLL":
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.zeros(0, np.float64))
+            self.ccount.append(0)
+        for h, lv in enumerate(other.levels):
+            self.levels[h] = np.concatenate([self.levels[h], lv])
+        for h, c in enumerate(other.ccount):
+            self.ccount[h] += c
+        self.n += other.n
+        self.err += other.err
+        self._compress()
+        return self
+
+    def _items(self):
+        vals = np.concatenate(self.levels)
+        ws = np.concatenate([
+            np.full(len(lv), 1 << h, np.int64)
+            for h, lv in enumerate(self.levels)])
+        order = np.argsort(vals, kind="stable")
+        return vals[order], ws[order]
+
+    def quantiles(self, fracs):
+        """Estimates for the given rank fractions, plus the certified
+        bound: |true_rank(estimate) - frac * n| <= bound for every
+        returned estimate (bound = accumulated compaction error + the
+        largest single item weight, the discretization step)."""
+        fr = np.asarray(fracs, np.float64)
+        if self.n == 0:
+            return np.full(len(fr), np.nan), 0
+        vals, ws = self._items()
+        cum = np.cumsum(ws)
+        targets = fr * self.n
+        idx = np.minimum(np.searchsorted(cum, targets, side="left"),
+                         len(vals) - 1)
+        return vals[idx], int(self.err + ws.max())

@@ -1281,3 +1281,34 @@ def sql_hll_distinct() -> str:
 
 QUERIES["hll_distinct"] = q_hll_distinct
 ORACLES["hll_distinct"] = sql_hll_distinct()
+
+
+SQL_INTERVAL_TEXT = (
+    "SELECT user_id, COUNT(*) AS n, "
+    "MIN(ts + INTERVAL 1 DAY) AS first_next_day, "
+    "MAX(ts - INTERVAL '6 hours') AS last_shifted "
+    "FROM events "
+    "WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' - INTERVAL 1 WEEK "
+    "AND ts < DATE '2024-03-01' "
+    "GROUP BY user_id HAVING COUNT(*) >= 2 ORDER BY user_id"
+)
+
+
+def q_sql_interval(sf_dir: str):
+    """INTERVAL arithmetic and TIMESTAMP/DATE literals end-to-end:
+    shifted aggregates over a literal-interval-bounded window.  Oracle
+    = the IDENTICAL string in DuckDB (fixed-width units only — the
+    engine rejects calendar-variable MONTH/YEAR)."""
+    import ray
+
+    from .sqlparse import parse_sql
+
+    tables = {
+        "events": ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts"]),
+    }
+    return parse_sql(SQL_INTERVAL_TEXT, tables)
+
+
+QUERIES["sql_interval"] = q_sql_interval
+ORACLES["sql_interval"] = SQL_INTERVAL_TEXT

@@ -389,3 +389,125 @@ def sql_skew_stats() -> str:
 
 QUERIES["skew_stats"] = q_skew_stats
 ORACLES["skew_stats"] = sql_skew_stats()
+
+
+# ----------------------------------------------------- KLL quantile sketch
+
+# Mergeable streaming quantiles: the scale path that replaces the exact
+# distinct-value-histogram quantiles when O(distinct values) itself is
+# too large to exchange.  Per-block KLL partials (functions/sketch.py)
+# tree-reduce with fan-in 8 — the driver receives ONE sketch of
+# O(k log n) items, never the corpus.  The sketch is deterministic
+# (counted compaction offsets, fixed read fan-out, fixed merge tree)
+# and SELF-CERTIFYING: it carries its exact worst-case rank-error
+# budget, and this query closes the loop by measuring every estimate's
+# TRUE rank with one distributed counting pass and asserting it inside
+# the certificate — an executable invariant in the rows-only oracle
+# tier (the kmeans/tile_split pattern; a sketch whose output depends
+# on compaction order is not SQL-expressible).
+
+KLL_K = 256
+KLL_FRACS = (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+KLL_BLOCKS = 32  # fixed fan-out => deterministic partials + merge tree
+
+
+def _kll_merge_impl(*parts):
+    import pickle
+
+    sks = []
+    for p in parts:
+        if isinstance(p, pa.Table):
+            sks.extend(pickle.loads(x)
+                       for x in p.column("sk").to_pylist())
+        else:
+            sks.append(p)
+    base = sks[0]
+    for s in sks[1:]:
+        base.merge(s)
+    return base
+
+
+def q_kll_quantiles(sf_dir: str):
+    """(frac_q2, est, rank_lt, rank_le, n, err_bound) for KLL_FRACS
+    over documents.n_chars, with the certificate asserted in-query:
+    frac*n must lie within [rank_lt - err_bound, rank_le + err_bound]."""
+    import pickle
+
+    import ray
+    import ray.data
+
+    from ..functions.sketch import KLL
+
+    fns = _stats_remote_fns()
+    if "kll_merge" not in _ST_FNS:
+        _ST_FNS["kll_merge"] = ray.remote(_kll_merge_impl)
+        fns = _ST_FNS
+
+    def partial(t: pa.Table) -> pa.Table:
+        sk = KLL(KLL_K)
+        if "n_chars" in t.column_names:
+            sk.add(t.column("n_chars").to_numpy(zero_copy_only=False))
+        return pa.table({"sk": pa.array([pickle.dumps(sk)],
+                                        pa.binary())})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["n_chars"],
+        override_num_blocks=KLL_BLOCKS)
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).materialize()
+    refs = [r for bu in parts.iter_internal_ref_bundles()
+            for r in bu.block_refs]
+    if not refs:
+        return ray.data.from_arrow(pa.table({
+            "frac_q2": pa.array([], pa.int64()),
+            "est": pa.array([], pa.float64()),
+            "rank_lt": pa.array([], pa.int64()),
+            "rank_le": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "err_bound": pa.array([], pa.int64())}))
+    while len(refs) > 1:
+        refs = [fns["kll_merge"].remote(*refs[i:i + 8])
+                for i in range(0, len(refs), 8)]
+    sk = ray.get(fns["kll_merge"].remote(refs[0]))
+    fr = np.asarray(KLL_FRACS)
+    est, bound = sk.quantiles(fr)
+
+    # one distributed counting pass measures every estimate's true rank
+    def ranks(t: pa.Table) -> pa.Table:
+        if "n_chars" not in t.column_names:
+            z = np.zeros(len(fr), np.int64)
+            lt = le = z
+        else:
+            v = t.column("n_chars").to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            lt = (v[:, None] < est[None, :]).sum(axis=0)
+            le = (v[:, None] <= est[None, :]).sum(axis=0)
+        return pa.table({
+            "i": pa.array(np.arange(len(fr), dtype=np.int64)),
+            "lt": pa.array(lt.astype(np.int64)),
+            "le": pa.array(le.astype(np.int64))})
+
+    # O(blocks x len(fracs)) rows to the driver
+    rk = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["n_chars"]) \
+        .map_batches(ranks, batch_format="pyarrow").to_pandas()
+    agg = rk.groupby("i").sum()
+    lt = agg["lt"].reindex(range(len(fr)), fill_value=0).to_numpy()
+    le = agg["le"].reindex(range(len(fr)), fill_value=0).to_numpy()
+    target = fr * sk.n
+    ok = (target >= lt - bound) & (target <= le + bound)
+    assert ok.all(), \
+        f"KLL certificate violated: {list(zip(fr, lt, le))} bound={bound}"
+    return ray.data.from_arrow(pa.table({
+        "frac_q2": pa.array((fr * 100 + 0.5).astype(np.int64)),
+        "est": pa.array(est),
+        "rank_lt": pa.array(lt.astype(np.int64)),
+        "rank_le": pa.array(le.astype(np.int64)),
+        "n": pa.array(np.full(len(fr), sk.n, np.int64)),
+        "err_bound": pa.array(np.full(len(fr), bound, np.int64))}))
+
+
+QUERIES["kll_quantiles"] = q_kll_quantiles
+# rows-only by design: the sketch's output depends on its deterministic
+# compaction schedule, which SQL cannot replay; the in-query certificate
+# assert + the exact-rank columns are the executable invariant

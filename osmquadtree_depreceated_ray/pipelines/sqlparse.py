@@ -627,6 +627,47 @@ class _Parser:
             e = self.parse_expr()
             self.expect("op", ")")
             return e
+        if k == "ident" and v.lower() in ("timestamp", "date") \
+                and self.i + 1 < len(self.toks) \
+                and self.toks[self.i + 1][0] == "str":
+            # TIMESTAMP '...' / DATE '...' literals, both as
+            # microsecond timestamps (DATE at midnight — DuckDB
+            # promotes DATE to TIMESTAMP in mixed comparisons)
+            self.next()
+            sv = self.next()[1].strip()
+            try:
+                tsv = np.datetime64(sv.replace(" ", "T"), "us")
+            except ValueError:
+                raise ValueError(f"bad {v.upper()} literal {sv!r}") \
+                    from None
+            return ("lit", tsv)
+        if k == "ident" and v.lower() == "interval" \
+                and self.i + 1 < len(self.toks) \
+                and self.toks[self.i + 1][0] in ("num", "str"):
+            # INTERVAL <n> <unit> / INTERVAL '<n> <unit>' — fixed-width
+            # units only (microsecond-exact); calendar-variable
+            # MONTH/YEAR are rejected rather than approximated
+            self.next()
+            nk, nv = self.next()
+            if nk == "str":
+                bits = nv.strip().split()
+                if len(bits) != 2:
+                    raise ValueError(f"bad INTERVAL literal {nv!r}")
+                num, unit = bits
+            else:
+                num = nv
+                unit = self.expect("ident")[1]
+            n = float(num) if "." in str(num) else int(num)
+            u = unit.lower().rstrip("s")
+            mult = {"microsecond": 1, "millisecond": 1_000,
+                    "second": 1_000_000, "minute": 60_000_000,
+                    "hour": 3_600_000_000, "day": 86_400_000_000,
+                    "week": 7 * 86_400_000_000}.get(u)
+            if mult is None:
+                raise ValueError(
+                    f"INTERVAL unit {unit!r} unsupported "
+                    "(calendar-variable MONTH/YEAR are out of scope)")
+            return ("interval", int(n * mult))
         if k == "ident":
             self.next()
             if self.accept("op", "("):
@@ -929,6 +970,11 @@ def _compile_expr(node) -> Expr:
                     for c, v in node[1]]
         default = _compile_expr(node[2]) if node[2] is not None else None
         return case_when(branches, default)
+    if op == "interval":
+        # fixed-width interval literal: an Arrow duration scalar, so
+        # timestamp ± INTERVAL rides the ordinary add/sub kernels
+        return Expr(lambda t, _us=node[1]: pa.scalar(
+            _us, pa.duration("us")), "interval")
     if op == "cum_probe":
         # inequality-correlated scalar aggregate: one searchsorted into
         # the broadcast cumulative arrays picks each row's window (see

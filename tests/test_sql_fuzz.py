@@ -562,3 +562,38 @@ def test_fuzz_grouping_sets_expr(ray_session, e, w, gs):
            f"CAST(SUM({e}) AS BIGINT) AS v, COUNT(*) AS n "
            f"FROM t WHERE {w} GROUP BY {gs}")
     _run_both(ray_session, sql)
+
+
+_INTERVALS = ["INTERVAL 1 DAY", "INTERVAL 36 HOUR", "INTERVAL 90 MINUTE",
+              "INTERVAL '2 weeks'", "INTERVAL 45 SECOND"]
+_TS_LITS = ["TIMESTAMP '2024-06-01 00:00:00'", "DATE '2024-03-15'",
+            "TIMESTAMP '2024-12-31 23:59:59'"]
+
+
+@settings(max_examples=40, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(iv=st.sampled_from(_INTERVALS), tl=st.sampled_from(_TS_LITS),
+       op=st.sampled_from(["+", "-"]),
+       cmp_=st.sampled_from(["<", ">=", ">"]))
+def test_fuzz_interval_arith(ray_session, iv, tl, op, cmp_):
+    """timestamp ± INTERVAL arithmetic and TIMESTAMP/DATE literals in
+    filters and projections."""
+    import ray
+
+    from osmquadtree_depreceated_ray.pipelines.sqlparse import parse_sql
+
+    sql = (f"SELECT k, ts {op} {iv} AS a FROM ts "
+           f"WHERE ts {cmp_} {tl} {op} {iv} ORDER BY k")
+    res = parse_sql(sql, {"ts": ray.data.from_arrow(TABLE_TS)})
+    parts = ray.get(res.to_arrow_refs())
+    got = (pa.concat_tables(parts, promote_options="default").to_pandas()
+           if parts else pd.DataFrame())
+    con = duckdb.connect()
+    con.register("ts", TABLE_TS)
+    want = con.execute(sql).df()
+    assert len(got) == len(want), (sql, len(got), len(want))
+    if len(want) == 0:
+        return
+    g, w = _canon(got), _canon(want)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False), sql
