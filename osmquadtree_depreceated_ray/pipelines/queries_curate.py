@@ -52,28 +52,34 @@ def _explode_words(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
 # are transitive in practice, and the keep/drop decision needs one
 # canonical representative per CLUSTER, not per pair.
 #
-# Algorithm: hash-min label propagation with ACCUMULATED SHORTCUT
-# edges, run as a raw two-wave exchange per round (the one place the
+# Algorithm: hash-min label propagation with REPLACING shortcut
+# shards, run as a raw two-wave exchange per round (the one place the
 # Dataset API genuinely doesn't fit: an iterative fixpoint pays full
 # pipeline planning several times per round; kmeans makes the same
-# call).  State is hash-sharded by node into _cc_buckets() shards (edges by src,
-# labels by node) and stays in the object store between rounds; the
-# driver holds only object refs and one changed-count int per round.
+# call).  State is hash-sharded by node into _cc_buckets() shards
+# (original edges by src, labels by node) and stays in the object
+# store between rounds; the driver holds only object refs and one
+# changed-count int per round.
 #
-#   scatter (per bucket): join local edges to local labels -> candidate
-#     (dst, label(src)) rows, plus a shortcut edge label(v) -> v for
-#     every non-root v, all hash-routed with num_returns=_cc_buckets()
+#   scatter (per bucket): join local original edges AND the current
+#     shortcut shard to local labels -> candidate (dst, label(src))
+#     rows, plus next round's shortcut (label(v), v) for every
+#     non-root v, all hash-routed with num_returns=_cc_buckets()
 #   gather (per bucket): min-merge candidates into the local labels,
-#     union + dedup new shortcut edges into the local edge shard,
-#     return (edges, labels, n_changed)
+#     collect incoming shortcuts as the next round's shard,
+#     return (sc, labels, n_changed)
 #
 # Shortcuts make every round relax label(label(v)) as well as the
-# neighbour labels — pointer doubling, so rounds = O(log diameter)
+# neighbour labels — pointer jumping, so rounds = O(log diameter)
 # instead of O(diameter).  Labels only decrease and always hold an id
 # from the own component, so sum(changed) == 0 is an exact fixpoint
-# witness.  Edge shards grow by at most one (label(v), v) shortcut per
-# node per round, deduped in place; rounds are logarithmic, so the
-# overhead is bounded.
+# witness.  DELTA propagation: an edge fires only when its src label
+# changed last round (resending an unchanged value is redundant in the
+# min semiring), except that a jump edge fires unconditionally on its
+# first round (the registration-time parent label must be delivered
+# once even if the parent never changes again).  Jump edges accumulate
+# bounded by the total number of label changes (O(nodes log diameter));
+# the original edge shards never change.
 
 CC_MAX_ROUNDS = 64
 
@@ -111,7 +117,10 @@ def _cc_init_split_impl(n, kind, *blocks):
         key = out["src"].to_numpy()
     else:
         ids = df["doc_id"].to_numpy(np.int64)
-        out = pd.DataFrame({"node": ids, "label": ids})
+        # chg=1: every node is "freshly changed" at round 0, so the
+        # first scatter fires every edge (delta propagation after that)
+        out = pd.DataFrame({"node": ids, "label": ids,
+                            "chg": np.ones(len(ids), np.int8)})
         key = ids
     bk = _cc_route(key, n)
     return tuple(
@@ -124,54 +133,109 @@ def _cc_concat_impl(*pieces):
     return pa.concat_tables(pieces, promote_options="default")
 
 
-def _cc_scatter_impl(n, edges, labels):
-    """One bucket's scatter: candidate labels for edge targets plus new
-    shortcut edges, hash-routed to their home buckets.  Output rows:
-    (node, dst, label) — dst >= 0 marks a shortcut edge (src=node),
-    label >= 0 marks a candidate."""
-    e, l = edges.to_pandas(), labels.to_pandas()
-    m = e.merge(l, left_on="src", right_on="node", how="inner")
-    cand_node = m["dst"].to_numpy(np.int64)
-    cand_label = m["label"].to_numpy(np.int64)
-    nr = l[l["node"] != l["label"]]
-    sc_src = nr["label"].to_numpy(np.int64)
-    sc_dst = nr["node"].to_numpy(np.int64)
+def _cc_scatter_impl(n, edges, sc, labels):
+    """One bucket's scatter: candidate labels for the targets of this
+    bucket's ORIGINAL edges and of the CURRENT shortcut edges, plus the
+    next round's shortcuts, all hash-routed home.  Output rows:
+    (node, dst, label) — dst >= 0 marks a shortcut (src=node), label
+    >= 0 marks a candidate.
+
+    Every edge src lives in this bucket by construction, so the
+    src->label join is one searchsorted against the bucket's sorted
+    node array.  DELTA propagation: only edges whose src label CHANGED
+    last round fire (an unchanged label's candidate was already
+    min-merged — resending is redundant in the min semiring), and only
+    freshly-changed non-roots register a jump edge (label(v), v) at
+    their parent's bucket.  Jump edges accumulate in the sc shard (a
+    stale parent can only send a dominated candidate; min-merge
+    ignores it), bounded by the total number of label changes."""
+    nodes = labels.column("node").to_numpy().astype(np.int64)
+    labs = labels.column("label").to_numpy().astype(np.int64)
+    chg = labels.column("chg").to_numpy().astype(np.int8)
+    e_src = edges.column("src").to_numpy().astype(np.int64)
+    src = np.concatenate([
+        e_src, sc.column("src").to_numpy().astype(np.int64)])
+    dst_e = np.concatenate([
+        edges.column("dst").to_numpy().astype(np.int64),
+        sc.column("dst").to_numpy().astype(np.int64)])
+    # a jump edge fires unconditionally on its FIRST round (its parent's
+    # label may be final already — the registration-time value must
+    # still be delivered once), then by delta like the original edges
+    force = np.concatenate([
+        np.zeros(len(e_src), np.int8),
+        sc.column("fresh").to_numpy().astype(np.int8)])
+    if len(nodes):
+        order = np.argsort(nodes, kind="stable")
+        ns, ls = nodes[order], labs[order]
+        cs = chg[order]
+        pos = np.searchsorted(ns, src)
+        pos[pos >= len(ns)] = 0
+        ok = (ns[pos] == src) & ((cs[pos] == 1) | (force == 1))
+        cand_node = dst_e[ok]
+        cand_label = ls[pos[ok]]
+    else:
+        cand_node = np.zeros(0, np.int64)
+        cand_label = np.zeros(0, np.int64)
+    nr = (nodes != labs) & (chg == 1)
+    sc_src = labs[nr]
+    sc_dst = nodes[nr]
     node = np.concatenate([cand_node, sc_src])
     dst = np.concatenate([np.full(len(cand_node), -1, np.int64), sc_dst])
-    label = np.concatenate([cand_label, np.full(len(sc_src), -1, np.int64)])
+    label = np.concatenate([cand_label,
+                            np.full(len(sc_src), -1, np.int64)])
     bk = _cc_route(node, n)
-    out = pd.DataFrame({"node": node, "dst": dst, "label": label})
     return tuple(
-        pa.Table.from_pandas(out[bk == i], preserve_index=False)
+        pa.table({"node": node[bk == i], "dst": dst[bk == i],
+                  "label": label[bk == i]})
         for i in range(n)
     )
 
 
-def _cc_gather_impl(edges, labels, *pieces):
-    """One bucket's gather: min-merge candidates, absorb new shortcut
-    edges (dedup), count changed labels."""
-    inc = pa.concat_tables(pieces, promote_options="default").to_pandas()
-    l = labels.to_pandas()
-    cand = inc[inc["label"] >= 0]
+def _cc_gather_impl(labels, sc, *pieces):
+    """One bucket's gather: min-merge candidates into the local labels
+    (sort + minimum.reduceat + searchsorted — pure numpy), mark which
+    labels changed (next round's frontier), and append the incoming
+    jump edges to the persistent sc shard."""
+    inc_node = np.concatenate([
+        p.column("node").to_numpy().astype(np.int64) for p in pieces])
+    inc_dst = np.concatenate([
+        p.column("dst").to_numpy().astype(np.int64) for p in pieces])
+    inc_label = np.concatenate([
+        p.column("label").to_numpy().astype(np.int64) for p in pieces])
+    nodes = labels.column("node").to_numpy().astype(np.int64)
+    labs = labels.column("label").to_numpy().astype(np.int64).copy()
+    chg = np.zeros(len(nodes), np.int8)
     changed = 0
-    if len(cand) and len(l):
-        mins = cand.groupby("node", sort=False)["label"].min()
-        old = l["label"].to_numpy(np.int64)
-        # float64 + NaN where no candidate; exact for ids < 2^53 (a
-        # 10^12-doc corpus uses ~2^40)
-        upd = l["node"].map(mins)
-        new = np.where(upd.notna().to_numpy(),
-                       np.minimum(old, upd.fillna(0).to_numpy(np.int64)),
-                       old)
-        changed = int((new < old).sum())
-        l = pd.DataFrame({"node": l["node"].to_numpy(np.int64),
-                          "label": new})
-    sc = inc[inc["dst"] >= 0][["node", "dst"]].rename(columns={"node": "src"})
-    e = edges.to_pandas()
-    if len(sc):
-        e = pd.concat([e, sc], ignore_index=True).drop_duplicates()
-    return (pa.Table.from_pandas(e, preserve_index=False),
-            pa.Table.from_pandas(l, preserve_index=False),
+    cmask = inc_label >= 0
+    if cmask.any() and len(nodes):
+        cn, cl = inc_node[cmask], inc_label[cmask]
+        order = np.lexsort((cl, cn))
+        cn, cl = cn[order], cl[order]
+        starts = np.flatnonzero(np.r_[True, cn[1:] != cn[:-1]])
+        uniq = cn[starts]
+        mins = np.minimum.reduceat(cl, starts)
+        norder = np.argsort(nodes, kind="stable")
+        ns = nodes[norder]
+        pos = np.searchsorted(ns, uniq)
+        pos[pos >= len(ns)] = 0
+        ok = ns[pos] == uniq
+        tgt = norder[pos[ok]]
+        new = np.minimum(labs[tgt], mins[ok])
+        hit = new < labs[tgt]
+        changed = int(hit.sum())
+        labs[tgt] = new
+        chg[tgt[hit]] = 1
+    smask = inc_dst >= 0
+    n_old = sc.num_rows
+    sc_src = np.concatenate([
+        sc.column("src").to_numpy().astype(np.int64), inc_node[smask]])
+    sc_dst = np.concatenate([
+        sc.column("dst").to_numpy().astype(np.int64), inc_dst[smask]])
+    fresh = np.zeros(len(sc_src), np.int8)
+    fresh[n_old:] = 1
+    return (pa.table({"src": sc_src, "dst": sc_dst, "fresh": fresh}),
+            pa.table({"node": nodes, "label": labs,
+                      "chg": chg}),
             changed)
 
 
@@ -210,7 +274,8 @@ def cc_label_refs(pairs_ds, ids_ds):
                   for g in groups if g]
         if not pieces:
             empty = pa.table({"node": pa.array([], pa.int64()),
-                              "label": pa.array([], pa.int64())})
+                              "label": pa.array([], pa.int64()),
+                              "chg": pa.array([], pa.int8())})
             if kind == "edges":
                 empty = pa.table({"src": pa.array([], pa.int64()),
                                   "dst": pa.array([], pa.int64())})
@@ -220,13 +285,17 @@ def cc_label_refs(pairs_ds, ids_ds):
 
     edges = shard(pairs_ds, "edges")
     labels = shard(ids_ds, "labels")
+    empty_sc = pa.table({"src": pa.array([], pa.int64()),
+                         "dst": pa.array([], pa.int64()),
+                         "fresh": pa.array([], pa.int8())})
+    sc = [ray.put(empty_sc) for _ in range(n)]
     for _ in range(CC_MAX_ROUNDS):
         outs = [fns["scatter"].options(num_returns=n).remote(
-            n, edges[b], labels[b]) for b in range(n)]
+            n, edges[b], sc[b], labels[b]) for b in range(n)]
         gathered = [fns["gather"].options(num_returns=3).remote(
-            edges[b], labels[b], *[outs[s][b] for s in range(n)])
+            labels[b], sc[b], *[outs[s][b] for s in range(n)])
             for b in range(n)]
-        edges = [g[0] for g in gathered]
+        sc = [g[0] for g in gathered]
         labels = [g[1] for g in gathered]
         if sum(ray.get([g[2] for g in gathered])) == 0:
             break

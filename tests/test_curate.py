@@ -9,6 +9,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -234,3 +235,59 @@ def test_outliers_mad_vs_pandas(ray_session, docs):
         gx = grp["n_chars"].to_numpy(float)
         assert (grp["is_outlier"].to_numpy()
                 == (np.abs(gx - med) > OUTLIER_K * mad).astype(np.int64)).all()
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges", [
+    (1, 200, 50), (2, 500, 400), (3, 300, 900),
+    (4, 64, 63), (5, 1000, 150),
+])
+def test_cc_label_refs_vs_union_find(ray_session, seed, n_nodes, n_edges):
+    """Randomized stress of the delta-frontier label propagation
+    (chain/dense/sparse regimes) against a plain union-find."""
+    import ray
+
+    from osmquadtree_depreceated_ray.pipelines.queries_curate import (
+        cc_label_refs,
+    )
+
+    rng = np.random.default_rng(seed)
+    ids = np.unique(rng.integers(0, 100_000, n_nodes).astype(np.int64))
+    if seed == 4:
+        # worst-case diameter: one long path in DESCENDING id order so
+        # the min label must travel the whole chain
+        ids = np.sort(ids)
+        a = ids[1:]
+        b = ids[:-1]
+    else:
+        a = rng.choice(ids, n_edges)
+        b = rng.choice(ids, n_edges)
+        keep = a != b
+        a, b = a[keep], b[keep]
+    parent = {v: v for v in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(a, b):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    # canonical min-id labels
+    want = {}
+    for v in ids:
+        r = find(v)
+        want.setdefault(r, []).append(v)
+    want_label = {v: min(vs) for r, vs in want.items() for v in vs}
+
+    pairs = ray.data.from_arrow(pa.table({
+        "a": pa.array(np.minimum(a, b)),
+        "b": pa.array(np.maximum(a, b))}))
+    nodes = ray.data.from_arrow(pa.table({"doc_id": pa.array(ids)}))
+    labels = ray.get(cc_label_refs(pairs, nodes))
+    got = pa.concat_tables(labels).to_pandas()
+    assert len(got) == len(ids)
+    for v, lbl in zip(got["node"], got["label"]):
+        assert want_label[v] == lbl, (v, lbl, want_label[v])
