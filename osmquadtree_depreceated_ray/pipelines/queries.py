@@ -1312,3 +1312,105 @@ def q_sql_interval(sf_dir: str):
 
 QUERIES["sql_interval"] = q_sql_interval
 ORACLES["sql_interval"] = SQL_INTERVAL_TEXT
+
+
+# ----------------------------------------------- SQL joins v2 (round 4 s6)
+
+SQL_JOIN_MULTI_TEXT = (
+    "SELECT e.user_id, e.event_type, e.value, m.n_ev "
+    "FROM events e JOIN (SELECT user_id, event_type, "
+    "COUNT(*) AS n_ev, MAX(value) AS mx FROM events "
+    "GROUP BY user_id, event_type) m "
+    "ON e.user_id = m.user_id AND e.event_type = m.event_type "
+    "AND value = mx AND value > 10 "
+    "ORDER BY e.user_id, e.event_type, e.value LIMIT 3000"
+)
+
+
+def q_sql_join_multi(sf_dir: str):
+    """Composite-key join + derived join RHS + theta residual through
+    the SQL front-end: per-(user, event_type) argmax-by-value events
+    annotated with the group count.  The two shared-name equalities
+    become one multi-key hash exchange (`_join_on` composite __jk*),
+    value = mx resolves by schema into a third key pair, and
+    value > 10 runs as the post-join theta filter.  Oracle = the
+    IDENTICAL string in DuckDB.  (Exceeds the reference grammar:
+    sqlselect/sql.go joins are single-key USING only.)"""
+    import ray
+
+    from .sqlparse import parse_sql
+
+    tables = {
+        "events": ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_type", "value"]),
+    }
+    return parse_sql(SQL_JOIN_MULTI_TEXT, tables)
+
+
+QUERIES["sql_join_multi"] = q_sql_join_multi
+ORACLES["sql_join_multi"] = SQL_JOIN_MULTI_TEXT
+
+
+SQL_CROSS_TEXT = (
+    "SELECT r_name, n_name FROM nation CROSS JOIN region "
+    "WHERE n_regionkey <> r_regionkey ORDER BY r_name, n_name"
+)
+
+
+def q_sql_cross(sf_dir: str):
+    """CROSS JOIN through the SQL front-end (bounded cartesian: the
+    build side is collected + ray.put once, per-batch pandas cross
+    merge; an over-threshold right side raises).  Oracle = the
+    IDENTICAL string in DuckDB."""
+    import ray
+
+    from .sqlparse import parse_sql
+
+    tables = {
+        "nation": ray.data.read_parquet(
+            f"{sf_dir}/nation.parquet",
+            columns=["n_name", "n_regionkey"]),
+        "region": ray.data.read_parquet(
+            f"{sf_dir}/region.parquet",
+            columns=["r_regionkey", "r_name"]),
+    }
+    return parse_sql(SQL_CROSS_TEXT, tables)
+
+
+QUERIES["sql_cross"] = q_sql_cross
+ORACLES["sql_cross"] = SQL_CROSS_TEXT
+
+
+SQL_WINDOW2_TEXT = (
+    "SELECT event_id, user_id, "
+    "LAST_VALUE(value) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id) AS lv, "
+    "NTH_VALUE(value, 2) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id) AS nv2, "
+    "FIRST_VALUE(value) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id) AS fv "
+    "FROM events WHERE event_type = 'view' "
+    "ORDER BY user_id, event_id LIMIT 5000"
+)
+
+
+def q_sql_window2(sf_dir: str):
+    """LAST_VALUE / NTH_VALUE with SQL's default frame (the frame end is
+    the current row's last PEER, not the partition tail) + FIRST_VALUE,
+    through the SQL front-end.  Oracle = the IDENTICAL string in
+    DuckDB."""
+    import ray
+
+    from .sqlparse import parse_sql
+
+    tables = {
+        "events": ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts", "event_type", "value"]),
+    }
+    return parse_sql(SQL_WINDOW2_TEXT, tables)
+
+
+QUERIES["sql_window2"] = q_sql_window2
+ORACLES["sql_window2"] = SQL_WINDOW2_TEXT

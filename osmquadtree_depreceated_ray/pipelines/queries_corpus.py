@@ -491,6 +491,39 @@ def _bpe_apply(syms: np.ndarray, wid: np.ndarray, left: str,
     return out[keep], wid[keep]
 
 
+def _bpe_apply_delta(syms: np.ndarray, wid: np.ndarray,
+                     freq: np.ndarray, left: str, right: str):
+    """Merge (left, right) and return (new_syms, new_wid, delta).
+
+    before/after recounts run on the affected-word segment only.
+    Boolean masking keeps each word's symbols contiguous and ordered,
+    so cross-word pairs can't appear (wid equality gates every pair)
+    and splicing unaffected + rewritten segments back together is
+    order-safe.  delta is the exact (l, r, cnt-change) table."""
+    empty = _bpe_pair_counts(
+        np.asarray([], dtype=object), np.asarray([], np.int64), freq)
+    if len(syms) < 2:
+        return syms, wid, empty
+    m = ((syms[:-1] == left) & (syms[1:] == right)
+         & (wid[:-1] == wid[1:]))
+    p = np.nonzero(m)[0]
+    if not len(p):
+        return syms, wid, empty
+    mask = np.isin(wid, np.unique(wid[p]))
+    seg_s, seg_w = syms[mask], wid[mask]
+    before = _bpe_pair_counts(seg_s, seg_w, freq)
+    new_s, new_w = _bpe_apply(seg_s, seg_w, left, right)
+    after = _bpe_pair_counts(new_s, new_w, freq)
+    syms = np.concatenate([syms[~mask], new_s])
+    wid = np.concatenate([wid[~mask], new_w])
+    d = (after.set_index(["l", "r"])["cnt"]
+         .sub(before.set_index(["l", "r"])["cnt"], fill_value=0)
+         .astype(np.int64))
+    d = d[d != 0].reset_index()
+    d.columns = ["l", "r", "cnt"]
+    return syms, wid, d
+
+
 def q_bpe_merges(sf_dir: str, n_merges: int = BPE_MERGES):
     """Learned BPE merge table over the documents word stream:
     (rank, left, right, cnt), rank 1..n_merges in learn order."""
@@ -509,7 +542,15 @@ def q_bpe_merges(sf_dir: str, n_merges: int = BPE_MERGES):
     @ray.remote
     class BpeShard:
         """Holds one shard of the word table as flattened symbol
-        sequences; state never leaves the actor between rounds."""
+        sequences; state never leaves the actor between rounds.
+
+        Rounds after the first are INCREMENTAL: ``apply_delta``
+        recounts pairs only over the words the merge touched and
+        returns the (l, r, cnt-change) delta table — per-round work
+        and traffic drop from O(all symbols)/O(live pairs) to
+        O(affected words)/O(changed pairs), which shrinks fast as
+        merges specialize (the classic pair-cache BPE optimization,
+        Sennrich et al. 2016 §3)."""
 
         def __init__(self, words: list, freq: np.ndarray):
             chars = [list(w) for w in words]
@@ -522,10 +563,12 @@ def q_bpe_merges(sf_dir: str, n_merges: int = BPE_MERGES):
         def pair_counts(self) -> pd.DataFrame:
             return _bpe_pair_counts(self.syms, self.wid, self.freq)
 
-        def apply(self, left: str, right: str) -> int:
-            self.syms, self.wid = _bpe_apply(
-                self.syms, self.wid, left, right)
-            return len(self.syms)
+        def apply_delta(self, left: str, right: str) -> pd.DataFrame:
+            """Merge (left, right); return the exact pair-count delta
+            (:func:`_bpe_apply_delta` — affected-word recount only)."""
+            self.syms, self.wid, d = _bpe_apply_delta(
+                self.syms, self.wid, self.freq, left, right)
+            return d
 
     # shard the word table by word hash: deterministic, balanced
     wtab = wc.to_pandas()  # O(distinct words) — the BPE training set
@@ -539,22 +582,29 @@ def q_bpe_merges(sf_dir: str, n_merges: int = BPE_MERGES):
 
     ranks, lefts, rights, cnts = [], [], [], []
     prev_cnt = None
+    # round 1 pays the one full count; the driver then owns the live
+    # pair table and folds in per-round shard deltas (O(changed pairs))
+    partials = ray.get([sh.pair_counts.remote() for sh in shards])
+    live = (pd.concat(partials, ignore_index=True)
+            .groupby(["l", "r"])["cnt"].sum())
     for rank in range(1, n_merges + 1):
-        partials = ray.get([sh.pair_counts.remote() for sh in shards])
-        tot = (pd.concat(partials, ignore_index=True)
-               .groupby(["l", "r"], as_index=False)["cnt"].sum())
-        if tot.empty:
+        live = live[live > 0]
+        if live.empty:
             break
-        tot = tot.sort_values(["cnt", "l", "r"],
-                              ascending=[False, True, True],
-                              kind="stable")
+        tot = live.reset_index().sort_values(
+            ["cnt", "l", "r"], ascending=[False, True, True],
+            kind="stable")
         left, right, cnt = (tot.iloc[0]["l"], tot.iloc[0]["r"],
                             int(tot.iloc[0]["cnt"]))
         # merge counts are non-increasing: a pair created by a merge
         # occurs at most as often as the merge itself did
         assert prev_cnt is None or cnt <= prev_cnt, (cnt, prev_cnt)
         prev_cnt = cnt
-        ray.get([sh.apply.remote(left, right) for sh in shards])
+        deltas = ray.get(
+            [sh.apply_delta.remote(left, right) for sh in shards])
+        dser = (pd.concat(deltas, ignore_index=True)
+                .groupby(["l", "r"])["cnt"].sum())
+        live = live.add(dser, fill_value=0).astype(np.int64)
         ranks.append(rank)
         lefts.append(left)
         rights.append(right)

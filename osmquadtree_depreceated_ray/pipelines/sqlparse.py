@@ -121,7 +121,7 @@ _KEYWORDS = {
     "left", "inner", "outer", "right", "full", "rows", "preceding",
     "unbounded", "current", "row", "following", "filter", "offset",
     "qualify", "intersect", "except", "rollup", "cube", "with",
-    "recursive", "range",
+    "recursive", "range", "cross",
 }
 # NOTE: "nulls"/"first"/"last" are deliberately NOT reserved — they are
 # matched contextually in the ORDER BY tail so columns with those names
@@ -307,27 +307,45 @@ class _Parser:
                 how = "full"
             elif self.accept("kw", "inner"):
                 how = "inner"
+            elif self.accept("kw", "cross"):
+                how = "cross"
             if how is None:
                 if not self.accept("kw", "join"):
                     break
                 how = "inner"
             else:
                 self.expect("kw", "join")
-            jt = self.expect("ident")[1]
-            if self.accept("op", "."):
+            if self.peek() == ("op", "("):
+                # JOIN (SELECT ...) alias — derived table as join RHS
+                self.next()
+                sub = self.parse_query(nested=True)
+                self.expect("op", ")")
+                jt = ("derived", sub, None)
+            else:
                 jt = self.expect("ident")[1]
+                if self.accept("op", "."):
+                    jt = self.expect("ident")[1]
             had_using_or_on = self.peek() in (("kw", "using"), ("kw", "on"))
             if not had_using_or_on:
                 self._accept_alias()
+                had_using_or_on = self.peek() in (("kw", "using"),
+                                                  ("kw", "on"))
+            if how == "cross":
+                # CROSS JOIN takes no condition
+                joins.append((jt, (), (), "cross", None))
+                continue
             if self.accept("kw", "using"):
-                # JOIN t USING (col) — the reference grammar's join form
-                # (sqlselect/sql.go): both sides share the column name
+                # JOIN t USING (col, ...) — the reference grammar's join
+                # form (sqlselect/sql.go): both sides share the names
                 self.expect("op", "(")
-                col = self.expect("ident")[1]
+                cols = [self.expect("ident")[1]]
+                while self.accept("op", ","):
+                    cols.append(self.expect("ident")[1])
                 self.expect("op", ")")
-                joins.append((jt, col, col, how))
+                joins.append((jt, tuple(cols), tuple(cols), how, None))
             else:
                 self.expect("kw", "on")
+                on_start = self.i
 
                 def _qcol():
                     c = self.expect("ident")[1]
@@ -336,14 +354,62 @@ class _Parser:
                         q, c = c, self.expect("ident")[1]
                     return q, c
 
-                lq, lcol = _qcol()
-                self.expect("op", "=")
-                rq, rcol = _qcol()
-                # qualifiers fix the side when the user wrote the join
-                # table's column first (ON t2.g = t1.k)
-                if lq == jt and rq != jt:
-                    lcol, rcol = rcol, lcol
-                joins.append((jt, lcol, rcol, how))
+                # conjunct-wise parse: plain `qcol = qcol` equalities
+                # become hash-join keys; everything else accumulates
+                # into a residual theta predicate.  A top-level OR makes
+                # the whole ON a single residual (no equi keys).
+                _ENDS = {"and", "where", "group", "order", "limit",
+                         "having", "qualify", "union", "intersect",
+                         "except", "offset", "left", "right", "full",
+                         "inner", "cross", "join", "or"}
+                pairs: list = []
+                res_conj: list = []
+                disjunctive = False
+                while True:
+                    save = self.i
+                    pair = None
+                    if self.peek()[0] == "ident":
+                        try:
+                            lq, lcol = _qcol()
+                            if self.accept("op", "="):
+                                if self.peek()[0] == "ident":
+                                    rq, rcol = _qcol()
+                                    nk, nv = self.peek()
+                                    if (nk == "eof"
+                                            or (nk == "op" and nv == ")")
+                                            or (nk == "kw"
+                                                and nv in _ENDS)):
+                                        pair = (lq, lcol, rq, rcol)
+                        except ValueError:
+                            pair = None
+                    if pair is None:
+                        self.i = save
+                        res_conj.append(self.parse_not())
+                    else:
+                        lq, lcol, rq, rcol = pair
+                        # qualifiers fix the side when the user wrote
+                        # the join table's column first (ON t2.g = t1.k)
+                        if lq == jt and rq != jt:
+                            lcol, rcol = rcol, lcol
+                        pairs.append((lcol, rcol))
+                    if self.peek() == ("kw", "or"):
+                        disjunctive = True
+                        break
+                    if not self.accept("kw", "and"):
+                        break
+                if disjunctive:
+                    # re-parse the whole ON as one residual expression
+                    self.i = on_start
+                    joins.append((jt, (), (), how, self.parse_expr()))
+                else:
+                    residual = None
+                    if res_conj:
+                        residual = res_conj[0]
+                        for c in res_conj[1:]:
+                            residual = ("and", residual, c)
+                    joins.append((jt, tuple(p[0] for p in pairs),
+                                  tuple(p[1] for p in pairs), how,
+                                  residual))
         join = joins or None
         where = None
         if self.accept("kw", "where"):
@@ -1729,8 +1795,8 @@ def _run_grouped_select(ds, sel) -> "ray.data.Dataset":  # noqa: F821
 
 
 _WIN_FUNCS = {"row_number", "rank", "dense_rank", "sum", "count", "min",
-              "max", "avg", "lag", "lead", "first_value", "ntile",
-              "percent_rank", "cume_dist"}
+              "max", "avg", "lag", "lead", "first_value", "last_value",
+              "nth_value", "ntile", "percent_rank", "cume_dist"}
 # aggregates that accept a ROWS frame (moving aggregates)
 _FRAMEABLE = {"sum", "count", "min", "max", "avg"}
 
@@ -1896,6 +1962,35 @@ def _window_bucket_fn(part: list, specs: list):
                 head = pd.Series(
                     np.r_[True, gv[1:] != gv[:-1]], index=order.index)
                 res = x.where(head).groupby(gv).ffill()
+                if res.dtype != x.dtype and x.dtype.kind in "iu" \
+                        and not res.isna().any():
+                    res = res.astype(x.dtype)
+            elif fname in ("last_value", "nth_value"):
+                # default frame (RANGE UNBOUNDED PRECEDING..CURRENT
+                # ROW): the frame END is the current row's LAST PEER —
+                # the SQL gotcha where last_value is NOT the partition
+                # tail.  Positional (null-included) semantics, pure
+                # numpy: nearest peer-tail at-or-after each row via a
+                # reversed min-accumulate.
+                n_rows = len(order)
+                posn = np.arange(n_rows)
+                tail = np.r_[peer_id[1:] != peer_id[:-1], True]
+                cand = np.where(tail, posn, n_rows)
+                frame_end = np.minimum.accumulate(cand[::-1])[::-1]
+                xv = x.to_numpy()
+                if fname == "last_value":
+                    res = pd.Series(xv[frame_end], index=order.index)
+                else:
+                    # nth_value(x, n): partition's n-th row, NULL while
+                    # the frame hasn't reached it yet
+                    headm = np.r_[True, gv[1:] != gv[:-1]]
+                    start = np.maximum.accumulate(
+                        np.where(headm, posn, -1))
+                    idx = start + (off - 1)
+                    ok = idx <= frame_end
+                    res = pd.Series(
+                        xv[np.minimum(idx, n_rows - 1)],
+                        index=order.index).mask(~ok)
                 if res.dtype != x.dtype and x.dtype.kind in "iu" \
                         and not res.isna().any():
                     res = res.astype(x.dtype)
@@ -2266,9 +2361,20 @@ def _run_window_select(ds, sel) -> "ray.data.Dataset":  # noqa: F821
                     or not isinstance(args[0][1], int) or args[0][1] < 1:
                 raise ValueError("ntile() needs a positive integer literal")
             off = args[0][1]  # reuse the offset slot for the bucket count
-        if fname in ("rank", "dense_rank", "first_value", "ntile",
+        if fname in ("rank", "dense_rank", "first_value", "last_value",
+                     "nth_value", "ntile",
                      "percent_rank", "cume_dist") and not ocols:
             raise ValueError(f"{fname}() requires ORDER BY in the window")
+        if fname == "nth_value":
+            if len(args) != 2 or args[1][0] != "lit" \
+                    or not isinstance(args[1][1], int) or args[1][1] < 1:
+                raise ValueError(
+                    "nth_value() needs a positive integer literal n")
+            off = args[1][1]
+        if fname in ("last_value", "nth_value") and frame is not None:
+            raise ValueError(
+                f"{fname}() with an explicit frame is unsupported "
+                "(default RANGE UNBOUNDED PRECEDING..CURRENT ROW only)")
         if frame is not None and not ocols:
             raise ValueError("a ROWS frame requires ORDER BY in the window")
         # ORDER BY entries are expressions: plain columns sort directly,
@@ -2337,51 +2443,117 @@ def _collect_cols(node, out: set) -> None:
             _collect_cols(sub, out)
 
 
-def _broadcast_join(ds_a, ds_b, lcol: str, rcol: str, how: str = "inner"):
-    """Inner or left equi-join with a SMALL right side: collect +
-    ``ray.put`` the build table once, probe map-side in every batch — no
-    shuffle at all (the planner picks this when the right table is under
-    the broadcast threshold; same output contract as :func:`_join_on`).
-    A left join is still map-side-correct here: every left row appears
-    in exactly one batch."""
+def _int_named_cols(ds_a, ds_b) -> set:
+    """Column names DECLARED integer on either side — pandas conversion
+    of a null-bearing arrow int column yields float64, so join kernels
+    restore these after the merge (nullable-safe)."""
+    int_cols = set()
+    for sch in (ds_a.schema(), ds_b.schema()):
+        for name, typ in zip(sch.names, sch.types):
+            if isinstance(typ, pa.DataType) and pa.types.is_integer(typ):
+                int_cols.add(name)
+    return int_cols
+
+
+def _restore_int_cols(m: pd.DataFrame, int_cols: set) -> pd.DataFrame:
+    for c in m.columns:
+        if c in int_cols and m[c].dtype != np.int64:
+            m[c] = (m[c].astype("Int64") if m[c].isna().any()
+                    else m[c].astype(np.int64))
+    return m
+
+
+def _collect_small(ds_b) -> pd.DataFrame:
+    """Materialize a small dataset's blocks into one pandas frame.
+    Blocks may be Arrow or pandas (a prior join / map_groups stage
+    yields pandas blocks) — normalize before concatenating."""
     import ray
 
-    # blocks may be Arrow or pandas (a prior join / map_groups stage
-    # yields pandas blocks) — normalize before concatenating
     blocks = ray.get(ds_b.to_arrow_refs())
     b_tbl = pa.concat_tables(
         [b if isinstance(b, pa.Table)
          else pa.Table.from_pandas(b, preserve_index=False)
          for b in blocks],
         promote_options="default")
-    b_df = b_tbl.to_pandas()
-    # SQL NULL keys never match — drop them from the build side once
-    # (pandas merge would pair NaN==NaN)
-    if b_df[rcol].isna().any():
-        b_df = b_df[b_df[rcol].notna()]
+    return b_tbl.to_pandas()
+
+
+def _broadcast_join(ds_a, ds_b, lcol, rcol, how: str = "inner"):
+    """Inner or left equi-join (single or composite key) with a SMALL
+    right side: collect + ``ray.put`` the build table once, probe
+    map-side in every batch — no shuffle at all (the planner picks this
+    when the right table is under the broadcast threshold; same output
+    contract as :func:`_join_on`).  A left join is still map-side-
+    correct here: every left row appears in exactly one batch."""
+    import ray
+
+    lcols = [lcol] if isinstance(lcol, str) else list(lcol)
+    rcols = [rcol] if isinstance(rcol, str) else list(rcol)
+    b_df = _collect_small(ds_b)
+    # SQL NULL keys never match — drop build rows with ANY null key
+    # once (pandas merge would pair NaN==NaN)
+    keymask = b_df[rcols].notna().all(axis=1)
+    if not keymask.all():
+        b_df = b_df[keymask]
     a_names = ds_a.schema().names
     overlap = set(a_names) & set(b_df.columns)
+    int_cols = _int_named_cols(ds_a, ds_b)
     b_ref = ray.put(b_df)
 
     def fn(batch: pa.Table) -> pd.DataFrame:
         bd = ray.get(b_ref)
+        # probe-side null keys can't match: the build side carries no
+        # null keys (dropped above), and pandas only pairs NaN==NaN
+        # when BOTH sides have them — so inner drops and left
+        # null-preserves, exactly SQL
         m = batch.to_pandas().merge(
-            bd, left_on=lcol, right_on=rcol, how=how,
+            bd, left_on=lcols, right_on=rcols, how=how,
             suffixes=("", "_r"))
         drop = [f"{c}_r" for c in overlap if f"{c}_r" in m.columns]
-        return m.drop(columns=drop)
+        return _restore_int_cols(m.drop(columns=drop), int_cols)
 
     return ds_a.map_batches(fn, batch_format="pyarrow")
 
 
-def _join_on(ds_a, ds_b, lcol: str, rcol: str, n_buckets: int = 16,
+def _cross_join(ds_a, ds_b, broadcast_threshold: int = 1_000_000):
+    """CROSS JOIN (cartesian product) with a bounded right side:
+    collect + ``ray.put`` the build table once, per-batch pandas cross
+    merge.  An over-threshold right side is refused loudly — at corpus
+    scale an unbounded cartesian is always a bug; theta-joins that need
+    scale go through the dedicated range/distance join operators."""
+    import ray
+
+    b_df = _collect_small(ds_b)
+    if len(b_df) > broadcast_threshold:
+        raise ValueError(
+            f"CROSS JOIN right side has {len(b_df)} rows "
+            f"(> {broadcast_threshold}); use a keyed join")
+    a_names = ds_a.schema().names
+    overlap = set(a_names) & set(b_df.columns)
+    int_cols = _int_named_cols(ds_a, ds_b)
+    b_ref = ray.put(b_df)
+
+    def fn(batch: pa.Table) -> pd.DataFrame:
+        bd = ray.get(b_ref)
+        m = batch.to_pandas().merge(bd, how="cross", suffixes=("", "_r"))
+        drop = [f"{c}_r" for c in overlap if f"{c}_r" in m.columns]
+        return _restore_int_cols(m.drop(columns=drop), int_cols)
+
+    return ds_a.map_batches(fn, batch_format="pyarrow")
+
+
+def _join_on(ds_a, ds_b, lcol, rcol, n_buckets: int = 16,
              how: str = "inner"):
-    """Inner/left/right/full equi-join of two datasets as one bucketed
-    hash shuffle (rows of both sides co-locate by key, so each bucket's
-    outer merge is globally correct).  NULL join keys follow SQL: they
-    never match, but outer joins still surface those rows with nulls."""
+    """Inner/left/right/full equi-join (single or composite key) of two
+    datasets as one bucketed hash shuffle (rows of both sides co-locate
+    by key, so each bucket's outer merge is globally correct).  NULL
+    join keys follow SQL: a null in ANY key column never matches, but
+    outer joins still surface those rows with nulls."""
     from ..stages.shuffle import bucketed_apply
 
+    lcols = [lcol] if isinstance(lcol, str) else list(lcol)
+    rcols = [rcol] if isinstance(rcol, str) else list(rcol)
+    jks = [f"__jk{i}" for i in range(len(lcols))]
     a_names = ds_a.schema().names
     b_names = ds_b.schema().names
     overlap = set(a_names) & set(b_names)
@@ -2395,16 +2567,55 @@ def _join_on(ds_a, ds_b, lcol: str, rcol: str, n_buckets: int = 16,
             if isinstance(typ, pa.DataType) and pa.types.is_integer(typ):
                 int_cols.add(name)
 
-    def tag(src, key):
+    # harmonize numeric dtypes of same-named / key columns across the
+    # two sides before the union (a derived side may have promoted
+    # int -> float via null groups; mismatched block schemas would fail
+    # the exchange's Arrow concat).  The post-merge int-restore below
+    # undoes the widening when no nulls survive.
+    at = {n: t for n, t in zip(ds_a.schema().names, ds_a.schema().types)}
+    bt = {n: t for n, t in zip(ds_b.schema().names, ds_b.schema().types)}
+
+    def _unify(ta, tb):
+        if (ta is None or tb is None or ta == tb
+                or not isinstance(ta, pa.DataType)
+                or not isinstance(tb, pa.DataType)):
+            return None
+        num = (lambda t: pa.types.is_integer(t) or pa.types.is_floating(t))
+        return pa.float64() if num(ta) and num(tb) else None
+
+    cast_a: dict = {}
+    cast_b: dict = {}
+    for n in overlap:
+        u = _unify(at.get(n), bt.get(n))
+        if u is not None:
+            if at[n] != u:
+                cast_a[n] = u
+            if bt[n] != u:
+                cast_b[n] = u
+    for jk, lc, rc in zip(jks, lcols, rcols):
+        u = _unify(at.get(lc), bt.get(rc))
+        if u is not None:
+            if at.get(lc) != u:
+                cast_a[jk] = u
+            if bt.get(rc) != u:
+                cast_b[jk] = u
+
+    def tag(src, keys, casts):
         def fn(b: pa.Table) -> pa.Table:
             t = b.append_column("__src", pa.array(
                 np.full(b.num_rows, src, np.int8)))
-            return t.append_column("__jk", t.column(key))
+            for jk, key in zip(jks, keys):
+                t = t.append_column(jk, t.column(key))
+            for cn, tt in casts.items():
+                idx = t.schema.get_field_index(cn)
+                t = t.set_column(idx, cn, pa.compute.cast(t.column(cn), tt))
+            return t
 
         return fn
 
-    both = ds_a.map_batches(tag(0, lcol), batch_format="pyarrow").union(
-        ds_b.map_batches(tag(1, rcol), batch_format="pyarrow"))
+    both = ds_a.map_batches(tag(0, lcols, cast_a),
+                            batch_format="pyarrow").union(
+        ds_b.map_batches(tag(1, rcols, cast_b), batch_format="pyarrow"))
 
     pd_how = "outer" if how == "full" else how
 
@@ -2414,18 +2625,20 @@ def _join_on(ds_a, ds_b, lcol: str, rcol: str, n_buckets: int = 16,
         # dropna(how="all"): a legitimately all-null column within one
         # bucket would vanish and the selection would raise)
         a = g[g["__src"] == 0][
-            [c for c in a_names if c in g.columns] + ["__jk"]]
+            [c for c in a_names if c in g.columns] + jks]
         b = g[g["__src"] == 1][
-            [c for c in b_names if c in g.columns] + ["__jk"]]
+            [c for c in b_names if c in g.columns] + jks]
         # SQL NULL keys never match (pandas merge would pair NaN==NaN);
         # outer-preserved sides re-append their null-key rows unmatched
-        a_null = a[a["__jk"].isna()]
-        b_null = b[b["__jk"].isna()]
+        a_nmask = a[jks].isna().any(axis=1)
+        b_nmask = b[jks].isna().any(axis=1)
+        a_null = a[a_nmask]
+        b_null = b[b_nmask]
         if len(a_null):
-            a = a[a["__jk"].notna()]
+            a = a[~a_nmask]
         if len(b_null):
-            b = b[b["__jk"].notna()]
-        m = a.merge(b, on="__jk", how=pd_how,
+            b = b[~b_nmask]
+        m = a.merge(b, on=jks, how=pd_how,
                     suffixes=("", "_r"))
         parts = [m]
         if how in ("left", "full") and len(a_null):
@@ -2438,7 +2651,7 @@ def _join_on(ds_a, ds_b, lcol: str, rcol: str, n_buckets: int = 16,
                 columns={c: f"{c}_r" for c in overlap}))
         if len(parts) > 1:
             m = pd.concat(parts, ignore_index=True)
-        drop = ["__jk"] + [f"{c}_r" for c in overlap if f"{c}_r" in m.columns]
+        drop = jks + [f"{c}_r" for c in overlap if f"{c}_r" in m.columns]
         m = m.drop(columns=[c for c in drop if c in m.columns])
         for c in m.columns:
             if c in int_cols and m[c].dtype != np.int64:
@@ -2448,7 +2661,7 @@ def _join_on(ds_a, ds_b, lcol: str, rcol: str, n_buckets: int = 16,
                         else m[c].astype(np.int64))
         return m
 
-    return bucketed_apply(both, ["__jk"], merge, n_buckets=n_buckets)
+    return bucketed_apply(both, jks, merge, n_buckets=n_buckets)
 
 
 def _split_correlation(sub_sel, tables, kind: str):
@@ -3342,16 +3555,73 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
                 if sel.get("group"):
                     for gnode in sel["group"]:
                         _collect_cols(gnode, needed)
-                for _jt, lc, rc, _hw in joins:
-                    needed.add(lc)
-                    needed.add(rc)
+                for jentry in joins:
+                    if len(jentry) == 5:
+                        _jt, lcs, rcs, _hw, resid = jentry
+                        needed.update(lcs if not isinstance(lcs, str)
+                                      else (lcs,))
+                        needed.update(rcs if not isinstance(rcs, str)
+                                      else (rcs,))
+                        if resid is not None:
+                            _collect_cols(resid, needed)
+                    else:
+                        _jt, lc, rc, _hw = jentry
+                        needed.add(lc)
+                        needed.add(rc)
                 ds = ds.select_columns(
                     [c for c in ds.schema().names if c in needed])
-            for join_idx, (jt, lcol, rcol, how) in enumerate(joins):
-                # jt is a table NAME for user joins, or an in-memory
-                # Dataset for decorrelated-scalar-subquery joins
+            for join_idx, jentry in enumerate(joins):
+                theta_resid = None
+                if len(jentry) == 5:
+                    jt, lcols, rcols, how, theta_resid = jentry
+                else:
+                    jt, lcols, rcols, how = jentry
+                if isinstance(lcols, str):
+                    lcols, rcols = (lcols,), (rcols,)
+                lcols, rcols = list(lcols), list(rcols)
+                # jt is a table NAME for user joins, a ("derived", ast,
+                # alias) subquery, or an in-memory Dataset for
+                # decorrelated-scalar-subquery joins
+                derived_rhs = (isinstance(jt, tuple) and len(jt) == 3
+                               and jt[0] == "derived")
                 inline_rhs = not isinstance(jt, str)
-                rhs = jt if inline_rhs else tables[jt]
+                if derived_rhs:
+                    rhs = _exec_ast(jt[1], tables, broadcast_threshold)
+                else:
+                    rhs = jt if inline_rhs else tables[jt]
+                # side resolution by schema when an unqualified pair was
+                # written join-side-first (ON g = k with g only in rhs)
+                l_have = set(ds.schema().names)
+                r_have = set(rhs.schema().names)
+                for pi in range(len(lcols)):
+                    lc, rc = lcols[pi], rcols[pi]
+                    if (lc not in l_have and lc in r_have
+                            and rc in l_have):
+                        lcols[pi], rcols[pi] = rc, lc
+                if theta_resid is not None and how not in ("inner",
+                                                            "cross"):
+                    raise ValueError(
+                        "non-equi ON conditions are supported for "
+                        "INNER/CROSS joins only")
+                if theta_resid is not None:
+                    # qualifiers collapse at parse time, so a residual
+                    # referencing a column that exists on BOTH sides
+                    # would silently evaluate left values (t1.x = t2.x
+                    # becomes the tautology x = x) — refuse loudly,
+                    # except for equi-key names whose sides are equal
+                    # by the join condition itself
+                    rc_cols: set = set()
+                    _collect_cols(theta_resid, rc_cols)
+                    safe = {lc for lc, rc in zip(lcols, rcols)
+                            if lc == rc}
+                    ambig = (rc_cols & l_have & r_have) - safe
+                    if ambig:
+                        raise ValueError(
+                            f"ambiguous column(s) {sorted(ambig)} in a "
+                            "non-equi ON condition: the name exists on "
+                            "both join sides and qualifiers collapse "
+                            "at parse time — alias one side's column "
+                            "to a distinct name first")
                 if needed is not None:
                     rhs = rhs.select_columns(
                         [c for c in rhs.schema().names if c in needed])
@@ -3412,11 +3682,19 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
                 # RIGHT/FULL can never broadcast: a map-side probe
                 # cannot know which build rows went unmatched across
                 # ALL batches
-                if (how in ("inner", "left") and rhs_rows is not None
+                if how == "cross" or not lcols:
+                    # CROSS JOIN / pure-theta ON: bounded cartesian
+                    ds = _cross_join(ds, rhs, broadcast_threshold)
+                elif (how in ("inner", "left") and rhs_rows is not None
                         and rhs_rows <= broadcast_threshold):
-                    ds = _broadcast_join(ds, rhs, lcol, rcol, how)
+                    ds = _broadcast_join(ds, rhs, lcols, rcols, how)
                 else:
-                    ds = _join_on(ds, rhs, lcol, rcol, how=how)
+                    ds = _join_on(ds, rhs, lcols, rcols, how=how)
+                if theta_resid is not None:
+                    # theta conjuncts run as a post-join filter (exact
+                    # for INNER/CROSS semantics)
+                    ds = Query(ds).where(
+                        _compile_expr(theta_resid)).run()
             if pending_sc and sel["items"] is None:
                 # SELECT *: synthetic semi-join / decorrelation columns
                 # must not surface in the star expansion.  They are

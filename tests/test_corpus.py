@@ -185,6 +185,49 @@ def test_bpe_pair_counts_empty_is_typed():
     assert full["cnt"].dtype == np.int64
 
 
+def test_bpe_incremental_delta_matches_full_recount():
+    """The shard's per-round delta (affected-word recount) must keep the
+    driver's live pair table identical to a from-scratch full recount,
+    for every round of a 30-merge run over random words — including
+    overlap runs (left == right) and 1-char words."""
+    from osmquadtree_depreceated_ray.pipelines.queries_corpus import (
+        _bpe_apply,
+        _bpe_apply_delta,
+        _bpe_pair_counts,
+    )
+
+    rng = np.random.RandomState(0)
+    words = ["".join(rng.choice(list("abcde"), rng.randint(1, 9)))
+             for _ in range(300)]
+    freq = rng.randint(1, 20, len(words)).astype(np.int64)
+    chars = [list(w) for w in words]
+    lens = np.asarray([len(c) for c in chars], np.int64)
+    syms = np.asarray([s for cs in chars for s in cs], dtype=object)
+    wid = np.repeat(np.arange(len(words)), lens)
+
+    live = _bpe_pair_counts(syms, wid, freq).set_index(["l", "r"])["cnt"]
+    s2, w2 = syms.copy(), wid.copy()
+    for rnd in range(30):
+        tot = live[live > 0].reset_index().sort_values(
+            ["cnt", "l", "r"], ascending=[False, True, True],
+            kind="stable")
+        if tot.empty:
+            break
+        left, right = tot.iloc[0]["l"], tot.iloc[0]["r"]
+        syms, wid, d = _bpe_apply_delta(syms, wid, freq, left, right)
+        live = live.add(d.set_index(["l", "r"])["cnt"],
+                        fill_value=0).astype(np.int64)
+        s2, w2 = _bpe_apply(s2, w2, left, right)
+        ref = _bpe_pair_counts(s2, w2, freq).set_index(["l", "r"])["cnt"]
+        assert live[live != 0].sort_index().equals(ref.sort_index()), \
+            (rnd, left, right)
+        # the spliced symbol arrays agree with the reference as a
+        # multiset of whole words
+        a = pd.Series(syms).groupby(wid).agg("".join).sort_values().values
+        b = pd.Series(s2).groupby(w2).agg("".join).sort_values().values
+        assert (a == b).all()
+
+
 def _ref_bpe_word(word: str, merges) -> list:
     """Independent reference: per-word greedy sequential merge loop."""
     syms = list(word)

@@ -1346,3 +1346,150 @@ def test_semi_join_fallback_not_polarity(ray_session, tq, monkeypatch,
 
     monkeypatch.setattr(sp, "PROBE_COLLECT_THRESHOLD", 0)
     _run_both(sql, None, {"u": tq})
+
+
+# ------------------------------------------------------------------ joins v2:
+# composite keys, theta residuals, CROSS JOIN, derived join RHS
+
+
+@pytest.fixture(scope="module")
+def ja():
+    return pa.table({
+        "k": pa.array([1, 2, 2, 3, None, 4], pa.int64()),
+        "g": pa.array([10, 10, 20, 20, 30, None], pa.int64()),
+        "v": pa.array([1.0, 2, 3, 4, 5, 6]),
+    })
+
+
+@pytest.fixture(scope="module")
+def jb():
+    return pa.table({
+        "k": pa.array([1, 2, 2, None, 5], pa.int64()),
+        "g": pa.array([10, 20, 20, 40, 50], pa.int64()),
+        "w": pa.array([100.0, 200, 300, 400, 500]),
+    })
+
+
+JOIN_V2_CASES = [
+    # composite-key joins in every direction, incl. NULL-key rows on
+    # both sides (SQL: a null in ANY key never matches; outer joins
+    # still surface those rows)
+    "SELECT ja.k, ja.g, v, w FROM ja JOIN jb ON ja.k = jb.k "
+    "AND ja.g = jb.g",
+    "SELECT ja.k AS ak, ja.g AS ag, v, w FROM ja LEFT JOIN jb "
+    "ON ja.k = jb.k AND ja.g = jb.g",
+    "SELECT v, w FROM ja RIGHT JOIN jb ON ja.k = jb.k AND ja.g = jb.g",
+    "SELECT ja.k AS ak, v, w FROM ja FULL JOIN jb ON ja.k = jb.k "
+    "AND ja.g = jb.g",
+    # USING with a column list
+    "SELECT v, w FROM ja JOIN jb USING (k, g)",
+    # theta residual riding on an equi key (INNER only)
+    "SELECT ja.k, v, w FROM ja JOIN jb ON ja.k = jb.k AND w > 150",
+    "SELECT ja.k, v, w FROM ja JOIN jb ON ja.k = jb.k AND w > v * 50 "
+    "AND v < 5",
+    # expression equality falls to the residual (still correct)
+    "SELECT v, w FROM ja JOIN jb ON w = v * 100",
+    # pure theta -> bounded cartesian + filter
+    "SELECT v, w FROM ja JOIN jb ON v * 100 < w",
+    # OR at the top level of ON -> single residual, no equi keys
+    # (unambiguous column names only; shared names raise, see
+    # test_join_residual_ambiguous_raises)
+    "SELECT v, w FROM ja JOIN jb ON w = v * 100 OR v + w > 502",
+    # CROSS JOIN
+    "SELECT v, w FROM ja CROSS JOIN jb WHERE w = 100",
+    # derived table as join RHS (null group key promotes k to float on
+    # the build side — dtype harmonization must absorb it)
+    "SELECT v, mw FROM ja JOIN (SELECT k, MAX(w) AS mw FROM jb "
+    "GROUP BY k) m ON ja.k = m.k",
+]
+
+
+@pytest.mark.parametrize("sql", JOIN_V2_CASES)
+def test_join_v2(ray_session, ja, jb, sql):
+    _run_both(sql, None, {"ja": ja, "jb": jb})
+
+
+@pytest.mark.parametrize("sql", [
+    # same cases through the SHUFFLE join path (broadcast disabled)
+    "SELECT ja.k, ja.g, v, w FROM ja JOIN jb ON ja.k = jb.k "
+    "AND ja.g = jb.g",
+    "SELECT ja.k AS ak, v, w FROM ja FULL JOIN jb ON ja.k = jb.k "
+    "AND ja.g = jb.g",
+    "SELECT v, mw FROM ja JOIN (SELECT k, MAX(w) AS mw FROM jb "
+    "GROUP BY k) m ON ja.k = m.k",
+])
+def test_join_v2_shuffle_path(ray_session, ja, jb, monkeypatch, sql):
+    import ray
+
+    from osmquadtree_depreceated_ray.pipelines.sqlparse import parse_sql
+
+    ds_tabs = {"ja": ray.data.from_arrow(ja), "jb": ray.data.from_arrow(jb)}
+    got = parse_sql(sql, ds_tabs, broadcast_threshold=0).to_pandas()
+    con = duckdb.connect()
+    con.register("ja", ja)
+    con.register("jb", jb)
+    want = con.execute(sql).df()
+    cols = sorted(want.columns)
+    g = got[cols].astype("float64").sort_values(cols).reset_index(drop=True)
+    w = want[cols].astype("float64").sort_values(cols).reset_index(drop=True)
+    assert len(g) == len(w), sql
+    for c in cols:
+        assert np.allclose(g[c], w[c], equal_nan=True), (c, sql)
+
+
+def test_join_residual_outer_raises(ray_session, ja, jb):
+    import ray
+
+    from osmquadtree_depreceated_ray.pipelines.sqlparse import parse_sql
+
+    ds_tabs = {"ja": ray.data.from_arrow(ja), "jb": ray.data.from_arrow(jb)}
+    with pytest.raises(ValueError, match="INNER/CROSS"):
+        parse_sql("SELECT v, w FROM ja LEFT JOIN jb ON ja.k = jb.k "
+                  "AND w > 150", ds_tabs)
+
+
+def test_join_residual_ambiguous_raises(ray_session, ja, jb):
+    """A theta conjunct naming a column that exists on BOTH sides would
+    silently compare left values with themselves (qualifiers collapse
+    at parse time) — the engine must refuse instead."""
+    import ray
+
+    from osmquadtree_depreceated_ray.pipelines.sqlparse import parse_sql
+
+    ds_tabs = {"ja": ray.data.from_arrow(ja), "jb": ray.data.from_arrow(jb)}
+    with pytest.raises(ValueError, match="ambiguous column"):
+        parse_sql("SELECT v, w FROM ja JOIN jb ON ja.k = jb.k "
+                  "OR w = v * 100", ds_tabs)
+    with pytest.raises(ValueError, match="ambiguous column"):
+        parse_sql("SELECT v, w FROM ja JOIN jb ON ja.k = jb.k "
+                  "AND ja.g > jb.g", ds_tabs)
+
+
+def test_cross_join_threshold_guard(ray_session, ja, jb):
+    import ray
+
+    from osmquadtree_depreceated_ray.pipelines.sqlparse import parse_sql
+
+    ds_tabs = {"ja": ray.data.from_arrow(ja), "jb": ray.data.from_arrow(jb)}
+    with pytest.raises(ValueError, match="CROSS JOIN right side"):
+        parse_sql("SELECT v, w FROM ja CROSS JOIN jb", ds_tabs,
+                  broadcast_threshold=2).to_pandas()
+
+
+WINDOW_LAST_NTH_CASES = [
+    # last_value's default-frame gotcha: value of the current row's
+    # LAST PEER, not the partition tail
+    "SELECT k, v, LAST_VALUE(v) OVER (PARTITION BY s ORDER BY v) AS lv "
+    "FROM t1 WHERE k < 60",
+    "SELECT k, LAST_VALUE(s) OVER (PARTITION BY v % 3 ORDER BY k) AS ls "
+    "FROM t1 WHERE k < 60",
+    "SELECT k, NTH_VALUE(v, 2) OVER (PARTITION BY s ORDER BY k) AS nv "
+    "FROM t1 WHERE k < 60",
+    "SELECT k, NTH_VALUE(s, 3) OVER (ORDER BY k) AS ns FROM t1 "
+    "WHERE k < 20",
+]
+
+
+@pytest.mark.parametrize("sql", WINDOW_LAST_NTH_CASES)
+def test_window_last_nth_value(ray_session, t1, sql):
+    _run_both(sql, None, {"t1": t1})
