@@ -705,3 +705,130 @@ def sql_dbscan() -> str:
 
 QUERIES["dbscan"] = q_dbscan
 ORACLES["dbscan"] = sql_dbscan
+
+
+# ----------------------------------------------------------- vector overlay
+#
+# bbox_overlay: polygon<->polygon overlay AREA aggregation — the missing
+# vector-overlay direction next to PIP (point-in-polygon) and rasterize
+# (point->grid).  Each way's bbox (min/max over its member points, the
+# reference's way-bbox accumulator, calcqts/waybbox.go) is intersected
+# against every admin rectangle; per-region outputs are the number of
+# intersecting ways, the summed intersection area and the largest
+# single intersection.  All arithmetic is exact int64 (intersection
+# extents are bounded by the rect size, ~2.3e8 x 1.6e8 = 3.7e16 < 2^63;
+# a FULL bbox product could overflow, which is why only clipped extents
+# are ever multiplied).
+#
+# Scale shape: stage 1 is the map-side-combined per-way bbox exchange
+# (O(distinct ways)); stage 2 is embarrassingly parallel — each batch
+# computes a (ways x 24 rects) broadcast intersection and emits ONE
+# 24-row partial, so the final exchange moves O(24 x tasks) rows.  With
+# millions of admin polygons the rect table would broadcast via ray.put
+# + an STRtree prefilter (the PIPActor pattern); 24 rects need neither.
+
+
+def q_bbox_overlay(sf_dir: str):
+    """Way-bbox x admin-rect overlay: per-rect intersecting-way count,
+    total and max intersection area (exact int64)."""
+    import ray
+
+    from ..stages.shuffle import grouped_agg
+    from .queries import N_RECTS, _rect_bounds
+
+    ra, rc, rb, rd = _rect_bounds(np.arange(N_RECTS, dtype=np.int64))
+    pid = np.arange(N_RECTS, dtype=np.int64)
+
+    def add_coords(b: pa.Table) -> pa.Table:
+        key = (
+            b.column("l_orderkey").to_numpy().astype(np.int64) * 8
+            + b.column("l_linenumber").to_numpy().astype(np.int64)
+        )
+        lon, lat = derive.derive_lonlat(key)
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "lon": pa.array(lon),
+            "lat": pa.array(lat),
+        })
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber"])
+    bboxes = grouped_agg(
+        ds.map_batches(add_coords, batch_format="pyarrow"),
+        ["l_orderkey"],
+        {"minx": ("lon", "min"), "miny": ("lat", "min"),
+         "maxx": ("lon", "max"), "maxy": ("lat", "max")})
+
+    def overlay(b: pa.Table) -> pa.Table:
+        minx = b.column("minx").to_numpy().astype(np.int64)
+        miny = b.column("miny").to_numpy().astype(np.int64)
+        maxx = b.column("maxx").to_numpy().astype(np.int64)
+        maxy = b.column("maxy").to_numpy().astype(np.int64)
+        ix = (np.minimum(maxx[:, None], rb[None, :])
+              - np.maximum(minx[:, None], ra[None, :]))
+        iy = (np.minimum(maxy[:, None], rd[None, :])
+              - np.maximum(miny[:, None], rc[None, :]))
+        hit = (ix > 0) & (iy > 0)
+        # areas in (1e-3 deg)^2 units via exact floor division of each
+        # extent BEFORE multiplying — the raw 1e-7-unit product summed
+        # over a corpus overflows int64 (DuckDB HUGEINT caught it);
+        # floored extents are deterministic on both sides.  The
+        # intersect TEST stays on unscaled extents so thin slivers
+        # still count.
+        area = ((np.maximum(ix, 0) // 10_000).astype(np.int64)
+                * (np.maximum(iy, 0) // 10_000).astype(np.int64))
+        return pa.table({
+            "poly_id": pa.array(pid),
+            "n_ways": pa.array(hit.sum(0).astype(np.int64)),
+            "total_area": pa.array(area.sum(0, dtype=np.int64)),
+            "max_area": pa.array(
+                area.max(0) if len(minx)
+                else np.zeros(N_RECTS, np.int64)),
+        })
+
+    out = grouped_agg(
+        bboxes.map_batches(overlay, batch_format="pyarrow"),
+        ["poly_id"],
+        {"n_ways": ("n_ways", "sum"),
+         "total_area": ("total_area", "sum"),
+         "max_area": ("max_area", "max")})
+    return out.map_batches(
+        lambda b: pa.table({
+            "poly_id": b.column("poly_id"),
+            "n_ways": pa.compute.cast(b.column("n_ways"), pa.int64()),
+            "total_area": pa.compute.cast(b.column("total_area"),
+                                          pa.int64()),
+            "max_area": pa.compute.cast(b.column("max_area"), pa.int64()),
+        }), batch_format="pyarrow")
+
+
+def sql_bbox_overlay() -> str:
+    from .queries import sql_rects_cte
+
+    lon, lat = derive.sql_lonlat_expr(
+        "(CAST(l_orderkey AS BIGINT) * 8 + l_linenumber)")
+    return (
+        f"WITH {sql_rects_cte()}, "
+        f"bb AS (SELECT l_orderkey, MIN({lon}) AS bminx, "
+        f"MIN({lat}) AS bminy, MAX({lon}) AS bmaxx, MAX({lat}) AS bmaxy "
+        f"FROM lineitem GROUP BY l_orderkey), "
+        "ix AS (SELECT poly_id, "
+        "(GREATEST(0, LEAST(bmaxx, maxx) - GREATEST(bminx, minx)) "
+        "// 10000) * "
+        "(GREATEST(0, LEAST(bmaxy, maxy) - GREATEST(bminy, miny)) "
+        "// 10000) AS area, "
+        "CASE WHEN LEAST(bmaxx, maxx) > GREATEST(bminx, minx) "
+        "AND LEAST(bmaxy, maxy) > GREATEST(bminy, miny) "
+        "THEN 1 ELSE 0 END AS hit "
+        "FROM bb CROSS JOIN rects) "
+        "SELECT CAST(poly_id AS BIGINT) AS poly_id, "
+        "CAST(SUM(hit) AS BIGINT) AS n_ways, "
+        "CAST(SUM(area) AS BIGINT) AS total_area, "
+        "CAST(MAX(area) AS BIGINT) AS max_area "
+        "FROM ix GROUP BY poly_id"
+    )
+
+
+QUERIES["bbox_overlay"] = q_bbox_overlay
+ORACLES["bbox_overlay"] = sql_bbox_overlay

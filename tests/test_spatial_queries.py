@@ -233,3 +233,40 @@ def test_dbscan_vs_brute_force(ray_session, points, eps, minpts):
     core_by_cluster = cl[cl["is_core"] == 1].groupby("cluster")
     for label, grp in core_by_cluster:
         assert label in set(grp["doc_id"])
+
+
+def test_bbox_overlay_vs_brute_force(ray_session):
+    """Engine overlay vs a plain-pandas recompute of way bboxes x rect
+    intersections (exact int64, scaled-extent floors)."""
+    from osmquadtree_depreceated_ray.pipelines.queries import (
+        N_RECTS,
+        _rect_bounds,
+    )
+    from osmquadtree_depreceated_ray.pipelines.queries_spatial import (
+        q_bbox_overlay,
+    )
+
+    got = (q_bbox_overlay(SF).to_pandas()
+           .sort_values("poly_id").reset_index(drop=True))
+
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_orderkey", "l_linenumber"]).to_pandas()
+    key = li["l_orderkey"].to_numpy() * 8 + li["l_linenumber"].to_numpy()
+    lon, lat = derive.derive_lonlat(key.astype(np.int64))
+    bb = (pd.DataFrame({"k": li["l_orderkey"], "lon": lon, "lat": lat})
+          .groupby("k").agg(minx=("lon", "min"), miny=("lat", "min"),
+                            maxx=("lon", "max"), maxy=("lat", "max")))
+    ra, rc, rb, rd = _rect_bounds(np.arange(N_RECTS, dtype=np.int64))
+    ix = (np.minimum(bb["maxx"].to_numpy()[:, None], rb[None, :])
+          - np.maximum(bb["minx"].to_numpy()[:, None], ra[None, :]))
+    iy = (np.minimum(bb["maxy"].to_numpy()[:, None], rd[None, :])
+          - np.maximum(bb["miny"].to_numpy()[:, None], rc[None, :]))
+    hit = (ix > 0) & (iy > 0)
+    area = ((np.maximum(ix, 0) // 10_000)
+            * (np.maximum(iy, 0) // 10_000)).astype(np.int64)
+    assert (got["poly_id"].to_numpy() == np.arange(N_RECTS)).all()
+    assert (got["n_ways"].to_numpy() == hit.sum(0)).all()
+    assert (got["total_area"].to_numpy() == area.sum(0)).all()
+    assert (got["max_area"].to_numpy() == area.max(0)).all()
+    # sanity: some rects intersect, some areas are large
+    assert got["n_ways"].sum() > 0 and got["total_area"].max() > 0
