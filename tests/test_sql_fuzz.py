@@ -597,3 +597,43 @@ def test_fuzz_interval_arith(ray_session, iv, tl, op, cmp_):
         return
     g, w = _canon(got), _canon(want)
     pd.testing.assert_frame_equal(g, w, check_dtype=False), sql
+
+
+@settings(max_examples=40, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(how=st.sampled_from(["JOIN", "LEFT JOIN", "RIGHT JOIN",
+                            "FULL JOIN"]),
+       w=bool_expr(1))
+def test_fuzz_join_multikey(ray_session, how, w):
+    """Composite-key joins in every direction over nullable duplicated
+    keys: a null in ANY key column never matches, outer sides still
+    surface their null-key rows."""
+    sql = (f"SELECT k, i, j, m, v FROM t {how} u ON j = m AND i = v "
+           f"WHERE {w}")
+    _run_both2(ray_session, sql)
+
+
+@settings(max_examples=30, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(theta=st.sampled_from(["v > i", "v + i < 50", "k <> v",
+                              "v * 2 >= i + j"]),
+       w=bool_expr(1))
+def test_fuzz_join_theta_residual(ray_session, theta, w):
+    """INNER equi key + non-equi residual conjunct (post-join filter)."""
+    sql = (f"SELECT k, i, j, m, v FROM t JOIN u ON j = m AND {theta} "
+           f"WHERE {w}")
+    _run_both2(ray_session, sql)
+
+
+@settings(max_examples=30, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(e=int_expr(2), w=bool_expr(1),
+       theta=st.sampled_from(["", " ON i < v", " ON i * v > k * 4"]))
+def test_fuzz_cross_and_pure_theta(ray_session, e, w, theta):
+    """CROSS JOIN and pure-theta ON (bounded cartesian + filter)."""
+    join = f"JOIN u{theta}" if theta else "CROSS JOIN u"
+    sql = f"SELECT k, m, v, {e} AS e FROM t {join} WHERE {w}"
+    _run_both2(ray_session, sql)
