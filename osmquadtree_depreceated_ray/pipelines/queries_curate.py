@@ -778,3 +778,98 @@ FROM mad
 
 QUERIES["outliers_mad"] = q_outliers_mad
 ORACLES["outliers_mad"] = sql_outliers_mad()
+
+
+# --------------------------------------------------- 7. corpus mixing
+#
+# Data-mixture weighting: every LLM pretraining pipeline resamples its
+# sources toward target proportions (e.g. The Pile's mixture table,
+# Gao et al. 2021; DoReMi's domain weights, Xie et al. 2023).  Given
+# target weights over ``documents.source``, the budget is the largest
+# total that every source can serve at its weight:
+#
+#     B       = min_s floor(n_s / p_s)
+#     quota_s = floor(p_s * B)
+#
+# then each source keeps its quota_s lowest-hash documents (md5 rank —
+# deterministic, order-free, and identical in DuckDB).  Two stages:
+# one map-side-combined count exchange (O(sources) rows) to fix the
+# quotas, then the stratified top-N machinery with a PER-SOURCE quota.
+# The exchange moves O(sum quota_s per split task), never the corpus.
+
+MIX_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+
+
+def q_mix_quota(sf_dir: str):
+    import ray
+
+    from ..stages.shuffle import bucketed_apply, grouped_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+
+    counts = grouped_agg(
+        ds.map_batches(
+            lambda b: pa.table({
+                "source": b.column("source"),
+                "n": pa.array(np.ones(b.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        ["source"], {"n": ("n", "sum")}).to_pandas()
+    cmap = dict(zip(counts["source"], counts["n"].astype(np.int64)))
+    known = {s: w for s, w in MIX_WEIGHTS.items() if s in cmap}
+    if not known:
+        return pa.table({"source": pa.array([], pa.string()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "rk": pa.array([], pa.int64())})
+    budget = min(int(cmap[s] // w) for s, w in known.items())
+    quotas = {s: int(w * budget) for s, w in known.items()}
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": df["source"].to_numpy(),
+            "doc_id": df["doc_id"].to_numpy(),
+            "h": [_md5(str(i)) for i in df["doc_id"].to_numpy()],
+        })
+
+    def head_quota(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "h", "doc_id"], kind="stable")
+        q = g["source"].map(quotas).fillna(0).to_numpy(np.int64)
+        pos = g.groupby("source", sort=False).cumcount().to_numpy()
+        return g[pos < q]
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = head_quota(g).copy()
+        g["rk"] = g.groupby("source", sort=False).cumcount() + 1
+        return g[["source", "doc_id", "rk"]]
+
+    out = bucketed_apply(
+        ds.map_batches(keyed, batch_format="pandas"),
+        ["source"], finish, combine=head_quota)
+    return out.map_batches(
+        lambda b: pa.table({
+            "source": b.column("source"),
+            "doc_id": pa.compute.cast(b.column("doc_id"), pa.int64()),
+            "rk": pa.compute.cast(b.column("rk"), pa.int64()),
+        }), batch_format="pyarrow")
+
+
+def sql_mix_quota() -> str:
+    w_rows = ", ".join(f"('{s}', {w})" for s, w in MIX_WEIGHTS.items())
+    return (
+        f"WITH tw(source, p) AS (VALUES {w_rows}), "
+        "n AS (SELECT d.source, COUNT(*) AS n_s, ANY_VALUE(p) AS p "
+        "FROM documents d JOIN tw ON d.source = tw.source "
+        "GROUP BY d.source), "
+        "b AS (SELECT MIN(CAST(n_s // p AS BIGINT)) AS budget FROM n), "
+        "q AS (SELECT source, CAST(FLOOR(p * budget) AS BIGINT) "
+        "AS quota FROM n, b), "
+        "r AS (SELECT d.source, doc_id, row_number() OVER ("
+        "PARTITION BY d.source ORDER BY md5(CAST(doc_id AS VARCHAR)), "
+        "doc_id) AS rk FROM documents d JOIN q ON d.source = q.source) "
+        "SELECT r.source, doc_id, CAST(rk AS BIGINT) AS rk "
+        "FROM r JOIN q ON r.source = q.source WHERE rk <= quota"
+    )
+
+
+QUERIES["mix_quota"] = q_mix_quota
+ORACLES["mix_quota"] = sql_mix_quota()

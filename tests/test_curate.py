@@ -291,3 +291,36 @@ def test_cc_label_refs_vs_union_find(ray_session, seed, n_nodes, n_edges):
     assert len(got) == len(ids)
     for v, lbl in zip(got["node"], got["label"]):
         assert want_label[v] == lbl, (v, lbl, want_label[v])
+
+
+def test_mix_quota_proportions(ray_session):
+    """Budget/quota arithmetic and per-source hash-rank membership vs a
+    pandas recompute; kept set honors the mixture weights exactly."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from osmquadtree_depreceated_ray.pipelines.queries_curate import (
+        MIX_WEIGHTS,
+        q_mix_quota,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = q_mix_quota(sf).to_pandas()
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "source"]).to_pandas()
+    n_s = docs["source"].value_counts()
+    known = {s: w for s, w in MIX_WEIGHTS.items() if s in n_s.index}
+    budget = min(int(n_s[s] // w) for s, w in known.items())
+    quotas = {s: int(w * budget) for s, w in known.items()}
+    # exact per-source sizes
+    sizes = got.groupby("source")["doc_id"].count().to_dict()
+    assert sizes == {s: q for s, q in quotas.items() if q > 0}
+    # membership = lowest-md5 docs per source
+    for s, q in quotas.items():
+        sub = docs[docs["source"] == s].copy()
+        sub["h"] = [hashlib.md5(str(i).encode()).hexdigest()
+                    for i in sub["doc_id"]]
+        want = set(sub.sort_values(["h", "doc_id"])
+                   .head(q)["doc_id"])
+        assert set(got.loc[got["source"] == s, "doc_id"]) == want
