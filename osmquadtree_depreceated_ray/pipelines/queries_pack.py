@@ -984,3 +984,92 @@ ORACLES = {
     "repetition": sql_repetition(),
     "curate_e2e": sql_curate_e2e(),
 }
+
+
+# ------------------------------------------------ 6. RAG-style chunker
+#
+# Overlapping fixed-size text chunking — the retrieval/embedding
+# pipeline's segmentation stage (every RAG corpus build runs one).
+# Chunk k of a document covers words [k*STRIDE, k*STRIDE + CHUNK_W);
+# chunks exist for every start < n_words, so consecutive chunks share
+# CHUNK_W - STRIDE words of context.  Embarrassingly parallel
+# map_batches (documents are single rows — no exchange): word
+# boundaries come from ONE pass over the batch's concatenated UTF-8
+# bytes (space positions via np.flatnonzero, per-doc ranges via
+# searchsorted — byte slicing at space/doc boundaries is codepoint-safe
+# because the delimiters are single-byte), chunk extraction is the
+# output materialization.  At scale chunks stream straight to a
+# partitioned sink; nothing aggregates.
+
+CHUNK_W = 32
+CHUNK_STRIDE = 24
+
+
+def chunk_words(texts, ids) -> pd.DataFrame:
+    """Vectorized overlapping chunker over a batch of documents."""
+    texts = list(texts)
+    byte_lens = np.asarray([len(t.encode()) for t in texts], np.int64)
+    # doc i occupies [st[i], en[i]) in the NUL-joined byte buffer
+    en = np.cumsum(byte_lens + 1) - 1
+    st = en - byte_lens
+    buf = "\x00".join(texts).encode()
+    b = np.frombuffer(buf, np.uint8)
+    sp = np.flatnonzero(b == 32).astype(np.int64)  # global space positions
+    off = np.searchsorted(sp, st)                  # first space of doc i
+    n_words = np.searchsorted(sp, en) - off + 1
+    m_chunks = (n_words - 1) // CHUNK_STRIDE + 1
+    # per-chunk doc index + chunk ordinal
+    doc_ix = np.repeat(np.arange(len(texts)), m_chunks)
+    k = np.arange(int(m_chunks.sum()), dtype=np.int64) - np.repeat(
+        np.cumsum(m_chunks) - m_chunks, m_chunks)
+    s = k * CHUNK_STRIDE
+    e = np.minimum(s + CHUNK_W, n_words[doc_ix])
+    # byte span: word j of doc i starts after boundary j-1 (a space) or
+    # at the doc start; ends at boundary j (a space) or the doc end
+    a = np.where(s == 0, st[doc_ix], sp[np.clip(
+        off[doc_ix] + s - 1, 0, max(len(sp) - 1, 0))] + 1)
+    z = np.where(e == n_words[doc_ix], en[doc_ix], sp[np.clip(
+        off[doc_ix] + e - 1, 0, max(len(sp) - 1, 0))])
+    chunks = [buf[ai:zi].decode() for ai, zi in zip(a, z)]
+    return pd.DataFrame({
+        "doc_id": np.asarray(ids)[doc_ix],
+        "chunk_id": k,
+        "start_word": s,
+        "n_words": (e - s).astype(np.int64),
+        "chunk": chunks,
+    })
+
+
+def q_chunk_text(sf_dir: str):
+    import ray
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = chunk_words(
+            batch.column("text").to_pylist(),
+            batch.column("doc_id").to_numpy())
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def sql_chunk_text() -> str:
+    return (
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws "
+        "FROM documents), "
+        "k AS (SELECT doc_id, ws, unnest(range(0, "
+        f"CAST((len(ws) - 1) // {CHUNK_STRIDE} AS BIGINT) + 1)) AS ck "
+        "FROM w) "
+        "SELECT doc_id, CAST(ck AS BIGINT) AS chunk_id, "
+        f"CAST(ck * {CHUNK_STRIDE} AS BIGINT) AS start_word, "
+        f"CAST(LEAST(ck * {CHUNK_STRIDE} + {CHUNK_W}, len(ws)) "
+        f"- ck * {CHUNK_STRIDE} AS BIGINT) AS n_words, "
+        f"array_to_string(ws[ck * {CHUNK_STRIDE} + 1 : "
+        f"LEAST(ck * {CHUNK_STRIDE} + {CHUNK_W}, len(ws))], ' ') "
+        "AS chunk FROM k"
+    )
+
+
+QUERIES["chunk_text"] = q_chunk_text
+ORACLES["chunk_text"] = sql_chunk_text()

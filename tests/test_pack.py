@@ -269,3 +269,42 @@ def test_repetition_vs_counter(ray_session, docs):
     assert np.allclose(
         got["top_big_frac"].to_numpy(),
         exp["top_big_n"].to_numpy() / exp["n_big"].to_numpy())
+
+
+def test_chunk_words_invariants():
+    """Chunker kernel: coverage, overlap, reconstruction, unicode."""
+    from osmquadtree_depreceated_ray.pipelines.queries_pack import (
+        CHUNK_STRIDE,
+        CHUNK_W,
+        chunk_words,
+    )
+
+    texts = [
+        " ".join(f"w{i}" for i in range(75)),
+        "single",
+        "",
+        " ".join(f"héllo{i} ✓" for i in range(40)),  # multibyte UTF-8
+        "a b",
+    ]
+    out = chunk_words(texts, np.arange(len(texts)))
+    for d, t in enumerate(texts):
+        words = t.split(" ")
+        sub = out[out["doc_id"] == d].sort_values("chunk_id")
+        # chunk count rule: one chunk per stride start below n
+        assert len(sub) == (len(words) - 1) // CHUNK_STRIDE + 1
+        for _, r in sub.iterrows():
+            s, e = r["start_word"], r["start_word"] + r["n_words"]
+            assert r["chunk"] == " ".join(words[s:e])
+            assert r["n_words"] <= CHUNK_W
+        # every word is covered by at least one chunk
+        covered = set()
+        for _, r in sub.iterrows():
+            covered.update(range(r["start_word"],
+                                 r["start_word"] + r["n_words"]))
+        assert covered == set(range(len(words)))
+        # consecutive chunks overlap by CHUNK_W - CHUNK_STRIDE words
+        # (except possibly the tail)
+        full = sub[sub["n_words"] == CHUNK_W]
+        if len(full) > 1:
+            assert (np.diff(full["start_word"].to_numpy())
+                    == CHUNK_STRIDE).all()
