@@ -301,3 +301,85 @@ ORACLES = {
     "domain_stats": sql_domain_stats(),
     "url_dedup": sql_url_dedup(),
 }
+
+
+# ------------------------------------------------ crawl-policy filter
+#
+# robots.txt-style longest-match filtering: a small rule table of
+# (tld, path_prefix, allow) entries; for each page the longest
+# matching prefix wins (the robots.txt precedence rule, RFC 9309 §2.2
+# "most specific match"), unmatched pages default to allow.  The rule
+# table is driver-literal here (a VALUES CTE in the oracle); at scale
+# it broadcasts via ray.put exactly like the rect polygons.  The rules
+# below exercise the precedence logic: com//a is denied but the more
+# specific com//a/b is re-allowed.
+
+CRAWL_RULES = [
+    ("com", "/a", 0),
+    ("com", "/a/b", 1),
+    ("net", "/", 0),
+    ("io", "/a/b/c", 0),
+]
+
+
+def q_url_filter(sf_dir: str):
+    """Pages surviving the crawl-policy rules, with the matched prefix
+    ('' when no rule matched)."""
+    import ray
+
+    def fn(b: pa.Table) -> pa.Table:
+        k = b.column("doc_id").to_numpy()
+        parts = normalize_urls(_derive_urls(k))
+        tld = parts["tld"]
+        # normalized path = url_norm after stripping scheme://host[:p]
+        path = parts["url_norm"].str.replace(
+            r"^[a-z]+://[^/]+", "", regex=True)
+        n = len(k)
+        best_len = np.full(n, -1, np.int64)
+        best_allow = np.ones(n, bool)
+        best_pref = np.asarray([""] * n, dtype=object)
+        for rtld, pref, allow in CRAWL_RULES:
+            m = ((tld == rtld) & path.str.startswith(pref)).to_numpy()
+            upd = m & (len(pref) > best_len)
+            best_len[upd] = len(pref)
+            best_allow[upd] = bool(allow)
+            best_pref[upd] = pref
+        keep = best_allow
+        return pa.table({
+            "doc_id": pa.array(k[keep]),
+            "tld": pa.array(tld.to_numpy(dtype=object)[keep],
+                            pa.string()),
+            "path": pa.array(path.to_numpy(dtype=object)[keep],
+                             pa.string()),
+            "matched": pa.array(best_pref[keep], pa.string()),
+        })
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def sql_url_filter() -> str:
+    raw = sql_derive_url("doc_id")
+    norm = sql_url_norm_expr(raw)
+    host = f"lower(regexp_extract({raw}, '{_URL_RE}', 2))"
+    rules = ", ".join(f"('{t}', '{p}', {a})" for t, p, a in CRAWL_RULES)
+    return (
+        f"WITH u AS (SELECT doc_id, "
+        f"string_split({host}, '.')[-1] AS tld, "
+        f"regexp_replace({norm}, '^[a-z]+://[^/]+', '') AS path "
+        f"FROM documents), "
+        f"r(rtld, pref, allow) AS (VALUES {rules}), "
+        "m AS (SELECT u.doc_id, u.tld, u.path, r.pref, r.allow, "
+        "row_number() OVER (PARTITION BY u.doc_id "
+        "ORDER BY length(r.pref) DESC, r.pref) AS rk "
+        "FROM u LEFT JOIN r ON u.tld = r.rtld "
+        "AND u.path LIKE r.pref || '%') "
+        "SELECT doc_id, tld, path, "
+        "COALESCE(pref, '') AS matched FROM m "
+        "WHERE rk = 1 AND COALESCE(allow, 1) = 1"
+    )
+
+
+QUERIES["url_filter"] = q_url_filter
+ORACLES["url_filter"] = sql_url_filter()

@@ -153,3 +153,41 @@ def test_domain_stats_query(ray_session, tmp_path):
         check_dtype=False)
     # multi-host domains exist (www./cdn./api. variants)
     assert (got["n_hosts"] > 1).any()
+
+
+def test_url_filter_precedence(ray_session, tmp_path):
+    """Longest-prefix-wins: com//a denied, com//a/b re-allowed; net all
+    denied; unmatched tlds default allow."""
+    import pyarrow.parquet as pq
+
+    from osmquadtree_depreceated_ray.pipelines import queries_web as qw
+
+    n = 400
+    doc = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "text": pa.array(["t"] * n),
+                    "lang": pa.array(["en"] * n),
+                    "source": pa.array(["s"] * n),
+                    "n_chars": pa.array(np.ones(n, np.int64))})
+    pq.write_table(doc, tmp_path / "documents.parquet")
+    got = qw.q_url_filter(str(tmp_path)).to_pandas()
+    # reference recompute
+    urls = qw.normalize_urls(qw._derive_urls(np.arange(n, dtype=np.int64)))
+    path = urls["url_norm"].str.replace(r"^[a-z]+://[^/]+", "", regex=True)
+    keep_ids = []
+    for i in range(n):
+        best = (-1, 1)
+        for rtld, pref, allow in qw.CRAWL_RULES:
+            if urls["tld"][i] == rtld and path[i].startswith(pref) \
+                    and len(pref) > best[0]:
+                best = (len(pref), allow)
+        if best[1]:
+            keep_ids.append(i)
+    assert sorted(got["doc_id"]) == keep_ids
+    # the precedence case is actually exercised: some com//a/b pages kept
+    kept = got[(got["tld"] == "com") & got["path"].str.startswith("/a/b")]
+    assert len(kept) > 0
+    # and com//a (not /a/b) pages are gone
+    dropped = got[(got["tld"] == "com") & (got["path"] == "/a")]
+    assert len(dropped) == 0
+    # net is fully denied
+    assert (got["tld"] != "net").all()
