@@ -311,14 +311,17 @@ ORACLES = {
 # "most specific match"), unmatched pages default to allow.  The rule
 # table is driver-literal here (a VALUES CTE in the oracle); at scale
 # it broadcasts via ray.put exactly like the rect polygons.  The rules
-# below exercise the precedence logic: com//a is denied but the more
-# specific com//a/b is re-allowed.
+# below exercise the precedence logic on combos the derived corpus
+# actually produces (tld and path are both k%4-periodic, so each tld
+# carries ONE path): io's blanket '/' deny is overridden by the more
+# specific '/a/b/c' allow; org and net are denied outright; com is
+# unmatched and passes by default.
 
 CRAWL_RULES = [
-    ("com", "/a", 0),
-    ("com", "/a/b", 1),
+    ("org", "/a", 0),
     ("net", "/", 0),
-    ("io", "/a/b/c", 0),
+    ("io", "/", 0),
+    ("io", "/a/b/c", 1),
 ]
 
 

@@ -156,8 +156,9 @@ def test_domain_stats_query(ray_session, tmp_path):
 
 
 def test_url_filter_precedence(ray_session, tmp_path):
-    """Longest-prefix-wins: com//a denied, com//a/b re-allowed; net all
-    denied; unmatched tlds default allow."""
+    """Longest-prefix-wins: io's blanket '/' deny is overridden by the
+    more specific '/a/b/c' allow; org//a and net are denied; unmatched
+    com defaults to allow."""
     import pyarrow.parquet as pq
 
     from osmquadtree_depreceated_ray.pipelines import queries_web as qw
@@ -183,11 +184,15 @@ def test_url_filter_precedence(ray_session, tmp_path):
         if best[1]:
             keep_ids.append(i)
     assert sorted(got["doc_id"]) == keep_ids
-    # the precedence case is actually exercised: some com//a/b pages kept
-    kept = got[(got["tld"] == "com") & got["path"].str.startswith("/a/b")]
-    assert len(kept) > 0
-    # and com//a (not /a/b) pages are gone
-    dropped = got[(got["tld"] == "com") & (got["path"] == "/a")]
-    assert len(dropped) == 0
-    # net is fully denied
+    # precedence exercised: io pages survive ONLY via the specific
+    # '/a/b/c' allow overriding the blanket '/' deny
+    kept_io = got[got["tld"] == "io"]
+    assert len(kept_io) > 0
+    assert (kept_io["matched"] == "/a/b/c").all()
+    # org//a and net are denied outright
+    assert (got["tld"] != "org").all()
     assert (got["tld"] != "net").all()
+    # unmatched com passes with no matched rule
+    kept_com = got[got["tld"] == "com"]
+    assert len(kept_com) > 0
+    assert (kept_com["matched"] == "").all()
