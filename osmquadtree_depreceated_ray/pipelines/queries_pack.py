@@ -990,9 +990,9 @@ ORACLES = {
 #
 # Overlapping fixed-size text chunking — the retrieval/embedding
 # pipeline's segmentation stage (every RAG corpus build runs one).
-# Chunk k of a document covers words [k*STRIDE, k*STRIDE + CHUNK_W);
+# Chunk k of a document covers words [k*STRIDE, k*STRIDE + RAG_CHUNK_W);
 # chunks exist for every start < n_words, so consecutive chunks share
-# CHUNK_W - STRIDE words of context.  Embarrassingly parallel
+# RAG_CHUNK_W - STRIDE words of context.  Embarrassingly parallel
 # map_batches (documents are single rows — no exchange): word
 # boundaries come from ONE pass over the batch's concatenated UTF-8
 # bytes (space positions via np.flatnonzero, per-doc ranges via
@@ -1001,8 +1001,8 @@ ORACLES = {
 # output materialization.  At scale chunks stream straight to a
 # partitioned sink; nothing aggregates.
 
-CHUNK_W = 32
-CHUNK_STRIDE = 24
+RAG_CHUNK_W = 32      # words per RAG chunk (distinct from chunk_dedup's CHUNK_W)
+RAG_CHUNK_STRIDE = 24
 
 
 def chunk_words(texts, ids) -> pd.DataFrame:
@@ -1017,13 +1017,13 @@ def chunk_words(texts, ids) -> pd.DataFrame:
     sp = np.flatnonzero(b == 32).astype(np.int64)  # global space positions
     off = np.searchsorted(sp, st)                  # first space of doc i
     n_words = np.searchsorted(sp, en) - off + 1
-    m_chunks = (n_words - 1) // CHUNK_STRIDE + 1
+    m_chunks = (n_words - 1) // RAG_CHUNK_STRIDE + 1
     # per-chunk doc index + chunk ordinal
     doc_ix = np.repeat(np.arange(len(texts)), m_chunks)
     k = np.arange(int(m_chunks.sum()), dtype=np.int64) - np.repeat(
         np.cumsum(m_chunks) - m_chunks, m_chunks)
-    s = k * CHUNK_STRIDE
-    e = np.minimum(s + CHUNK_W, n_words[doc_ix])
+    s = k * RAG_CHUNK_STRIDE
+    e = np.minimum(s + RAG_CHUNK_W, n_words[doc_ix])
     # byte span: word j of doc i starts after boundary j-1 (a space) or
     # at the doc start; ends at boundary j (a space) or the doc end
     a = np.where(s == 0, st[doc_ix], sp[np.clip(
@@ -1059,14 +1059,14 @@ def sql_chunk_text() -> str:
         "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws "
         "FROM documents), "
         "k AS (SELECT doc_id, ws, unnest(range(0, "
-        f"CAST((len(ws) - 1) // {CHUNK_STRIDE} AS BIGINT) + 1)) AS ck "
+        f"CAST((len(ws) - 1) // {RAG_CHUNK_STRIDE} AS BIGINT) + 1)) AS ck "
         "FROM w) "
         "SELECT doc_id, CAST(ck AS BIGINT) AS chunk_id, "
-        f"CAST(ck * {CHUNK_STRIDE} AS BIGINT) AS start_word, "
-        f"CAST(LEAST(ck * {CHUNK_STRIDE} + {CHUNK_W}, len(ws)) "
-        f"- ck * {CHUNK_STRIDE} AS BIGINT) AS n_words, "
-        f"array_to_string(ws[ck * {CHUNK_STRIDE} + 1 : "
-        f"LEAST(ck * {CHUNK_STRIDE} + {CHUNK_W}, len(ws))], ' ') "
+        f"CAST(ck * {RAG_CHUNK_STRIDE} AS BIGINT) AS start_word, "
+        f"CAST(LEAST(ck * {RAG_CHUNK_STRIDE} + {RAG_CHUNK_W}, len(ws)) "
+        f"- ck * {RAG_CHUNK_STRIDE} AS BIGINT) AS n_words, "
+        f"array_to_string(ws[ck * {RAG_CHUNK_STRIDE} + 1 : "
+        f"LEAST(ck * {RAG_CHUNK_STRIDE} + {RAG_CHUNK_W}, len(ws))], ' ') "
         "AS chunk FROM k"
     )
 

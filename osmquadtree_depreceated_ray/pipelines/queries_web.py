@@ -117,10 +117,10 @@ def normalize_urls(url: pd.Series) -> pd.DataFrame:
                 + pd.Series(port_norm, index=url.index, dtype=object)
                 + path
                 + pd.Series(query, index=url.index, dtype=object))
-    labels = host.str.rsplit(".", n=2)
-    domain = labels.map(
-        lambda ls: ".".join(ls[-2:]) if isinstance(ls, list) else None)
-    tld = host.str.rsplit(".", n=1).str[-1]
+    # registrable domain = last two labels (one C-regex pass; a host
+    # with a single label keeps itself — localhost-style)
+    domain = host.str.extract(r"([^.]+\.[^.]+)$")[0].fillna(host)
+    tld = host.str.extract(r"([^.]+)$")[0]
     depth = path.str.count("/").astype("int64") - path.eq("/").astype(
         "int64")
     bad = parts["scheme"].isna()

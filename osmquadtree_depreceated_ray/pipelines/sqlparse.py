@@ -2443,23 +2443,30 @@ def _collect_cols(node, out: set) -> None:
             _collect_cols(sub, out)
 
 
-def _int_named_cols(ds_a, ds_b) -> set:
-    """Column names DECLARED integer on either side — pandas conversion
-    of a null-bearing arrow int column yields float64, so join kernels
-    restore these after the merge (nullable-safe)."""
-    int_cols = set()
+def _int_named_cols(ds_a, ds_b) -> dict:
+    """name -> declared numpy dtype for columns DECLARED integer on
+    either side — pandas conversion of a null-bearing arrow int column
+    yields float64, so join kernels restore these after the merge
+    (nullable-safe, declared width preserved: an int32 column must NOT
+    come back int64 or the oracle dtype check flags it)."""
+    int_cols: dict = {}
     for sch in (ds_a.schema(), ds_b.schema()):
         for name, typ in zip(sch.names, sch.types):
             if isinstance(typ, pa.DataType) and pa.types.is_integer(typ):
-                int_cols.add(name)
+                int_cols[name] = typ.to_pandas_dtype()
     return int_cols
 
 
-def _restore_int_cols(m: pd.DataFrame, int_cols: set) -> pd.DataFrame:
+def _restore_int_cols(m: pd.DataFrame, int_cols: dict) -> pd.DataFrame:
+    """Undo NaN-driven int->float widening ONLY — a column that is
+    already integer (any width) passes through untouched."""
     for c in m.columns:
-        if c in int_cols and m[c].dtype != np.int64:
-            m[c] = (m[c].astype("Int64") if m[c].isna().any()
-                    else m[c].astype(np.int64))
+        if c in int_cols and m[c].dtype.kind == "f":
+            if m[c].isna().any():
+                nullable = np.dtype(int_cols[c]).name.capitalize()
+                m[c] = m[c].astype(nullable)
+            else:
+                m[c] = m[c].astype(int_cols[c])
     return m
 
 

@@ -274,8 +274,8 @@ def test_repetition_vs_counter(ray_session, docs):
 def test_chunk_words_invariants():
     """Chunker kernel: coverage, overlap, reconstruction, unicode."""
     from osmquadtree_depreceated_ray.pipelines.queries_pack import (
-        CHUNK_STRIDE,
-        CHUNK_W,
+        RAG_CHUNK_STRIDE as CHUNK_STRIDE,
+        RAG_CHUNK_W as CHUNK_W,
         chunk_words,
     )
 
