@@ -154,10 +154,11 @@ def sql_url_norm_expr(raw: str) -> str:
         f"THEN substr({path}, 1, length({path}) - 1) "
         f"ELSE {path} END)"
     )
-    # the raw URLs always carry a '?' when the query group matched;
-    # mirror the kernel: present query -> '?' || query
+    # the query group participates iff a '?' occurs BEFORE any '#' —
+    # a '?' inside the fragment is fragment text (fuzz-found: the bare
+    # substring test appended a spurious '?' for 'http://a#x?y')
     query_norm = (
-        f"(CASE WHEN regexp_matches({raw}, '\\?') "
+        f"(CASE WHEN regexp_matches({raw}, '^[^#]*\\?') "
         f"THEN '?' || {query} ELSE '' END)"
     )
     return (f"({scheme} || '://' || {host} || {port_norm} || {path_norm} "

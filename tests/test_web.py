@@ -196,3 +196,38 @@ def test_url_filter_precedence(ray_session, tmp_path):
     kept_com = got[got["tld"] == "com"]
     assert len(kept_com) > 0
     assert (kept_com["matched"] == "").all()
+
+
+# ------------------------------------------------ differential URL fuzz
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_scheme = st.sampled_from(["http", "HTTP", "https", "HtTpS", "ftp"])
+_host = st.sampled_from(["a.com", "WWW.Ex.COM", "x.y.z.io", "localhost",
+                         "API.Site7.NET"])
+_port = st.sampled_from(["", ":80", ":443", ":8080", ":1"])
+_path = st.sampled_from(["", "/", "/A/b", "/a/", "/a/b/c/", "/%20x"])
+_query = st.sampled_from(["", "?", "?q=1", "?a=1&b=2"])
+_frag = st.sampled_from(["", "#", "#Top", "#a/b?c"])
+
+
+@settings(max_examples=120, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(sc=_scheme, h=_host, p=_port, pa_=_path, q=_query, f=_frag)
+def test_fuzz_url_normalize_vs_duckdb(sc, h, p, pa_, q, f):
+    """The pandas-regex kernel and the independent DuckDB RE2 + CASE
+    normalization must agree on arbitrary composed URLs."""
+    import duckdb
+
+    from osmquadtree_depreceated_ray.pipelines.queries_web import (
+        normalize_urls,
+        sql_url_norm_expr,
+    )
+
+    url = f"{sc}://{h}{p}{pa_}{q}{f}"
+    got = normalize_urls(pd.Series([url]))["url_norm"].iloc[0]
+    lit = "'" + url.replace("'", "''") + "'"
+    want = duckdb.execute(
+        f"SELECT {sql_url_norm_expr(lit)} AS n").fetchone()[0]
+    assert got == want, (url, got, want)
