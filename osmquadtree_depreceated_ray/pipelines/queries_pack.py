@@ -749,8 +749,8 @@ def sql_curate_e2e() -> str:
 # family as the chunk_dedup / decontaminate operators above, plus the
 # positional run statistic).
 
-def _doc_ngrams_pos(b: pa.Table):
-    """(row, pos, gram) sliding whitespace NGRAM_W-grams per doc with
+def _doc_ngrams_pos(b: pa.Table, width: int = NGRAM_W):
+    """(row, pos, gram) sliding whitespace ``width``-grams per doc with
     1-based within-doc positions, in document order (explode preserves
     element order; a doc's grams are contiguous)."""
     t = b.column("text").to_pandas()
@@ -758,7 +758,7 @@ def _doc_ngrams_pos(b: pa.Table):
     g = ex.groupby(level=0)
     pos = g.cumcount().to_numpy()
     s = ex
-    for j in range(1, NGRAM_W):
+    for j in range(1, width):
         s = s + " " + g.shift(-j)
     mask = s.notna().to_numpy()
     return (s.index.to_numpy()[mask].astype(np.int64),
@@ -1073,3 +1073,115 @@ def sql_chunk_text() -> str:
 
 QUERIES["chunk_text"] = q_chunk_text
 ORACLES["chunk_text"] = sql_chunk_text()
+
+
+# ------------------------- 7. winnowing fingerprints (Schleimer 2003)
+#
+# "Winnowing: Local Algorithms for Document Fingerprinting" (MOSS) —
+# the standard position-robust document fingerprint: hash every
+# WINNOW_K-gram, then in every window of WINNOW_W consecutive gram
+# hashes keep the minimum (rightmost occurrence on ties).  The selected
+# (pos, hash) set is the doc's fingerprint; any shared substring of
+# >= W + K - 1 words between two docs is guaranteed to share at least
+# one fingerprint — the copy-detection primitive the dup_spans /
+# chunk_dedup family builds on.  Embarrassingly parallel map_batches
+# (the window never crosses a document): no exchange at any scale.
+# Docs with 1 <= g < W grams get one window covering all g grams
+# (the sentinel padding realizes this for free).
+
+WINNOW_K = 4   # fingerprint k-gram width (words)
+WINNOW_W = 5   # winnowing window (grams); guarantee = W + K - 1 words
+
+
+def winnow_batch(b: pa.Table) -> pa.Table:
+    """Vectorized robust winnowing over one batch of documents.
+
+    Per-doc gram hash sequences are scattered into one buffer with
+    WINNOW_W - 1 uint64-max sentinels after each doc, so a single
+    ``sliding_window_view`` yields every window without crossing doc
+    boundaries (sentinels only ever pad a short doc's single window,
+    where they lose every min).  Rightmost-min tie rule = argmin over
+    the reversed window.  Selection dedup (one window can re-pick the
+    fingerprint its predecessor picked) is one np.unique over packed
+    (doc, pos) keys.  Min-selection orders UNSIGNED hashes; the emitted
+    ``gh`` is the signed int64 view (what the oracle reconstructs)."""
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "pos": pa.array([], pa.int64()),
+                      "gh": pa.array([], pa.int64())})
+    row, _pos, s = _doc_ngrams_pos(b, width=WINNOW_K)
+    if not len(row):
+        return empty
+    codes, uniq = pd.factorize(pd.Series(s), sort=False)
+    h = _md5_lower64(uniq)[codes]                    # uint64
+    docs, starts, cnts = np.unique(
+        row, return_index=True, return_counts=True)
+    P = WINNOW_W - 1
+    nd = len(docs)
+    idx = np.repeat(np.arange(nd), cnts)
+    padded = np.full(len(h) + P * nd,
+                     np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64)
+    padded[np.arange(len(h)) + P * idx] = h
+    m = np.maximum(cnts - WINNOW_W + 1, 1)           # windows per doc
+    base = starts + P * np.arange(nd)                # padded doc offset
+    widx = np.repeat(np.arange(nd), m)
+    t = np.arange(int(m.sum()), dtype=np.int64) - np.repeat(
+        np.cumsum(m) - m, m)
+    a = base[widx] + t
+    win = np.lib.stride_tricks.sliding_window_view(padded, WINNOW_W)[a]
+    mh = win.min(axis=1)
+    ridx = WINNOW_W - 1 - np.argmin(win[:, ::-1], axis=1)
+    fpos = t + ridx + 1                              # 1-based gram pos
+    _, first = np.unique(widx * np.int64(1) * (1 << 32) + fpos,
+                         return_index=True)
+    did = b.column("doc_id").to_numpy()[docs]
+    return pa.table({
+        "doc_id": pa.array(did[widx[first]].astype(np.int64)),
+        "pos": pa.array(fpos[first]),
+        "gh": pa.array(mh[first].view(np.int64)),
+    })
+
+
+def q_winnow(sf_dir: str):
+    """Winnowing fingerprint set: (doc_id, pos, gh) — pos is the
+    1-based k-gram position, gh the signed-int64 view of the md5-low64
+    gram hash.  Pure map_batches; at 100 TB this streams straight to a
+    partitioned sink keyed by gh for the downstream all-pairs probe."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(winnow_batch, batch_format="pyarrow")
+
+
+def sql_winnow() -> str:
+    # Window start i selects the rightmost pos in [i, i+W-1] achieving
+    # the window's UNSIGNED min; short docs (n < W) get one window.
+    two63 = "9223372036854775808"
+    two64 = "18446744073709551616"
+    K, W = WINNOW_K, WINNOW_W
+    return (
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws "
+        "FROM documents), "
+        "g AS (SELECT doc_id, unnest(list_transform("
+        f"range(1, len(ws) - {K - 2}), "
+        "i -> struct_pack(pos := i, gram := array_to_string("
+        f"list_slice(ws, i, i + {K - 1}), ' '))), "
+        "recursive := true) FROM w), "
+        "h AS (SELECT doc_id, pos, md5_number_lower(gram) AS hv, "
+        "COUNT(*) OVER (PARTITION BY doc_id) AS n FROM g), "
+        "m AS (SELECT doc_id, pos AS i, n, MIN(hv) OVER "
+        "(PARTITION BY doc_id ORDER BY pos "
+        f"ROWS BETWEEN CURRENT ROW AND {W - 1} FOLLOWING) AS mh FROM h), "
+        f"v AS (SELECT * FROM m WHERE i <= GREATEST(n - {W - 1}, 1)), "
+        "sel AS (SELECT v.doc_id, v.i, MAX(h2.pos) AS pos, v.mh AS hv "
+        "FROM v JOIN h h2 ON h2.doc_id = v.doc_id "
+        f"AND h2.pos BETWEEN v.i AND v.i + {W - 1} AND h2.hv = v.mh "
+        "GROUP BY v.doc_id, v.i, v.mh) "
+        "SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, "
+        f"CAST(CASE WHEN hv >= {two63} THEN CAST(hv AS HUGEINT) - {two64} "
+        "ELSE CAST(hv AS HUGEINT) END AS BIGINT) AS gh FROM sel"
+    )
+
+
+QUERIES["winnow"] = q_winnow
+ORACLES["winnow"] = sql_winnow()

@@ -308,3 +308,77 @@ def test_chunk_words_invariants():
         if len(full) > 1:
             assert (np.diff(full["start_word"].to_numpy())
                     == CHUNK_STRIDE).all()
+
+
+def _winnow_brute(doc_id, text):
+    """Literal Schleimer et al. Fig. 5 semantics: per window of W gram
+    hashes keep the rightmost minimum."""
+    import hashlib
+
+    from osmquadtree_depreceated_ray.pipelines.queries_pack import (
+        WINNOW_K,
+        WINNOW_W,
+    )
+
+    ws = text.split(" ")
+    grams = [" ".join(ws[i:i + WINNOW_K])
+             for i in range(len(ws) - WINNOW_K + 1)]
+    h = [int.from_bytes(hashlib.md5(g.encode()).digest()[8:16], "little")
+         for g in grams]
+    out = set()
+    for i in range(max(len(h) - WINNOW_W + 1, 1) if h else 0):
+        wnd = h[i:i + WINNOW_W]
+        mh = min(wnd)
+        j = max(k for k, v in enumerate(wnd) if v == mh)
+        out.add((doc_id, i + j + 1, mh if mh < 2**63 else mh - 2**64))
+    return out
+
+
+def test_winnow_vs_brute(ray_session, docs):
+    import pyarrow as pa
+
+    from osmquadtree_depreceated_ray.pipelines.queries_pack import (
+        winnow_batch,
+    )
+
+    d = docs.head(80)
+    # tie/short-doc stress rows: heavy repetition, < W grams, < K words
+    extra = pd.DataFrame({
+        "doc_id": [900001, 900002, 900003, 900004],
+        "text": ["aa aa aa aa aa aa aa aa aa aa",
+                 "aa bb cc dd ee", "aa bb cc dd", "aa bb"],
+    })
+    d = pd.concat([d[["doc_id", "text"]], extra], ignore_index=True)
+    b = pa.table({"doc_id": pa.array(d["doc_id"], pa.int64()),
+                  "text": pa.array(d["text"])})
+    got = winnow_batch(b)
+    gs = set(zip(got.column("doc_id").to_pylist(),
+                 got.column("pos").to_pylist(),
+                 got.column("gh").to_pylist()))
+    exp = set()
+    for did, txt in zip(d["doc_id"], d["text"]):
+        exp |= _winnow_brute(int(did), txt)
+    assert gs == exp
+
+
+def test_winnow_guarantee(ray_session):
+    """Any shared run of >= W + K - 1 words shares a fingerprint hash
+    (the paper's coverage guarantee)."""
+    import pyarrow as pa
+
+    from osmquadtree_depreceated_ray.pipelines.queries_pack import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_batch,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(WINNOW_W + WINNOW_K - 1))
+    b = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([f"x1 x2 x3 {shared} x4",
+                          f"y1 {shared} y2 y3 y4 y5"]),
+    })
+    t = winnow_batch(b).to_pandas()
+    h1 = set(t.loc[t["doc_id"] == 1, "gh"])
+    h2 = set(t.loc[t["doc_id"] == 2, "gh"])
+    assert h1 & h2
