@@ -39,6 +39,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import pyarrow.compute as pc
+
 from .queries_text import _md5_lower64
 
 PACK_BUDGET = 256          # tokens per training bin
@@ -1185,3 +1187,221 @@ def sql_winnow() -> str:
 
 QUERIES["winnow"] = q_winnow
 ORACLES["winnow"] = sql_winnow()
+
+
+# --------------------- 8. duplicate-chunk REMOVAL rewrite (C4 / Lee+)
+#
+# The transform the chunk_dedup stats feed: actually REMOVE duplicated
+# chunks from each document, first-occurrence-wins — a chunk occurrence
+# is dropped iff its exact text appears in >= 2 distinct docs AND this
+# doc is not the minimum doc_id containing it; the surviving chunks
+# re-join (in order) into the cleaned text.  This is the materializing
+# half of the dedup family (the reference's change-apply lattice is the
+# analogous "apply the decision" stage, update.py); at 100 TB the
+# rewrite streams straight to a partitioned sink.
+
+def _run_ordinal(d: np.ndarray) -> np.ndarray:
+    """Within-run ordinal over a contiguous-runs array (each doc's
+    chunks form one run, but runs arrive in arbitrary doc order)."""
+    n = len(d)
+    if n == 0:
+        return np.empty(0, np.int64)
+    newrun = np.concatenate([[True], d[1:] != d[:-1]])
+    run_start = np.flatnonzero(newrun)
+    return np.arange(n, dtype=np.int64) - run_start[np.cumsum(newrun) - 1]
+
+
+def q_dedup_rewrite(sf_dir: str, broadcast_max: int | None = None):
+    """Cleaned documents after duplicate-chunk removal: (doc_id,
+    clean_text, n_kept, n_removed).  clean_text is NULL when every
+    chunk of the doc was removed (the oracle's FILTERed string_agg
+    yields NULL there too).
+
+    Pass 1 = distinct (doc, chunk-hash) pairs -> map-side-combined
+    (owner=min doc, n_docs) per hash -> the duplicated-hash removal
+    table, broadcast as parallel sorted (gh, owner) arrays; pass 2 =
+    per-batch searchsorted membership + owner check + per-doc rejoin.
+    Above ``broadcast_max`` the removal table instead meets chunk
+    occurrences in a gh-bucketed exchange (flags only — text never
+    enters the shuffle) and flags meet the docs in a doc_id-bucketed
+    exchange where the rewrite happens."""
+    import ray
+
+    from ..stages.shuffle import bucketed_apply, grouped_agg
+
+    if broadcast_max is None:
+        broadcast_max = DUP_BROADCAST_MAX
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        d, s = _doc_chunks(b)
+        df = pd.DataFrame({"doc_id": d, "g": s}).drop_duplicates()
+        codes, uniq = pd.factorize(df["g"], sort=False)
+        gh = _md5_lower64(uniq).view(np.int64)[codes] \
+            if len(df) else np.empty(0, np.int64)
+        return pa.table({"gh": pa.array(gh),
+                         "doc_id": pa.array(
+                             df["doc_id"].to_numpy(np.int64)),
+                         "one": pa.array(np.ones(len(df), np.int64))})
+
+    own = grouped_agg(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        ["gh"], {"owner": ("doc_id", "min"), "n_docs": ("one", "sum")})
+    rm_ds = own.filter(expr="n_docs >= 2").select_columns(["gh", "owner"])
+
+    def chunks_of(b: pa.Table):
+        d, s = _doc_chunks(b)
+        codes, uniq = pd.factorize(pd.Series(s), sort=False)
+        gh = _md5_lower64(uniq).view(np.int64)[codes] \
+            if len(s) else np.empty(0, np.int64)
+        return d, s, gh
+
+    def rebuild(doc: np.ndarray, s: np.ndarray, keep: np.ndarray,
+                all_docs: np.ndarray) -> pd.DataFrame:
+        """Join kept chunks per doc (order preserved: chunks are
+        contiguous per doc); docs with zero kept chunks -> NULL."""
+        kept = pd.Series(s[keep]).groupby(doc[keep]).agg(" ".join)
+        per = pd.DataFrame({
+            "doc_id": all_docs,
+            "n_kept": np.bincount(
+                np.searchsorted(all_docs, doc[keep]),
+                minlength=len(all_docs)).astype(np.int64),
+            "n_removed": np.bincount(
+                np.searchsorted(all_docs, doc[~keep]),
+                minlength=len(all_docs)).astype(np.int64),
+        })
+        per["clean_text"] = per["doc_id"].map(kept)
+        per["clean_text"] = per["clean_text"].astype(object).where(
+            per["clean_text"].notna(), None)
+        return per[["doc_id", "clean_text", "n_kept", "n_removed"]]
+
+    if rm_ds.count() > broadcast_max:
+        # scale path: flags through a gh bucket join, rewrite in a
+        # doc_id bucket join — the removal table never collects
+        def occ(b: pa.Table) -> pa.Table:
+            d, s, gh = chunks_of(b)
+            cid = _run_ordinal(d)
+            return pa.table({"doc_id": pa.array(d),
+                             "cid": pa.array(cid),
+                             "gh": pa.array(gh),
+                             "owner": pa.array(
+                                 np.full(len(d), -1, np.int64))})
+
+        def tag_rm(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"doc_id": pa.array(np.full(t.num_rows, -1, np.int64)),
+                 "cid": pa.array(np.zeros(t.num_rows, np.int64)),
+                 "gh": t.column("gh"),
+                 "owner": t.column("owner")})
+
+        both = ds.map_batches(occ, batch_format="pyarrow").union(
+            rm_ds.map_batches(tag_rm, batch_format="pyarrow"))
+
+        def flag(g: pd.DataFrame) -> pd.DataFrame:
+            mem = g[g["doc_id"] == -1][["gh", "owner"]]
+            o = g[g["doc_id"] != -1].merge(mem, on="gh", how="inner",
+                                           suffixes=("", "_m"))
+            o = o[o["doc_id"] != o["owner_m"]]
+            return pd.DataFrame({
+                "doc_id": o["doc_id"].to_numpy(np.int64),
+                "cid": o["cid"].to_numpy(np.int64)})
+
+        flags = bucketed_apply(both, ["gh"], flag)
+
+        def tag_flag(t: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": t.column("doc_id"),
+                             "cid": t.column("cid"),
+                             "text": pa.array([None] * t.num_rows,
+                                              pa.large_string())})
+
+        def tag_doc(t: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": t.column("doc_id"),
+                             "cid": pa.array(
+                                 np.full(t.num_rows, -1, np.int64)),
+                             "text": pc.cast(t.column("text"),
+                                             pa.large_string())})
+
+        u = flags.map_batches(tag_flag, batch_format="pyarrow").union(
+            ds.map_batches(tag_doc, batch_format="pyarrow"))
+
+        def rewrite(g: pd.DataFrame) -> pd.DataFrame:
+            docs_df = g[g["cid"] == -1]
+            fl = g[g["cid"] != -1]
+            b = pa.table({
+                "doc_id": pa.array(
+                    docs_df["doc_id"].to_numpy(np.int64)),
+                "text": pa.array(docs_df["text"].tolist(),
+                                 pa.large_string())})
+            d, s, _gh = chunks_of(b)
+            docs = np.unique(d)
+            cid = _run_ordinal(d)
+            rm_keys = set(zip(fl["doc_id"].tolist(), fl["cid"].tolist()))
+            if rm_keys:
+                key = pd.MultiIndex.from_arrays([d, cid])
+                keep = ~key.isin(rm_keys)
+                keep = np.asarray(keep)
+            else:
+                keep = np.ones(len(d), bool)
+            return rebuild(d, s, keep, docs)
+
+        return bucketed_apply(u, ["doc_id"], rewrite)
+
+    rm = rm_ds.to_pandas()
+    o_gh = np.sort(rm["gh"].to_numpy().astype(np.int64))
+    o_owner = rm.set_index("gh").loc[o_gh, "owner"].to_numpy(np.int64) \
+        if len(rm) else np.empty(0, np.int64)
+    ref = ray.put((o_gh, o_owner))
+
+    def probe(b: pa.Table) -> pa.Table:
+        g_set, g_owner = ray.get(ref)
+        d, s, gh = chunks_of(b)
+        if not len(d):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "clean_text": pa.array([], pa.large_string()),
+                             "n_kept": pa.array([], pa.int64()),
+                             "n_removed": pa.array([], pa.int64())})
+        if len(g_set):
+            j = np.searchsorted(g_set, gh)
+            j[j >= len(g_set)] = len(g_set) - 1
+            hit = g_set[j] == gh
+            keep = ~hit | (g_owner[j] == d)
+        else:
+            keep = np.ones(len(d), bool)
+        docs = np.unique(d)
+        out = rebuild(d, s, keep, docs)
+        return pa.Table.from_pandas(out, preserve_index=False).cast(
+            pa.schema([("doc_id", pa.int64()),
+                       ("clean_text", pa.large_string()),
+                       ("n_kept", pa.int64()),
+                       ("n_removed", pa.int64())]))
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def sql_dedup_rewrite() -> str:
+    CW = CHUNK_W
+    return (
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws "
+        "FROM documents), "
+        "c AS (SELECT doc_id, ws, unnest(range(0, "
+        f"CAST((len(ws) + {CW - 1}) // {CW} AS BIGINT))) AS cid FROM w), "
+        "ch AS (SELECT doc_id, cid, array_to_string(list_slice(ws, "
+        f"cid * {CW} + 1, LEAST((cid + 1) * {CW}, len(ws))), ' ') "
+        "AS chunk FROM c), "
+        "own AS (SELECT chunk, MIN(doc_id) AS owner, "
+        "COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY chunk), "
+        "k AS (SELECT ch.doc_id, ch.cid, ch.chunk, "
+        "(own.nd >= 2 AND ch.doc_id != own.owner) AS rm "
+        "FROM ch JOIN own USING (chunk)) "
+        "SELECT doc_id, string_agg(chunk, ' ' ORDER BY cid) "
+        "FILTER (WHERE NOT rm) AS clean_text, "
+        "CAST(COUNT(*) FILTER (WHERE NOT rm) AS BIGINT) AS n_kept, "
+        "CAST(COUNT(*) FILTER (WHERE rm) AS BIGINT) AS n_removed "
+        "FROM k GROUP BY doc_id"
+    )
+
+
+QUERIES["dedup_rewrite"] = q_dedup_rewrite
+ORACLES["dedup_rewrite"] = sql_dedup_rewrite()

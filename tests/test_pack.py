@@ -382,3 +382,53 @@ def test_winnow_guarantee(ray_session):
     h1 = set(t.loc[t["doc_id"] == 1, "gh"])
     h2 = set(t.loc[t["doc_id"] == 2, "gh"])
     assert h1 & h2
+
+
+def test_dedup_rewrite_vs_pandas(ray_session, docs):
+    from osmquadtree_depreceated_ray.pipelines.queries_pack import (
+        CHUNK_W,
+        q_dedup_rewrite,
+    )
+
+    got = (q_dedup_rewrite(SF).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # independent recompute: chunk every doc, owner = min doc_id per
+    # chunk text, drop non-owner occurrences of multi-doc chunks
+    rows = []
+    for did, txt in zip(docs["doc_id"], docs["text"]):
+        for cid, ch in enumerate(_chunks(txt, CHUNK_W)):
+            rows.append((int(did), cid, ch))
+    df = pd.DataFrame(rows, columns=["doc_id", "cid", "chunk"])
+    own = df.groupby("chunk")["doc_id"].agg(["min", "nunique"])
+    m = df.join(own, on="chunk")
+    m["rm"] = (m["nunique"] >= 2) & (m["doc_id"] != m["min"])
+    exp = m.groupby("doc_id").apply(
+        lambda g: pd.Series({
+            "clean_text": " ".join(g.loc[~g["rm"], "chunk"])
+            if (~g["rm"]).any() else None,
+            "n_kept": int((~g["rm"]).sum()),
+            "n_removed": int(g["rm"].sum()),
+        })).reset_index().sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got["doc_id"].to_numpy() == exp["doc_id"].to_numpy()).all()
+    assert (got["n_kept"].to_numpy()
+            == exp["n_kept"].to_numpy().astype(int)).all()
+    assert (got["n_removed"].to_numpy()
+            == exp["n_removed"].to_numpy().astype(int)).all()
+    ga = got["clean_text"].astype(object).where(
+        got["clean_text"].notna(), None)
+    ea = exp["clean_text"].astype(object).where(
+        exp["clean_text"].notna(), None)
+    assert ga.tolist() == ea.tolist()
+
+
+def test_dedup_rewrite_fallback_matches_broadcast(ray_session):
+    from osmquadtree_depreceated_ray.pipelines.queries_pack import (
+        q_dedup_rewrite,
+    )
+
+    a = (q_dedup_rewrite(SF).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (q_dedup_rewrite(SF, broadcast_max=0).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    assert a.equals(b[a.columns])
