@@ -832,3 +832,145 @@ def sql_bbox_overlay() -> str:
 
 QUERIES["bbox_overlay"] = q_bbox_overlay
 ORACLES["bbox_overlay"] = sql_bbox_overlay
+
+
+# --------------------------------------------------------------------------
+# idw_grid: quantized inverse-distance-weighted interpolation
+# --------------------------------------------------------------------------
+#
+# The third classic raster<->vector operator (after rasterize /
+# raster_lookup / zonal_stats): estimate a surface value at every
+# OCCUPIED grid cell's center from the points within radius R, weighted
+# by inverse squared distance.  Weights are QUANTIZED to integers —
+# w = WNUM // (d2 + S) with a smoothing offset S (the standard h^2
+# regularizer, which also caps the at-center weight) — so every
+# numerator/denominator sum is exact int64 arithmetic and the DuckDB
+# oracle reproduces the result hash-exactly; only the final num/den
+# division is floating point (one deterministic op per cell).  The
+# quantized kernel tapers to 0 at the rim (WNUM // (R2 + S) may be 0):
+# documented, deterministic, and identical in both engines.
+#
+# Shape: each point contributes to at most 9 candidate cell centers
+# (R = G, the same bounded-replication argument as dist_selfjoin's x4),
+# partials pre-aggregate per batch, ONE grouped exchange of O(occupied
+# cells) rows carrying (num, den, n_in) — point rows never shuffle.
+
+IDW_G = 200_000_000            # grid cell size (20 deg in 1e-7 units)
+IDW_R = IDW_G                  # influence radius = one cell
+IDW_S = (IDW_G // 20) ** 2     # smoothing h^2: caps w at d2 = 0
+IDW_WNUM = 128 * IDW_R * IDW_R  # weight numerator (< 2^63)
+
+
+def q_idw_grid(sf_dir: str):
+    """(gx, gy, n_in, den, idw): per occupied grid cell, the point
+    count inside the cell, the total quantized weight of all points
+    within IDW_R of the cell center, and the IDW estimate of n_chars.
+
+    Replicate x9 -> exact d2 filter -> per-batch partial (num, den)
+    per cell, unioned with per-batch occupancy counts; one map-side-
+    combined grouped exchange finishes."""
+    import ray
+
+    from ..stages.shuffle import grouped_agg
+
+    G, R2 = IDW_G, IDW_R * IDW_R
+
+    def partials(b: pa.Table) -> pa.Table:
+        d = _q()._derive_batch(b, "doc_id")
+        lon = d.column("lon").to_numpy().astype(np.int64)
+        lat = d.column("lat").to_numpy().astype(np.int64)
+        v = b.column("n_chars").to_numpy().astype(np.int64)
+        hx = np.floor_divide(lon, G)
+        hy = np.floor_divide(lat, G)
+        n = len(lon)
+        # 9 candidate centers per point; exact d2 <= R2 filter
+        idx = np.tile(np.arange(n, dtype=np.int64), 9)
+        off = np.array([-1, 0, 1], np.int64)
+        dx = np.repeat(np.repeat(off, 3), n)
+        dy = np.repeat(np.tile(off, 3), n)
+        gx = hx[idx] + dx
+        gy = hy[idx] + dy
+        ddx = lon[idx] - (gx * G + G // 2)
+        ddy = lat[idx] - (gy * G + G // 2)
+        d2 = ddx * ddx + ddy * ddy          # <= 4.5*G^2, no overflow
+        m = d2 <= R2
+        w = IDW_WNUM // (d2[m] + IDW_S)
+        num = v[idx[m]] * w
+        # pack cell ids (can be negative near the antimeridian edge)
+        B = np.int64(1) << 21
+        key = (gx[m] + B) * (B * 2) + (gy[m] + B)
+        uk, inv = np.unique(key, return_inverse=True)
+        nums = np.zeros(len(uk), np.int64)
+        dens = np.zeros(len(uk), np.int64)
+        np.add.at(nums, inv, num)
+        np.add.at(dens, inv, w)
+        # occupancy rows (num = den = 0)
+        okey = (hx + B) * (B * 2) + (hy + B)
+        ouk, ocnt = np.unique(okey, return_counts=True)
+        key_all = np.concatenate([uk, ouk])
+        return pa.table({
+            "gx": pa.array(key_all // (B * 2) - B),
+            "gy": pa.array(key_all % (B * 2) - B),
+            "num": pa.array(np.concatenate(
+                [nums, np.zeros(len(ouk), np.int64)])),
+            "den": pa.array(np.concatenate(
+                [dens, np.zeros(len(ouk), np.int64)])),
+            "n_in": pa.array(np.concatenate(
+                [np.zeros(len(uk), np.int64), ocnt.astype(np.int64)])),
+        })
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    agg = grouped_agg(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["gx", "gy"],
+        {"num": ("num", "sum"), "den": ("den", "sum"),
+         "n_in": ("n_in", "sum")})
+
+    def finish(b: pa.Table) -> pa.Table:
+        t = b.filter(pa.compute.field("n_in") > 0)
+        num = t.column("num").to_numpy().astype(np.int64)
+        den = t.column("den").to_numpy().astype(np.int64)
+        idw = np.where(den > 0, num / np.maximum(den, 1), np.nan)
+        return pa.table({
+            "gx": t.column("gx"), "gy": t.column("gy"),
+            "n_in": t.column("n_in"), "den": pa.array(den),
+            "idw": pa.array(idw)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_idw_grid() -> str:
+    lon, lat = derive.sql_lonlat_expr("doc_id")
+    G, R, S = IDW_G, IDW_R, IDW_S
+    d2 = (
+        "CAST(p.lon - (c.gx * {g} + {g2}) AS HUGEINT) * "
+        "CAST(p.lon - (c.gx * {g} + {g2}) AS HUGEINT) + "
+        "CAST(p.lat - (c.gy * {g} + {g2}) AS HUGEINT) * "
+        "CAST(p.lat - (c.gy * {g} + {g2}) AS HUGEINT)"
+    ).format(g=G, g2=G // 2)
+    return (
+        f"WITH p AS (SELECT {lon} AS lon, {lat} AS lat, "
+        "CAST(n_chars AS BIGINT) AS v FROM documents), "
+        # exact floor division: |lon/G| <= 10 and double division of
+        # int64s this size cannot cross an integer boundary
+        f"c AS (SELECT CAST(floor(CAST(lon AS DOUBLE) / {G}) AS BIGINT) "
+        f"AS gx, CAST(floor(CAST(lat AS DOUBLE) / {G}) AS BIGINT) AS gy, "
+        "COUNT(*) AS n_in FROM p GROUP BY 1, 2), "
+        "j AS (SELECT c.gx, c.gy, "
+        f"CAST({IDW_WNUM} AS HUGEINT) // ({d2} + {S}) AS w, p.v "
+        "FROM c JOIN p ON "
+        f"abs(p.lon - (c.gx * {G} + {G // 2})) <= {R} "
+        f"AND abs(p.lat - (c.gy * {G} + {G // 2})) <= {R} "
+        f"AND {d2} <= CAST({R} AS HUGEINT) * {R}) "
+        "SELECT c.gx, c.gy, CAST(c.n_in AS BIGINT) AS n_in, "
+        "CAST(COALESCE(SUM(j.w), 0) AS BIGINT) AS den, "
+        "CAST(SUM(j.v * j.w) AS DOUBLE) / CAST(SUM(j.w) AS DOUBLE) "
+        "AS idw "
+        "FROM c LEFT JOIN j ON c.gx = j.gx AND c.gy = j.gy "
+        "GROUP BY c.gx, c.gy, c.n_in"
+    )
+
+
+QUERIES["idw_grid"] = q_idw_grid
+ORACLES["idw_grid"] = sql_idw_grid

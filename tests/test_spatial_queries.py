@@ -270,3 +270,43 @@ def test_bbox_overlay_vs_brute_force(ray_session):
     assert (got["max_area"].to_numpy() == area.max(0)).all()
     # sanity: some rects intersect, some areas are large
     assert got["n_ways"].sum() > 0 and got["total_area"].max() > 0
+
+
+def test_idw_grid_vs_brute_force(ray_session, points):
+    from osmquadtree_depreceated_ray.pipelines.queries_spatial import (
+        IDW_G,
+        IDW_R,
+        IDW_S,
+        IDW_WNUM,
+        q_idw_grid,
+    )
+
+    got = (q_idw_grid(SF).to_pandas()
+           .sort_values(["gx", "gy"]).reset_index(drop=True))
+    lon = points["lon"].to_numpy().astype(np.int64)
+    lat = points["lat"].to_numpy().astype(np.int64)
+    v = points["n_chars"].to_numpy().astype(np.int64)
+    hx, hy = lon // IDW_G, lat // IDW_G
+    occ = pd.DataFrame({"gx": hx, "gy": hy}).value_counts().sort_index()
+    rows = []
+    for (gx, gy), n_in in occ.items():
+        cx, cy = gx * IDW_G + IDW_G // 2, gy * IDW_G + IDW_G // 2
+        # abs prefilter before squaring (raw global diffs overflow)
+        near = (np.abs(lon - cx) <= IDW_R) & (np.abs(lat - cy) <= IDW_R)
+        d2 = (lon[near] - cx) ** 2 + (lat[near] - cy) ** 2
+        m = np.zeros(len(lon), bool)
+        m[np.flatnonzero(near)[d2 <= IDW_R * IDW_R]] = True
+        d2 = (lon[m] - cx) ** 2 + (lat[m] - cy) ** 2
+        w = IDW_WNUM // (d2 + IDW_S)
+        rows.append((gx, gy, int(n_in), int(w.sum()),
+                     float((v[m] * w).sum() / w.sum())))
+    exp = (pd.DataFrame(rows, columns=["gx", "gy", "n_in", "den", "idw"])
+           .sort_values(["gx", "gy"]).reset_index(drop=True))
+    assert len(got) == len(exp)
+    for c in ["gx", "gy", "n_in", "den"]:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+    assert np.allclose(got["idw"].to_numpy(), exp["idw"].to_numpy(),
+                       rtol=0, atol=0)
+    # every occupied cell keeps positive total weight (its own points
+    # are always in range of the center)
+    assert (got["den"] > 0).all()
