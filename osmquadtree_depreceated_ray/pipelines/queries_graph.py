@@ -984,3 +984,139 @@ def sql_hits() -> str:
 
 QUERIES["hits"] = q_hits
 ORACLES["hits"] = sql_hits()
+
+
+# ---------------------------------- label-propagation communities (LPA)
+#
+# Synchronous deterministic label propagation (Raghavan et al. 2007,
+# made order-free): label_0(v) = v; each round every node adopts the
+# most frequent label among its neighbors, ties -> smallest label,
+# isolated nodes keep their label.  LPA_ITERS fixed rounds (the
+# deterministic synchronous variant — the classic async sweep is
+# order-dependent and unreproducible across cluster sizes).
+#
+# Shape per round = ONE scatter/gather exchange on the shared
+# undirected shards: each bucket joins its local labels to its local
+# edges, MAP-SIDE COMBINES (dst, lab) counts before routing (the wire
+# carries one row per distinct (dst, neighbor-label), not one per
+# edge), and the gather picks argmax-with-min-tie per node.  Driver
+# holds only refs; state is O(nodes/bucket).
+
+LPA_ITERS = 3
+
+
+def _lpa_init_impl(nodes):
+    v = nodes.column("node").to_numpy().astype(np.int64)
+    return pa.table({"v": pa.array(v), "lab": pa.array(v)})
+
+
+def _lpa_scatter_impl(n, edges, labels):
+    """Emit this bucket's neighbor-label count partials, routed by
+    bucket(dst)."""
+    src = edges.column("src").to_numpy().astype(np.int64)
+    dst = edges.column("dst").to_numpy().astype(np.int64)
+    v = labels.column("v").to_numpy().astype(np.int64)
+    lab = labels.column("lab").to_numpy().astype(np.int64)
+    order = np.argsort(v)
+    slab = lab[order][np.searchsorted(v[order], src)]
+    df = (pd.DataFrame({"dst": dst, "lab": slab})
+          .groupby(["dst", "lab"], sort=False).size()
+          .reset_index(name="c"))
+    d = df["dst"].to_numpy(np.int64)
+    bk = _pr_route(d, n)
+    return tuple(
+        pa.Table.from_pandas(df[bk == i], preserve_index=False)
+        for i in range(n))
+
+
+def _lpa_gather_impl(labels, *pieces):
+    """Sum count partials, adopt argmax label (ties -> min), keep the
+    old label where no neighbor row arrived."""
+    v = labels.column("v").to_numpy().astype(np.int64)
+    lab = labels.column("lab").to_numpy().astype(np.int64)
+    inc = pa.concat_tables(pieces, promote_options="default").to_pandas()
+    if inc.empty:
+        return pa.table({"v": pa.array(v), "lab": pa.array(lab)})
+    cnt = (inc.groupby(["dst", "lab"], sort=False)["c"].sum()
+           .reset_index())
+    pick = (cnt.sort_values(["dst", "c", "lab"],
+                            ascending=[True, False, True], kind="stable")
+            .drop_duplicates("dst").set_index("dst")["lab"])
+    new = pd.Series(v).map(pick)
+    out = np.where(new.notna(), new.fillna(0).to_numpy(np.int64), lab)
+    return pa.table({"v": pa.array(v), "lab": pa.array(out)})
+
+
+def q_label_prop(sf_dir: str):
+    """LPA communities over the synthetic link graph: (doc_id,
+    community) after LPA_ITERS synchronous rounds."""
+    import ray
+    import ray.data
+
+    n, nodes, edges = _graph_shards(sf_dir)
+    # register AFTER _graph_shards: _pr_remote_fns only installs the
+    # core fns when _PR_FNS is still empty
+    for k, f in (("lpa_init", _lpa_init_impl),
+                 ("lpa_scatter", _lpa_scatter_impl),
+                 ("lpa_gather", _lpa_gather_impl),
+                 ("lpa_out", _lpa_out_impl)):
+        if k not in _PR_FNS:
+            _PR_FNS[k] = ray.remote(f)
+    if edges is None:
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "community": pa.array([], pa.int64())}))
+    labels = [_PR_FNS["lpa_init"].remote(nodes[b]) for b in range(n)]
+    for _ in range(LPA_ITERS):
+        sc = [_PR_FNS["lpa_scatter"].options(num_returns=n).remote(
+            n, edges[b], labels[b]) for b in range(n)]
+        labels = [_PR_FNS["lpa_gather"].remote(
+            labels[b], *[sc[s][b] if n > 1 else sc[s] for s in range(n)])
+            for b in range(n)]
+    out = [_PR_FNS["lpa_out"].remote(labels[b]) for b in range(n)]
+    return ray.data.from_arrow_refs(out)
+
+
+def _lpa_out_impl(labels):
+    return pa.table({"doc_id": labels.column("v"),
+                     "community": labels.column("lab")})
+
+
+def sql_label_prop() -> str:
+    """Full-chain oracle: synthesis + existence semi-join + undirected
+    dedup, then LPA_ITERS rounds as chained CTEs (count -> ROW_NUMBER
+    argmax with min-label ties -> COALESCE keep)."""
+    js = ", ".join(f"({j})" for j in range(PR_LINKS))
+    parts = [
+        "WITH m AS (SELECT CAST(MAX(doc_id)+1 AS BIGINT) AS md "
+        "FROM documents)",
+        f"cand AS (SELECT dd.doc_id AS src, "
+        f"(dd.doc_id*{_A} + j.j*{_B} + {_C}) % m.md AS dst "
+        f"FROM documents dd CROSS JOIN m CROSS JOIN (VALUES {js}) j(j))",
+        "e0 AS (SELECT DISTINCT c.src, c.dst FROM cand c "
+        "JOIN documents t ON t.doc_id = c.dst WHERE c.dst <> c.src)",
+        "u AS (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM e0)",
+        "e AS (SELECT a AS s, b AS d FROM u "
+        "UNION ALL SELECT b, a FROM u)",
+        "l0 AS (SELECT doc_id AS v, doc_id AS lab FROM documents)",
+    ]
+    for t in range(1, LPA_ITERS + 1):
+        p = t - 1
+        parts.append(
+            f"c{t} AS (SELECT e.d AS v, l{p}.lab, COUNT(*) AS c "
+            f"FROM e JOIN l{p} ON l{p}.v = e.s GROUP BY 1, 2)")
+        parts.append(
+            f"p{t} AS (SELECT v, lab FROM (SELECT v, lab, ROW_NUMBER() "
+            "OVER (PARTITION BY v ORDER BY c DESC, lab) AS rn "
+            f"FROM c{t}) WHERE rn = 1)")
+        parts.append(
+            f"l{t} AS (SELECT l{p}.v, COALESCE(p{t}.lab, l{p}.lab) "
+            f"AS lab FROM l{p} LEFT JOIN p{t} ON p{t}.v = l{p}.v)")
+    return (", ".join(parts)
+            + f" SELECT v AS doc_id, CAST(lab AS BIGINT) AS community "
+              f"FROM l{LPA_ITERS}")
+
+
+QUERIES["label_prop"] = q_label_prop
+ORACLES["label_prop"] = sql_label_prop()

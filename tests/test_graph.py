@@ -290,3 +290,51 @@ def test_hits_empty(ray_session):
         out = qg.q_hits(td)
         assert out.schema().names == ["doc_id", "hub_score", "auth_score"]
         assert out.count() == 0
+
+
+def test_label_prop_matches_dense(ray_session):
+    """LPA vs a literal per-node Python reimplementation of the same
+    synchronous min-tie rounds on the sf0.001 synthesized graph."""
+    import pyarrow.parquet as pq
+
+    from osmquadtree_depreceated_ray.pipelines.queries_graph import (
+        LPA_ITERS,
+        q_label_prop,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ids = np.sort(pq.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id"])
+        .column("doc_id").to_numpy().astype(np.int64))
+    mod = ids.max() + 1
+    idset = set(ids.tolist())
+    und = set()
+    for s in ids.tolist():
+        for j in range(PR_LINKS):
+            d = (s * _A + j * _B + _C) % mod
+            if d != s and d in idset:
+                und.add((min(s, d), max(s, d)))
+    nbrs = {v: [] for v in ids.tolist()}
+    for a, b in und:
+        nbrs[a].append(b)
+        nbrs[b].append(a)
+    lab = {v: v for v in ids.tolist()}
+    from collections import Counter
+
+    for _ in range(LPA_ITERS):
+        new = {}
+        for v in ids.tolist():
+            if not nbrs[v]:
+                new[v] = lab[v]
+                continue
+            c = Counter(lab[u] for u in nbrs[v])
+            top = max(c.values())
+            new[v] = min(k for k, n in c.items() if n == top)
+        lab = new
+    got = (q_label_prop(sf).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert (got["doc_id"].to_numpy() == ids).all()
+    exp = np.array([lab[v] for v in ids.tolist()], np.int64)
+    assert (got["community"].to_numpy() == exp).all()
+    # communities actually merge: strictly fewer labels than nodes
+    assert got["community"].nunique() < len(ids)
