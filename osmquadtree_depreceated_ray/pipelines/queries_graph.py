@@ -1120,3 +1120,122 @@ def sql_label_prop() -> str:
 
 QUERIES["label_prop"] = q_label_prop
 ORACLES["label_prop"] = sql_label_prop()
+
+
+# ------------------------------------ multi-source BFS hop distance
+#
+# Distance (in hops) from the nearest seed page over the undirected
+# link graph, BFS_ROUNDS bounded — the curation primitive behind
+# "within k clicks of a trusted seed" filters (the seed-proximity
+# cousin of TrustRank's teleport restriction).  Each round scatters
+# ONLY the current frontier (nodes first labeled last round) along
+# local edge shards — per-round traffic is O(frontier edges), the
+# textbook distributed BFS — and the gather labels still-unreached
+# nodes.  Unreached after BFS_ROUNDS -> dist = -1.
+
+BFS_ROUNDS = 4
+BFS_SEED_MOD = 97     # seeds: doc_id % BFS_SEED_MOD == 0
+
+
+def _bfs_init_impl(nodes):
+    v = nodes.column("node").to_numpy().astype(np.int64)
+    dist = np.where(v % BFS_SEED_MOD == 0, 0, -1).astype(np.int64)
+    return pa.table({"v": pa.array(v), "dist": pa.array(dist)})
+
+
+def _bfs_scatter_impl(n, rnd, edges, state):
+    """Route (dst) frontier expansions: only edges whose src was first
+    labeled in round rnd-1 fire."""
+    src = edges.column("src").to_numpy().astype(np.int64)
+    dst = edges.column("dst").to_numpy().astype(np.int64)
+    v = state.column("v").to_numpy().astype(np.int64)
+    dist = state.column("dist").to_numpy().astype(np.int64)
+    order = np.argsort(v)
+    sdist = dist[order][np.searchsorted(v[order], src)]
+    hit = np.unique(dst[sdist == rnd - 1])
+    bk = _pr_route(hit, n)
+    return tuple(pa.table({"dst": pa.array(hit[bk == i])})
+                 for i in range(n))
+
+
+def _bfs_gather_impl(rnd, state, *pieces):
+    v = state.column("v").to_numpy().astype(np.int64)
+    dist = state.column("dist").to_numpy().astype(np.int64)
+    inc = pa.concat_tables(pieces, promote_options="default")
+    if inc.num_rows:
+        reached = np.unique(inc.column("dst").to_numpy().astype(np.int64))
+        # bucket node order is arbitrary — membership via isin
+        m = np.isin(v, reached) & (dist == -1)
+        dist = np.where(m, rnd, dist)
+    return pa.table({"v": pa.array(v), "dist": pa.array(dist)})
+
+
+def q_bfs_dist(sf_dir: str):
+    """(doc_id, dist): hop distance to the nearest seed page
+    (doc_id % BFS_SEED_MOD == 0) within BFS_ROUNDS, else -1."""
+    import ray
+    import ray.data
+
+    n, nodes, edges = _graph_shards(sf_dir)
+    for k, f in (("bfs_init", _bfs_init_impl),
+                 ("bfs_scatter", _bfs_scatter_impl),
+                 ("bfs_gather", _bfs_gather_impl),
+                 ("bfs_out", _bfs_out_impl)):
+        if k not in _PR_FNS:
+            _PR_FNS[k] = ray.remote(f)
+    if edges is None:
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "dist": pa.array([], pa.int64())}))
+    state = [_PR_FNS["bfs_init"].remote(nodes[b]) for b in range(n)]
+    for rnd in range(1, BFS_ROUNDS + 1):
+        sc = [_PR_FNS["bfs_scatter"].options(num_returns=n).remote(
+            n, rnd, edges[b], state[b]) for b in range(n)]
+        state = [_PR_FNS["bfs_gather"].remote(
+            rnd, state[b], *[sc[s][b] if n > 1 else sc[s]
+                             for s in range(n)])
+            for b in range(n)]
+    out = [_PR_FNS["bfs_out"].remote(state[b]) for b in range(n)]
+    return ray.data.from_arrow_refs(out)
+
+
+def _bfs_out_impl(state):
+    return pa.table({"doc_id": state.column("v"),
+                     "dist": state.column("dist")})
+
+
+def sql_bfs_dist() -> str:
+    """Chained-CTE oracle: d0 = seeds, each round labels unreached
+    nodes adjacent to the previous frontier."""
+    js = ", ".join(f"({j})" for j in range(PR_LINKS))
+    parts = [
+        "WITH m AS (SELECT CAST(MAX(doc_id)+1 AS BIGINT) AS md "
+        "FROM documents)",
+        f"cand AS (SELECT dd.doc_id AS src, "
+        f"(dd.doc_id*{_A} + j.j*{_B} + {_C}) % m.md AS dst "
+        f"FROM documents dd CROSS JOIN m CROSS JOIN (VALUES {js}) j(j))",
+        "e0 AS (SELECT DISTINCT c.src, c.dst FROM cand c "
+        "JOIN documents t ON t.doc_id = c.dst WHERE c.dst <> c.src)",
+        "u AS (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM e0)",
+        "e AS (SELECT a AS s, b AS d FROM u "
+        "UNION ALL SELECT b, a FROM u)",
+        "d0 AS (SELECT doc_id AS v, CASE WHEN doc_id % "
+        f"{BFS_SEED_MOD} = 0 THEN 0 END AS dist FROM documents)",
+    ]
+    for t in range(1, BFS_ROUNDS + 1):
+        p = t - 1
+        parts.append(
+            f"f{t} AS (SELECT DISTINCT e.d AS v FROM e "
+            f"JOIN d{p} ON d{p}.v = e.s WHERE d{p}.dist = {p})")
+        parts.append(
+            f"d{t} AS (SELECT d{p}.v, COALESCE(d{p}.dist, "
+            f"CASE WHEN f{t}.v IS NOT NULL THEN {t} END) AS dist "
+            f"FROM d{p} LEFT JOIN f{t} ON f{t}.v = d{p}.v)")
+    return (", ".join(parts)
+            + " SELECT v AS doc_id, CAST(COALESCE(dist, -1) AS BIGINT) "
+              f"AS dist FROM d{BFS_ROUNDS}")
+
+
+QUERIES["bfs_dist"] = q_bfs_dist
+ORACLES["bfs_dist"] = sql_bfs_dist()

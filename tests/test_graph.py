@@ -338,3 +338,44 @@ def test_label_prop_matches_dense(ray_session):
     assert (got["community"].to_numpy() == exp).all()
     # communities actually merge: strictly fewer labels than nodes
     assert got["community"].nunique() < len(ids)
+
+
+def test_bfs_dist_matches_dense(ray_session):
+    """Multi-source BFS vs a literal Python frontier expansion on the
+    sf0.001 synthesized graph."""
+    import pyarrow.parquet as pq
+
+    from osmquadtree_depreceated_ray.pipelines.queries_graph import (
+        BFS_ROUNDS,
+        BFS_SEED_MOD,
+        q_bfs_dist,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ids = np.sort(pq.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id"])
+        .column("doc_id").to_numpy().astype(np.int64))
+    mod = ids.max() + 1
+    idset = set(ids.tolist())
+    nbrs = {v: set() for v in ids.tolist()}
+    for s in ids.tolist():
+        for j in range(PR_LINKS):
+            d = (s * _A + j * _B + _C) % mod
+            if d != s and d in idset:
+                nbrs[s].add(d)
+                nbrs[d].add(s)
+    dist = {v: (0 if v % BFS_SEED_MOD == 0 else -1)
+            for v in ids.tolist()}
+    for t in range(1, BFS_ROUNDS + 1):
+        frontier = [v for v, dd in dist.items() if dd == t - 1]
+        for v in frontier:
+            for u in nbrs[v]:
+                if dist[u] == -1:
+                    dist[u] = t
+    got = (q_bfs_dist(sf).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert (got["doc_id"].to_numpy() == ids).all()
+    exp = np.array([dist[v] for v in ids.tolist()], np.int64)
+    assert (got["dist"].to_numpy() == exp).all()
+    # fixture is meaningful: some seeds, some multi-hop, some unreached
+    assert (exp == 0).any() and (exp >= 2).any()
