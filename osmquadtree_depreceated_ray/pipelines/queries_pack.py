@@ -301,7 +301,8 @@ def q_chunk_dedup(sf_dir: str, broadcast_max: int | None = None):
         ds.map_batches(pairs, batch_format="pyarrow"),
         ["gh"], {"n_docs": ("one", "sum")},
     )
-    dup_ds = counts.filter(expr="n_docs >= 2").select_columns(["gh"])
+    dup_ds = counts.filter(expr="n_docs >= 2").select_columns(
+        ["gh"]).materialize()  # count() + consume = ONE pass-1 execution
     if dup_ds.count() > broadcast_max:
         # scale path: bucketed semi-count, no driver-side set
         def occ(b: pa.Table) -> pa.Table:
@@ -439,7 +440,8 @@ def q_decontaminate(sf_dir: str, broadcast_max: int | None = None):
     if broadcast_max is None:
         broadcast_max = DUP_BROADCAST_MAX
     ev_ds = distinct(
-        ds.map_batches(eval_grams, batch_format="pyarrow"), ["gh"])
+        ds.map_batches(eval_grams, batch_format="pyarrow"),
+        ["gh"]).materialize()  # count() + consume = ONE pass-1 execution
     if ev_ds.count() > broadcast_max:
         # scale path: bucketed semi-count against the eval-gram set
         def occ(b: pa.Table) -> pa.Table:
@@ -828,7 +830,8 @@ def q_dup_spans(sf_dir: str, broadcast_max: int | None = None):
     counts = grouped_agg(
         ds.map_batches(pairs, batch_format="pyarrow"),
         ["gh"], {"n_docs": ("one", "sum")})
-    dup_ds = counts.filter(expr="n_docs >= 2").select_columns(["gh"])
+    dup_ds = counts.filter(expr="n_docs >= 2").select_columns(
+        ["gh"]).materialize()  # count() + consume = ONE pass-1 execution
 
     if dup_ds.count() > broadcast_max:
         # scale path: position-carrying bucketed semi-join, then a
@@ -1249,7 +1252,8 @@ def q_dedup_rewrite(sf_dir: str, broadcast_max: int | None = None):
     own = grouped_agg(
         ds.map_batches(pairs, batch_format="pyarrow"),
         ["gh"], {"owner": ("doc_id", "min"), "n_docs": ("one", "sum")})
-    rm_ds = own.filter(expr="n_docs >= 2").select_columns(["gh", "owner"])
+    rm_ds = own.filter(expr="n_docs >= 2").select_columns(
+        ["gh", "owner"]).materialize()  # count() + consume = ONE execution
 
     def chunks_of(b: pa.Table):
         d, s = _doc_chunks(b)

@@ -653,7 +653,8 @@ def q_lm_score(sf_dir: str, broadcast_max: int | None = None):
 
     cnt_ds = grouped_agg(
         ds.map_batches(partials, batch_format="pyarrow"),
-        ["gh"], {"c": ("n", "sum")})
+        ["gh"], {"c": ("n", "sum")}
+    ).materialize()  # count() + consume = ONE pass-1 execution
 
     if cnt_ds.count() > broadcast_max:
         # scale path: (doc, bigram, multiplicity) rows co-locate with
@@ -858,7 +859,7 @@ def q_dsir_weights(sf_dir: str, broadcast_max: int | None = None):
     cnt_ds = grouped_agg(
         ds.map_batches(partials, batch_format="pyarrow"),
         ["gh"], {"c_all": ("n_all", "sum"), "c_tgt": ("n_tgt", "sum")},
-    )
+    ).materialize()  # count() + consume = ONE pass-1 execution
 
     if cnt_ds.count() > broadcast_max:
         # scale path (lm_score's bucketed-join shape): the count table
