@@ -511,3 +511,93 @@ QUERIES["kll_quantiles"] = q_kll_quantiles
 # rows-only by design: the sketch's output depends on its deterministic
 # compaction schedule, which SQL cannot replay; the in-query certificate
 # assert + the exact-rank columns are the executable invariant
+
+
+# ---------------------- grouped OLS regression + Pearson correlation
+#
+# Per-language least-squares fit of n_chars (y) on word count (x) plus
+# the Pearson r — the profiling statistic every corpus report carries.
+# The distributed shape is the textbook one: the five cross-moments
+# (n, Σx, Σy, Σxy, Σx², Σy²) are ASSOCIATIVE integer sums, so batches
+# pre-aggregate and the exchange carries O(groups) rows; the driver
+# never sees a data row.  All moment arithmetic stays exact (int64 in
+# batches, Python ints in the finish — the n·Σxy − ΣxΣy combinations
+# overflow int64 long before the inputs do), and the only float ops
+# are the final cast-divide / cast-sqrt in a FIXED order the DuckDB
+# oracle replays with HUGEINT → DOUBLE — hash-exact, no float-sum
+# order dependence anywhere.
+
+def q_regress_corr(sf_dir: str):
+    """(lang, n, slope, intercept, corr) of n_chars ~ words."""
+    import ray
+
+    from ..stages.shuffle import grouped_agg
+
+    def partials(b: pa.Table) -> pa.Table:
+        lang = b.column("lang").to_pandas()
+        x = (b.column("text").to_pandas().str.count(" ") + 1) \
+            .to_numpy(np.int64)
+        y = b.column("n_chars").to_numpy().astype(np.int64)
+        df = pd.DataFrame({
+            "lang": lang, "n": 1, "sx": x, "sy": y,
+            "sxy": x * y, "sxx": x * x, "syy": y * y})
+        return pa.Table.from_pandas(
+            df.groupby("lang", as_index=False, sort=False).sum(),
+            preserve_index=False)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["lang", "text", "n_chars"])
+    agg = grouped_agg(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["lang"],
+        {c: (c, "sum") for c in ("n", "sx", "sy", "sxy", "sxx", "syy")})
+
+    def finish(b: pa.Table) -> pa.Table:
+        import math
+
+        t = b.to_pandas()
+        slope, inter, corr = [], [], []
+        for _, r in t.iterrows():
+            # Python ints: the moment combinations overflow int64
+            n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+            sxy, sxx, syy = int(r["sxy"]), int(r["sxx"]), int(r["syy"])
+            num = n * sxy - sx * sy
+            dx = n * sxx - sx * sx
+            dy = n * syy - sy * sy
+            s = float(num) / float(dx)
+            slope.append(s)
+            inter.append((float(sy) - s * float(sx)) / float(n))
+            corr.append(float(num) / math.sqrt(float(dx * dy)))
+        return pa.table({
+            "lang": pa.array(t["lang"].tolist(), pa.string()),
+            "n": pa.array(t["n"].to_numpy(np.int64)),
+            "slope": pa.array(slope, pa.float64()),
+            "intercept": pa.array(inter, pa.float64()),
+            "corr": pa.array(corr, pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_regress_corr() -> str:
+    return (
+        "WITH t AS (SELECT lang, "
+        "CAST(len(string_split(text, ' ')) AS HUGEINT) AS x, "
+        "CAST(n_chars AS HUGEINT) AS y FROM documents), "
+        "m AS (SELECT lang, CAST(COUNT(*) AS HUGEINT) AS n, "
+        "SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy, "
+        "SUM(x*x) AS sxx, SUM(y*y) AS syy FROM t GROUP BY lang), "
+        "f AS (SELECT lang, n, sx, sy, "
+        "CAST(n*sxy - sx*sy AS DOUBLE) "
+        "/ CAST(n*sxx - sx*sx AS DOUBLE) AS slope, "
+        "CAST(n*sxy - sx*sy AS DOUBLE) "
+        "/ sqrt(CAST((n*sxx - sx*sx) * (n*syy - sy*sy) AS DOUBLE)) "
+        "AS corr FROM m) "
+        "SELECT lang, CAST(n AS BIGINT) AS n, slope, "
+        "(CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) "
+        "/ CAST(n AS DOUBLE) AS intercept, corr FROM f"
+    )
+
+
+QUERIES["regress_corr"] = q_regress_corr
+ORACLES["regress_corr"] = sql_regress_corr()

@@ -116,3 +116,27 @@ def test_skew_stats_vs_counter(ray_session):
         assert r["max_key_rows"] == mx[b]
     # conservation: bucket loads sum to the table size
     assert got["n_rows"].sum() == len(keys)
+
+
+def test_regress_corr_vs_numpy(ray_session):
+    import pyarrow.parquet as pq
+
+    from osmquadtree_depreceated_ray.pipelines.queries_stats import (
+        q_regress_corr,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = (q_regress_corr(sf).to_pandas()
+           .sort_values("lang").reset_index(drop=True))
+    d = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["lang", "text", "n_chars"]).to_pandas()
+    d["x"] = d["text"].str.count(" ") + 1
+    for _, r in got.iterrows():
+        g = d[d["lang"] == r["lang"]]
+        assert r["n"] == len(g)
+        sl, ic = np.polyfit(g["x"], g["n_chars"], 1)
+        cr = np.corrcoef(g["x"], g["n_chars"])[0, 1]
+        assert abs(r["slope"] - sl) < 1e-8 * max(1, abs(sl))
+        assert abs(r["intercept"] - ic) < 1e-6 * max(1, abs(ic))
+        assert abs(r["corr"] - cr) < 1e-10
+    assert (got["corr"].abs() <= 1).all()
