@@ -938,3 +938,66 @@ def sql_retention() -> str:
 
 QUERIES["retention"] = q_retention
 ORACLES["retention"] = sql_retention()
+
+
+# ------------------------------- Markov transition matrix (clickstream)
+#
+# Consecutive event-type pairs per user (ordered by ts, event_id) ->
+# global (src, dst) counts + row-conditional probabilities — the
+# clickstream transition matrix behind next-event prediction and
+# anomaly scoring.  Pairing happens inside the per-user exchange
+# (vectorized shift, no per-row loop); the pair stream pre-aggregates
+# per bucket so the second exchange carries O(|types|^2) rows, and the
+# probability is ONE integer division per row (hash-exact vs DuckDB).
+
+def q_transitions(sf_dir: str):
+    """(src, dst, n, p): transition counts + P(dst | src)."""
+    import ray
+
+    from ..stages.shuffle import bucketed_apply
+
+    def pair_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        nxt = g.groupby("user_id")["event_type"].shift(-1)
+        m = nxt.notna()
+        out = (pd.DataFrame({"src": g["event_type"][m],
+                             "dst": nxt[m]})
+               .groupby(["src", "dst"], sort=False).size()
+               .reset_index(name="n"))
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("src", sort=False)["n"].transform("sum")
+        g = g.copy()
+        g["p"] = g["n"].to_numpy(np.float64) / tot.to_numpy(np.float64)
+        return g
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"])
+    pairs = bucketed_apply(ds, ["user_id"], pair_counts)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby(["src", "dst"], as_index=False, sort=False)
+                .agg(n=("n", "sum")))
+
+    return bucketed_apply(pairs, ["src"], lambda g: finish(combine(g)),
+                          combine=combine)
+
+
+def sql_transitions() -> str:
+    return (
+        "WITH o AS (SELECT event_type, LEAD(event_type) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS nxt "
+        "FROM events), "
+        "c AS (SELECT event_type AS src, nxt AS dst, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM o "
+        "WHERE nxt IS NOT NULL GROUP BY 1, 2) "
+        "SELECT src, dst, n, CAST(n AS DOUBLE) / "
+        "CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE) AS p FROM c"
+    )
+
+
+QUERIES["transitions"] = q_transitions
+ORACLES["transitions"] = sql_transitions()

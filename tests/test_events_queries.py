@@ -120,3 +120,32 @@ def test_retention_vs_pandas(ray_session):
     m0 = got[got["offset"] == 0].set_index("cohort")["users"]
     mx = got.groupby("cohort")["users"].max()
     assert (m0 == mx).all()
+
+
+def test_transitions_vs_pandas(ray_session):
+    import pyarrow.parquet as pq
+
+    from osmquadtree_depreceated_ray.pipelines.queries_events import (
+        q_transitions,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = (q_transitions(sf).to_pandas()
+           .sort_values(["src", "dst"]).reset_index(drop=True))
+    ev = pq.read_table(f"{sf}/events.parquet").to_pandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    nxt = ev.groupby("user_id")["event_type"].shift(-1)
+    m = nxt.notna()
+    exp = (pd.DataFrame({"src": ev["event_type"][m], "dst": nxt[m]})
+           .groupby(["src", "dst"]).size().reset_index(name="n")
+           .sort_values(["src", "dst"]).reset_index(drop=True))
+    tot = exp.groupby("src")["n"].transform("sum")
+    exp["p"] = exp["n"] / tot
+    assert len(got) == len(exp)
+    assert (got["src"] == exp["src"]).all()
+    assert (got["dst"] == exp["dst"]).all()
+    assert (got["n"].to_numpy() == exp["n"].to_numpy()).all()
+    assert np.allclose(got["p"], exp["p"], rtol=0, atol=0)
+    # probabilities are a proper row-stochastic matrix
+    s = got.groupby("src")["p"].sum()
+    assert np.allclose(s, 1.0)
