@@ -47,7 +47,20 @@ class Expr:
         return self._bin(o, pc.multiply, "mul")
 
     def __truediv__(self, o):
-        return self._bin(o, pc.divide, "div")
+        # SQL '/' is float division regardless of operand types
+        # (DuckDB: 7 / 2 = 3.5); Arrow's raw divide would silently
+        # truncate integer operands
+        def kernel(a, b):
+            return pc.divide(pc.cast(a, pa.float64()),
+                             pc.cast(b, pa.float64()))
+
+        return self._bin(o, kernel, "div")
+
+    def idiv(self, o):
+        # SQL '//': truncated division on integers (DuckDB -7 // 3
+        # = -2) and plain division on floats (DuckDB 1.x observed:
+        # -7.5 // 2 = -3.75) — exactly Arrow's type-preserving divide
+        return self._bin(o, pc.divide, "idiv")
 
     def __mod__(self, o):
         # a % b == a - (a/b)*b with Arrow's truncating integer divide —
@@ -242,7 +255,17 @@ class Expr:
         return Expr(fn, "maxwidth")
 
     def make_integer(self):
-        return Expr(lambda t: pc.cast(self(t), pa.int64()), "make_integer")
+        # DuckDB CAST(DOUBLE AS BIGINT) rounds half to even (2.5 -> 2,
+        # 1.5 -> 2, -2.5 -> -2; DECIMAL literals differ but this
+        # front-end's floats are all DOUBLE); Arrow's safe cast refuses
+        # any fractional value outright
+        def kernel(a):
+            t = getattr(a, "type", None)
+            if t is not None and pa.types.is_floating(t):
+                a = pc.round(a, round_mode="half_to_even")
+            return pc.cast(a, pa.int64())
+
+        return Expr(lambda t: kernel(self(t)), "make_integer")
 
     def make_float(self):
         return Expr(lambda t: pc.cast(self(t), pa.float64()), "make_float")

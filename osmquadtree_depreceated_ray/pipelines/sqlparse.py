@@ -108,7 +108,7 @@ _TOKEN_RE = re.compile(
     r"\s*(?:"
     r"(?P<num>\d+\.\d+|\d+)"
     r"|(?P<str>'(?:[^']|'')*')"
-    r"|(?P<op>\|\||<<|>>|<=|>=|<>|!=|=|<|>|\(|\)|,|\+|-|\*|/|%|\.|&|\||~|#)"
+    r"|(?P<op>\|\||//|<<|>>|<=|>=|<>|!=|=|<|>|\(|\)|,|\+|-|\*|/|%|\.|&|\||~|#)"
     r"|(?P<ident>[A-Za-z_][A-Za-z_0-9]*)"
     r")"
 )
@@ -640,6 +640,8 @@ class _Parser:
         while True:
             if self.accept("op", "*"):
                 e = ("mul", e, self.parse_unary())
+            elif self.accept("op", "//"):
+                e = ("idiv", e, self.parse_unary())
             elif self.accept("op", "/"):
                 e = ("div", e, self.parse_unary())
             elif self.accept("op", "%"):
@@ -985,12 +987,13 @@ def _compile_expr(node) -> Expr:
         return lit(node[1])
     if op == "col":
         return col(node[1])
-    if op in ("add", "sub", "mul", "div", "mod", "eq", "ne", "lt", "le",
-              "gt", "ge", "and", "or"):
+    if op in ("add", "sub", "mul", "div", "idiv", "mod", "eq", "ne",
+              "lt", "le", "gt", "ge", "and", "or"):
         a, b = _compile_expr(node[1]), _compile_expr(node[2])
         return {
             "add": a.__add__, "sub": a.__sub__, "mul": a.__mul__,
-            "div": a.__truediv__, "mod": a.__mod__, "eq": a.__eq__,
+            "div": a.__truediv__, "idiv": a.idiv, "mod": a.__mod__,
+            "eq": a.__eq__,
             "ne": a.__ne__, "lt": a.__lt__, "le": a.__le__,
             "gt": a.__gt__, "ge": a.__ge__, "and": a.__and__,
             "or": a.__or__,

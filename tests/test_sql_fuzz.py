@@ -637,3 +637,20 @@ def test_fuzz_cross_and_pure_theta(ray_session, e, w, theta):
     join = f"JOIN u{theta}" if theta else "CROSS JOIN u"
     sql = f"SELECT k, m, v, {e} AS e FROM t {join} WHERE {w}"
     _run_both2(ray_session, sql)
+
+
+@settings(max_examples=100, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(e=int_expr(2), c=st.sampled_from(["2", "3", "5", "-3", "7"]),
+       op=st.sampled_from(["/", "//", "%"]), w=bool_expr(1),
+       cast=st.booleans())
+def test_fuzz_division(ray_session, e, c, op, w, cast):
+    """Division family: '/' is float division (even on ints), '//' is
+    Arrow-style type-preserving division, '%' truncates toward zero,
+    CAST(DOUBLE AS BIGINT) rounds half to even.  Nonzero literal
+    denominators only (x/0 semantics are engine-defined)."""
+    expr = f"({e} {op} {c})"
+    if cast:
+        expr = f"CAST({expr} AS BIGINT)"
+    _run_both(ray_session, f"SELECT k, {expr} AS v FROM t WHERE {w}")
