@@ -1158,11 +1158,11 @@ def q_winnow(sf_dir: str):
     return ds.map_batches(winnow_batch, batch_format="pyarrow")
 
 
-def sql_winnow() -> str:
-    # Window start i selects the rightmost pos in [i, i+W-1] achieving
-    # the window's UNSIGNED min; short docs (n < W) get one window.
-    two63 = "9223372036854775808"
-    two64 = "18446744073709551616"
+def _sql_winnow_ctes() -> str:
+    """Shared WITH-prefix ending at ``sel`` (the selected fingerprint
+    occurrences): window start i selects the rightmost pos in
+    [i, i+W-1] achieving the window's UNSIGNED min; short docs (n < W)
+    get one window."""
     K, W = WINNOW_K, WINNOW_W
     return (
         "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws "
@@ -1181,8 +1181,16 @@ def sql_winnow() -> str:
         "sel AS (SELECT v.doc_id, v.i, MAX(h2.pos) AS pos, v.mh AS hv "
         "FROM v JOIN h h2 ON h2.doc_id = v.doc_id "
         f"AND h2.pos BETWEEN v.i AND v.i + {W - 1} AND h2.hv = v.mh "
-        "GROUP BY v.doc_id, v.i, v.mh) "
-        "SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, "
+        "GROUP BY v.doc_id, v.i, v.mh)"
+    )
+
+
+def sql_winnow() -> str:
+    two63 = "9223372036854775808"
+    two64 = "18446744073709551616"
+    return (
+        _sql_winnow_ctes()
+        + " SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, "
         f"CAST(CASE WHEN hv >= {two63} THEN CAST(hv AS HUGEINT) - {two64} "
         "ELSE CAST(hv AS HUGEINT) END AS BIGINT) AS gh FROM sel"
     )
@@ -1409,3 +1417,70 @@ def sql_dedup_rewrite() -> str:
 
 QUERIES["dedup_rewrite"] = q_dedup_rewrite
 ORACLES["dedup_rewrite"] = sql_dedup_rewrite()
+
+
+# -------------------- winnow-based candidate pairs (the MOSS matcher)
+#
+# The match step winnowing exists for: two docs are copy candidates
+# when their fingerprint SETS share >= WINNOW_MIN_SHARED hashes.
+# Ultra-common fingerprints (boilerplate shared by > WINNOW_MAX_DF
+# docs) are dropped before pairing — MOSS's own noise rule, and the
+# skew guard that keeps the per-hash pair blowup bounded at H^2 with
+# H <= WINNOW_MAX_DF.  A hash lives entirely in one bucket, so the df
+# cap is exact inside the bucket; pair partials map-side combine into
+# the final (a, b) exchange.
+
+WINNOW_MAX_DF = 50      # drop fingerprints shared by more docs
+WINNOW_MIN_SHARED = 2   # report pairs sharing at least this many
+
+
+def q_winnow_pairs(sf_dir: str):
+    """(a, b, n_shared): doc pairs sharing >= WINNOW_MIN_SHARED
+    winnowing fingerprints, boilerplate hashes (df > WINNOW_MAX_DF)
+    excluded."""
+    import ray
+
+    from ..stages.shuffle import bucketed_apply, grouped_agg
+
+    def fp_sets(b: pa.Table) -> pa.Table:
+        t = winnow_batch(b)
+        df = pd.DataFrame({"doc_id": t.column("doc_id").to_numpy(),
+                           "gh": t.column("gh").to_numpy()})
+        df = df.drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def pair_partials(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates()
+        sz = g.groupby("gh", sort=False)["doc_id"].transform("size")
+        g = g[sz <= WINNOW_MAX_DF]
+        m = g.merge(g, on="gh", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        out = (m.groupby(["doc_id_a", "doc_id_b"], sort=False).size()
+               .reset_index(name="n"))
+        return out.rename(columns={"doc_id_a": "a", "doc_id_b": "b"})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    partial = bucketed_apply(
+        ds.map_batches(fp_sets, batch_format="pyarrow"),
+        ["gh"], pair_partials)
+    tot = grouped_agg(partial, ["a", "b"], {"n_shared": ("n", "sum")})
+    return tot.filter(expr=f"n_shared >= {WINNOW_MIN_SHARED}")
+
+
+def sql_winnow_pairs() -> str:
+    return (
+        _sql_winnow_ctes()
+        + ", fp AS (SELECT DISTINCT doc_id, hv FROM sel), "
+        "ok AS (SELECT hv FROM fp GROUP BY hv "
+        f"HAVING COUNT(*) <= {WINNOW_MAX_DF}), "
+        "fp2 AS (SELECT fp.doc_id, fp.hv FROM fp JOIN ok USING (hv)) "
+        "SELECT x.doc_id AS a, y.doc_id AS b, "
+        "CAST(COUNT(*) AS BIGINT) AS n_shared "
+        "FROM fp2 x JOIN fp2 y ON x.hv = y.hv AND x.doc_id < y.doc_id "
+        f"GROUP BY 1, 2 HAVING COUNT(*) >= {WINNOW_MIN_SHARED}"
+    )
+
+
+QUERIES["winnow_pairs"] = q_winnow_pairs
+ORACLES["winnow_pairs"] = sql_winnow_pairs()

@@ -432,3 +432,36 @@ def test_dedup_rewrite_fallback_matches_broadcast(ray_session):
     b = (q_dedup_rewrite(SF, broadcast_max=0).to_pandas()
          .sort_values("doc_id").reset_index(drop=True))
     assert a.equals(b[a.columns])
+
+
+def test_winnow_pairs_vs_brute(ray_session, docs):
+    from osmquadtree_depreceated_ray.pipelines.queries_pack import (
+        WINNOW_MAX_DF,
+        WINNOW_MIN_SHARED,
+        q_winnow_pairs,
+    )
+
+    got = (q_winnow_pairs(SF).to_pandas()
+           .sort_values(["a", "b"]).reset_index(drop=True))
+    # independent: brute winnow per doc -> fp sets -> df cap -> pairs
+    from collections import Counter, defaultdict
+
+    sets = {}
+    for did, txt in zip(docs["doc_id"], docs["text"]):
+        sets[int(did)] = {gh for _, _, gh in _winnow_brute(int(did), txt)}
+    df = Counter(gh for s in sets.values() for gh in s)
+    pair_n = defaultdict(int)
+    by_gh = defaultdict(list)
+    for did, s in sets.items():
+        for gh in s:
+            if df[gh] <= WINNOW_MAX_DF:
+                by_gh[gh].append(did)
+    for gh, ds_ in by_gh.items():
+        ds_ = sorted(ds_)
+        for i in range(len(ds_)):
+            for j in range(i + 1, len(ds_)):
+                pair_n[(ds_[i], ds_[j])] += 1
+    exp = sorted((a, b, n) for (a, b), n in pair_n.items()
+                 if n >= WINNOW_MIN_SHARED)
+    gl = list(zip(got["a"], got["b"], got["n_shared"]))
+    assert gl == exp
