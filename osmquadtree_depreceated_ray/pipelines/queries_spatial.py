@@ -974,3 +974,94 @@ def sql_idw_grid() -> str:
 
 QUERIES["idw_grid"] = q_idw_grid
 ORACLES["idw_grid"] = sql_idw_grid
+
+
+# --------------------------------------------------------------------------
+# way_simplify: one-pass vertex decimation (effective-area filter)
+# --------------------------------------------------------------------------
+#
+# The cartographic line-simplification stage (the reference renders
+# tiled geometries; any tile renderer decimates vertices first):
+# interior vertices whose effective triangle area with their immediate
+# neighbours falls below a threshold are dropped, endpoints always
+# kept — the single-pass form of Visvalingam-Whyatt (no iteration, so
+# the decision is a pure window function and the oracle is exact SQL).
+# Coordinates quantize to a 1e-4-degree grid first: the cross products
+# then fit int64 with headroom (raw 1e-7 diffs squared would overflow)
+# and floor-division is taken on OFFSET-shifted nonneg values so
+# numpy's floor and SQL's trunc agree.  Exchange = one vertex-row
+# bucket per way; everything inside is vectorized shifts.
+
+VW_Q = 1000                  # quantization: 1e-7 deg -> 1e-4 deg grid
+VW_MIN = 500_000_000_000     # keep iff |cross| (= 2*area) >= this
+
+
+def q_way_simplify(sf_dir: str):
+    """(way_id, pos, lon, lat) of the vertices that survive one-pass
+    effective-area simplification; endpoints always survive."""
+    import ray
+
+    from ..sources import derive as _derive
+    from ..stages.shuffle import bucketed_apply
+
+    def rows(b: pa.Table) -> pa.Table:
+        okey = b.column("l_orderkey").to_numpy().astype(np.int64)
+        lnum = b.column("l_linenumber").to_numpy().astype(np.int64)
+        key = okey * 8 + lnum
+        lon, lat = _derive.derive_lonlat(key)
+        return pa.table({"way_id": pa.array(okey),
+                         "pos": pa.array(lnum),
+                         "lon": pa.array(lon), "lat": pa.array(lat)})
+
+    def simp(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["way_id", "pos"], kind="stable")
+        wid = g["way_id"].to_numpy(np.int64)
+        qx = (g["lon"].to_numpy(np.int64) + 1_800_000_000) // VW_Q
+        qy = (g["lat"].to_numpy(np.int64) + 900_000_000) // VW_Q
+        n = len(wid)
+        if n == 0:
+            return pd.DataFrame({
+                "way_id": pd.Series(dtype=np.int64),
+                "pos": pd.Series(dtype=np.int64),
+                "lon": pd.Series(dtype=np.int64),
+                "lat": pd.Series(dtype=np.int64)})
+        first = np.concatenate([[True], wid[1:] != wid[:-1]])
+        last = np.concatenate([wid[1:] != wid[:-1], [True]])
+        px = np.roll(qx, 1)
+        py = np.roll(qy, 1)
+        nx = np.roll(qx, -1)
+        ny = np.roll(qy, -1)
+        cross = (qx - px) * (ny - qy) - (nx - qx) * (qy - py)
+        keep = first | last | (np.abs(cross) >= VW_MIN)
+        out = g.iloc[np.flatnonzero(keep)]
+        return out[["way_id", "pos", "lon", "lat"]]
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber"])
+    return bucketed_apply(
+        ds.map_batches(rows, batch_format="pyarrow"), ["way_id"], simp)
+
+
+def sql_way_simplify() -> str:
+    key = "(CAST(l_orderkey AS BIGINT) * 8 + l_linenumber)"
+    lon, lat = derive.sql_lonlat_expr(key)
+    return (
+        f"WITH e AS (SELECT l_orderkey AS way_id, "
+        f"CAST(l_linenumber AS BIGINT) AS pos, "
+        f"{lon} AS lon, {lat} AS lat FROM lineitem), "
+        f"q AS (SELECT *, (lon + 1800000000) // {VW_Q} AS qx, "
+        f"(lat + 900000000) // {VW_Q} AS qy FROM e), "
+        "w AS (SELECT way_id, pos, lon, lat, qx, qy, "
+        "LAG(qx) OVER win AS px, LAG(qy) OVER win AS py, "
+        "LEAD(qx) OVER win AS nx, LEAD(qy) OVER win AS ny "
+        "FROM q WINDOW win AS (PARTITION BY way_id ORDER BY pos)) "
+        "SELECT way_id, pos, lon, lat FROM w "
+        "WHERE px IS NULL OR nx IS NULL "
+        "OR abs((qx - px) * (ny - qy) - (nx - qx) * (qy - py)) "
+        f">= {VW_MIN}"
+    )
+
+
+QUERIES["way_simplify"] = q_way_simplify
+ORACLES["way_simplify"] = sql_way_simplify

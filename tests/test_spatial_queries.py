@@ -310,3 +310,47 @@ def test_idw_grid_vs_brute_force(ray_session, points):
     # every occupied cell keeps positive total weight (its own points
     # are always in range of the center)
     assert (got["den"] > 0).all()
+
+
+def test_way_simplify_vs_brute(ray_session):
+    from osmquadtree_depreceated_ray.pipelines.queries_spatial import (
+        VW_MIN,
+        VW_Q,
+        q_way_simplify,
+    )
+
+    got = (q_way_simplify(SF).to_pandas()
+           .sort_values(["way_id", "pos"]).reset_index(drop=True))
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_orderkey", "l_linenumber"]).to_pandas()
+    key = (li["l_orderkey"].to_numpy(np.int64) * 8
+           + li["l_linenumber"].to_numpy(np.int64))
+    lon, lat = derive.derive_lonlat(key)
+    df = pd.DataFrame({"way_id": li["l_orderkey"].to_numpy(np.int64),
+                       "pos": li["l_linenumber"].to_numpy(np.int64),
+                       "lon": lon, "lat": lat}).sort_values(
+        ["way_id", "pos"], kind="stable").reset_index(drop=True)
+    keep_rows = []
+    for wid, g in df.groupby("way_id"):
+        qx = ((g["lon"].to_numpy(np.int64) + 1_800_000_000)
+              // VW_Q).tolist()
+        qy = ((g["lat"].to_numpy(np.int64) + 900_000_000)
+              // VW_Q).tolist()
+        for i in range(len(g)):
+            if i == 0 or i == len(g) - 1:
+                keep_rows.append(g.iloc[i])
+                continue
+            cr = ((qx[i] - qx[i - 1]) * (qy[i + 1] - qy[i])
+                  - (qx[i + 1] - qx[i]) * (qy[i] - qy[i - 1]))
+            if abs(cr) >= VW_MIN:
+                keep_rows.append(g.iloc[i])
+    exp = (pd.DataFrame(keep_rows)
+           .sort_values(["way_id", "pos"]).reset_index(drop=True))
+    assert len(got) == len(exp)
+    for c in ["way_id", "pos", "lon", "lat"]:
+        assert (got[c].to_numpy() == exp[c].to_numpy(np.int64)).all(), c
+    # endpoints always survive; some interior vertices must drop
+    n_ways = df["way_id"].nunique()
+    assert got.groupby("way_id").size().ge(1).all()
+    assert got["way_id"].nunique() == n_ways
+    assert len(got) < len(df)
