@@ -210,9 +210,15 @@ class Expr:
         return Expr(lambda t: pc.coalesce(*[p(t) for p in parts]), "coalesce")
 
     def nullif(self, value):
+        """NULLIF(a, b) with b any expression (SQL: NULL where a = b,
+        else a; a NULL comparison is not-equal, matching DuckDB)."""
+        other = _wrap(value)
+
         def fn(t):
             a = self(t)
-            return pc.if_else(pc.equal(a, value), pa.scalar(None, _arr_type(a)), a)
+            eq = pc.equal(a, other(t))
+            eq = pc.fill_null(eq, False)
+            return pc.if_else(eq, pa.scalar(None, _arr_type(a)), a)
 
         return Expr(fn, "nullif")
 

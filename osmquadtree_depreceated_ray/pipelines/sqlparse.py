@@ -1097,7 +1097,7 @@ def _compile_expr(node) -> Expr:
         if name == "coalesce":
             return args[0].coalesce(*args[1:])
         if name == "nullif":
-            return args[0].nullif(_lit_arg(1))
+            return args[0].nullif(args[1])
         if name == "replace":
             return args[0].replace(_lit_arg(1), _lit_arg(2))
         if name in ("char_length", "length"):

@@ -654,3 +654,17 @@ def test_fuzz_division(ray_session, e, c, op, w, cast):
     if cast:
         expr = f"CAST({expr} AS BIGINT)"
     _run_both(ray_session, f"SELECT k, {expr} AS v FROM t WHERE {w}")
+
+
+@settings(max_examples=80, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(probe=st.sampled_from(["i", "j", "(i + j)", "(j % 3)"]),
+       v1=int_atom, v2=int_atom, els=st.sampled_from(["", "ELSE -9 "]),
+       nf=int_atom, w=bool_expr(1))
+def test_fuzz_simple_case_nullif(ray_session, probe, v1, v2, els, nf, w):
+    """Simple CASE (NULL probe matches nothing, falls to ELSE/NULL),
+    NULLIF and COALESCE composed — the 3VL fall-through surface."""
+    expr = (f"COALESCE(CASE {probe} WHEN {v1} THEN 1 "
+            f"WHEN {v2} THEN 2 {els}END, NULLIF({nf}, {v1}), -99)")
+    _run_both(ray_session, f"SELECT k, {expr} AS v FROM t WHERE {w}")
