@@ -1239,3 +1239,83 @@ def sql_bfs_dist() -> str:
 
 QUERIES["bfs_dist"] = q_bfs_dist
 ORACLES["bfs_dist"] = sql_bfs_dist()
+
+
+# ------------------------- weakly-connected components (pointer doubling)
+#
+# WCC of the synthetic link graph via the shared pointer-doubling CC
+# machinery (queries_curate.cc_label_refs — the same engine the LSH
+# dedup clustering and DBSCAN run on): O(log diameter) rounds, labels
+# hold the minimum reachable doc_id.  This exercises the reusable CC
+# helper on a THIRD edge source and gives the link graph its component
+# catalog (the "which crawl islands exist" question).
+
+def q_graph_cc(sf_dir: str):
+    """(doc_id, component, is_canonical) over the link graph."""
+    import ray
+    import ray.data
+
+    from .queries_curate import cc_label_refs
+
+    n, nodes, edges = _graph_shards(sf_dir)
+    for k, f in (("cc_canon", _cc_canon_impl),
+                 ("cc_out", _cc_out_impl)):
+        if k not in _PR_FNS:
+            _PR_FNS[k] = ray.remote(f)
+    if edges is None:
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "component": pa.array([], pa.int64()),
+            "is_canonical": pa.array([], pa.int64())}))
+    pair_refs = [_PR_FNS["cc_canon"].remote(edges[b]) for b in range(n)]
+    pairs_ds = ray.data.from_arrow_refs(pair_refs)
+    ids_ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    label_refs = cc_label_refs(pairs_ds, ids_ds)
+    out = [_PR_FNS["cc_out"].remote(r) for r in label_refs]
+    return ray.data.from_arrow_refs(out)
+
+
+def _cc_canon_impl(edges):
+    """Bucket edges -> canonical a < b pairs (dedup per bucket; the
+    reverse direction lives in another bucket and dedups there)."""
+    src = edges.column("src").to_numpy().astype(np.int64)
+    dst = edges.column("dst").to_numpy().astype(np.int64)
+    m = src < dst
+    df = pd.DataFrame({"a": src[m], "b": dst[m]}).drop_duplicates()
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _cc_out_impl(labels):
+    node = labels.column("node").to_numpy().astype(np.int64)
+    lab = labels.column("label").to_numpy().astype(np.int64)
+    return pa.table({"doc_id": pa.array(node),
+                     "component": pa.array(lab),
+                     "is_canonical": pa.array(
+                         (node == lab).astype(np.int64))})
+
+
+def sql_graph_cc() -> str:
+    js = ", ".join(f"({j})" for j in range(PR_LINKS))
+    return (
+        "WITH RECURSIVE m AS (SELECT CAST(MAX(doc_id)+1 AS BIGINT) "
+        "AS md FROM documents), "
+        f"cand AS (SELECT dd.doc_id AS src, "
+        f"(dd.doc_id*{_A} + j.j*{_B} + {_C}) % m.md AS dst "
+        f"FROM documents dd CROSS JOIN m CROSS JOIN (VALUES {js}) j(j)), "
+        "e0 AS (SELECT DISTINCT c.src, c.dst FROM cand c "
+        "JOIN documents t ON t.doc_id = c.dst WHERE c.dst <> c.src), "
+        "e AS (SELECT src, dst FROM e0 "
+        "UNION SELECT dst, src FROM e0), "
+        "walk(node, lab) AS ("
+        "SELECT doc_id, doc_id FROM documents "
+        "UNION "
+        "SELECT e.dst, w.lab FROM walk w JOIN e ON e.src = w.node) "
+        "SELECT node AS doc_id, MIN(lab) AS component, "
+        "CAST(node = MIN(lab) AS BIGINT) AS is_canonical "
+        "FROM walk GROUP BY node"
+    )
+
+
+QUERIES["graph_cc"] = q_graph_cc
+ORACLES["graph_cc"] = sql_graph_cc()

@@ -379,3 +379,41 @@ def test_bfs_dist_matches_dense(ray_session):
     assert (got["dist"].to_numpy() == exp).all()
     # fixture is meaningful: some seeds, some multi-hop, some unreached
     assert (exp == 0).any() and (exp >= 2).any()
+
+
+def test_graph_cc_matches_union_find(ray_session):
+    import pyarrow.parquet as pq
+
+    from osmquadtree_depreceated_ray.pipelines.queries_graph import (
+        q_graph_cc,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ids = np.sort(pq.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id"])
+        .column("doc_id").to_numpy().astype(np.int64))
+    mod = ids.max() + 1
+    idset = set(ids.tolist())
+    parent = {v: v for v in ids.tolist()}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s in ids.tolist():
+        for j in range(PR_LINKS):
+            d = (s * _A + j * _B + _C) % mod
+            if d != s and d in idset:
+                ra, rb = find(s), find(d)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    exp = {v: find(v) for v in ids.tolist()}
+    got = (q_graph_cc(sf).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert (got["doc_id"].to_numpy() == ids).all()
+    assert (got["component"].to_numpy()
+            == np.array([exp[v] for v in ids.tolist()], np.int64)).all()
+    assert ((got["component"] == got["doc_id"]).astype(int)
+            == got["is_canonical"]).all()
