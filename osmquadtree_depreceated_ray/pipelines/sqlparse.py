@@ -1307,9 +1307,6 @@ def _compile_expr(node) -> Expr:
         if name in ("lpad", "rpad"):
             width = int(_lit_arg(1))
             fill = str(_lit_arg(2))
-            if len(fill) != 1:
-                raise ValueError(
-                    f"{name}() supports a single-char fill, got {fill!r}")
             a0 = args[0]
             left = name == "lpad"
 
@@ -1317,12 +1314,25 @@ def _compile_expr(node) -> Expr:
                 import pandas as _pd
 
                 s = _pd.Series(_a(t).to_pandas()).astype("object")
-                side = "left" if _l else "right"
-                out = s.str.pad(_w, side=side, fillchar=_f[0]) \
-                    if _f else s
+                # empty fill: DuckDB raises "Insufficient padding" only
+                # on rows that NEED padding; we stay total and return
+                # the (truncated) input — documented divergence
+                if _f:
+                    # DuckDB pads CYCLICALLY from a multi-char fill;
+                    # the needed fragment is a prefix of one constant
+                    # cyclic string, looked up by pad length (<= _w+1
+                    # classes, codepoint-safe Python slicing)
+                    cyc = (_f * _w)[:_w]
+                    lut = {j: cyc[:j] for j in range(_w + 1)}
+                    k = (_w - s.str.len()).clip(lower=0)
+                    frag = k.map(lut)
+                    out = (frag + s) if _l else (s + frag)
+                else:
+                    out = s
                 # SQL lpad/rpad TRUNCATE to the target width (keep the
-                # leftmost chars), which pandas pad does not
+                # leftmost chars)
                 out = out.str.slice(0, _w)
+                out = out.where(out.notna(), None)
                 return pa.array(out.to_numpy(dtype=object), pa.string())
 
             return Expr(_pad, name)

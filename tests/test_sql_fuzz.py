@@ -668,3 +668,18 @@ def test_fuzz_simple_case_nullif(ray_session, probe, v1, v2, els, nf, w):
     expr = (f"COALESCE(CASE {probe} WHEN {v1} THEN 1 "
             f"WHEN {v2} THEN 2 {els}END, NULLIF({nf}, {v1}), -99)")
     _run_both(ray_session, f"SELECT k, {expr} AS v FROM t WHERE {w}")
+
+
+@settings(max_examples=60, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(fn=st.sampled_from(["lpad", "rpad"]),
+       w_=st.integers(min_value=0, max_value=9),
+       fill=st.sampled_from(["*", "xy", "abc"]),
+       part=st.integers(min_value=1, max_value=4), e=str_expr(1))
+def test_fuzz_pad_split(ray_session, fn, w_, fill, part, e):
+    """Cyclic multi-char LPAD/RPAD (+ truncation) and out-of-range
+    split_part, over composed string expressions."""
+    expr = (f"{fn}({e}, {w_}, '{fill}') "
+            f"|| split_part({e}, 'a', {part})")
+    _run_both(ray_session, f"SELECT k, {expr} AS v FROM t")
