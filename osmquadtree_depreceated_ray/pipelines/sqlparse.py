@@ -979,6 +979,18 @@ def _negate_in(e, in_node):
 
 # -- compilation to the sqlish Expr layer -----------------------------------
 
+def _str_series(v):
+    """pandas object Series from an Arrow array / chunked array /
+    scalar.  Scalars (literal arguments) become a one-row series; the
+    caller returns element 0 as a pa.Scalar and the projection layer
+    broadcasts it to the table length."""
+    import pandas as _pd
+
+    if isinstance(v, pa.Scalar):
+        return _pd.Series([v.as_py()], dtype="object"), True
+    return _pd.Series(v.to_pandas()).astype("object"), False
+
+
 def _compile_expr(node) -> Expr:
     if not isinstance(node, tuple):
         raise ValueError(f"bad expr node {node!r}")
@@ -1237,14 +1249,15 @@ def _compile_expr(node) -> Expr:
 
                 import pandas as _pd
 
-                s = _pd.Series(_a(t).to_pandas()).astype("object")
+                s, _sc = _str_series(_a(t))
                 codes, uniq = _pd.factorize(s)
                 hx = np.asarray(
                     [_h.md5(str(u).encode()).hexdigest() for u in uniq]
                     or [None], dtype=object)[codes]
                 hx = np.asarray(hx, dtype=object)
                 hx[codes == -1] = None       # md5(NULL) IS NULL
-                return pa.array(hx, pa.string())
+                out = pa.array(hx, pa.string())
+                return out[0] if _sc else out
 
             return Expr(_md5_kern, "md5")
         if name == "regexp_extract":
@@ -1259,13 +1272,14 @@ def _compile_expr(node) -> Expr:
             def _rext(t, _a=a0, _rx=rx, _g=gi):
                 import pandas as _pd
 
-                s = _pd.Series(_a(t).to_pandas()).astype("object")
+                s, _sc = _str_series(_a(t))
                 out = s.str.extract(_rx, expand=True)
                 col = out[_g - 1]
                 # DuckDB returns '' for no match but NULL for NULL input
                 col = col.where(~(col.isna() & s.notna()), "")
                 col = col.where(s.notna(), None)
-                return pa.array(col.to_numpy(dtype=object), pa.string())
+                res = pa.array(col.to_numpy(dtype=object), pa.string())
+                return res[0] if _sc else res
 
             return Expr(_rext, "regexp_extract")
         if name == "regexp_replace":
@@ -1281,9 +1295,10 @@ def _compile_expr(node) -> Expr:
             def _rrep(t, _a=a0, _p=pat, _r=repl, _n=n_sub):
                 import pandas as _pd
 
-                s = _pd.Series(_a(t).to_pandas()).astype("object")
+                s, _sc = _str_series(_a(t))
                 out = s.str.replace(_p, _r, n=_n, regex=True)
-                return pa.array(out.to_numpy(dtype=object), pa.string())
+                res = pa.array(out.to_numpy(dtype=object), pa.string())
+                return res[0] if _sc else res
 
             return Expr(_rrep, "regexp_replace")
         if name == "split_part":
@@ -1296,12 +1311,13 @@ def _compile_expr(node) -> Expr:
             def _spart(t, _a=a0, _s=sep, _i=idx):
                 import pandas as _pd
 
-                s = _pd.Series(_a(t).to_pandas()).astype("object")
+                s, _sc = _str_series(_a(t))
                 col = s.str.split(_s, regex=False).str[_i - 1]
                 # DuckDB's split_part returns '' out-of-range AND for
                 # NULL input (no null propagation, unlike its regexps)
                 col = col.fillna("")
-                return pa.array(col.to_numpy(dtype=object), pa.string())
+                res = pa.array(col.to_numpy(dtype=object), pa.string())
+                return res[0] if _sc else res
 
             return Expr(_spart, "split_part")
         if name in ("lpad", "rpad"):
@@ -1313,7 +1329,7 @@ def _compile_expr(node) -> Expr:
             def _pad(t, _a=a0, _w=width, _f=fill, _l=left):
                 import pandas as _pd
 
-                s = _pd.Series(_a(t).to_pandas()).astype("object")
+                s, _sc = _str_series(_a(t))
                 # empty fill: DuckDB raises "Insufficient padding" only
                 # on rows that NEED padding; we stay total and return
                 # the (truncated) input — documented divergence
@@ -1333,7 +1349,8 @@ def _compile_expr(node) -> Expr:
                 # leftmost chars)
                 out = out.str.slice(0, _w)
                 out = out.where(out.notna(), None)
-                return pa.array(out.to_numpy(dtype=object), pa.string())
+                res = pa.array(out.to_numpy(dtype=object), pa.string())
+                return res[0] if _sc else res
 
             return Expr(_pad, name)
         if name in ("string_split", "str_split", "string_to_array"):
