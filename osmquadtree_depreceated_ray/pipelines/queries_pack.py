@@ -1484,3 +1484,149 @@ def sql_winnow_pairs() -> str:
 
 QUERIES["winnow_pairs"] = q_winnow_pairs
 ORACLES["winnow_pairs"] = sql_winnow_pairs()
+
+
+# ---------------- 9. duplicated-substring REMOVAL rewrite (Lee et al.)
+#
+# The transform dup_spans' statistics feed: remove EVERY occurrence of
+# a duplicated substring of >= SPAN_MIN_RUN consecutive duplicated
+# windows (= SPAN_MIN_RUN + NGRAM_W - 1 shared words) — Lee et al.
+# 2022 drop all copies, so no ownership pass is needed (contrast
+# dedup_rewrite's first-occurrence-wins chunks).  Word-level interval
+# painting is one delta-array cumsum over the batch's global word
+# stream; the rebuild joins surviving words per doc.
+
+SPAN_MIN_RUN = 3   # dup-window run length that triggers removal
+
+
+def q_span_rewrite(sf_dir: str):
+    """(doc_id, clean_text, n_words, n_removed): documents with every
+    >= SPAN_MIN_RUN-window duplicated run excised (all copies).
+    clean_text is NULL when the whole doc was covered.  Pass 1 = the
+    dup_spans duplicated-hash set (broadcast, materialized once);
+    pass 2 = per-batch run detection + interval paint + rejoin."""
+    import ray
+
+    from ..stages.shuffle import grouped_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        _row, _pos, s = _doc_ngrams_pos(b)
+        df = pd.DataFrame({"r": _row, "g": s}).drop_duplicates()
+        codes, uniq = pd.factorize(df["g"], sort=False)
+        gh = _md5_lower64(uniq).view(np.int64)[codes] \
+            if len(df) else np.empty(0, np.int64)
+        return pa.table({"gh": pa.array(gh),
+                         "one": pa.array(np.ones(len(df), np.int64))})
+
+    counts = grouped_agg(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        ["gh"], {"n_docs": ("one", "sum")})
+    dup_ds = counts.filter(expr="n_docs >= 2").select_columns(
+        ["gh"]).materialize()
+    dup = dup_ds.to_pandas()
+    dup_ref = ray.put(np.sort(dup["gh"].to_numpy().astype(np.int64)))
+
+    def rewrite(b: pa.Table) -> pa.Table:
+        dset = ray.get(dup_ref)
+        texts = b.column("text").to_pylist()
+        doc_ids = b.column("doc_id").to_numpy().astype(np.int64)
+        nb = len(texts)
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "clean_text": pa.array([], pa.large_string()),
+                          "n_words": pa.array([], pa.int64()),
+                          "n_removed": pa.array([], pa.int64())})
+        if nb == 0:
+            return empty
+        # global word stream (doc word counts; per-doc offsets)
+        t = pd.Series(texts)
+        nw = (t.str.count(" ") + 1).to_numpy(np.int64)
+        w_off = np.concatenate([[0], np.cumsum(nw)[:-1]])
+        total_w = int(nw.sum())
+        removed = np.zeros(total_w + 1, np.int64)  # delta array
+        row, pos, s = _doc_ngrams_pos(b)
+        if len(row):
+            codes, uniq = pd.factorize(pd.Series(s), sort=False)
+            gh = _md5_lower64(uniq).view(np.int64)[codes]
+            if len(dset):
+                j = np.searchsorted(dset, gh)
+                j[j >= len(dset)] = len(dset) - 1
+                isdup = dset[j] == gh
+            else:
+                isdup = np.zeros(len(gh), bool)
+            prev_same = np.concatenate(
+                [[False], isdup[:-1] & (row[1:] == row[:-1])])
+            starts = isdup & ~prev_same
+            n_runs = int(starts.sum())
+            if n_runs:
+                run_id = np.cumsum(starts) - 1
+                run_len = np.bincount(run_id[isdup], minlength=n_runs)
+                r_row = row[starts]
+                r_pos = pos[starts]
+                keep_m = run_len >= SPAN_MIN_RUN
+                # covered words: [p0, p0 + len + W - 2] (1-based)
+                g0 = w_off[r_row[keep_m]] + r_pos[keep_m] - 1
+                g1 = g0 + run_len[keep_m] + NGRAM_W - 1
+                np.add.at(removed, g0, 1)
+                np.add.at(removed, g1, -1)
+        covered = np.cumsum(removed[:-1]) > 0
+        words = np.asarray(" ".join(texts).split(" "), dtype=object)
+        wdoc = np.repeat(np.arange(nb, dtype=np.int64), nw)
+        kept_txt = (pd.Series(words[~covered])
+                    .groupby(wdoc[~covered]).agg(" ".join))
+        n_rm = np.bincount(wdoc[covered], minlength=nb).astype(np.int64)
+        out = pd.DataFrame({"doc_id": doc_ids, "n_words": nw,
+                            "n_removed": n_rm})
+        out["clean_text"] = pd.Series(np.arange(nb)).map(kept_txt)
+        out["clean_text"] = out["clean_text"].astype(object).where(
+            out["clean_text"].notna(), None)
+        return pa.Table.from_pandas(
+            out[["doc_id", "clean_text", "n_words", "n_removed"]],
+            preserve_index=False).cast(pa.schema(
+                [("doc_id", pa.int64()),
+                 ("clean_text", pa.large_string()),
+                 ("n_words", pa.int64()),
+                 ("n_removed", pa.int64())]))
+
+    return ds.map_batches(rewrite, batch_format="pyarrow")
+
+
+def sql_span_rewrite() -> str:
+    K, R = NGRAM_W, SPAN_MIN_RUN
+    return (
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws "
+        "FROM documents), "
+        "g AS (SELECT doc_id, unnest(list_transform("
+        f"range(1, len(ws) - {K - 2}), "
+        "i -> struct_pack(pos := i, gram := array_to_string("
+        f"list_slice(ws, i, i + {K - 1}), ' '))), "
+        "recursive := true) FROM w), "
+        "d AS (SELECT gram FROM g GROUP BY gram "
+        "HAVING COUNT(DISTINCT doc_id) >= 2), "
+        "h AS (SELECT g.doc_id, g.pos FROM g "
+        "JOIN d ON g.gram = d.gram), "
+        "runs AS (SELECT doc_id, pos, pos - ROW_NUMBER() OVER "
+        "(PARTITION BY doc_id ORDER BY pos) AS grp FROM h), "
+        "rl AS (SELECT doc_id, MIN(pos) AS p0, COUNT(*) AS n FROM runs "
+        f"GROUP BY doc_id, grp HAVING COUNT(*) >= {R}), "
+        "cov AS (SELECT DISTINCT doc_id, unnest(range(p0, "
+        f"p0 + n + {K - 1})) AS wp FROM rl), "
+        "wx AS (SELECT doc_id, unnest(list_transform("
+        "range(1, len(ws) + 1), "
+        "i -> struct_pack(wp := i, word := ws[i])), recursive := true) "
+        "FROM w), "
+        "k AS (SELECT wx.doc_id, wx.wp, wx.word, "
+        "cov.wp IS NOT NULL AS rm FROM wx "
+        "LEFT JOIN cov ON cov.doc_id = wx.doc_id AND cov.wp = wx.wp) "
+        "SELECT doc_id, string_agg(word, ' ' ORDER BY wp) "
+        "FILTER (WHERE NOT rm) AS clean_text, "
+        "CAST(COUNT(*) AS BIGINT) AS n_words, "
+        "CAST(COUNT(*) FILTER (WHERE rm) AS BIGINT) AS n_removed "
+        "FROM k GROUP BY doc_id"
+    )
+
+
+QUERIES["span_rewrite"] = q_span_rewrite
+ORACLES["span_rewrite"] = sql_span_rewrite()

@@ -465,3 +465,58 @@ def test_winnow_pairs_vs_brute(ray_session, docs):
                  if n >= WINNOW_MIN_SHARED)
     gl = list(zip(got["a"], got["b"], got["n_shared"]))
     assert gl == exp
+
+
+def test_span_rewrite_vs_brute(ray_session, docs):
+    from osmquadtree_depreceated_ray.pipelines.queries_pack import (
+        NGRAM_W,
+        SPAN_MIN_RUN,
+        q_span_rewrite,
+    )
+
+    got = (q_span_rewrite(SF).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # brute: grams per doc, dup set by >= 2 distinct docs, runs >= R,
+    # covered word interval painting
+    from collections import defaultdict
+
+    grams = {}
+    owner = defaultdict(set)
+    for did, txt in zip(docs["doc_id"], docs["text"]):
+        ws = txt.split(" ")
+        gs = [" ".join(ws[i:i + NGRAM_W])
+              for i in range(len(ws) - NGRAM_W + 1)]
+        grams[int(did)] = (ws, gs)
+        for g in gs:
+            owner[g].add(int(did))
+    dup = {g for g, ds_ in owner.items() if len(ds_) >= 2}
+    rows = []
+    for did, (ws, gs) in grams.items():
+        isdup = [g in dup for g in gs]
+        covered = [False] * len(ws)
+        i = 0
+        while i < len(gs):
+            if isdup[i]:
+                j = i
+                while j < len(gs) and isdup[j]:
+                    j += 1
+                if j - i >= SPAN_MIN_RUN:
+                    for p in range(i, j + NGRAM_W - 1):
+                        covered[p] = True
+                i = j
+            else:
+                i += 1
+        kept = [w for w, c in zip(ws, covered) if not c]
+        rows.append((did, " ".join(kept) if kept else None,
+                     len(ws), sum(covered)))
+    exp = (pd.DataFrame(rows, columns=["doc_id", "clean_text",
+                                       "n_words", "n_removed"])
+           .sort_values("doc_id").reset_index(drop=True))
+    assert len(got) == len(exp)
+    for c in ["doc_id", "n_words", "n_removed"]:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+    ga = got["clean_text"].astype(object).where(
+        got["clean_text"].notna(), None)
+    assert ga.tolist() == exp["clean_text"].tolist()
+    # the fixture actually removes something
+    assert got["n_removed"].sum() > 0
