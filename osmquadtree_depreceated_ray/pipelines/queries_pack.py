@@ -1499,15 +1499,23 @@ ORACLES["winnow_pairs"] = sql_winnow_pairs()
 SPAN_MIN_RUN = 3   # dup-window run length that triggers removal
 
 
-def q_span_rewrite(sf_dir: str):
+def q_span_rewrite(sf_dir: str, broadcast_max: int | None = None):
     """(doc_id, clean_text, n_words, n_removed): documents with every
     >= SPAN_MIN_RUN-window duplicated run excised (all copies).
     clean_text is NULL when the whole doc was covered.  Pass 1 = the
     dup_spans duplicated-hash set (broadcast, materialized once);
-    pass 2 = per-batch run detection + interval paint + rejoin."""
+    pass 2 = per-batch run detection + interval paint + rejoin.
+    Above ``broadcast_max`` the dup set instead meets window
+    occurrences in a gh-bucketed exchange (dup_spans' position-
+    carrying shape) and the (doc, pos) flags meet the documents in a
+    doc_id bucket where the paint + rewrite run — the dup set never
+    collects to the driver."""
     import ray
 
-    from ..stages.shuffle import grouped_agg
+    from ..stages.shuffle import bucketed_apply, grouped_agg
+
+    if broadcast_max is None:
+        broadcast_max = DUP_BROADCAST_MAX
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -1526,6 +1534,10 @@ def q_span_rewrite(sf_dir: str):
         ["gh"], {"n_docs": ("one", "sum")})
     dup_ds = counts.filter(expr="n_docs >= 2").select_columns(
         ["gh"]).materialize()
+
+    if dup_ds.count() > broadcast_max:
+        return _span_rewrite_bucketed(ds, dup_ds)
+
     dup = dup_ds.to_pandas()
     dup_ref = ray.put(np.sort(dup["gh"].to_numpy().astype(np.int64)))
 
@@ -1630,3 +1642,109 @@ def sql_span_rewrite() -> str:
 
 QUERIES["span_rewrite"] = q_span_rewrite
 ORACLES["span_rewrite"] = sql_span_rewrite()
+
+
+def _span_rewrite_bucketed(ds, dup_ds):
+    """span_rewrite scale path: dup hashes meet window occurrences per
+    gh bucket (flags only), flags meet documents per doc_id bucket
+    where the run detection + paint + rewrite run locally."""
+    from ..stages.shuffle import bucketed_apply
+
+    def occ(b: pa.Table) -> pa.Table:
+        row, pos, s = _doc_ngrams_pos(b)
+        codes, uniq = pd.factorize(pd.Series(s), sort=False)
+        gh = _md5_lower64(uniq).view(np.int64)[codes] \
+            if len(s) else np.empty(0, np.int64)
+        doc = b.column("doc_id").to_numpy()[row].astype(np.int64) \
+            if len(row) else np.empty(0, np.int64)
+        return pa.table({"doc_id": pa.array(doc),
+                         "pos": pa.array(pos),
+                         "gh": pa.array(gh)})
+
+    def tag_set(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": pa.array(np.full(t.num_rows, -1, np.int64)),
+             "pos": pa.array(np.zeros(t.num_rows, np.int64)),
+             "gh": t.column("gh")})
+
+    both = ds.map_batches(occ, batch_format="pyarrow").union(
+        dup_ds.map_batches(tag_set, batch_format="pyarrow"))
+
+    def hit(g: pd.DataFrame) -> pd.DataFrame:
+        mem = g.loc[g["doc_id"] == -1, "gh"]
+        o = g[g["doc_id"] != -1]
+        o = o[o["gh"].isin(mem)]
+        return pd.DataFrame({"doc_id": o["doc_id"].to_numpy(np.int64),
+                             "pos": o["pos"].to_numpy(np.int64)})
+
+    flags = bucketed_apply(both, ["gh"], hit)
+
+    def tag_flag(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "pos": t.column("pos"),
+                         "text": pa.array([None] * t.num_rows,
+                                          pa.large_string())})
+
+    def tag_doc(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "pos": pa.array(
+                             np.full(t.num_rows, -1, np.int64)),
+                         "text": pc.cast(t.column("text"),
+                                         pa.large_string())})
+
+    u = flags.map_batches(tag_flag, batch_format="pyarrow").union(
+        ds.map_batches(tag_doc, batch_format="pyarrow"))
+
+    def rewrite(g: pd.DataFrame) -> pd.DataFrame:
+        docs_df = g[g["pos"] == -1]
+        fl = g[g["pos"] != -1].sort_values(["doc_id", "pos"],
+                                           kind="stable")
+        texts = docs_df["text"].tolist()
+        doc_ids = docs_df["doc_id"].to_numpy(np.int64)
+        nb = len(texts)
+        if nb == 0:
+            return pd.DataFrame({
+                "doc_id": pd.Series(dtype=np.int64),
+                "clean_text": pd.Series(dtype=object),
+                "n_words": pd.Series(dtype=np.int64),
+                "n_removed": pd.Series(dtype=np.int64)})
+        order = np.argsort(doc_ids, kind="stable")
+        doc_ids = doc_ids[order]
+        texts = [texts[i] for i in order]
+        t = pd.Series(texts)
+        nw = (t.str.count(" ") + 1).to_numpy(np.int64)
+        w_off = np.concatenate([[0], np.cumsum(nw)[:-1]])
+        total_w = int(nw.sum())
+        removed = np.zeros(total_w + 1, np.int64)
+        fd = fl["doc_id"].to_numpy(np.int64)
+        fp = fl["pos"].to_numpy(np.int64)
+        if len(fd):
+            # runs over sorted (doc, pos): consecutive positions
+            prev_same = np.concatenate(
+                [[False], (fd[1:] == fd[:-1]) & (fp[1:] == fp[:-1] + 1)])
+            starts = ~prev_same
+            run_id = np.cumsum(starts) - 1
+            n_runs = int(starts.sum())
+            run_len = np.bincount(run_id, minlength=n_runs)
+            r_doc = fd[starts]
+            r_pos = fp[starts]
+            keep_m = run_len >= SPAN_MIN_RUN
+            bi = np.searchsorted(doc_ids, r_doc[keep_m])
+            g0 = w_off[bi] + r_pos[keep_m] - 1
+            g1 = g0 + run_len[keep_m] + NGRAM_W - 1
+            np.add.at(removed, g0, 1)
+            np.add.at(removed, g1, -1)
+        covered = np.cumsum(removed[:-1]) > 0
+        words = np.asarray(" ".join(texts).split(" "), dtype=object)
+        wdoc = np.repeat(np.arange(nb, dtype=np.int64), nw)
+        kept_txt = (pd.Series(words[~covered])
+                    .groupby(wdoc[~covered]).agg(" ".join))
+        n_rm = np.bincount(wdoc[covered], minlength=nb).astype(np.int64)
+        out = pd.DataFrame({"doc_id": doc_ids, "n_words": nw,
+                            "n_removed": n_rm})
+        out["clean_text"] = pd.Series(np.arange(nb)).map(kept_txt)
+        out["clean_text"] = out["clean_text"].astype(object).where(
+            out["clean_text"].notna(), None)
+        return out[["doc_id", "clean_text", "n_words", "n_removed"]]
+
+    return bucketed_apply(u, ["doc_id"], rewrite)

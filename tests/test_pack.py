@@ -520,3 +520,15 @@ def test_span_rewrite_vs_brute(ray_session, docs):
     assert ga.tolist() == exp["clean_text"].tolist()
     # the fixture actually removes something
     assert got["n_removed"].sum() > 0
+
+
+def test_span_rewrite_fallback_matches_broadcast(ray_session):
+    from osmquadtree_depreceated_ray.pipelines.queries_pack import (
+        q_span_rewrite,
+    )
+
+    a = (q_span_rewrite(SF).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (q_span_rewrite(SF, broadcast_max=0).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    assert a.equals(b[a.columns])
