@@ -1928,7 +1928,12 @@ def _window_bucket_fn(part: list, specs: list):
                 peer_start = peer_id = None
                 if ocols:
                     oc = order[list(ocols)]
-                    peer_start = (oc.ne(oc.shift()).any(axis=1)
+                    prev = oc.shift()
+                    # null-safe peer equality: SQL treats NULL order
+                    # keys as one peer group (pandas NaN.ne(NaN) is
+                    # True and would rank each NULL row individually)
+                    same = oc.eq(prev) | (oc.isna() & prev.isna())
+                    peer_start = ((~same).any(axis=1)
                                   | pgid.ne(pgid.shift()))
                     peer_start.iloc[0] = True
                     peer_id = peer_start.cumsum().to_numpy()

@@ -683,3 +683,38 @@ def test_fuzz_pad_split(ray_session, fn, w_, fill, part, e):
     expr = (f"{fn}({e}, {w_}, '{fill}') "
             f"|| split_part({e}, 'a', {part})")
     _run_both(ray_session, f"SELECT k, {expr} AS v FROM t")
+
+
+@settings(max_examples=50, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(fn=st.sampled_from(["ROW_NUMBER()", "RANK()", "DENSE_RANK()",
+                           "COUNT(*)", "SUM(i)", "LAG(i)",
+                           "FIRST_VALUE(i)"]),
+       key=st.sampled_from(["j", "i", "(j % 3)"]),
+       dr=st.sampled_from(["ASC", "DESC"]),
+       part=st.sampled_from(["", "PARTITION BY (k % 3) "]))
+def test_fuzz_window_desc_nulls(ray_session, fn, key, dr, part):
+    """Windows ordered DESC and/or by a NULLABLE key: peer grouping,
+    default null placement and offset direction must all match.  k is
+    appended as a unique tiebreak so frame contents are total."""
+    sql = (f"SELECT k, {fn} OVER ({part}ORDER BY {key} {dr}, k) AS w "
+           f"FROM t ORDER BY k")
+    _run_both2(ray_session, sql)
+
+
+@settings(max_examples=40, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(fn=st.sampled_from(["RANK()", "DENSE_RANK()", "COUNT(*)",
+                           "SUM(i)", "CUME_DIST()"]),
+       key=st.sampled_from(["j", "(i % 3)", "(j % 2)"]),
+       dr=st.sampled_from(["ASC", "DESC"]),
+       part=st.sampled_from(["", "PARTITION BY (k % 2) "]))
+def test_fuzz_window_peers(ray_session, fn, key, dr, part):
+    """Tied ORDER BY keys WITHOUT a tiebreak: the default RANGE frame
+    must include all peers and rank gaps must match (only peer-
+    deterministic functions are comparable under ties)."""
+    sql = (f"SELECT k, CAST({fn} OVER ({part}ORDER BY {key} {dr}) "
+           f"AS DOUBLE) AS w FROM t ORDER BY k")
+    _run_both2(ray_session, sql)
