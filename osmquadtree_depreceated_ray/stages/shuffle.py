@@ -237,6 +237,27 @@ _SALT_MERGE = {"sum": "sum", "min": "min", "max": "max", "size": "sum",
 _COMBINABLE = {"sum", "min", "max", "size", "count"}
 
 
+def _agg_apply(g: pd.DataFrame, keys, spec) -> pd.DataFrame:
+    """groupby-agg with SQL NULL-key grouping and an object-dtype
+    MIN/MAX fallback: pandas cannot order str vs None, so groups mixing
+    strings and NULLs raise TypeError on the cython path — retry those
+    specs with a null-skipping per-group callable (numeric and
+    null-free string columns keep the fast path)."""
+    gb = g.groupby(list(keys), as_index=False, sort=False, dropna=False)
+    try:
+        return gb.agg(**spec)
+    except TypeError:
+        safe = {}
+        for out, (col, how) in spec.items():
+            if how in ("min", "max"):
+                safe[out] = (col, (lambda s, _h=how:
+                                   (getattr(s.dropna(), _h)()
+                                    if s.notna().any() else None)))
+            else:
+                safe[out] = (col, how)
+        return gb.agg(**safe)
+
+
 def grouped_agg(
     ds,
     keys: list[str],
@@ -252,14 +273,10 @@ def grouped_agg(
     """
 
     def agg(g: pd.DataFrame) -> pd.DataFrame:
-        # dropna=False: SQL groups NULL keys together (a key that is
-        # NULL in every engine-visible sense — None/NaN — forms its own
-        # group; pandas silently drops it by default)
-        out = g.groupby(list(keys), as_index=False, sort=False,
-                        dropna=False).agg(
-            **{k: v for k, v in agg_spec.items()}
-        )
-        return out
+        # dropna=False inside: SQL groups NULL keys together (a key
+        # that is NULL in every engine-visible sense — None/NaN — forms
+        # its own group; pandas silently drops it by default)
+        return _agg_apply(g, keys, dict(agg_spec))
 
     if all(how in _COMBINABLE for _, how in agg_spec.values()):
         merge_spec = {
@@ -267,10 +284,7 @@ def grouped_agg(
         }
 
         def merge(g: pd.DataFrame) -> pd.DataFrame:
-            return g.groupby(list(keys), as_index=False, sort=False,
-                             dropna=False).agg(
-                **merge_spec
-            )
+            return _agg_apply(g, keys, merge_spec)
 
         return bucketed_apply(ds, keys, merge, n_buckets, combine=agg)
     return bucketed_apply(ds, keys, agg, n_buckets)

@@ -1493,3 +1493,29 @@ WINDOW_LAST_NTH_CASES = [
 @pytest.mark.parametrize("sql", WINDOW_LAST_NTH_CASES)
 def test_window_last_nth_value(ray_session, t1, sql):
     _run_both(sql, None, {"t1": t1})
+
+
+def test_grouped_minmax_nullable_strings(ray_session):
+    """MIN/MAX over object columns whose groups mix strings and NULLs
+    (pandas raises TypeError on the cython path; the exchange retries
+    null-skipping)."""
+    import duckdb
+    import pyarrow as pa
+    import ray
+
+    from osmquadtree_depreceated_ray.pipelines.sqlparse import parse_sql
+
+    s = ["b", None, "a", "cc", "", None, "a", "d"]
+    t = pa.table({"k": pa.array(list(range(8)), pa.int64()),
+                  "g": pa.array([x % 2 for x in range(8)], pa.int64()),
+                  "s": pa.array(s, pa.string())})
+    sql = ("SELECT g, MIN(s) AS a, MAX(s) AS b, COUNT(s) AS c, "
+           "COUNT(DISTINCT s) AS d FROM t GROUP BY g ORDER BY g")
+    got = parse_sql(sql, {"t": ray.data.from_arrow(t)}).to_pandas()
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(sql).df()
+    assert got["a"].tolist() == want["a"].tolist()
+    assert got["b"].tolist() == want["b"].tolist()
+    assert got["c"].tolist() == want["c"].tolist()
+    assert got["d"].tolist() == want["d"].tolist()
