@@ -292,6 +292,21 @@ class _Parser:
             self._accept_alias()
         joins = []
         while True:
+            # SQL-89 comma join: FROM t, u [, ...] == chained CROSS
+            # JOIN (the WHERE clause carries the join predicate)
+            if self.accept("op", ","):
+                if self.peek() == ("op", "("):
+                    self.next()
+                    sub = self.parse_query(nested=True)
+                    self.expect("op", ")")
+                    jt = ("derived", sub, None)
+                else:
+                    jt = self.expect("ident")[1]
+                    if self.accept("op", "."):
+                        jt = self.expect("ident")[1]
+                self._accept_alias()
+                joins.append((jt, (), (), "cross", None))
+                continue
             # LEFT/RIGHT/FULL [OUTER] / INNER JOIN, chained — beyond the
             # reference grammar (sql.y's join_type is plain JOIN only),
             # but unavoidable for real use
@@ -1370,6 +1385,24 @@ def _compile_expr(node) -> Expr:
     raise ValueError(f"unknown SQL op {op}")
 
 
+def _has_agg(node) -> bool:
+    """True when the AST contains an aggregate call (or COUNT(*))."""
+    if not isinstance(node, tuple):
+        return False
+    if node[0] == "star":
+        return True
+    if node[0] == "call" and node[1] in _AGG_FUNCS:
+        return True
+    def walk(x):
+        if isinstance(x, tuple):
+            return _has_agg(x)
+        if isinstance(x, list):
+            return any(walk(y) for y in x)
+        return False
+
+    return any(walk(x) for x in node[1:])
+
+
 def _expr_name(node, idx) -> str:
     if node[0] == "col":
         return node[1]
@@ -1710,9 +1743,18 @@ def _run_grouped_select(ds, sel) -> "ray.data.Dataset":  # noqa: F821
     # HAVING aggregates join the same spec so ONE aggregation pass
     # computes everything; the rewritten predicate filters the
     # aggregated table before the final projection
+    having_raw = sel.get("having")
+    if having_raw is not None:
+        # HAVING may reference a SELECT alias (DuckDB): resolve it to
+        # the item's expression BEFORE aggregate extraction, unless a
+        # real input column shadows the alias
+        in_schema = set(ds.schema().names)
+        for aname, aexpr in alias_map.items():
+            if aname not in in_schema and aexpr != ("col", aname):
+                having_raw = _subst(having_raw, ("col", aname), aexpr)
     having_node = (
-        _extract_aggs(sel["having"], aggs)
-        if sel.get("having") is not None else None
+        _extract_aggs(having_raw, aggs)
+        if having_raw is not None else None
     )
     for gnode, gname in gexprs:
         if having_node is not None:
@@ -1781,6 +1823,12 @@ def _run_grouped_select(ds, sel) -> "ray.data.Dataset":  # noqa: F821
             }[base])
         else:
             spec[key] = (argcol, _AGG_HOW[fname])
+    if not spec:
+        # GROUP BY with no aggregates anywhere (SELECT g FROM t GROUP
+        # BY g) is a distinct over the group keys; pandas .agg(**{})
+        # raises.  A hidden size column keeps the one-exchange shape —
+        # the final projection never selects it.
+        spec["__cnt"] = (group_cols[0], "size")
     # SQL SUM over zero non-NULL values is NULL; pandas sum says 0.
     # Ride a hidden count of the same argument through the (still
     # map-side-combinable) exchange and CASE the sum to NULL after.
@@ -3864,9 +3912,25 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
                     raise ValueError(
                         f"ORDER BY ordinal {node[1]} out of range")
                 node = ("col", names[node[1] - 1])
+            # an ORDER BY expression that equals a select item's
+            # expression refers to that item's OUTPUT column (DuckDB:
+            # ORDER BY COUNT(*) over a grouped select) — required for
+            # aggregates, harmless and equivalent otherwise
+            if not (isinstance(node, tuple) and node[0] == "col"):
+                _items = (ast.get("items")
+                          or (ast.get("selects") or [{}])[0].get("items")
+                          or [])
+                for j, (ie, iname) in enumerate(_items):
+                    if ie == node:
+                        node = ("col", iname or _expr_name(ie, j))
+                        break
             if isinstance(node, tuple) and node[0] == "col":
                 key = node[1]
             else:
+                if _has_agg(node):
+                    raise ValueError(
+                        "ORDER BY aggregate expressions must appear in "
+                        "the SELECT list")
                 key = f"__ord{i}"
                 synth.append((key, _compile_expr(node)))
             if nulls_spec[i] is not None:

@@ -1519,3 +1519,65 @@ def test_grouped_minmax_nullable_strings(ray_session):
     assert got["b"].tolist() == want["b"].tolist()
     assert got["c"].tolist() == want["c"].tolist()
     assert got["d"].tolist() == want["d"].tolist()
+
+
+def test_having_alias_orderby_agg_comma_join(ray_session):
+    """DuckDB-parity conveniences: HAVING over a SELECT alias, ORDER BY
+    an aggregate expression, and SQL-89 comma joins."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from osmquadtree_depreceated_ray.pipelines.sqlparse import parse_sql
+
+    rng = np.random.default_rng(5)
+    t = pa.table({"k": pa.array(np.arange(12), pa.int64()),
+                  "i": pa.array(rng.integers(-5, 5, 12), pa.int64())})
+    u = pa.table({"m": pa.array([0, 1, 2, 2], pa.int64()),
+                  "v": pa.array([10, 20, 30, 40], pa.int64())})
+    con = duckdb.connect()
+    con.register("t", t)
+    con.register("u", u)
+    tabs = {"t": ray.data.from_arrow(t), "u": ray.data.from_arrow(u)}
+    for sql in [
+        "SELECT (i % 3) AS g, COUNT(*) AS n FROM t GROUP BY 1 "
+        "HAVING n > 2 ORDER BY g",
+        "SELECT (i % 3) AS g, COUNT(*) AS n FROM t GROUP BY 1 "
+        "ORDER BY COUNT(*) DESC, g",
+        "SELECT k, v FROM t, u WHERE (k % 3) = u.m ORDER BY k, v",
+        # (self-joins through comma syntax inherit the engine's
+        # documented qualifier-collapse limitation, same as explicit
+        # CROSS JOIN of a table with itself)
+        "SELECT k, i, m, v FROM t, u WHERE (k % 4) = u.m "
+        "AND v > 15 ORDER BY k, v",
+    ]:
+        got = parse_sql(sql, tabs).to_pandas()
+        want = con.execute(sql).df()
+        assert len(got) == len(want), sql
+        for c in want.columns:
+            assert got[c].tolist() == want[c].tolist(), (sql, c)
+    # an aggregate NOT in the select list refuses loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="SELECT list"):
+        parse_sql("SELECT (i % 3) AS g FROM t GROUP BY 1 "
+                  "ORDER BY COUNT(*)", tabs)
+
+
+def test_group_by_without_aggregates(ray_session):
+    """GROUP BY with zero aggregates anywhere == DISTINCT over the
+    group keys (pandas .agg(**{}) raises without the hidden column)."""
+    import duckdb
+    import pyarrow as pa
+    import ray
+
+    from osmquadtree_depreceated_ray.pipelines.sqlparse import parse_sql
+
+    t = pa.table({"i": pa.array([1, 2, 2, 4, 4, 4], pa.int64())})
+    sql = "SELECT (i % 3) AS g FROM t GROUP BY 1 ORDER BY g"
+    got = parse_sql(sql, {"t": ray.data.from_arrow(t)}).to_pandas()
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(sql).df()
+    assert got["g"].tolist() == want["g"].tolist()
