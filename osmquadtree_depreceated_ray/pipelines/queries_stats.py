@@ -601,3 +601,100 @@ def sql_regress_corr() -> str:
 
 QUERIES["regress_corr"] = q_regress_corr
 ORACLES["regress_corr"] = sql_regress_corr()
+
+
+# ----------------------- per-group winsorization (exact order stats)
+#
+# Clip n_chars to each language's exact [p10, p90] order statistics —
+# the standard outlier-capping cleanup before statistics/training.
+# The group quantile is the (floor((n-1)*q) + 1)-th smallest value
+# (0-based floor((n-1)*q)), computed WITHOUT sorting rows: one
+# map-side-combined (lang, value) count exchange (O(distinct values)),
+# per-lang cumulative pick inside the lang bucket, and a tiny
+# (n_groups x 2) bound table broadcast for the clip pass.  Group count
+# is bounded (languages), so the driver-side bounds table is O(groups)
+# by contract.
+
+WINSOR_LO_NUM, WINSOR_LO_DEN = 1, 10    # p10
+WINSOR_HI_NUM, WINSOR_HI_DEN = 9, 10    # p90
+
+
+def q_winsorize(sf_dir: str):
+    """(doc_id, lang, n_chars, clipped) with clipped = n_chars bounded
+    to the lang's exact p10/p90 order statistics."""
+    import ray
+
+    from ..stages.shuffle import bucketed_apply, grouped_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "n_chars"])
+
+    def val_counts(b: pa.Table) -> pa.Table:
+        df = (pd.DataFrame({"lang": b.column("lang").to_pandas(),
+                            "v": b.column("n_chars").to_numpy()})
+              .groupby(["lang", "v"], sort=False).size()
+              .reset_index(name="c"))
+        df["c"] = df["c"].astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    counts = grouped_agg(
+        ds.map_batches(val_counts, batch_format="pyarrow"),
+        ["lang", "v"], {"c": ("c", "sum")})
+
+    def bounds(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for lang, gg in g.groupby("lang", sort=False):
+            gg = gg.sort_values("v", kind="stable")
+            c = gg["c"].to_numpy(np.int64)
+            v = gg["v"].to_numpy(np.int64)
+            n = int(c.sum())
+            cum = np.cumsum(c)
+            i_lo = (n - 1) * WINSOR_LO_NUM // WINSOR_LO_DEN
+            i_hi = (n - 1) * WINSOR_HI_NUM // WINSOR_HI_DEN
+            lo = v[np.searchsorted(cum, i_lo + 1)]
+            hi = v[np.searchsorted(cum, i_hi + 1)]
+            out.append((lang, int(lo), int(hi)))
+        return pd.DataFrame(out, columns=["lang", "lo", "hi"])
+
+    bt = bucketed_apply(counts, ["lang"], bounds).to_pandas()
+    ref = ray.put({r["lang"]: (r["lo"], r["hi"])
+                   for _, r in bt.iterrows()})
+
+    def clip(b: pa.Table) -> pa.Table:
+        lut = ray.get(ref)
+        lang = b.column("lang").to_pandas()
+        v = b.column("n_chars").to_numpy().astype(np.int64)
+        lo = lang.map({k: a for k, (a, _b) in lut.items()}) \
+            .to_numpy(np.int64)
+        hi = lang.map({k: b2 for k, (_a, b2) in lut.items()}) \
+            .to_numpy(np.int64)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "lang": b.column("lang"),
+            "n_chars": b.column("n_chars"),
+            "clipped": pa.array(np.minimum(np.maximum(v, lo), hi))})
+
+    return ds.map_batches(clip, batch_format="pyarrow")
+
+
+def sql_winsorize() -> str:
+    ln, ld = WINSOR_LO_NUM, WINSOR_LO_DEN
+    hn, hd = WINSOR_HI_NUM, WINSOR_HI_DEN
+    return (
+        "WITH r AS (SELECT lang, n_chars, ROW_NUMBER() OVER "
+        "(PARTITION BY lang ORDER BY n_chars, doc_id) AS rn, "
+        "COUNT(*) OVER (PARTITION BY lang) AS n FROM documents), "
+        "q AS (SELECT lang, "
+        f"MAX(CASE WHEN rn = (n-1)*{ln}//{ld} + 1 THEN n_chars END) "
+        "AS lo, "
+        f"MAX(CASE WHEN rn = (n-1)*{hn}//{hd} + 1 THEN n_chars END) "
+        "AS hi FROM r GROUP BY lang) "
+        "SELECT d.doc_id, d.lang, d.n_chars, "
+        "CAST(LEAST(GREATEST(d.n_chars, q.lo), q.hi) AS BIGINT) "
+        "AS clipped FROM documents d JOIN q USING (lang)"
+    )
+
+
+QUERIES["winsorize"] = q_winsorize
+ORACLES["winsorize"] = sql_winsorize()

@@ -140,3 +140,31 @@ def test_regress_corr_vs_numpy(ray_session):
         assert abs(r["intercept"] - ic) < 1e-6 * max(1, abs(ic))
         assert abs(r["corr"] - cr) < 1e-10
     assert (got["corr"].abs() <= 1).all()
+
+
+def test_winsorize_vs_numpy(ray_session):
+    from osmquadtree_depreceated_ray.pipelines.queries_stats import (
+        WINSOR_HI_DEN,
+        WINSOR_HI_NUM,
+        WINSOR_LO_DEN,
+        WINSOR_LO_NUM,
+        q_winsorize,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = (q_winsorize(sf).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    d = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["doc_id", "lang", "n_chars"]).to_pandas()
+    for lang, g in d.groupby("lang"):
+        v = np.sort(g["n_chars"].to_numpy())
+        n = len(v)
+        lo = v[(n - 1) * WINSOR_LO_NUM // WINSOR_LO_DEN]
+        hi = v[(n - 1) * WINSOR_HI_NUM // WINSOR_HI_DEN]
+        sub = got[got["lang"] == lang]
+        exp = np.clip(sub["n_chars"].to_numpy(), lo, hi)
+        assert (sub["clipped"].to_numpy() == exp).all(), lang
+    # clipping actually fires somewhere and bounds hold
+    assert (got["clipped"] != got["n_chars"]).any()
+    assert (got.groupby("lang")["clipped"].nunique()
+            <= got.groupby("lang")["n_chars"].nunique()).all()
