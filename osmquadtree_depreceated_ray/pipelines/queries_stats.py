@@ -698,3 +698,60 @@ def sql_winsorize() -> str:
 
 QUERIES["winsorize"] = q_winsorize
 ORACLES["winsorize"] = sql_winsorize()
+
+
+# ----------------------------------------- grouped mode (argmax count)
+#
+# Most frequent n_chars value per language, ties -> smallest value:
+# the modal statistic over a grouped count exchange.  Same O(distinct
+# (group, value)) shape as winsorize's pass 1; the argmax runs inside
+# the group's bucket.
+
+def q_mode_by(sf_dir: str):
+    """(lang, mode, n_mode): modal n_chars per language."""
+    import ray
+
+    from ..stages.shuffle import bucketed_apply, grouped_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+
+    def val_counts(b: pa.Table) -> pa.Table:
+        df = (pd.DataFrame({"lang": b.column("lang").to_pandas(),
+                            "v": b.column("n_chars").to_numpy()})
+              .groupby(["lang", "v"], sort=False).size()
+              .reset_index(name="c"))
+        df["c"] = df["c"].astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    counts = grouped_agg(
+        ds.map_batches(val_counts, batch_format="pyarrow"),
+        ["lang", "v"], {"c": ("c", "sum")})
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        top = (g.sort_values(["lang", "c", "v"],
+                             ascending=[True, False, True],
+                             kind="stable")
+               .drop_duplicates("lang"))
+        return pd.DataFrame({
+            "lang": top["lang"].to_numpy(),
+            "mode": top["v"].to_numpy(np.int64),
+            "n_mode": top["c"].to_numpy(np.int64)})
+
+    return bucketed_apply(counts, ["lang"], pick)
+
+
+def sql_mode_by() -> str:
+    return (
+        "WITH c AS (SELECT lang, n_chars AS v, "
+        "CAST(COUNT(*) AS BIGINT) AS c FROM documents "
+        "GROUP BY lang, n_chars), "
+        "r AS (SELECT lang, v, c, ROW_NUMBER() OVER "
+        "(PARTITION BY lang ORDER BY c DESC, v) AS rn FROM c) "
+        "SELECT lang, CAST(v AS BIGINT) AS mode, c AS n_mode "
+        "FROM r WHERE rn = 1"
+    )
+
+
+QUERIES["mode_by"] = q_mode_by
+ORACLES["mode_by"] = sql_mode_by()

@@ -168,3 +168,22 @@ def test_winsorize_vs_numpy(ray_session):
     assert (got["clipped"] != got["n_chars"]).any()
     assert (got.groupby("lang")["clipped"].nunique()
             <= got.groupby("lang")["n_chars"].nunique()).all()
+
+
+def test_mode_by_vs_counter(ray_session):
+    from collections import Counter
+
+    from osmquadtree_depreceated_ray.pipelines.queries_stats import (
+        q_mode_by,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = (q_mode_by(sf).to_pandas()
+           .sort_values("lang").reset_index(drop=True))
+    d = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["lang", "n_chars"]).to_pandas()
+    for _, r in got.iterrows():
+        c = Counter(d.loc[d["lang"] == r["lang"], "n_chars"])
+        top = max(c.values())
+        assert r["n_mode"] == top
+        assert r["mode"] == min(v for v, n in c.items() if n == top)
