@@ -1198,6 +1198,14 @@ def _compile_expr(node) -> Expr:
                 dowe = Expr(lambda t, _a=a1: _pc.day_of_week(_a(t)),
                             "dow")
                 return (dowe + lit(1)) % lit(7)
+            if field == "epoch":
+                # DuckDB: DOUBLE seconds since the Unix epoch
+                return Expr(
+                    lambda t, _a=a1: _pc.divide(
+                        _pc.cast(_pc.cast(_a(t), pa.int64()),
+                                 pa.float64()),
+                        pa.scalar(1e6)),
+                    "extract_epoch")
             raise ValueError(f"unsupported EXTRACT field {field}")
         if name in ("starts_with", "ends_with", "contains"):
             import pyarrow.compute as _pc

@@ -1581,3 +1581,24 @@ def test_group_by_without_aggregates(ray_session):
     con.register("t", t)
     want = con.execute(sql).df()
     assert got["g"].tolist() == want["g"].tolist()
+
+
+def test_extract_epoch(ray_session):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from osmquadtree_depreceated_ray.pipelines.sqlparse import parse_sql
+
+    rng = np.random.default_rng(5)
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    t = pa.table({"k": pa.array(np.arange(10), pa.int64()),
+                  "ts": pa.array(base + rng.integers(0, 10**6, 10)
+                                 .astype("timedelta64[s]"))})
+    con = duckdb.connect()
+    con.register("t", t)
+    sql = "SELECT k, EXTRACT(epoch FROM ts) AS e FROM t ORDER BY k"
+    got = parse_sql(sql, {"t": ray.data.from_arrow(t)}).to_pandas()
+    want = con.execute(sql).df()
+    assert got["e"].tolist() == want["e"].tolist()
