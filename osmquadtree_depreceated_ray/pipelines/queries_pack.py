@@ -235,6 +235,15 @@ def _bucketed_hit_counts(occ_ds, set_ds, totals_ds):
 
 # ------------------------------------- 2. duplicate-chunk removal (C4)
 
+def _col_or_empty(df, col: str) -> np.ndarray:
+    """Sorted int64 column from a driver-collected small table —
+    tolerating the fully-empty case where Dataset.to_pandas() loses
+    the schema (zero candidate rows -> no columns at all)."""
+    if col not in df.columns:
+        return np.empty(0, np.int64)
+    return np.sort(df[col].to_numpy().astype(np.int64))
+
+
 def _doc_chunks(b: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     """(doc_id_per_chunk, chunk_string) — every consecutive CHUNK_W-word
     window (last one partial) of every doc, vectorized: one global
@@ -335,7 +344,7 @@ def q_chunk_dedup(sf_dir: str, broadcast_max: int | None = None):
         return merged.map_batches(shape, batch_format="pyarrow")
 
     dup = dup_ds.to_pandas()
-    dup_ref = ray.put(np.sort(dup["gh"].to_numpy().astype(np.int64)))
+    dup_ref = ray.put(_col_or_empty(dup, "gh"))
 
     def recount(b: pa.Table) -> pa.Table:
         dset = ray.get(dup_ref)
@@ -482,7 +491,7 @@ def q_decontaminate(sf_dir: str, broadcast_max: int | None = None):
         return merged.map_batches(shape, batch_format="pyarrow")
 
     evset = ev_ds.to_pandas()
-    ev_ref = ray.put(np.sort(evset["gh"].to_numpy().astype(np.int64)))
+    ev_ref = ray.put(_col_or_empty(evset, "gh"))
 
     def probe(b: pa.Table) -> pa.Table:
         ev = ray.get(ev_ref)
@@ -915,7 +924,7 @@ def q_dup_spans(sf_dir: str, broadcast_max: int | None = None):
         return bucketed_apply(u, ["doc_id"], fin)
 
     dup = dup_ds.to_pandas()
-    dup_ref = ray.put(np.sort(dup["gh"].to_numpy().astype(np.int64)))
+    dup_ref = ray.put(_col_or_empty(dup, "gh"))
 
     def probe(b: pa.Table) -> pa.Table:
         dset = ray.get(dup_ref)
@@ -1361,9 +1370,9 @@ def q_dedup_rewrite(sf_dir: str, broadcast_max: int | None = None):
         return bucketed_apply(u, ["doc_id"], rewrite)
 
     rm = rm_ds.to_pandas()
-    o_gh = np.sort(rm["gh"].to_numpy().astype(np.int64))
+    o_gh = _col_or_empty(rm, "gh")
     o_owner = rm.set_index("gh").loc[o_gh, "owner"].to_numpy(np.int64) \
-        if len(rm) else np.empty(0, np.int64)
+        if len(o_gh) else np.empty(0, np.int64)
     ref = ray.put((o_gh, o_owner))
 
     def probe(b: pa.Table) -> pa.Table:
@@ -1539,7 +1548,7 @@ def q_span_rewrite(sf_dir: str, broadcast_max: int | None = None):
         return _span_rewrite_bucketed(ds, dup_ds)
 
     dup = dup_ds.to_pandas()
-    dup_ref = ray.put(np.sort(dup["gh"].to_numpy().astype(np.int64)))
+    dup_ref = ray.put(_col_or_empty(dup, "gh"))
 
     def rewrite(b: pa.Table) -> pa.Table:
         dset = ray.get(dup_ref)
