@@ -113,3 +113,59 @@ def test_span_rewrite_kernel_property(ray_session, texts, tmp_path):
         gt = row["clean_text"]
         gt = None if pd.isna(gt) else gt
         assert gt == exp_text
+
+
+@settings(max_examples=30, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(seed=st.integers(0, 10**6), n=st.integers(1, 60))
+def test_idw_kernel_property(seed, n):
+    """The idw partial kernel's replicate-and-filter against an
+    all-pairs brute force over random global point sets (with the abs
+    prefilter that avoids the int64 square overflow)."""
+    from osmquadtree_depreceated_ray.pipelines.queries_spatial import (
+        IDW_G,
+        IDW_R,
+        IDW_S,
+        IDW_WNUM,
+    )
+
+    rng = np.random.default_rng(seed)
+    lon = rng.integers(-1_800_000_000, 1_800_000_000, n)
+    lat = rng.integers(-900_000_000, 900_000_000, n)
+    v = rng.integers(1, 1000, n)
+    hx, hy = lon // IDW_G, lat // IDW_G
+    # brute per occupied cell
+    exp = {}
+    for gx, gy in set(zip(hx.tolist(), hy.tolist())):
+        cx, cy = gx * IDW_G + IDW_G // 2, gy * IDW_G + IDW_G // 2
+        near = (np.abs(lon - cx) <= IDW_R) & (np.abs(lat - cy) <= IDW_R)
+        d2 = (lon[near] - cx) ** 2 + (lat[near] - cy) ** 2
+        m = d2 <= IDW_R * IDW_R
+        w = IDW_WNUM // (d2[m] + IDW_S)
+        exp[(gx, gy)] = (int(((hx == gx) & (hy == gy)).sum()),
+                         int(w.sum()),
+                         int((v[near][m] * w).sum()))
+    # kernel path: replicate x9 + exact filter (mirrors q_idw_grid's
+    # partials without Ray)
+    idx = np.tile(np.arange(n), 9)
+    off = np.array([-1, 0, 1], np.int64)
+    dx = np.repeat(np.repeat(off, 3), n)
+    dy = np.repeat(np.tile(off, 3), n)
+    gx = hx[idx] + dx
+    gy = hy[idx] + dy
+    ddx = lon[idx] - (gx * IDW_G + IDW_G // 2)
+    ddy = lat[idx] - (gy * IDW_G + IDW_G // 2)
+    d2 = ddx * ddx + ddy * ddy
+    m = d2 <= IDW_R * IDW_R
+    w = IDW_WNUM // (d2[m] + IDW_S)
+    got = {}
+    for g_x, g_y, ww, vv in zip(gx[m], gy[m], w, v[idx[m]]):
+        a, b, c = got.get((g_x, g_y), (0, 0, 0))
+        got[(g_x, g_y)] = (a, b + int(ww), c + int(vv * ww))
+    for (g_x, g_y), cnt in zip(zip(hx.tolist(), hy.tolist()),
+                               np.ones(n, np.int64)):
+        a, b, c = got.get((g_x, g_y), (0, 0, 0))
+        got[(g_x, g_y)] = (a + int(cnt), b, c)
+    got = {k: vv for k, vv in got.items() if vv[0] > 0}
+    assert got == exp
