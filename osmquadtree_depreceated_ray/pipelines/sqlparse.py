@@ -3851,6 +3851,18 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
             proj = {}
             for idx, (e, name) in enumerate(sel["items"]):
                 proj[name or _expr_name(e, idx)] = _compile_expr(e)
+            # SQL sorts BEFORE projecting: an ORDER BY column absent
+            # from the SELECT list rides through as a hidden column
+            # (single plain select only; DISTINCT + hidden order keys
+            # is an error in SQL and stays one here)
+            if (not sel["distinct"] and ast.get("order")
+                    and len(ast["selects"]) == 1):
+                in_names = set(_schema_names_or_none(ds) or [])
+                for node in ast["order"]:
+                    if (isinstance(node, tuple) and node[0] == "col"
+                            and node[1] not in proj
+                            and node[1] in in_names):
+                        proj[f"__ob_{node[1]}"] = col(node[1])
             q = q.select(**proj)
         out = q.run()
         if sel["distinct"]:
@@ -3934,6 +3946,9 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
                         break
             if isinstance(node, tuple) and node[0] == "col":
                 key = node[1]
+                _names = _schema_names_or_none(ds) or []
+                if key not in _names and f"__ob_{key}" in _names:
+                    key = f"__ob_{key}"
             else:
                 if _has_agg(node):
                     raise ValueError(
@@ -3967,8 +3982,11 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
 
             ds = ds.map_batches(add_sort_cols, batch_format="pyarrow")
         ds = ds.sort(sort_cols, descending=descs)
-        if synth:
-            ds = ds.drop_columns([c for c, _e in synth])
+        drop = [c for c, _e in synth] + [
+            c for c in (_schema_names_or_none(ds) or [])
+            if c.startswith("__ob_")]
+        if drop:
+            ds = ds.drop_columns(drop)
     if ast["limit"] is not None:
         off = ast.get("offset") or 0
         if off:

@@ -1602,3 +1602,31 @@ def test_extract_epoch(ray_session):
     got = parse_sql(sql, {"t": ray.data.from_arrow(t)}).to_pandas()
     want = con.execute(sql).df()
     assert got["e"].tolist() == want["e"].tolist()
+
+
+def test_order_by_unprojected_column(ray_session):
+    """SQL sorts before projecting: ORDER BY over a column absent from
+    the SELECT list."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from osmquadtree_depreceated_ray.pipelines.sqlparse import parse_sql
+
+    t = pa.table({"k": pa.array(np.arange(8), pa.int64()),
+                  "s": pa.array(["b", "a", None, "cc", "", "d", "a",
+                                 "x"], pa.string()),
+                  "i": pa.array([3, -1, 0, 5, 2, -4, 1, 7], pa.int64())})
+    con = duckdb.connect()
+    con.register("t", t)
+    for sql in ["SELECT upper(s) || lower(s) AS u FROM t ORDER BY k",
+                "SELECT i FROM t ORDER BY s NULLS LAST, k",
+                "SELECT s FROM t WHERE i > 0 ORDER BY i DESC LIMIT 3"]:
+        got = parse_sql(sql, {"t": ray.data.from_arrow(t)}).to_pandas()
+        want = con.execute(sql).df()
+        for c in want.columns:
+            ga = got[c].where(got[c].notna(), None).tolist()
+            wa = want[c].where(want[c].notna(), None).tolist()
+            assert ga == wa, (sql, c)
+        assert list(got.columns) == list(want.columns), sql
