@@ -1319,3 +1319,208 @@ def sql_graph_cc() -> str:
 
 QUERIES["graph_cc"] = q_graph_cc
 ORACLES["graph_cc"] = sql_graph_cc()
+
+
+# ------------------------------------------------ k-core decomposition
+#
+# The k-core (the maximal subgraph where every node keeps degree >= K)
+# is the standard graph-level spam/quality screen for web corpora: link
+# farms and isolated boilerplate clusters peel off, the densely
+# interlinked "core web" survives.  Computed by synchronous peeling:
+# each round removes EVERY node whose degree in the surviving subgraph
+# is < K, KCORE_ROUNDS rounds (the reference's bounded iterative shape,
+# calcqts/resortwaynodes.go:767-824's fixed relation rounds; semantics
+# are exactly "after R synchronous rounds", which the oracle replays as
+# chained CTEs round for round).
+#
+# The near-regular PR_LINKS graph has a degenerate cascade (everything
+# is degree ~8), so the k-core graph uses a VARIABLE out-degree
+# synthesis: node src emits 1 + (src % 7) candidate links — degree
+# spread 3..13, a 4-round cascade to a 442-node 5-core at sf0.01.
+#
+# Distributed shape: one exchange wave per round, O(edges of peeled
+# nodes) traffic — when node v dies, its home bucket ships one (w, v)
+# tombstone per surviving edge to w's bucket; buckets keep the
+# invariant "edge shard == edges of the CURRENT alive subgraph", so
+# per-round degree recount is a local groupby.  Driver holds only
+# object refs.
+
+KCORE_K = 5
+KCORE_ROUNDS = 4
+KC_LINKS = 7   # j < 1 + src % KC_LINKS
+
+
+def _kc_cand_impl(n, mod, shard):
+    """Variable-out-degree candidates: node src emits links for
+    j in [0, 1 + src % KC_LINKS), routed to the dst's home bucket."""
+    node = shard.column("node").to_numpy().astype(np.int64)
+    reps = (1 + node % KC_LINKS).astype(np.int64)
+    src = np.repeat(node, reps)
+    # j index within each node's run: arange minus run start offsets
+    ends = np.cumsum(reps)
+    starts = ends - reps
+    j = np.arange(int(ends[-1]) if len(ends) else 0,
+                  dtype=np.int64) - np.repeat(starts, reps)
+    dst = (src * _A + j * _B + _C) % mod
+    keep = dst != src
+    src, dst = src[keep], dst[keep]
+    bk = _pr_route(dst, n)
+    return tuple(pa.table({"src": src[bk == i], "dst": dst[bk == i]})
+                 for i in range(n))
+
+
+def _kc_peel_impl(n, k, edges, alive):
+    """One peel round for one bucket: find local nodes whose current
+    degree is < k, drop their rows, and ship (w, v) tombstones to each
+    surviving neighbour w's bucket.  Returns (new_alive, new_edges,
+    n_dead, tombstones x n)."""
+    v = alive.column("v").to_numpy().astype(np.int64)
+    src = edges.column("src").to_numpy().astype(np.int64)
+    dst = edges.column("dst").to_numpy().astype(np.int64)
+    deg = pd.Series(src).value_counts()
+    dv = pd.Series(v).map(deg).fillna(0).to_numpy(np.int64)
+    dead_mask = dv < k
+    dead = v[dead_mask]
+    sdead = np.sort(dead)
+    # rows whose src died leave this shard; their dst get tombstones
+    pos = np.searchsorted(sdead, src)
+    pos[pos == len(sdead)] = 0
+    edge_dead = (len(sdead) > 0) & (sdead[pos] == src) \
+        if len(sdead) else np.zeros(len(src), bool)
+    tomb_w, tomb_v = dst[edge_dead], src[edge_dead]
+    new_alive = pa.table({"v": v[~dead_mask]})
+    new_edges = pa.table({"src": src[~edge_dead], "dst": dst[~edge_dead]})
+    bk = _pr_route(tomb_w, n)
+    return (new_alive, new_edges, int(dead_mask.sum())) + tuple(
+        pa.table({"w": tomb_w[bk == i], "v": tomb_v[bk == i]})
+        for i in range(n))
+
+
+def _kc_prune_impl(edges, *tombs):
+    """Apply incoming tombstones: drop rows (src=w, dst=v)."""
+    t = pa.concat_tables(tombs, promote_options="default")
+    if t.num_rows == 0:
+        return edges
+    src = edges.column("src").to_numpy().astype(np.int64)
+    dst = edges.column("dst").to_numpy().astype(np.int64)
+    w = t.column("w").to_numpy().astype(np.int64)
+    v = t.column("v").to_numpy().astype(np.int64)
+    # pair membership via a single int128-free composite: both ids are
+    # node ids < 2^31 here, but stay safe with a structured sort
+    key_e = pd.MultiIndex.from_arrays([src, dst])
+    key_t = pd.MultiIndex.from_arrays([w, v])
+    drop = key_e.isin(key_t)
+    return pa.table({"src": src[~drop], "dst": dst[~drop]})
+
+
+def _kc_out_impl(edges, alive):
+    """Survivors with their induced degree after the final round."""
+    v = alive.column("v").to_numpy().astype(np.int64)
+    src = edges.column("src").to_numpy().astype(np.int64)
+    deg = pd.Series(src).value_counts()
+    dv = pd.Series(v).map(deg).fillna(0).to_numpy(np.int64)
+    return pa.table({"doc_id": pa.array(v), "core_deg": pa.array(dv)})
+
+
+def q_kcore(sf_dir: str):
+    """Nodes surviving KCORE_ROUNDS synchronous peel rounds at
+    K=KCORE_K over the variable-degree link graph, with their induced
+    degree: (doc_id, core_deg)."""
+    import ray
+    import ray.data
+
+    fns = _register_graph_fns()
+    for key, f in (("kc_cand", _kc_cand_impl),
+                   ("kc_peel", _kc_peel_impl),
+                   ("kc_prune", _kc_prune_impl),
+                   ("kc_out", _kc_out_impl)):
+        if key not in _PR_FNS:
+            _PR_FNS[key] = ray.remote(f)
+    n = _pr_buckets()
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    refs = [r for bu in ds.iter_internal_ref_bundles()
+            for r in bu.block_refs]
+    empty = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "core_deg": pa.array([], pa.int64())}))
+    if not refs:
+        return empty
+    n_tasks = max(1, min(len(refs), n))
+    groups = [refs[i::n_tasks] for i in range(n_tasks)]
+    pieces = [fns["split"].options(num_returns=n).remote(n, *g)
+              for g in groups if g]
+    nodes = [fns["concat"].remote(*[p[b] for p in pieces])
+             for b in range(n)]
+    stats = ray.get([fns["stats"].remote(nodes[b]) for b in range(n)])
+    mod = max((m for _, m in stats), default=-1) + 1
+    if mod == 0:
+        return empty
+    cand = [_PR_FNS["kc_cand"].options(num_returns=n).remote(
+        n, mod, nodes[b]) for b in range(n)]
+    kept = [fns["filter"].options(num_returns=n).remote(
+        n, nodes[b], *[cand[s][b] for s in range(n)]) for b in range(n)]
+    fwd = [_PR_FNS["concat"].remote(*[kept[s][b] for s in range(n)])
+           for b in range(n)]
+    rev = [_PR_FNS["rev"].options(num_returns=n).remote(n, fwd[b])
+           for b in range(n)]
+    edges = [_PR_FNS["undirect"].remote(
+        fwd[b], *[rev[s][b] for s in range(n)]) for b in range(n)]
+    # alive starts as the full node shard (renamed to the peel schema)
+    if "kc_init" not in _PR_FNS:
+        _PR_FNS["kc_init"] = ray.remote(
+            lambda t: pa.table({"v": t.column("node")}))
+    alive = [_PR_FNS["kc_init"].remote(nodes[b]) for b in range(n)]
+    for _ in range(KCORE_ROUNDS):
+        peel = [_PR_FNS["kc_peel"].options(num_returns=n + 3).remote(
+            n, KCORE_K, edges[b], alive[b]) for b in range(n)]
+        alive = [peel[b][0] for b in range(n)]
+        edges = [_PR_FNS["kc_prune"].remote(
+            peel[b][1], *[peel[s][3 + b] for s in range(n)])
+            for b in range(n)]
+    out = [_PR_FNS["kc_out"].remote(edges[b], alive[b])
+           for b in range(n)]
+    return ray.data.from_arrow_refs(out)
+
+
+def sql_kcore() -> str:
+    """Full-chain oracle: variable-degree synthesis + existence
+    semi-join + undirected dedup, then KCORE_ROUNDS peel rounds as
+    chained CTEs (alive_t = nodes with induced degree >= K)."""
+    js = ", ".join(f"({j})" for j in range(KC_LINKS))
+    parts = [
+        "WITH m AS (SELECT CAST(MAX(doc_id)+1 AS BIGINT) AS md "
+        "FROM documents)",
+        f"cand AS (SELECT dd.doc_id AS src, "
+        f"(dd.doc_id*{_A} + j.j*{_B} + {_C}) % m.md AS dst "
+        f"FROM documents dd CROSS JOIN m CROSS JOIN (VALUES {js}) j(j) "
+        f"WHERE j.j < 1 + dd.doc_id % {KC_LINKS})",
+        "e0 AS (SELECT DISTINCT c.src, c.dst FROM cand c "
+        "JOIN documents t ON t.doc_id = c.dst WHERE c.dst <> c.src)",
+        "u AS (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM e0)",
+        "e AS (SELECT a AS s, b AS d FROM u "
+        "UNION ALL SELECT b, a FROM u)",
+        "a0 AS (SELECT doc_id AS v FROM documents)",
+    ]
+    for t in range(1, KCORE_ROUNDS + 1):
+        p = t - 1
+        parts.append(
+            f"d{t} AS (SELECT e.s AS v, COUNT(*) AS c FROM e "
+            f"JOIN a{p} x ON x.v = e.s JOIN a{p} y ON y.v = e.d "
+            f"GROUP BY e.s)")
+        parts.append(
+            f"a{t} AS (SELECT v FROM d{t} WHERE c >= {KCORE_K})")
+    r = KCORE_ROUNDS
+    return (
+        ", ".join(parts)
+        + f", df AS (SELECT e.s AS v, COUNT(*) AS c FROM e "
+          f"JOIN a{r} x ON x.v = e.s JOIN a{r} y ON y.v = e.d "
+          f"GROUP BY e.s) "
+          f"SELECT a.v AS doc_id, CAST(COALESCE(df.c, 0) AS BIGINT) "
+          f"AS core_deg FROM a{r} a LEFT JOIN df ON df.v = a.v"
+    )
+
+
+QUERIES["kcore"] = q_kcore
+ORACLES["kcore"] = sql_kcore()

