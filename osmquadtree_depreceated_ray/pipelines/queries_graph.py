@@ -1524,3 +1524,107 @@ def sql_kcore() -> str:
 
 QUERIES["kcore"] = q_kcore
 ORACLES["kcore"] = sql_kcore()
+
+
+# ------------------------------------------------ anchor-text rollup
+#
+# Per-target inlink anchor aggregation — the classic web-graph signal
+# (anchor text is the strongest external label a page gets; search and
+# curation pipelines aggregate it per target before quality scoring).
+# Anchors derive deterministically from the edge itself
+# (VOCAB[(src*3 + dst) % 16]) so the DuckDB oracle rebuilds identical
+# strings.  Shape: the directed edge shards (already existence-checked
+# and deduped) -> per-batch anchor derivation -> ONE exchange keyed by
+# dst with (dst, anchor) map-side count combine, so the shuffle moves
+# O(distinct (dst, anchor)) rows; the reduce emits per-target inlink
+# count, distinct-anchor count and the modal anchor (min-string ties).
+
+ANCHOR_VOCAB = (
+    "home", "news", "blog", "docs", "about", "shop", "wiki", "forum",
+    "login", "search", "images", "video", "maps", "mail", "code",
+    "data",
+)
+
+
+def q_anchor_agg(sf_dir: str):
+    """(doc_id, n_inlinks, n_anchors, top_anchor) for every page with
+    at least one inlink."""
+    import ray
+    import ray.data
+
+    from ..stages.shuffle import bucketed_apply
+
+    n, _nodes, _stats, fwd, _state = _directed_shards(sf_dir)
+    if fwd is None:
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_inlinks": pa.array([], pa.int64()),
+            "n_anchors": pa.array([], pa.int64()),
+            "top_anchor": pa.array([], pa.string())}))
+    vocab = np.asarray(ANCHOR_VOCAB, dtype=object)
+
+    def add_anchor(b: pa.Table) -> pa.Table:
+        src = b.column("src").to_numpy().astype(np.int64)
+        dst = b.column("dst").to_numpy().astype(np.int64)
+        anchor = vocab[(src * 3 + dst) % len(vocab)]
+        return pa.table({"dst": pa.array(dst),
+                         "anchor": pa.array(anchor, pa.string())})
+
+    pairs = ray.data.from_arrow_refs(fwd).map_batches(
+        add_anchor, batch_format="pyarrow")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby(["dst", "anchor"], sort=False, as_index=False)
+                .size().rename(columns={"size": "c"}))
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = (g.groupby(["dst", "anchor"], sort=False, as_index=False)
+               ["c"].sum())
+        tot = cnt.groupby("dst", as_index=False).agg(
+            n_inlinks=("c", "sum"), n_anchors=("anchor", "size"))
+        top = (cnt.sort_values(["dst", "c", "anchor"],
+                               ascending=[True, False, True],
+                               kind="stable")
+               .drop_duplicates("dst")[["dst", "anchor"]]
+               .rename(columns={"anchor": "top_anchor"}))
+        return tot.merge(top, on="dst")
+
+    out = bucketed_apply(pairs, ["dst"], reduce_fn, combine=combine)
+    return out.map_batches(
+        lambda b: pa.table({
+            "doc_id": pa.compute.cast(b.column("dst"), pa.int64()),
+            "n_inlinks": pa.compute.cast(b.column("n_inlinks"),
+                                         pa.int64()),
+            "n_anchors": pa.compute.cast(b.column("n_anchors"),
+                                         pa.int64()),
+            "top_anchor": b.column("top_anchor"),
+        }), batch_format="pyarrow")
+
+
+def sql_anchor_agg() -> str:
+    js = ", ".join(f"({j})" for j in range(PR_LINKS))
+    vocab = ", ".join(f"'{w}'" for w in ANCHOR_VOCAB)
+    return (
+        "WITH m AS (SELECT CAST(MAX(doc_id)+1 AS BIGINT) AS md "
+        "FROM documents), "
+        f"cand AS (SELECT dd.doc_id AS src, "
+        f"(dd.doc_id*{_A} + j.j*{_B} + {_C}) % m.md AS dst "
+        f"FROM documents dd CROSS JOIN m CROSS JOIN (VALUES {js}) j(j)), "
+        "e0 AS (SELECT DISTINCT c.src, c.dst FROM cand c "
+        "JOIN documents t ON t.doc_id = c.dst WHERE c.dst <> c.src), "
+        f"a AS (SELECT dst, [{vocab}]"
+        f"[CAST((src*3 + dst) % {len(ANCHOR_VOCAB)} AS BIGINT) + 1] "
+        "AS anchor FROM e0), "
+        "g AS (SELECT dst, anchor, COUNT(*) AS c FROM a GROUP BY 1, 2), "
+        "r AS (SELECT dst, anchor, ROW_NUMBER() OVER (PARTITION BY dst "
+        "ORDER BY c DESC, anchor) AS rn FROM g), "
+        "s AS (SELECT dst, CAST(SUM(c) AS BIGINT) AS n_inlinks, "
+        "CAST(COUNT(*) AS BIGINT) AS n_anchors FROM g GROUP BY dst) "
+        "SELECT s.dst AS doc_id, s.n_inlinks, s.n_anchors, "
+        "r.anchor AS top_anchor FROM s JOIN r ON r.dst = s.dst "
+        "AND r.rn = 1"
+    )
+
+
+QUERIES["anchor_agg"] = q_anchor_agg
+ORACLES["anchor_agg"] = sql_anchor_agg()

@@ -5,6 +5,7 @@ rank-conservation invariant.  The DuckDB hash-exact gate runs
 separately via tools/check_oracles.py."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -467,3 +468,41 @@ def test_kcore_matches_dense(ray_session):
     # EXCEPT possibly nodes whose neighbours died in the last round;
     # at KCORE_ROUNDS=fixpoint for this fixture all meet it
     assert min(exp.values()) >= 0
+
+
+def test_anchor_agg_matches_pandas(ray_session):
+    """Anchor rollup vs a direct pandas recompute of the same derived
+    edges on sf0.001 (pins modal min-tie + distinct-anchor counting)."""
+    import pyarrow.parquet as pq
+
+    from osmquadtree_depreceated_ray.pipelines.queries_graph import (
+        ANCHOR_VOCAB,
+        q_anchor_agg,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ids = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"]) \
+        .column("doc_id").to_numpy().astype(np.int64)
+    mod = ids.max() + 1
+    idset = set(ids.tolist())
+    rows = set()
+    for s in ids.tolist():
+        for j in range(PR_LINKS):
+            d = (s * _A + j * _B + _C) % mod
+            if d != s and d in idset:
+                rows.add((s, d))
+    df = pd.DataFrame(sorted(rows), columns=["src", "dst"])
+    df["anchor"] = np.asarray(ANCHOR_VOCAB, object)[
+        (df["src"] * 3 + df["dst"]) % len(ANCHOR_VOCAB)]
+    g = df.groupby(["dst", "anchor"], as_index=False).size()
+    tot = g.groupby("dst").agg(n_inlinks=("size", "sum"),
+                               n_anchors=("anchor", "size"))
+    top = (g.sort_values(["dst", "size", "anchor"],
+                         ascending=[True, False, True], kind="stable")
+           .drop_duplicates("dst").set_index("dst")["anchor"])
+    got = (q_anchor_agg(sf).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got["doc_id"].tolist() == tot.index.tolist()
+    assert got["n_inlinks"].tolist() == tot["n_inlinks"].tolist()
+    assert got["n_anchors"].tolist() == tot["n_anchors"].tolist()
+    assert got["top_anchor"].tolist() == top.tolist()
