@@ -1065,3 +1065,125 @@ def sql_way_simplify() -> str:
 
 QUERIES["way_simplify"] = q_way_simplify
 ORACLES["way_simplify"] = sql_way_simplify
+
+
+# --------------------------------------------------------------------------
+# hull: per-cell convex hull vertices
+# --------------------------------------------------------------------------
+#
+# The per-partition convex hull is the standard footprint/coverage
+# summary (tile extent rendering, region sketching, outlier fences).
+# Points are the derived document coordinates; the partition key is the
+# coarse (kx >> HULL_SHIFT, ky >> HULL_SHIFT) cell (a 4x4 world grid),
+# the same groupby-on-cell-prefix shape as every other spatial
+# aggregate here.  Each cell's hull is computed by Andrew's monotone
+# chain with STRICT turns (collinear boundary points are not vertices)
+# on Python ints (exact, overflow-free); hulls are inherently
+# sequential per group, and group size is bounded by per-cell density,
+# so the per-group loop is O(cell points) — the exchange moves only
+# (doc_id, lon, lat) fixed-width rows.
+#
+# The DuckDB oracle is fully independent: p is a hull vertex iff p is
+# NOT in the convex hull of its cell's other points, i.e. (Caratheodory)
+# no triangle (a, b, c) of other points contains p — three cross-
+# product sign tests PLUS a bbox test (for a degenerate collinear
+# triangle the sign test alone admits the whole LINE; the bbox clamps
+# it to the segment extent, and is implied by the signs for proper
+# triangles), exact BIGINT arithmetic (within-cell deltas keep every
+# product < 2^63).
+
+HULL_SHIFT = 16
+
+
+def _hull_vertex_ids(pts: list) -> set:
+    """Vertex doc_ids of the strict convex hull of [(x, y, id), ...]
+    (pre-sorted ascending; Python-int coords)."""
+    if len(pts) <= 2:
+        return {p[2] for p in pts}
+
+    def cross(o, a, b):
+        return ((a[0] - o[0]) * (b[1] - o[1])
+                - (a[1] - o[1]) * (b[0] - o[0]))
+
+    lower: list = []
+    for p in pts:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper: list = []
+    for p in reversed(pts):
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    return {p[2] for p in lower[:-1]} | {p[2] for p in upper[:-1]}
+
+
+def q_hull(sf_dir: str):
+    """Convex-hull vertices per coarse cell: (doc_id, gx, gy, lon, lat)."""
+    import ray
+
+    from ..stages.shuffle import bucketed_apply
+
+    def prep(b: pa.Table) -> pa.Table:
+        k = b.column("doc_id").to_numpy().astype(np.int64)
+        kx, ky = derive.derive_cells(k)
+        lon, lat = derive.derive_lonlat(k)
+        return pa.table({
+            "doc_id": pa.array(k),
+            "gx": pa.array((kx >> HULL_SHIFT).astype(np.int64)),
+            "gy": pa.array((ky >> HULL_SHIFT).astype(np.int64)),
+            "lon": pa.array(lon),
+            "lat": pa.array(lat),
+        })
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(prep, batch_format="pyarrow")
+
+    def hull_fn(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in g.groupby(["gx", "gy"], sort=False):
+            pts = sorted(
+                zip(grp["lon"].astype(object),
+                    grp["lat"].astype(object),
+                    grp["doc_id"].astype(object)))
+            keep = _hull_vertex_ids(pts)
+            outs.append(grp[grp["doc_id"].isin(keep)])
+        if not outs:
+            return g.iloc[:0]
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed_apply(ds, ["gx", "gy"], hull_fn)
+
+
+def sql_hull() -> str:
+    lon, lat = derive.sql_lonlat_expr("doc_id")
+    kx, ky = derive.sql_cells_expr("doc_id")
+    div = 1 << HULL_SHIFT
+    s1 = ("(b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x)")
+    s2 = ("(c.x - b.x) * (p.y - b.y) - (c.y - b.y) * (p.x - b.x)")
+    s3 = ("(a.x - c.x) * (p.y - c.y) - (a.y - c.y) * (p.x - c.x)")
+    return (
+        f"WITH pts AS (SELECT doc_id, {lon} AS x, {lat} AS y, "
+        f"({kx} // {div}) AS gx, ({ky} // {div}) AS gy FROM documents) "
+        "SELECT p.doc_id, p.gx, p.gy, p.x AS lon, p.y AS lat "
+        "FROM pts p WHERE NOT EXISTS ("
+        "SELECT 1 FROM pts a "
+        "JOIN pts b ON b.gx = a.gx AND b.gy = a.gy "
+        "AND b.doc_id > a.doc_id "
+        "JOIN pts c ON c.gx = a.gx AND c.gy = a.gy "
+        "AND c.doc_id > b.doc_id "
+        "WHERE a.gx = p.gx AND a.gy = p.gy "
+        "AND a.doc_id <> p.doc_id AND b.doc_id <> p.doc_id "
+        "AND c.doc_id <> p.doc_id "
+        f"AND (({s1} >= 0 AND {s2} >= 0 AND {s3} >= 0) "
+        f"OR ({s1} <= 0 AND {s2} <= 0 AND {s3} <= 0)) "
+        "AND p.x BETWEEN LEAST(a.x, b.x, c.x) "
+        "AND GREATEST(a.x, b.x, c.x) "
+        "AND p.y BETWEEN LEAST(a.y, b.y, c.y) "
+        "AND GREATEST(a.y, b.y, c.y))"
+    )
+
+
+QUERIES["hull"] = q_hull
+ORACLES["hull"] = sql_hull

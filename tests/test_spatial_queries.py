@@ -354,3 +354,58 @@ def test_way_simplify_vs_brute(ray_session):
     assert got.groupby("way_id").size().ge(1).all()
     assert got["way_id"].nunique() == n_ways
     assert len(got) < len(df)
+
+
+def test_hull_vertices_match_bruteforce():
+    """Monotone-chain vertex set == Caratheodory brute force (no point
+    is a vertex iff some triangle/segment of others contains it) on
+    random integer point sets, incl. duplicates-free collinear runs."""
+    import itertools
+    import random
+
+    from osmquadtree_depreceated_ray.pipelines.queries_spatial import (
+        _hull_vertex_ids,
+    )
+
+    rng = random.Random(42)
+
+    def brute(pts):
+        keep = set()
+        for p in pts:
+            others = [q for q in pts if q[2] != p[2]]
+            inside = False
+            for a, b, c in itertools.combinations(others, 3):
+                s1 = ((b[0]-a[0])*(p[1]-a[1]) - (b[1]-a[1])*(p[0]-a[0]))
+                s2 = ((c[0]-b[0])*(p[1]-b[1]) - (c[1]-b[1])*(p[0]-b[0]))
+                s3 = ((a[0]-c[0])*(p[1]-c[1]) - (a[1]-c[1])*(p[0]-c[0]))
+                signs = ((s1 >= 0 and s2 >= 0 and s3 >= 0)
+                         or (s1 <= 0 and s2 <= 0 and s3 <= 0))
+                in_bbox = (min(a[0], b[0], c[0]) <= p[0]
+                           <= max(a[0], b[0], c[0])
+                           and min(a[1], b[1], c[1]) <= p[1]
+                           <= max(a[1], b[1], c[1]))
+                if signs and in_bbox:
+                    inside = True
+                    break
+            if not inside:
+                keep.add(p[2])
+        return keep
+
+    for trial in range(40):
+        n = rng.randint(1, 12)
+        seen = set()
+        pts = []
+        for i in range(n):
+            while True:
+                if trial % 4 == 0:
+                    # collinear-heavy: points on a line y = 2x + 1
+                    x = rng.randint(-20, 20)
+                    xy = (x, 2 * x + 1)
+                else:
+                    xy = (rng.randint(-10, 10), rng.randint(-10, 10))
+                if xy not in seen:
+                    seen.add(xy)
+                    break
+            pts.append((xy[0], xy[1], i))
+        pts.sort()
+        assert _hull_vertex_ids(pts) == brute(pts), pts
