@@ -360,8 +360,12 @@ def sql_quality() -> str:
 
 # 18. n-gram Jaccard between neighbouring docs ------------------------------
 
-def q_ngram_jaccard(sf_dir: str):
-    """Jaccard similarity of word-bigram sets for (doc_id, doc_id+1) pairs."""
+def _ngram_pair_tagged(sf_dir: str):
+    """Shared pair-statistics stream for the bigram-set similarity
+    family (jaccard / containment): per-pair intersection partials
+    (src=0) unioned with map-side doc set sizes keyed to the pair they
+    lead (src=1) and trail (src=2).  One gram-hash exchange + the
+    map-side size pass; finishes differ only in the per-pair formula."""
     import ray
 
     def grams(b: pa.Table) -> pa.Table:
@@ -414,22 +418,40 @@ def q_ngram_jaccard(sf_dir: str):
             "v": pa.array(np.concatenate([n, n])),
         })
 
-    tagged = inter.map_batches(tag_inter, batch_format="pyarrow").union(
+    return inter.map_batches(tag_inter, batch_format="pyarrow").union(
         ds.map_batches(doc_sizes, batch_format="pyarrow"))
 
+
+def _pair_pivot(gdf: pd.DataFrame):
+    """(a, inter, len_a, len_b) arrays from one finish bucket, or None
+    when the bucket holds no complete pair."""
+    piv = gdf.pivot_table(index="a", columns="src", values="v",
+                          aggfunc="sum")
+    piv = piv.dropna(subset=[c for c in (0, 1, 2) if c in piv.columns])
+    if 0 not in piv.columns or not len(piv):
+        return None
+    a = piv.index.to_numpy().astype(np.int64)
+    iv = piv[0].to_numpy().astype(np.int64)
+    return a, iv, piv[1].to_numpy().astype(np.int64), \
+        piv[2].to_numpy().astype(np.int64)
+
+
+def q_ngram_jaccard(sf_dir: str):
+    """Jaccard similarity of word-bigram sets for (doc_id, doc_id+1) pairs."""
+    from ..stages.shuffle import bucketed_apply
+
+    tagged = _ngram_pair_tagged(sf_dir)
+
     def finish(gdf: pd.DataFrame) -> pd.DataFrame:
-        piv = gdf.pivot_table(index="a", columns="src", values="v",
-                              aggfunc="sum")
-        piv = piv.dropna(subset=[c for c in (0, 1, 2) if c in piv.columns])
-        if 0 not in piv.columns or not len(piv):
+        got = _pair_pivot(gdf)
+        if got is None:
             return pd.DataFrame({"a": pd.Series(dtype=np.int64),
                                  "b": pd.Series(dtype=np.int64),
                                  "inter_n": pd.Series(dtype=np.int64),
                                  "union_n": pd.Series(dtype=np.int64),
                                  "jaccard": pd.Series(dtype=np.float64)})
-        a = piv.index.to_numpy().astype(np.int64)
-        iv = piv[0].to_numpy().astype(np.int64)
-        union = (piv[1].to_numpy() + piv[2].to_numpy()).astype(np.int64) - iv
+        a, iv, la, lb = got
+        union = la + lb - iv
         return pd.DataFrame({
             "a": a, "b": a + 1, "inter_n": iv, "union_n": union,
             "jaccard": iv / union,
@@ -1141,3 +1163,134 @@ def sql_neardup_verify() -> str:
 
 QUERIES["neardup_verify"] = q_neardup_verify
 ORACLES["neardup_verify"] = sql_neardup_verify()
+
+
+# ------------------------------------------------ blocklist screening
+#
+# C4-style banned-term filtering: a categorized term list, word-
+# boundary matched; a page is blocked when any category's hit count
+# reaches its threshold.  Output is the per-(doc, category) hit table
+# for matched docs plus the doc-level verdict — the audit artifact a
+# filtering pipeline keeps (the drop itself is then a trivial
+# anti-join).  Pure map_batches: each term is one compiled-regex C
+# count pass per batch (at a real blocklist's size the per-actor state
+# is one Aho-Corasick/alternation automaton compiled in __init__; the
+# plumbing — per-category counts, thresholds, verdict — is identical).
+# The DuckDB oracle recounts with its own RE2 regexp_extract_all on
+# identical strings.
+
+BLOCKLIST = (
+    # (category, term, threshold)
+    ("perf", "slow", 3),
+    ("dupes", "dup", 1),
+    ("hype", "big", 4),
+)
+
+
+def q_blocklist(sf_dir: str):
+    """(doc_id, category, n_hits, blocked) for every doc x category
+    with n_hits > 0; blocked = 1 iff n_hits >= the category threshold."""
+    import ray
+
+    def fn(b: pa.Table) -> pa.Table:
+        k = b.column("doc_id").to_numpy().astype(np.int64)
+        text = b.column("text").to_pandas().astype(str)
+        ids, cats, hits, blocked = [], [], [], []
+        for cat, term, thr in BLOCKLIST:
+            c = text.str.count(r"\b" + term + r"\b").to_numpy(np.int64)
+            m = c > 0
+            ids.append(k[m])
+            cats.append(np.full(int(m.sum()), cat, dtype=object))
+            hits.append(c[m])
+            blocked.append((c[m] >= thr).astype(np.int64))
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(ids)),
+            "category": pa.array(np.concatenate(cats), pa.string()),
+            "n_hits": pa.array(np.concatenate(hits)),
+            "blocked": pa.array(np.concatenate(blocked)),
+        })
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def sql_blocklist() -> str:
+    selects = []
+    for cat, term, thr in BLOCKLIST:
+        n = f"len(regexp_extract_all(text, '\\b{term}\\b'))"
+        selects.append(
+            f"SELECT doc_id, '{cat}' AS category, "
+            f"CAST({n} AS BIGINT) AS n_hits, "
+            f"CAST(CASE WHEN {n} >= {thr} THEN 1 ELSE 0 END AS BIGINT) "
+            f"AS blocked FROM documents WHERE {n} > 0"
+        )
+    return " UNION ALL ".join(selects)
+
+
+QUERIES["blocklist"] = q_blocklist
+ORACLES["blocklist"] = sql_blocklist()
+
+
+# --- asymmetric n-gram containment (short-inside-long duplicates) -----------
+#
+# Jaccard under-scores a short document wholly embedded in a long one
+# (|A∩B|/|A∪B| is dragged down by the long side); the CONTAINMENT
+# score c(A in B) = |A∩B| / |A| is the standard complement (Broder's
+# resemblance vs containment).  Same pair-statistics stream as
+# ngram_jaccard — only the finish formula differs.
+
+def q_containment(sf_dir: str):
+    """Bigram-set containment for (doc_id, doc_id+1) pairs:
+    (a, b, inter_n, len_a, len_b, c_a_in_b, c_b_in_a, c_max)."""
+    from ..stages.shuffle import bucketed_apply
+
+    tagged = _ngram_pair_tagged(sf_dir)
+
+    def finish(gdf: pd.DataFrame) -> pd.DataFrame:
+        got = _pair_pivot(gdf)
+        if got is None:
+            return pd.DataFrame({
+                "a": pd.Series(dtype=np.int64),
+                "b": pd.Series(dtype=np.int64),
+                "inter_n": pd.Series(dtype=np.int64),
+                "len_a": pd.Series(dtype=np.int64),
+                "len_b": pd.Series(dtype=np.int64),
+                "c_a_in_b": pd.Series(dtype=np.float64),
+                "c_b_in_a": pd.Series(dtype=np.float64),
+                "c_max": pd.Series(dtype=np.float64)})
+        a, iv, la, lb = got
+        keep = iv > 0
+        a, iv, la, lb = a[keep], iv[keep], la[keep], lb[keep]
+        return pd.DataFrame({
+            "a": a, "b": a + 1, "inter_n": iv,
+            "len_a": la, "len_b": lb,
+            "c_a_in_b": iv / la,
+            "c_b_in_a": iv / lb,
+            "c_max": iv / np.minimum(la, lb),
+        })
+
+    return bucketed_apply(tagged, ["a"], finish, n_buckets=8)
+
+
+def sql_containment() -> str:
+    return (
+        "WITH g AS (SELECT doc_id, list_distinct(list_transform("
+        "range(1, len(string_split(text, ' '))), "
+        "i -> string_split(text, ' ')[i] || ' ' || "
+        "string_split(text, ' ')[i+1])) AS gs FROM documents), "
+        "j AS (SELECT x.doc_id AS a, y.doc_id AS b, "
+        "CAST(len(list_intersect(x.gs, y.gs)) AS BIGINT) AS inter_n, "
+        "CAST(len(x.gs) AS BIGINT) AS len_a, "
+        "CAST(len(y.gs) AS BIGINT) AS len_b "
+        "FROM g x JOIN g y ON y.doc_id = x.doc_id + 1) "
+        "SELECT a, b, inter_n, len_a, len_b, "
+        "CAST(inter_n AS DOUBLE) / len_a AS c_a_in_b, "
+        "CAST(inter_n AS DOUBLE) / len_b AS c_b_in_a, "
+        "CAST(inter_n AS DOUBLE) / LEAST(len_a, len_b) AS c_max "
+        "FROM j WHERE inter_n > 0"
+    )
+
+
+QUERIES["containment"] = q_containment
+ORACLES["containment"] = sql_containment()
