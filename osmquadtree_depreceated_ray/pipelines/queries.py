@@ -1414,3 +1414,41 @@ def q_sql_window2(sf_dir: str):
 
 QUERIES["sql_window2"] = q_sql_window2
 ORACLES["sql_window2"] = SQL_WINDOW2_TEXT
+
+
+SQL_LATERAL_TEXT = (
+    "SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice "
+    "FROM customer LEFT JOIN LATERAL ("
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "WHERE o_custkey = c_custkey "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) x ON TRUE"
+)
+
+
+def q_sql_lateral(sf_dir: str):
+    """LEFT JOIN LATERAL top-n-per-row: each customer's three
+    largest orders (or nulls for order-less customers).  Lowered to a
+    distributed per-correlation-key top-n exchange (map-side head(n)
+    combine) followed by the regular keyed join — the per-outer-row
+    limit equals the per-key limit because the correlation is pure
+    equality.  Deterministic via the o_orderkey tie-break.  Oracle =
+    the IDENTICAL string in DuckDB."""
+    import ray
+
+    from .sqlparse import parse_sql
+
+    tables = {
+        "customer": ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_mktsegment"],
+        ),
+        "orders": ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        ),
+    }
+    return parse_sql(SQL_LATERAL_TEXT, tables)
+
+
+QUERIES["sql_lateral"] = q_sql_lateral
+ORACLES["sql_lateral"] = SQL_LATERAL_TEXT

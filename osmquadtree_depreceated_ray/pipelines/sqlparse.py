@@ -330,16 +330,41 @@ class _Parser:
                 how = "inner"
             else:
                 self.expect("kw", "join")
+            # [CROSS|LEFT|INNER] JOIN LATERAL (SELECT ...) — matched
+            # contextually so "lateral" stays unreserved
+            lat = False
+            pk, pv = self.peek()
+            if pk == "ident" and pv.lower() == "lateral":
+                self.next()
+                lat = True
+                if how in ("right", "full"):
+                    raise ValueError(
+                        "RIGHT/FULL JOIN LATERAL is not valid SQL")
             if self.peek() == ("op", "("):
                 # JOIN (SELECT ...) alias — derived table as join RHS
                 self.next()
                 sub = self.parse_query(nested=True)
                 self.expect("op", ")")
-                jt = ("derived", sub, None)
+                jt = ("lateral", sub, None) if lat \
+                    else ("derived", sub, None)
             else:
+                if lat:
+                    raise ValueError(
+                        "LATERAL requires a parenthesized subquery")
                 jt = self.expect("ident")[1]
                 if self.accept("op", "."):
                     jt = self.expect("ident")[1]
+            if lat:
+                self._accept_alias()
+                if self.accept("kw", "on"):
+                    tk, tv = self.peek()
+                    if not (tk == "ident" and tv.lower() == "true"):
+                        raise ValueError(
+                            "a LATERAL join condition must be ON TRUE "
+                            "(correlate inside the subquery's WHERE)")
+                    self.next()
+                joins.append((jt, (), (), how, None))
+                continue
             had_using_or_on = self.peek() in (("kw", "using"), ("kw", "on"))
             if not had_using_or_on:
                 self._accept_alias()
@@ -2762,6 +2787,138 @@ def _join_on(ds_a, ds_b, lcol, rcol, n_buckets: int = 16,
     return bucketed_apply(both, jks, merge, n_buckets=n_buckets)
 
 
+def _per_key_topn(ds, kcols: list, okeys: list, n: int):
+    """Distributed per-key top-n: one bucketed exchange keyed on
+    ``kcols``; the map side pre-trims each split task's rows to its
+    local per-key head(n) (a valid combiner — the global top-n of a
+    union is within the union of local top-ns), so the exchange moves
+    at most n rows per (task, key).  ``okeys`` = [(col, desc), ...]."""
+    from ..stages.shuffle import bucketed_apply
+
+    cols = [c for c, _ in okeys]
+    asc = [not d for _, d in okeys]
+
+    def head(g: pd.DataFrame) -> pd.DataFrame:
+        if cols:
+            g = g.sort_values(cols, ascending=asc, kind="stable")
+        return g.groupby(kcols, sort=False, dropna=False).head(n)
+
+    return bucketed_apply(ds, kcols, head, combine=head)
+
+
+def _exec_lateral(sub_ast, tables, broadcast_threshold):
+    """Plan one LATERAL subquery: classify its WHERE into inner filters
+    + (outer_col, inner_col) correlation equalities (standard scoping —
+    qualifiers collapse at parse time, so correlation is by DISTINCT
+    column names, the module-wide contract), lower ORDER BY .. LIMIT n
+    to a per-correlation-key distributed top-n (per-OUTER-ROW limit ==
+    per-KEY limit when the correlation is pure equality), and apply the
+    subquery's projection.  Returns (rhs_dataset, outer_join_cols,
+    rhs_join_cols, hidden_rhs_cols_to_drop)."""
+    if sub_ast.get("set_ops"):
+        raise ValueError("LATERAL subquery with set operations "
+                         "is unsupported")
+    sel = sub_ast["selects"][0]
+    if not isinstance(sel["table"], str):
+        raise ValueError("LATERAL subquery must read a plain table")
+    if (sel.get("join") or sel.get("group") or sel.get("distinct")
+            or sel.get("having") is not None
+            or sel.get("qualify") is not None
+            or sel.get("rollup")):
+        raise ValueError(
+            "LATERAL supports SELECT ... FROM t WHERE ... "
+            "ORDER BY ... LIMIT n only")
+    if sel["items"] is not None and any(
+            _has_agg(e) or _has_win(e) for e, _ in sel["items"]):
+        raise ValueError(
+            "aggregates/window functions in a LATERAL subquery "
+            "are unsupported")
+    inner = tables[sel["table"]]
+    inner_names = set(inner.schema().names)
+    corr: list = []
+    inner_conjs: list = []
+    for conj in (_split_conjuncts(sel["where"])
+                 if sel["where"] is not None else []):
+        cc: set = set()
+        _collect_cols(conj, cc)
+        if (isinstance(conj, tuple) and conj[0] == "eq"
+                and conj[1][0] == "col" and conj[2][0] == "col"
+                and conj[1][1] == conj[2][1]):
+            raise ValueError(
+                "LATERAL self-correlation on the same column name "
+                f"({conj[1][1]!r}) is unsupported: alias the inner "
+                "column in a derived table")
+        if cc <= inner_names:
+            inner_conjs.append(conj)
+        elif (isinstance(conj, tuple) and conj[0] == "eq"
+              and conj[1][0] == "col" and conj[2][0] == "col"):
+            a, b = conj[1][1], conj[2][1]
+            if a in inner_names and b not in inner_names:
+                corr.append((b, a))
+            elif b in inner_names and a not in inner_names:
+                corr.append((a, b))
+            else:
+                raise ValueError(
+                    f"unresolvable LATERAL conjunct: {conj}")
+        else:
+            raise ValueError(
+                "LATERAL correlation supports equality conjuncts "
+                f"only, got: {conj}")
+    ds_i = inner
+    if inner_conjs:
+        ds_i = Query(ds_i).where(
+            _compile_expr(_and_fold(inner_conjs))).run()
+    limit = sub_ast.get("limit")
+    if sub_ast.get("offset"):
+        raise ValueError("LATERAL OFFSET is unsupported")
+    if limit is not None and corr:
+        okeys = []
+        for e, d in zip(sub_ast.get("order") or [],
+                        sub_ast.get("desc") or []):
+            if not (isinstance(e, tuple) and e[0] == "col"
+                    and e[1] in inner_names):
+                raise ValueError(
+                    "LATERAL ORDER BY must name plain inner columns")
+            okeys.append((e[1], bool(d)))
+        if any(n is not None for n in (sub_ast.get("nulls") or [])):
+            raise ValueError("LATERAL NULLS FIRST/LAST is unsupported")
+        ds_i = _per_key_topn(ds_i, [ic for _, ic in corr], okeys, limit)
+    elif limit is not None or sub_ast.get("order"):
+        raise ValueError(
+            "uncorrelated LATERAL with ORDER BY/LIMIT: use a plain "
+            "derived table instead")
+    lcols = [oc for oc, _ in corr]
+    hidden: list = []
+    if sel["items"] is None:
+        rcols = [ic for _, ic in corr]
+        return ds_i, lcols, rcols, hidden
+    proj = {}
+    out_names = {}
+    for idx, (e, name) in enumerate(sel["items"]):
+        nm = name or _expr_name(e, idx)
+        icc: set = set()
+        _collect_cols(e, icc)
+        outer_refs = sorted(icc - inner_names)
+        if outer_refs:
+            raise ValueError(
+                f"LATERAL SELECT list references outer column(s) "
+                f"{outer_refs}: project them in the outer query "
+                "instead")
+        proj[nm] = _compile_expr(e)
+        if (isinstance(e, tuple) and e[0] == "col"):
+            out_names.setdefault(e[1], nm)
+    rcols = []
+    for i, (_, ic) in enumerate(corr):
+        if out_names.get(ic) == ic:
+            rcols.append(ic)
+        else:
+            h = f"__lat{i}"
+            proj[h] = col(ic)
+            rcols.append(h)
+            hidden.append(h)
+    return Query(ds_i).select(**proj).run(), lcols, rcols, hidden
+
+
 def _split_correlation(sub_sel, tables, kind: str):
     """Classify a subquery's WHERE conjuncts into inner-only filters and
     (inner_col, outer_col) correlation equalities.  Standard SQL
@@ -3639,8 +3796,11 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
             sel = dict(sel, join=(sel["join"] or []) + pending_sc)
         if sel["join"] is not None:
             joins = sel["join"]
+            has_lateral = any(
+                isinstance(j[0], tuple) and len(j[0]) == 3
+                and j[0][0] == "lateral" for j in joins)
             needed = None
-            if sel["items"] is not None:
+            if sel["items"] is not None and not has_lateral:
                 # projection pushdown: only referenced columns (+ every
                 # join key) enter the join exchanges
                 needed = set()
@@ -3682,8 +3842,19 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
                 # decorrelated-scalar-subquery joins
                 derived_rhs = (isinstance(jt, tuple) and len(jt) == 3
                                and jt[0] == "derived")
+                lateral_rhs = (isinstance(jt, tuple) and len(jt) == 3
+                               and jt[0] == "lateral")
                 inline_rhs = not isinstance(jt, str)
-                if derived_rhs:
+                lat_hidden: list = []
+                if lateral_rhs:
+                    rhs, lcols, rcols, lat_hidden = _exec_lateral(
+                        jt[1], tables, broadcast_threshold)
+                    if lcols and how == "cross":
+                        # a correlated LATERAL under CROSS JOIN is a
+                        # keyed join (each outer row matches only its
+                        # own key's subquery rows)
+                        how = "inner"
+                elif derived_rhs:
                     rhs = _exec_ast(jt[1], tables, broadcast_threshold)
                 else:
                     rhs = jt if inline_rhs else tables[jt]
@@ -3691,6 +3862,18 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
                 # written join-side-first (ON g = k with g only in rhs)
                 l_have = set(ds.schema().names)
                 r_have = set(rhs.schema().names)
+                if lateral_rhs:
+                    missing = [c for c in lcols if c not in l_have]
+                    if missing:
+                        raise ValueError(
+                            f"LATERAL correlation column(s) {missing} "
+                            "not found in the outer row")
+                    dup = sorted((r_have - set(rcols)) & l_have)
+                    if dup:
+                        raise ValueError(
+                            f"LATERAL output column(s) {dup} collide "
+                            "with outer columns: alias them in the "
+                            "subquery's SELECT list")
                 for pi in range(len(lcols)):
                     lc, rc = lcols[pi], rcols[pi]
                     if (lc not in l_have and lc in r_have
@@ -3720,7 +3903,7 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
                             "both join sides and qualifiers collapse "
                             "at parse time — alias one side's column "
                             "to a distinct name first")
-                if needed is not None:
+                if needed is not None and not lateral_rhs:
                     rhs = rhs.select_columns(
                         [c for c in rhs.schema().names if c in needed])
                 # predicate pushdown: WHERE conjuncts whose columns live
@@ -3793,6 +3976,8 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
                     # for INNER/CROSS semantics)
                     ds = Query(ds).where(
                         _compile_expr(theta_resid)).run()
+                if lateral_rhs and lat_hidden:
+                    ds = ds.drop_columns(lat_hidden)
             if pending_sc and sel["items"] is None:
                 # SELECT *: synthetic semi-join / decorrelation columns
                 # must not surface in the star expansion.  They are

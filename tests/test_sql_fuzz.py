@@ -718,3 +718,23 @@ def test_fuzz_window_peers(ray_session, fn, key, dr, part):
     sql = (f"SELECT k, CAST({fn} OVER ({part}ORDER BY {key} {dr}) "
            f"AS DOUBLE) AS w FROM t ORDER BY k")
     _run_both2(ray_session, sql)
+
+
+@settings(max_examples=40, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(how=st.sampled_from(["JOIN", "LEFT JOIN", "CROSS JOIN"]),
+       d=st.booleans(), n=st.integers(1, 3),
+       iw=st.sampled_from(["", "AND v % 2 = 0", "AND v > 30"]),
+       w=bool_expr(1))
+def test_fuzz_lateral(ray_session, how, d, n, iw, w):
+    """Correlated LATERAL top-n: nullable duplicated correlation key
+    (NULL never matches), inner-local filters, ASC/DESC limits, every
+    join flavor; ties in the order key are value-identical rows so
+    either pick canonicalizes equally."""
+    on = "" if how == "CROSS JOIN" else " ON TRUE"
+    sql = (f"SELECT k, i, v FROM t {how} LATERAL ("
+           f"SELECT v FROM u WHERE m = j {iw} "
+           f"ORDER BY v {'DESC' if d else 'ASC'} LIMIT {n}) x{on} "
+           f"WHERE {w}")
+    _run_both2(ray_session, sql)

@@ -1630,3 +1630,58 @@ def test_order_by_unprojected_column(ray_session):
             wa = want[c].where(want[c].notna(), None).tolist()
             assert ga == wa, (sql, c)
         assert list(got.columns) == list(want.columns), sql
+
+
+LATERAL_CASES = [
+    # inner top-n per outer row (duplicated outer keys share the key's
+    # subquery result under pure-equality correlation)
+    "SELECT g, label, k, v FROM t2 JOIN LATERAL ("
+    "SELECT k, v FROM t1 WHERE s = gkey ORDER BY v DESC, k LIMIT 2"
+    ") x ON TRUE",
+    # LEFT keeps outer rows with an empty subquery result
+    "SELECT g, label, k FROM t2 LEFT JOIN LATERAL ("
+    "SELECT k FROM t1 WHERE s = gkey AND v > 48 ORDER BY k LIMIT 1"
+    ") x ON TRUE",
+    # CROSS JOIN LATERAL == INNER when correlated
+    "SELECT h, tag, k FROM t3 CROSS JOIN LATERAL ("
+    "SELECT k FROM t1 WHERE s = hkey ORDER BY k LIMIT 3) x",
+    # projection expressions + alias; extra inner-local filter
+    "SELECT g, vv FROM t2 JOIN LATERAL ("
+    "SELECT v * 10 AS vv FROM t1 WHERE s = gkey AND k < 100 "
+    "ORDER BY v, k LIMIT 2) x ON TRUE",
+    # SELECT * subquery; correlation col rides through visibly
+    "SELECT g, k, v FROM t2 JOIN LATERAL ("
+    "SELECT * FROM t1 WHERE s = gkey ORDER BY v, k LIMIT 1) x ON TRUE",
+    # no LIMIT: plain correlated join
+    "SELECT h, k FROM t3 JOIN LATERAL ("
+    "SELECT k FROM t1 WHERE s = hkey AND v >= 0) x ON TRUE",
+]
+
+
+@pytest.mark.parametrize("sql", LATERAL_CASES)
+def test_lateral_matches_duckdb(ray_session, t1, t2, t3, sql):
+    _run_both(sql, None, {"t1": t1, "t2": t2, "t3": t3})
+
+
+def test_lateral_errors(ray_session, t1, t2):
+    import ray
+
+    tabs = {"t1": ray.data.from_arrow(t1), "t2": ray.data.from_arrow(t2)}
+    with pytest.raises(ValueError, match="ON TRUE"):
+        parse_sql("SELECT g FROM t2 JOIN LATERAL (SELECT k FROM t1 "
+                  "WHERE s = gkey) x ON g = k", tabs)
+    with pytest.raises(ValueError, match="self-correlation"):
+        parse_sql("SELECT g FROM t2 JOIN LATERAL (SELECT k AS kk "
+                  "FROM t1 WHERE k = k) x ON TRUE", tabs)
+    with pytest.raises(ValueError, match="outer column"):
+        parse_sql("SELECT g FROM t2 JOIN LATERAL (SELECT k, label "
+                  "FROM t1 WHERE s = gkey) x ON TRUE", tabs)
+    with pytest.raises(ValueError, match="collide"):
+        parse_sql("SELECT g FROM t2 JOIN LATERAL (SELECT k AS label "
+                  "FROM t1 WHERE s = gkey) x ON TRUE", tabs)
+    with pytest.raises(ValueError, match="not valid SQL"):
+        parse_sql("SELECT g FROM t2 RIGHT JOIN LATERAL (SELECT k "
+                  "FROM t1 WHERE s = gkey) x ON TRUE", tabs)
+    with pytest.raises(ValueError, match="derived table"):
+        parse_sql("SELECT g FROM t2 CROSS JOIN LATERAL (SELECT k "
+                  "FROM t1 ORDER BY k LIMIT 2) x", tabs)
