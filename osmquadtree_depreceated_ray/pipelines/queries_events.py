@@ -1001,3 +1001,70 @@ def sql_transitions() -> str:
 
 QUERIES["transitions"] = q_transitions
 ORACLES["transitions"] = sql_transitions()
+
+
+# ------------------------------------------------ interval merge
+#
+# Overlap-based interval stitching (the complement of gap-based
+# sessionize): each event carries a deterministic duration
+# (60s * (1 + event_id % 30)); per user, overlapping-or-touching
+# [ts, ts + dur) intervals merge into maximal covered spans.  The
+# classic sweep: sort by start, a new span begins where start exceeds
+# the running max of prior ends — vectorized as a per-user shifted
+# cummax inside one user-keyed exchange bucket.  All timestamps are
+# epoch-microsecond int64 end to end (cross-engine exactness).
+
+IVM_DUR_US = 60_000_000  # one duration unit = 60 s in microseconds
+
+
+def q_interval_merge(sf_dir: str):
+    """(user_id, span_start, span_end, n_events) merged spans."""
+    import ray
+
+    from ..stages.shuffle import bucketed_apply
+
+    def spans(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        start = g["ts"].astype("datetime64[us]").astype("int64")
+        dur = (1 + g["event_id"].astype("int64") % 30) * IVM_DUR_US
+        end = start + dur
+        run_end = end.groupby(g["user_id"]).cummax()
+        prev_end = run_end.groupby(g["user_id"]).shift(1)
+        new = (start > prev_end).fillna(True).astype("int64")
+        sid = new.groupby(g["user_id"]).cumsum()
+        out = (pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(),
+            "sid": sid.to_numpy(),
+            "start": start.to_numpy(),
+            "end": end.to_numpy()})
+            .groupby(["user_id", "sid"], as_index=False)
+            .agg(span_start=("start", "min"), span_end=("end", "max"),
+                 n_events=("start", "size")))
+        return out.drop(columns=["sid"])
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"])
+    return bucketed_apply(ds, ["user_id"], spans)
+
+
+def sql_interval_merge() -> str:
+    return (
+        "WITH iv AS (SELECT user_id, epoch_us(ts) AS s, "
+        f"epoch_us(ts) + (1 + event_id % 30) * {IVM_DUR_US} AS e, "
+        "event_id FROM events), "
+        "m AS (SELECT user_id, s, e, "
+        "CASE WHEN MAX(e) OVER w IS NULL OR s > MAX(e) OVER w "
+        "THEN 1 ELSE 0 END AS brk FROM iv "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), "
+        "t AS (SELECT user_id, s, e, SUM(brk) OVER (PARTITION BY "
+        "user_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS sid "
+        "FROM m) "
+        "SELECT user_id, MIN(s) AS span_start, MAX(e) AS span_end, "
+        "CAST(COUNT(*) AS BIGINT) AS n_events "
+        "FROM t GROUP BY user_id, sid"
+    )
+
+
+QUERIES["interval_merge"] = q_interval_merge
+ORACLES["interval_merge"] = sql_interval_merge()
