@@ -1628,3 +1628,130 @@ def sql_anchor_agg() -> str:
 
 QUERIES["anchor_agg"] = q_anchor_agg
 ORACLES["anchor_agg"] = sql_anchor_agg()
+
+
+# ------------------------------------------------ random-walk sampling
+#
+# DeepWalk/node2vec-style walk corpus generation — the sampling
+# primitive behind graph embeddings.  Walks are DETERMINISTIC: from
+# node v at step t the walker moves to the neighbour u minimizing
+# md5_number_lower(v || ':' || t || ':' || u) (min-hash choice — an
+# unbiased pseudo-random pick both engines can replay exactly; ties
+# break by min u).  One scatter/gather exchange per step, O(frontier
+# edges) traffic: walk states route to the current node's home bucket,
+# join the LOCAL edge shard, argmin per walk, route to the next node's
+# bucket.  Dead-end walks (isolated seeds) simply stop.  Output is the
+# walk corpus (start, step, node), steps 0..WALK_STEPS.
+
+WALK_STEPS = 4
+WALK_SEED_MOD = 25
+
+
+def _rw_seed_impl(nodes):
+    v = nodes.column("node").to_numpy().astype(np.int64)
+    s = v[v % WALK_SEED_MOD == 0]
+    return pa.table({"start": pa.array(s), "cur": pa.array(s)})
+
+
+def _rw_step_impl(n, t, edges, walks):
+    """One walk step for one bucket: candidates = local edges from each
+    walk's cur node; pick the min-hash neighbour per walk; route the
+    advanced state to bucket(next).  Returns (out_rows, states x n)."""
+    src = edges.column("src").to_numpy().astype(np.int64)
+    dst = edges.column("dst").to_numpy().astype(np.int64)
+    start = walks.column("start").to_numpy().astype(np.int64)
+    cur = walks.column("cur").to_numpy().astype(np.int64)
+    e = pd.DataFrame({"cur": src, "nxt": dst})
+    w = pd.DataFrame({"start": start, "cur": cur})
+    cand = w.merge(e, on="cur", how="inner")
+    if len(cand):
+        key = (cand["cur"].astype(str) + ":" + str(t) + ":"
+               + cand["nxt"].astype(str))
+        codes, uniq = pd.factorize(key, sort=False)
+        from .queries_text import _md5_lower64
+
+        cand = cand.assign(h=_md5_lower64(list(uniq))[codes])
+        pick = (cand.sort_values(["start", "h", "nxt"], kind="stable")
+                .drop_duplicates("start"))
+    else:
+        pick = cand.assign(h=np.zeros(0, np.uint64))
+    out = pa.table({
+        "start": pa.array(pick["start"].to_numpy(np.int64)),
+        "step": pa.array(np.full(len(pick), t, np.int64)),
+        "node": pa.array(pick["nxt"].to_numpy(np.int64))})
+    nxt = pick["nxt"].to_numpy(np.int64)
+    st = pick["start"].to_numpy(np.int64)
+    bk = _pr_route(nxt, n)
+    return (out,) + tuple(
+        pa.table({"start": pa.array(st[bk == i]),
+                  "cur": pa.array(nxt[bk == i])}) for i in range(n))
+
+
+def q_random_walks(sf_dir: str):
+    """Deterministic min-hash walk corpus: (start, step, node)."""
+    import ray
+    import ray.data
+
+    n, nodes, edges = _graph_shards(sf_dir)
+    for key, f in (("rw_seed", _rw_seed_impl),
+                   ("rw_step", _rw_step_impl),
+                   ("rw_seed_out", lambda w: pa.table({
+                       "start": w.column("start"),
+                       "step": pa.array(
+                           np.zeros(w.num_rows, np.int64)),
+                       "node": w.column("cur")}))):
+        if key not in _PR_FNS:
+            _PR_FNS[key] = ray.remote(f)
+    if edges is None:
+        return ray.data.from_arrow(pa.table({
+            "start": pa.array([], pa.int64()),
+            "step": pa.array([], pa.int64()),
+            "node": pa.array([], pa.int64())}))
+    walks = [_PR_FNS["rw_seed"].remote(nodes[b]) for b in range(n)]
+    outs = [_PR_FNS["rw_seed_out"].remote(walks[b]) for b in range(n)]
+    for t in range(1, WALK_STEPS + 1):
+        stepped = [_PR_FNS["rw_step"].options(num_returns=n + 1).remote(
+            n, t, edges[b], walks[b]) for b in range(n)]
+        outs.extend(stepped[b][0] for b in range(n))
+        walks = [_PR_FNS["concat"].remote(
+            *[stepped[s][1 + b] for s in range(n)]) for b in range(n)]
+    return ray.data.from_arrow_refs(outs)
+
+
+def sql_random_walks() -> str:
+    js = ", ".join(f"({j})" for j in range(PR_LINKS))
+    parts = [
+        "WITH m AS (SELECT CAST(MAX(doc_id)+1 AS BIGINT) AS md "
+        "FROM documents)",
+        f"cand AS (SELECT dd.doc_id AS src, "
+        f"(dd.doc_id*{_A} + j.j*{_B} + {_C}) % m.md AS dst "
+        f"FROM documents dd CROSS JOIN m CROSS JOIN (VALUES {js}) j(j))",
+        "e0 AS (SELECT DISTINCT c.src, c.dst FROM cand c "
+        "JOIN documents t ON t.doc_id = c.dst WHERE c.dst <> c.src)",
+        "u AS (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM e0)",
+        "e AS (SELECT a AS s, b AS d FROM u "
+        "UNION ALL SELECT b, a FROM u)",
+        "w0 AS (SELECT doc_id AS start, CAST(doc_id AS BIGINT) AS cur "
+        f"FROM documents WHERE doc_id % {WALK_SEED_MOD} = 0)",
+    ]
+    for t in range(1, WALK_STEPS + 1):
+        p = t - 1
+        parts.append(
+            f"c{t} AS (SELECT w.start, e.d AS nxt, md5_number_lower("
+            f"CAST(w.cur AS VARCHAR) || ':{t}:' || "
+            f"CAST(e.d AS VARCHAR)) AS h "
+            f"FROM w{p} w JOIN e ON e.s = w.cur)")
+        parts.append(
+            f"w{t} AS (SELECT start, nxt AS cur FROM (SELECT start, "
+            f"nxt, ROW_NUMBER() OVER (PARTITION BY start "
+            f"ORDER BY h, nxt) AS rn FROM c{t}) WHERE rn = 1)")
+    steps = ["SELECT start, 0 AS step, cur AS node FROM w0"] + [
+        f"SELECT start, {t} AS step, cur AS node FROM w{t}"
+        for t in range(1, WALK_STEPS + 1)]
+    return (", ".join(parts) + " SELECT start, CAST(step AS BIGINT) "
+            "AS step, node FROM (" + " UNION ALL ".join(steps) + ")")
+
+
+QUERIES["random_walks"] = q_random_walks
+ORACLES["random_walks"] = sql_random_walks()

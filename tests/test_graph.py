@@ -506,3 +506,51 @@ def test_anchor_agg_matches_pandas(ray_session):
     assert got["n_inlinks"].tolist() == tot["n_inlinks"].tolist()
     assert got["n_anchors"].tolist() == tot["n_anchors"].tolist()
     assert got["top_anchor"].tolist() == top.tolist()
+
+
+def test_random_walks_matches_dense(ray_session):
+    """Distributed min-hash walks vs a per-walk Python replay on the
+    sf0.001 graph (pins the hash-choice + tie rule + dead-end stop)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from osmquadtree_depreceated_ray.pipelines.queries_graph import (
+        WALK_SEED_MOD,
+        WALK_STEPS,
+        q_random_walks,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ids = np.sort(pq.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id"])
+        .column("doc_id").to_numpy().astype(np.int64))
+    mod = ids.max() + 1
+    idset = set(ids.tolist())
+    nbrs = {v: set() for v in ids.tolist()}
+    for s in ids.tolist():
+        for j in range(PR_LINKS):
+            d = (s * _A + j * _B + _C) % mod
+            if d != s and d in idset:
+                nbrs[s].add(d)
+                nbrs[d].add(s)
+
+    def h(cur, t, nxt):
+        return int.from_bytes(
+            hashlib.md5(f"{cur}:{t}:{nxt}".encode()).digest()[8:16],
+            "little")
+
+    exp = []
+    for start in ids.tolist():
+        if start % WALK_SEED_MOD:
+            continue
+        cur = start
+        exp.append((start, 0, cur))
+        for t in range(1, WALK_STEPS + 1):
+            if not nbrs[cur]:
+                break
+            cur = min(nbrs[cur], key=lambda u: (h(cur, t, u), u))
+            exp.append((start, t, cur))
+    got = (q_random_walks(sf).to_pandas()
+           .sort_values(["start", "step"]).reset_index(drop=True))
+    assert list(map(tuple, got.to_numpy())) == sorted(exp)
