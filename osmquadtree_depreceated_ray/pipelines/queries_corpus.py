@@ -774,3 +774,164 @@ def sql_bpe_encode() -> str:
 
 QUERIES["bpe_encode"] = q_bpe_encode
 ORACLES["bpe_encode"] = sql_bpe_encode()
+
+
+# ---------------------------------------------- 7. BM25 ranked retrieval
+#
+# The retrieval step a search/eval pipeline runs over the inverted
+# index: score every document against a fixed query-term set with
+# Okapi BM25 (Robertson & Sparck Jones probabilistic relevance
+# framework; k1 = 1.2, b = 0.75).  Two determinism divergences from
+# the textbook form, both monotone and both in this repo's established
+# style:
+#   * the idf factor is the LINEAR rational (2N - 2df + 1)/(2df + 1)
+#     instead of its log (same count pair; same call as dsir_weights'
+#     linear likelihood ratio and the collocations PMI rational);
+#   * per-(doc, term) contributions are floor-quantized to
+#     BM25_SCALE before the per-doc sum, so the summed score is an
+#     EXACT integer (floats only appear in the final score_i / SCALE
+#     display division, identical in both engines).
+# With k1 = 6/5 and b = 3/4, multiplying the tf saturation term
+# through by 10L (L = total corpus tokens, N = docs, dl = doc length)
+# gives an all-integer contribution:
+#
+#   contrib = SCALE * 22*L*tf * (2N - 2df + 1)
+#             // ((10*L*tf + 3*L + 9*dl*N) * (2df + 1))
+#
+# Shape: pass 1 is ONE map-side-combined exchange producing the tiny
+# (term, df) table plus the (N, L) totals (a doc lives entirely in one
+# batch row, so per-batch distinct (doc, term) pairs are globally
+# distinct — the postings argument); the driver holds O(|terms|)
+# state.  Pass 2 rescans with the terms broadcast and scores each
+# batch vectorized; the numerator product exceeds int64 at planet
+# scale, so the final contrib arithmetic over the matched
+# (doc, term) rows — O(docs x |terms|), tiny next to tokenization —
+# runs in exact Python ints (the regress_corr "Python-int finish").
+
+BM25_TERMS = ("spark", "stream", "dup", "vector", "slow")
+BM25_SCALE = 100_000
+
+
+def _bm25_contribs(tf, df, dl, n_docs: int, n_tok: int) -> np.ndarray:
+    """Exact integer BM25 contributions (object ndarray of Python
+    ints) for parallel tf/df/dl arrays."""
+    out = np.empty(len(tf), dtype=object)
+    for i, (t, d, ln) in enumerate(zip(tf.tolist(), df.tolist(),
+                                       dl.tolist())):
+        num = BM25_SCALE * 22 * n_tok * t * (2 * n_docs - 2 * d + 1)
+        den = (10 * n_tok * t + 3 * n_tok + 9 * ln * n_docs) * (2 * d + 1)
+        out[i] = num // den
+    return out
+
+
+def q_bm25(sf_dir: str):
+    """BM25-scored retrieval: (doc_id, n_match, score_i, score) for
+    every document containing at least one BM25_TERMS term;
+    score_i is the exact integer sum of floor-quantized per-term
+    contributions, score = score_i / BM25_SCALE."""
+    import ray
+
+    from ..stages.shuffle import grouped_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    terms = np.asarray(BM25_TERMS, dtype=object)
+
+    def partials(b: pa.Table) -> pa.Table:
+        doc, words = _explode_words(b)
+        m = np.isin(words, terms)
+        pairs = (pd.DataFrame({"term": words[m], "doc": doc[m]})
+                 .drop_duplicates())
+        if len(pairs):
+            t, dfc = np.unique(pairs["term"].to_numpy(), return_counts=True)
+        else:
+            t, dfc = np.asarray([], dtype=object), np.asarray([], np.int64)
+        return pa.table({
+            "term": pa.array(["\x00totals"] + list(t), pa.string()),
+            "df": pa.array(np.concatenate([[0], dfc]).astype(np.int64)),
+            "n": pa.array(np.concatenate(
+                [[b.num_rows], np.zeros(len(t))]).astype(np.int64)),
+            "l": pa.array(np.concatenate(
+                [[len(words)], np.zeros(len(t))]).astype(np.int64)),
+        })
+
+    stats = grouped_agg(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["term"], {"df": ("df", "sum"), "n": ("n", "sum"),
+                   "l": ("l", "sum")},
+    ).to_pandas()  # O(|terms| + 1) rows
+    tot = stats[stats["term"] == "\x00totals"]
+    n_docs = int(tot["n"].iloc[0])
+    n_tok = int(tot["l"].iloc[0])
+    per_term = stats[stats["term"] != "\x00totals"]
+    df_terms = per_term["term"].to_numpy()
+    df_order = np.argsort(df_terms, kind="stable")
+    df_sorted_terms = df_terms[df_order]
+    df_sorted = per_term["df"].to_numpy(np.int64)[df_order]
+
+    def probe(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_match": pa.array([], pa.int64()),
+                          "score_i": pa.array([], pa.int64()),
+                          "score": pa.array([], pa.float64())})
+        doc, words = _explode_words(b)
+        if not len(words):
+            return empty
+        ids = b.column("doc_id").to_numpy()
+        dl_per_doc = pd.Series(doc).groupby(doc, sort=False).size()
+        m = np.isin(words, terms)
+        if not m.any():
+            return empty
+        tf_tab = (pd.DataFrame({"doc": doc[m], "term": words[m]})
+                  .groupby(["doc", "term"], sort=False).size()
+                  .reset_index(name="tf"))
+        dfl = df_sorted[np.searchsorted(
+            df_sorted_terms, tf_tab["term"].to_numpy())]
+        dll = dl_per_doc.loc[tf_tab["doc"]].to_numpy(np.int64)
+        contrib = _bm25_contribs(
+            tf_tab["tf"].to_numpy(np.int64), dfl, dll, n_docs, n_tok)
+        per = pd.DataFrame({"doc_id": tf_tab["doc"].to_numpy(np.int64),
+                            "c": contrib})
+        out = per.groupby("doc_id", sort=False).agg(
+            n_match=("c", "size"), score_i=("c", "sum")).reset_index()
+        score_i = np.asarray([int(v) for v in out["score_i"]], np.int64)
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
+            "n_match": pa.array(out["n_match"].to_numpy(np.int64)),
+            "score_i": pa.array(score_i),
+            "score": pa.array(score_i / float(BM25_SCALE)),
+        })
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def sql_bm25() -> str:
+    vals = ", ".join(f"('{t}')" for t in BM25_TERMS)
+    s = BM25_SCALE
+    return (
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws "
+        "FROM documents), "
+        "dl AS (SELECT doc_id, len(ws) AS dl FROM w), "
+        "tok AS (SELECT doc_id, unnest(ws) AS word FROM w), "
+        "tot AS (SELECT (SELECT COUNT(*) FROM documents) AS n, "
+        "(SELECT COUNT(*) FROM tok) AS l), "
+        f"qt AS (SELECT * FROM (VALUES {vals}) AS q(term)), "
+        "df AS (SELECT word AS term, COUNT(DISTINCT tok.doc_id) AS df "
+        "FROM tok JOIN qt ON tok.word = qt.term GROUP BY word), "
+        "tf AS (SELECT doc_id, word AS term, COUNT(*) AS tf "
+        "FROM tok JOIN qt ON tok.word = qt.term GROUP BY doc_id, word), "
+        f"c AS (SELECT tf.doc_id, CAST({s} AS HUGEINT) * 22 * tot.l "
+        "* tf.tf * (2*tot.n - 2*df.df + 1) // "
+        "((CAST(10 AS HUGEINT)*tot.l*tf.tf + 3*tot.l + 9*dl.dl*tot.n) "
+        "* (2*df.df + 1)) AS contrib "
+        "FROM tf JOIN df USING (term) "
+        "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN tot) "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_match, "
+        "CAST(SUM(contrib) AS BIGINT) AS score_i, "
+        f"CAST(CAST(SUM(contrib) AS BIGINT) AS DOUBLE) / {s} AS score "
+        "FROM c GROUP BY doc_id"
+    )
+
+
+QUERIES["bm25"] = q_bm25
+ORACLES["bm25"] = sql_bm25()

@@ -287,3 +287,42 @@ def test_bpe_encode_overlap_and_multichar(ray_session):
         qc.BPE_ENCODE_MERGES = old
     for w, g in zip(words, got):
         assert g == " ".join(_ref_bpe_word(w, merges)), (w, g)
+
+
+def test_bm25_vs_bruteforce(ray_session, docs):
+    from osmquadtree_depreceated_ray.pipelines.queries_corpus import (
+        BM25_SCALE, BM25_TERMS, q_bm25,
+    )
+
+    got = (q_bm25(SF).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    toks = {r.doc_id: r.text.split(" ") for r in docs.itertuples()}
+    n_docs = len(docs)
+    n_tok = sum(len(v) for v in toks.values())
+    df = {t: sum(t in set(v) for v in toks.values()) for t in BM25_TERMS}
+
+    exp = {}
+    for d, ws in toks.items():
+        dl = len(ws)
+        s, nm = 0, 0
+        for t in BM25_TERMS:
+            tf = ws.count(t)
+            if not tf:
+                continue
+            nm += 1
+            num = BM25_SCALE * 22 * n_tok * tf * (2 * n_docs - 2 * df[t] + 1)
+            den = ((10 * n_tok * tf + 3 * n_tok + 9 * dl * n_docs)
+                   * (2 * df[t] + 1))
+            s += num // den
+        if nm:
+            exp[d] = (nm, s)
+
+    assert len(got) == len(exp)
+    for r in got.itertuples():
+        nm, s = exp[r.doc_id]
+        assert (r.n_match, r.score_i) == (nm, s)
+        assert r.score == s / BM25_SCALE
+    # saturation sanity: scores are positive and bounded by
+    # sum of idf ratios * (k1+1)
+    assert (got["score_i"] > 0).all()
