@@ -1755,3 +1755,176 @@ def sql_random_walks() -> str:
 
 QUERIES["random_walks"] = q_random_walks
 ORACLES["random_walks"] = sql_random_walks()
+
+
+# ------------------------- weighted SSSP (frontier-relaxed Bellman-Ford)
+#
+# Weighted shortest-path distance from the nearest seed page over the
+# undirected link graph — the weighted generalization of ``bfs_dist``
+# (hop counts become integer edge costs; think crawl-latency or
+# link-trust costs).  Each undirected edge {a, b} (a < b) carries the
+# deterministic integer weight ``1 + (a*31 + b*17) % SSSP_WMOD`` so the
+# whole computation is int64-exact.  ``SSSP_ROUNDS`` synchronous
+# Bellman-Ford rounds compute the exact minimum over all paths of at
+# most SSSP_ROUNDS edges (the bounded-round contract, same as
+# ``bfs_dist``/``label_prop``); unreached after that -> dist = -1.
+#
+# Distributed shape (delta-stepping's core optimization on the shared
+# scatter/gather exchange): each round scatters ONLY the frontier —
+# nodes whose distance IMPROVED last round — along local edge shards,
+# MAP-SIDE COMBINES candidate distances by dst (min per dst before
+# routing), and the gather keeps the elementwise min and recomputes
+# the improved mask.  Skipping non-improved nodes is lossless: a
+# node's previous relaxations used the same (unchanged) distance, and
+# min() accumulates.  Per-round traffic is O(frontier edges), state
+# is O(nodes/bucket), the driver holds only object refs.
+
+SSSP_ROUNDS = 4
+SSSP_SEED_MOD = 89        # seeds: doc_id % SSSP_SEED_MOD == 0
+SSSP_WMOD = 9             # edge weights 1..SSSP_WMOD
+SSSP_INF = np.int64(2) ** 62
+
+
+def _sssp_weight(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Deterministic undirected edge weight in 1..SSSP_WMOD (endpoint
+    order-free: keyed on (min, max))."""
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    return 1 + (lo * 31 + hi * 17) % SSSP_WMOD
+
+
+def _sssp_init_impl(nodes):
+    v = nodes.column("node").to_numpy().astype(np.int64)
+    seed = v % SSSP_SEED_MOD == 0
+    dist = np.where(seed, 0, SSSP_INF).astype(np.int64)
+    return pa.table({"v": pa.array(v), "dist": pa.array(dist),
+                     "live": pa.array(seed)})
+
+
+def _sssp_scatter_impl(n, edges, state):
+    """Relax this bucket's frontier (live) nodes along local edges:
+    candidate dist[src] + w(src, dst), min-combined per dst, routed to
+    the dst's home bucket."""
+    src = edges.column("src").to_numpy().astype(np.int64)
+    dst = edges.column("dst").to_numpy().astype(np.int64)
+    v = state.column("v").to_numpy().astype(np.int64)
+    dist = state.column("dist").to_numpy().astype(np.int64)
+    live = state.column("live").to_numpy()
+    order = np.argsort(v)
+    pos = np.searchsorted(v[order], src)
+    sdist = dist[order][pos]
+    slive = live[order][pos]
+    fire = slive
+    if not fire.any():
+        return tuple(pa.table({"dst": pa.array([], pa.int64()),
+                               "nd": pa.array([], pa.int64())})
+                     for _ in range(n))
+    d = dst[fire]
+    nd = sdist[fire] + _sssp_weight(src[fire], d)
+    comb = (pd.DataFrame({"dst": d, "nd": nd})
+            .groupby("dst", sort=False, as_index=False)["nd"].min())
+    bk = _pr_route(comb["dst"].to_numpy(), n)
+    return tuple(
+        pa.Table.from_pandas(comb[bk == i], preserve_index=False)
+        for i in range(n)
+    )
+
+
+def _sssp_gather_impl(state, *pieces):
+    v = state.column("v").to_numpy().astype(np.int64)
+    dist = state.column("dist").to_numpy().astype(np.int64)
+    inc = pa.concat_tables(
+        [p for p in pieces if p.num_rows], promote_options="default") \
+        if any(p.num_rows for p in pieces) else None
+    new = dist.copy()
+    if inc is not None:
+        comb = (inc.to_pandas()
+                .groupby("dst", sort=False, as_index=False)["nd"].min())
+        order = np.argsort(v)
+        sv = v[order]
+        cd = comb["dst"].to_numpy(np.int64)
+        pos = np.searchsorted(sv, cd)
+        # every routed dst exists in this bucket by construction
+        idx = order[pos]
+        np.minimum.at(new, idx, comb["nd"].to_numpy(np.int64))
+    return pa.table({"v": pa.array(v), "dist": pa.array(new),
+                     "live": pa.array(new < dist)})
+
+
+def _sssp_out_impl(state):
+    dist = state.column("dist").to_numpy().astype(np.int64)
+    return pa.table({
+        "doc_id": state.column("v"),
+        "dist": pa.array(np.where(dist >= SSSP_INF, -1, dist)),
+    })
+
+
+def q_sssp(sf_dir: str):
+    """(doc_id, dist): weighted shortest-path cost to the nearest seed
+    page (doc_id % SSSP_SEED_MOD == 0) over paths of at most
+    SSSP_ROUNDS edges, else -1."""
+    import ray
+    import ray.data
+
+    n, nodes, edges = _graph_shards(sf_dir)
+    for k, f in (("sssp_init", _sssp_init_impl),
+                 ("sssp_scatter", _sssp_scatter_impl),
+                 ("sssp_gather", _sssp_gather_impl),
+                 ("sssp_out", _sssp_out_impl)):
+        if k not in _PR_FNS:
+            _PR_FNS[k] = ray.remote(f)
+    if edges is None:
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "dist": pa.array([], pa.int64())}))
+    state = [_PR_FNS["sssp_init"].remote(nodes[b]) for b in range(n)]
+    for _ in range(SSSP_ROUNDS):
+        sc = [_PR_FNS["sssp_scatter"].options(num_returns=n).remote(
+            n, edges[b], state[b]) for b in range(n)]
+        state = [_PR_FNS["sssp_gather"].remote(
+            state[b], *[sc[s][b] if n > 1 else sc[s] for s in range(n)])
+            for b in range(n)]
+    out = [_PR_FNS["sssp_out"].remote(state[b]) for b in range(n)]
+    return ray.data.from_arrow_refs(out)
+
+
+def sql_sssp() -> str:
+    """Chained-CTE Bellman-Ford oracle: d0 = seeds at 0, each round
+    d_t = min(d_{t-1}, min over edges d_{t-1}[src] + w)."""
+    js = ", ".join(f"({j})" for j in range(PR_LINKS))
+    parts = [
+        "WITH m AS (SELECT CAST(MAX(doc_id)+1 AS BIGINT) AS md "
+        "FROM documents)",
+        f"cand AS (SELECT dd.doc_id AS src, "
+        f"(dd.doc_id*{_A} + j.j*{_B} + {_C}) % m.md AS dst "
+        f"FROM documents dd CROSS JOIN m CROSS JOIN (VALUES {js}) j(j))",
+        "e0 AS (SELECT DISTINCT c.src, c.dst FROM cand c "
+        "JOIN documents t ON t.doc_id = c.dst WHERE c.dst <> c.src)",
+        "u AS (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM e0)",
+        f"uw AS (SELECT a, b, 1 + (a*31 + b*17) % {SSSP_WMOD} AS w "
+        "FROM u)",
+        "e AS (SELECT a AS s, b AS d, w FROM uw "
+        "UNION ALL SELECT b, a, w FROM uw)",
+        "d0 AS (SELECT doc_id AS v, CASE WHEN doc_id % "
+        f"{SSSP_SEED_MOD} = 0 THEN 0 END AS dist FROM documents)",
+    ]
+    for t in range(1, SSSP_ROUNDS + 1):
+        p = t - 1
+        parts.append(
+            f"c{t} AS (SELECT e.d AS v, MIN(d{p}.dist + e.w) AS nd "
+            f"FROM e JOIN d{p} ON d{p}.v = e.s "
+            f"WHERE d{p}.dist IS NOT NULL GROUP BY 1)")
+        parts.append(
+            f"d{t} AS (SELECT d{p}.v, CASE "
+            f"WHEN d{p}.dist IS NULL THEN c{t}.nd "
+            f"WHEN c{t}.nd < d{p}.dist THEN c{t}.nd "
+            f"ELSE d{p}.dist END AS dist "
+            f"FROM d{p} LEFT JOIN c{t} ON c{t}.v = d{p}.v)")
+    return (", ".join(parts)
+            + " SELECT v AS doc_id, CAST(COALESCE(dist, -1) AS BIGINT) "
+              f"AS dist FROM d{SSSP_ROUNDS}")
+
+
+QUERIES["sssp"] = q_sssp
+ORACLES["sssp"] = sql_sssp()

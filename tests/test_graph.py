@@ -554,3 +554,59 @@ def test_random_walks_matches_dense(ray_session):
     got = (q_random_walks(sf).to_pandas()
            .sort_values(["start", "step"]).reset_index(drop=True))
     assert list(map(tuple, got.to_numpy())) == sorted(exp)
+
+
+def test_sssp_matches_dense(ray_session):
+    """Weighted frontier-relaxed SSSP vs a literal Python synchronous
+    Bellman-Ford on the sf0.001 synthesized graph."""
+    import pyarrow.parquet as pq
+
+    from osmquadtree_depreceated_ray.pipelines.queries_graph import (
+        SSSP_ROUNDS,
+        SSSP_SEED_MOD,
+        SSSP_WMOD,
+        q_sssp,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ids = np.sort(pq.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id"])
+        .column("doc_id").to_numpy().astype(np.int64))
+    mod = ids.max() + 1
+    idset = set(ids.tolist())
+    nbrs = {v: set() for v in ids.tolist()}
+    for s in ids.tolist():
+        for j in range(PR_LINKS):
+            d = (s * _A + j * _B + _C) % mod
+            if d != s and d in idset:
+                nbrs[s].add(d)
+                nbrs[d].add(s)
+
+    def w(a, b):
+        lo, hi = (a, b) if a < b else (b, a)
+        return 1 + (lo * 31 + hi * 17) % SSSP_WMOD
+
+    INF = float("inf")
+    dist = {v: (0 if v % SSSP_SEED_MOD == 0 else INF)
+            for v in ids.tolist()}
+    for _ in range(SSSP_ROUNDS):
+        prev = dict(dist)
+        for v in ids.tolist():
+            if prev[v] == INF:
+                continue
+            for u in nbrs[v]:
+                cand = prev[v] + w(v, u)
+                if cand < dist[u]:
+                    dist[u] = cand
+    got = (q_sssp(sf).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert (got["doc_id"].to_numpy() == ids).all()
+    exp = np.array([-1 if dist[v] == INF else dist[v]
+                    for v in ids.tolist()], np.int64)
+    assert (got["dist"].to_numpy() == exp).all()
+    # fixture is meaningful: seeds at 0 and genuinely weighted
+    # multi-hop costs (values exceed the round count, so these are
+    # edge-cost sums, not hop counts)
+    assert (exp == 0).any()
+    assert (exp > SSSP_ROUNDS).any()
+    assert len(np.unique(exp[exp > 0])) > 3
