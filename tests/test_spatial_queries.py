@@ -409,3 +409,58 @@ def test_hull_vertices_match_bruteforce():
             pts.append((xy[0], xy[1], i))
         pts.sort()
         assert _hull_vertex_ids(pts) == brute(pts), pts
+
+
+def test_morans_i_vs_brute_force(ray_session):
+    """Moran's I partial-sums exchange vs a dense all-cell-pairs
+    computation in exact Fractions (z=MORANS_Z: finer grids are
+    degenerate — every occupied cell holds exactly one point, so the
+    count variance is zero and I is undefined)."""
+    from fractions import Fraction
+
+    from osmquadtree_depreceated_ray.functions.quadtree import (
+        calculate_point,
+        qt_round,
+        qt_tuple,
+    )
+    from osmquadtree_depreceated_ray.pipelines.queries_spatial import (
+        MORANS_QUANT,
+        MORANS_Z,
+        q_morans_i,
+    )
+    from osmquadtree_depreceated_ray.stages.assign import (
+        QT_BUFFER,
+        QT_MAX_LEVEL,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    ids = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"]
+                        ).column("doc_id").to_numpy()
+    lon, lat = derive.derive_lonlat(ids)
+    qt = calculate_point(lon, lat, QT_BUFFER, QT_MAX_LEVEL)
+    zx, zy, _ = qt_tuple(qt_round(qt, MORANS_Z))
+    cells = (pd.DataFrame({"x": zx, "y": zy})
+             .groupby(["x", "y"]).size().reset_index(name="n"))
+    xs = cells["x"].to_numpy()
+    ys = cells["y"].to_numpy()
+    ns = cells["n"].to_numpy(np.int64)
+    nc = len(cells)
+    xbar = Fraction(int(ns.sum()), nc)
+    adj = (np.abs(xs[:, None] - xs[None, :])
+           + np.abs(ys[:, None] - ys[None, :])) == 1
+    ia, ib = np.where(adj)          # directed pairs, both ways
+    w = len(ia)
+    num = sum((Fraction(int(ns[i])) - xbar)
+              * (Fraction(int(ns[j])) - xbar)
+              for i, j in zip(ia.tolist(), ib.tolist()))
+    den = sum((Fraction(int(v)) - xbar) ** 2 for v in ns.tolist())
+    exp_i = Fraction(nc, w) * num / den
+    # the engine emits floor(I*Q + 1/2) — round-half-down to floor
+    exp_q = (exp_i * MORANS_QUANT + Fraction(1, 2)).__floor__()
+    got = q_morans_i(sf).to_pandas()
+    assert len(got) == 1
+    assert int(got["n_cells"].iloc[0]) == nc
+    assert int(got["w_pairs"].iloc[0]) * 2 == w
+    assert int(got["morans_q12"].iloc[0]) == exp_q
+    # the multiplicative scatter is spatially DISPERSED: I decisively < 0
+    assert exp_q < -(10 ** 11)
