@@ -1226,9 +1226,12 @@ MORANS_QUANT = 10 ** 12
 MORANS_Z = 4
 
 
-def q_morans_i(sf_dir: str):
-    """One row: (n_cells, w_pairs, morans_q12) — Moran's I (x 1e12,
-    floored) of per-cell page counts under rook adjacency."""
+def _autocorr_partials(sf_dir: str) -> dict:
+    """Shared distributed scaffolding for the global spatial-
+    autocorrelation family (Moran's I / Geary's C / General G): the
+    z=MORANS_Z cell aggregation, then the anchor-cell exchange that
+    materializes every unordered rook-adjacent pair exactly once.
+    Returns the seven exact-integer scalar partials."""
     import ray
 
     from ..functions.quadtree import calculate_point, qt_round, qt_tuple
@@ -1283,36 +1286,47 @@ def q_morans_i(sf_dir: str):
             "np_": [np.int64(len(m))],
             "sxx": [(na * nb).sum()],
             "sxy": [(na + nb).sum()],
+            "ssd": [((na - nb) ** 2).sum()],
         })
 
     parts = bucketed_apply(
         cells.map_batches(fan, batch_format="pyarrow"),
         ["kx", "ky"], bucket_partials).to_pandas()
-    nc = int(parts["nc"].sum())
-    s1 = int(parts["s1"].sum())
-    s2 = int(parts["s2"].sum())
-    npair = int(parts["np_"].sum())
-    sxx = int(parts["sxx"].sum())
-    sxy = int(parts["sxy"].sum())
-    a = nc * nc * sxx - nc * s1 * sxy + s1 * s1 * npair
-    bb = nc * s2 - s1 * s1
-    d = 2 * npair * bb
-    q = ((2 * a * MORANS_QUANT + npair * bb) // d) if d else None
+    return {k: int(parts[c].sum()) for k, c in [
+        ("nc", "nc"), ("s1", "s1"), ("s2", "s2"), ("npair", "np_"),
+        ("sxx", "sxx"), ("sxy", "sxy"), ("ssd", "ssd")]}
+
+
+def _autocorr_result(nc: int, npair: int, col: str, q) -> "ray.data.Dataset":
     import ray.data
 
     return ray.data.from_arrow(pa.table({
         "n_cells": pa.array([nc], pa.int64()),
         "w_pairs": pa.array([npair], pa.int64()),
-        "morans_q12": pa.array([q], pa.int64()),
+        col: pa.array([q], pa.int64()),
     }))
 
 
-def sql_morans_i() -> str:
+def q_morans_i(sf_dir: str):
+    """One row: (n_cells, w_pairs, morans_q12) — Moran's I (x 1e12,
+    floored) of per-cell page counts under rook adjacency."""
+    t = _autocorr_partials(sf_dir)
+    nc, s1, s2 = t["nc"], t["s1"], t["s2"]
+    npair, sxx, sxy = t["npair"], t["sxx"], t["sxy"]
+    a = nc * nc * sxx - nc * s1 * sxy + s1 * s1 * npair
+    bb = nc * s2 - s1 * s1
+    d = 2 * npair * bb
+    q = ((2 * a * MORANS_QUANT + npair * bb) // d) if d else None
+    return _autocorr_result(nc, npair, "morans_q12", q)
+
+
+def _autocorr_sql_prefix() -> str:
+    """WITH-clause prefix shared by the autocorrelation oracles: the
+    z=MORANS_Z cell counts, global moments, and unordered rook pairs."""
     kx, ky = derive.sql_cells_expr("doc_id")
     shift = 18 - MORANS_Z
     x = f"({kx} >> {shift})"
     y = f"((262143 - {ky}) >> {shift})"
-    qv = MORANS_QUANT
     return (
         f"WITH cells AS (SELECT {x} AS x, {y} AS y, "
         "CAST(COUNT(*) AS HUGEINT) AS n FROM documents GROUP BY 1, 2), "
@@ -1323,17 +1337,102 @@ def sql_morans_i() -> str:
         "OR (b.x = a.x AND b.y = a.y + 1)), "
         "p AS (SELECT CAST(COUNT(*) AS HUGEINT) AS np, "
         "COALESCE(SUM(na*nb), 0) AS sxx, "
-        "COALESCE(SUM(na+nb), 0) AS sxy FROM pairs), "
-        "f AS (SELECT CAST(nc AS BIGINT) AS n_cells, "
+        "COALESCE(SUM(na+nb), 0) AS sxy, "
+        "COALESCE(SUM((na-nb)*(na-nb)), 0) AS ssd FROM pairs) "
+    )
+
+
+_AUTOCORR_SQL_TAIL = (
+    "SELECT n_cells, w_pairs, CASE WHEN fden = 0 THEN NULL ELSE "
+    "CAST((fnum - ((fnum % fden) + fden) % fden) // fden AS BIGINT) "
+    "END AS {col} FROM f"
+)
+
+
+def sql_morans_i() -> str:
+    qv = MORANS_QUANT
+    return (
+        _autocorr_sql_prefix()
+        + ", f AS (SELECT CAST(nc AS BIGINT) AS n_cells, "
         "CAST(np AS BIGINT) AS w_pairs, "
         f"2*(nc*nc*sxx - nc*s1*sxy + s1*s1*np)*{qv} + "
         "np*(nc*s2 - s1*s1) AS fnum, "
         "2*np*(nc*s2 - s1*s1) AS fden FROM tot, p) "
-        "SELECT n_cells, w_pairs, CASE WHEN fden = 0 THEN NULL ELSE "
-        "CAST((fnum - ((fnum % fden) + fden) % fden) // fden AS BIGINT) "
-        "END AS morans_q12 FROM f"
+        + _AUTOCORR_SQL_TAIL.format(col="morans_q12")
     )
 
 
 QUERIES["morans_i"] = q_morans_i
 ORACLES["morans_i"] = sql_morans_i
+
+
+# --------------------------------------------------------------------------
+# geary_c / getis_g — the companion global autocorrelation statistics
+# --------------------------------------------------------------------------
+#
+# Same partials exchange as morans_i.  Geary's C (dispersion-sensitive
+# local contrast; C > 1 = dispersed, < 1 = clustered):
+#
+#   C = (N-1) * sum_ij w_ij (x_i-x_j)^2 / (2W * sum_i (x_i-xbar)^2)
+#     = N*(N-1)*ssd / (2|P| * B),     B = N*S2 - S^2
+#
+# Getis-Ord General G (high-value concentration; no mean-centering):
+#
+#   G = sum_ij w_ij x_i x_j / sum_{i!=j} x_i x_j = 2*sxx / (S^2 - S2)
+#
+# Both emitted quantized at 1e12 with the same round-half-down-to-floor
+# contract as morans_q12, assembled on the driver in Python int.
+
+
+def q_geary_c(sf_dir: str):
+    """One row: (n_cells, w_pairs, geary_q12) — Geary's C (x 1e12,
+    floored) of per-cell page counts under rook adjacency."""
+    t = _autocorr_partials(sf_dir)
+    nc, s1, s2 = t["nc"], t["s1"], t["s2"]
+    npair, ssd = t["npair"], t["ssd"]
+    a = nc * (nc - 1) * ssd
+    d = 2 * (2 * npair * (nc * s2 - s1 * s1))
+    q = ((2 * a * MORANS_QUANT + d // 2) // d) if d else None
+    return _autocorr_result(nc, npair, "geary_q12", q)
+
+
+def sql_geary_c() -> str:
+    qv = MORANS_QUANT
+    return (
+        _autocorr_sql_prefix()
+        + ", f AS (SELECT CAST(nc AS BIGINT) AS n_cells, "
+        "CAST(np AS BIGINT) AS w_pairs, "
+        f"2*(nc*(nc-1)*ssd)*{qv} + 2*np*(nc*s2 - s1*s1) AS fnum, "
+        "4*np*(nc*s2 - s1*s1) AS fden FROM tot, p) "
+        + _AUTOCORR_SQL_TAIL.format(col="geary_q12")
+    )
+
+
+def q_getis_g(sf_dir: str):
+    """One row: (n_cells, w_pairs, getis_q12) — Getis-Ord General G
+    (x 1e12, floored) of per-cell page counts under rook adjacency."""
+    t = _autocorr_partials(sf_dir)
+    nc, s1, s2 = t["nc"], t["s1"], t["s2"]
+    npair, sxx = t["npair"], t["sxx"]
+    bb = s1 * s1 - s2
+    d = 2 * bb
+    q = ((2 * (2 * sxx) * MORANS_QUANT + bb) // d) if d else None
+    return _autocorr_result(nc, npair, "getis_q12", q)
+
+
+def sql_getis_g() -> str:
+    qv = MORANS_QUANT
+    return (
+        _autocorr_sql_prefix()
+        + ", f AS (SELECT CAST(nc AS BIGINT) AS n_cells, "
+        "CAST(np AS BIGINT) AS w_pairs, "
+        f"4*sxx*{qv} + (s1*s1 - s2) AS fnum, "
+        "2*(s1*s1 - s2) AS fden FROM tot, p) "
+        + _AUTOCORR_SQL_TAIL.format(col="getis_q12")
+    )
+
+
+QUERIES["geary_c"] = q_geary_c
+ORACLES["geary_c"] = sql_geary_c
+QUERIES["getis_g"] = q_getis_g
+ORACLES["getis_g"] = sql_getis_g

@@ -464,3 +464,81 @@ def test_morans_i_vs_brute_force(ray_session):
     assert int(got["morans_q12"].iloc[0]) == exp_q
     # the multiplicative scatter is spatially DISPERSED: I decisively < 0
     assert exp_q < -(10 ** 11)
+
+
+def _autocorr_brute(sf):
+    """Exact-Fraction cell grid + directed rook pairs at MORANS_Z."""
+    from osmquadtree_depreceated_ray.functions.quadtree import (
+        calculate_point,
+        qt_round,
+        qt_tuple,
+    )
+    from osmquadtree_depreceated_ray.pipelines.queries_spatial import MORANS_Z
+    from osmquadtree_depreceated_ray.stages.assign import (
+        QT_BUFFER,
+        QT_MAX_LEVEL,
+    )
+
+    ids = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"]
+                        ).column("doc_id").to_numpy()
+    lon, lat = derive.derive_lonlat(ids)
+    qt = calculate_point(lon, lat, QT_BUFFER, QT_MAX_LEVEL)
+    zx, zy, _ = qt_tuple(qt_round(qt, MORANS_Z))
+    cells = (pd.DataFrame({"x": zx, "y": zy})
+             .groupby(["x", "y"]).size().reset_index(name="n"))
+    xs = cells["x"].to_numpy()
+    ys = cells["y"].to_numpy()
+    ns = cells["n"].to_numpy(np.int64)
+    adj = (np.abs(xs[:, None] - xs[None, :])
+           + np.abs(ys[:, None] - ys[None, :])) == 1
+    ia, ib = np.where(adj)          # directed pairs, both ways
+    return ns, ia, ib
+
+
+def test_geary_c_vs_brute_force(ray_session):
+    from fractions import Fraction
+
+    from osmquadtree_depreceated_ray.pipelines.queries_spatial import (
+        MORANS_QUANT,
+        q_geary_c,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    ns, ia, ib = _autocorr_brute(sf)
+    nc, w = len(ns), len(ia)
+    xbar = Fraction(int(ns.sum()), nc)
+    num = sum((Fraction(int(ns[i])) - Fraction(int(ns[j]))) ** 2
+              for i, j in zip(ia.tolist(), ib.tolist()))
+    den = sum((Fraction(int(v)) - xbar) ** 2 for v in ns.tolist())
+    exp_c = Fraction(nc - 1, 2 * w) * num / den
+    exp_q = (exp_c * MORANS_QUANT + Fraction(1, 2)).__floor__()
+    got = q_geary_c(sf).to_pandas()
+    assert int(got["n_cells"].iloc[0]) == nc
+    assert int(got["w_pairs"].iloc[0]) * 2 == w
+    assert int(got["geary_q12"].iloc[0]) == exp_q
+    # dispersed scatter: C decisively above 1
+    assert exp_q > MORANS_QUANT + 10 ** 11
+
+
+def test_getis_g_vs_brute_force(ray_session):
+    from fractions import Fraction
+
+    from osmquadtree_depreceated_ray.pipelines.queries_spatial import (
+        MORANS_QUANT,
+        q_getis_g,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    ns, ia, ib = _autocorr_brute(sf)
+    nc, w = len(ns), len(ia)
+    num = sum(int(ns[i]) * int(ns[j])
+              for i, j in zip(ia.tolist(), ib.tolist()))
+    den = sum(int(ns[i]) * int(ns[j])
+              for i in range(nc) for j in range(nc) if i != j)
+    exp_g = Fraction(num, den)
+    exp_q = (exp_g * MORANS_QUANT + Fraction(1, 2)).__floor__()
+    got = q_getis_g(sf).to_pandas()
+    assert int(got["n_cells"].iloc[0]) == nc
+    assert int(got["w_pairs"].iloc[0]) * 2 == w
+    assert int(got["getis_q12"].iloc[0]) == exp_q
+    assert 0 < exp_q < MORANS_QUANT  # a proper fraction of total pair mass
