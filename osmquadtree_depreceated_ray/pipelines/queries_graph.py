@@ -1928,3 +1928,121 @@ def sql_sssp() -> str:
 
 QUERIES["sssp"] = q_sssp
 ORACLES["sssp"] = sql_sssp()
+
+
+# ------------------------------------- degree assortativity (out->in)
+#
+# Newman's degree assortativity over the DIRECTED link graph: the
+# Pearson correlation, across edges (u, v), of x = outdeg(u) with
+# y = indeg(v) — the one-scalar "do hubs link to hubs?" diagnostic of
+# web-graph structure (spam farms push it positive, broadcast hubs
+# negative).  Distributed shape reuses the PageRank init shards: the
+# src bucket owns every edge of its nodes so outdeg attaches locally
+# with zero routing, then ONE exchange wave routes (dst, x) rows to the
+# dst's home bucket where indeg is complete by construction; each
+# bucket emits six scalar int64 moment partials and the driver
+# combines them in Python int (the n*sxy - sx*sy combinations overflow
+# int64 long before the inputs do) with the repo's fixed-order float
+# finale — hash-exact vs the HUGEINT -> DOUBLE oracle.
+
+def _assort_attach_impl(n, edges):
+    """Attach x = outdeg(src) to this src bucket's edges and route
+    each (dst, x) row to bucket(dst)."""
+    e = edges.to_pandas()
+    if not len(e):
+        return tuple(pa.table({"dst": pa.array([], pa.int64()),
+                               "x": pa.array([], pa.int64())})
+                     for _ in range(n))
+    x = e.groupby("src", sort=False)["dst"].transform("size") \
+        .to_numpy(np.int64)
+    dst = e["dst"].to_numpy(np.int64)
+    bk = _pr_route(dst, n)
+    return tuple(pa.table({"dst": dst[bk == i], "x": x[bk == i]})
+                 for i in range(n))
+
+
+def _assort_moments_impl(*pieces):
+    """One row of six int64 moment partials for this dst bucket
+    (indeg is complete here: every edge into a local dst arrives)."""
+    t = pa.concat_tables(pieces, promote_options="default").to_pandas()
+    if not len(t):
+        return pa.table({c: pa.array([0], pa.int64()) for c in
+                         ("n", "sx", "sy", "sxy", "sxx", "syy")})
+    x = t["x"].to_numpy(np.int64)
+    y = t.groupby("dst", sort=False)["x"].transform("size") \
+        .to_numpy(np.int64)
+    return pa.table({
+        "n": pa.array([len(t)], pa.int64()),
+        "sx": pa.array([int(x.sum())], pa.int64()),
+        "sy": pa.array([int(y.sum())], pa.int64()),
+        "sxy": pa.array([int((x * y).sum())], pa.int64()),
+        "sxx": pa.array([int((x * x).sum())], pa.int64()),
+        "syy": pa.array([int((y * y).sum())], pa.int64()),
+    })
+
+
+def q_assortativity(sf_dir: str):
+    """One row: (n_edges, assort) — directed out->in degree
+    assortativity of the synthetic link graph."""
+    import math
+
+    import ray
+    import ray.data
+
+    n, _nodes, _stats, edges, _state = _directed_shards(sf_dir)
+    for k, f in (("assort_attach", _assort_attach_impl),
+                 ("assort_moments", _assort_moments_impl)):
+        if k not in _PR_FNS:
+            _PR_FNS[k] = ray.remote(f)
+    if edges is None:
+        return ray.data.from_arrow(pa.table({
+            "n_edges": pa.array([0], pa.int64()),
+            "assort": pa.array([None], pa.float64())}))
+    routed = [_PR_FNS["assort_attach"].options(num_returns=n).remote(
+        n, edges[b]) for b in range(n)]
+    parts = ray.get([_PR_FNS["assort_moments"].remote(
+        *[routed[s][b] if n > 1 else routed[s] for s in range(n)])
+        for b in range(n)])
+    tot = {c: sum(int(p.column(c)[0].as_py()) for p in parts)
+           for c in ("n", "sx", "sy", "sxy", "sxx", "syy")}
+    ne = tot["n"]
+    num = ne * tot["sxy"] - tot["sx"] * tot["sy"]
+    dx = ne * tot["sxx"] - tot["sx"] * tot["sx"]
+    dy = ne * tot["syy"] - tot["sy"] * tot["sy"]
+    r = float(num) / math.sqrt(float(dx * dy)) if dx and dy else None
+    return ray.data.from_arrow(pa.table({
+        "n_edges": pa.array([ne], pa.int64()),
+        "assort": pa.array([r], pa.float64())}))
+
+
+def sql_assortativity() -> str:
+    """Full-chain oracle: pagerank's synthesis/semi-join CTEs, then
+    out/in degree joins and the exact-HUGEINT moment finish."""
+    js = ", ".join(f"({j})" for j in range(PR_LINKS))
+    return (
+        "WITH m AS (SELECT CAST(MAX(doc_id)+1 AS BIGINT) AS md "
+        "FROM documents), "
+        f"cand AS (SELECT dd.doc_id AS src, "
+        f"(dd.doc_id*{_A} + j.j*{_B} + {_C}) % m.md AS dst "
+        f"FROM documents dd CROSS JOIN m CROSS JOIN (VALUES {js}) j(j)), "
+        "e AS (SELECT DISTINCT c.src, c.dst FROM cand c "
+        "JOIN documents t ON t.doc_id = c.dst WHERE c.dst <> c.src), "
+        "xo AS (SELECT src, CAST(COUNT(*) AS HUGEINT) AS c "
+        "FROM e GROUP BY src), "
+        "yi AS (SELECT dst, CAST(COUNT(*) AS HUGEINT) AS c "
+        "FROM e GROUP BY dst), "
+        "t AS (SELECT xo.c AS x, yi.c AS y FROM e "
+        "JOIN xo ON xo.src = e.src JOIN yi ON yi.dst = e.dst), "
+        "mm AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx, "
+        "SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx, "
+        "SUM(y*y) AS syy FROM t) "
+        "SELECT CAST(n AS BIGINT) AS n_edges, "
+        "CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0 THEN NULL "
+        "ELSE CAST(n*sxy - sx*sy AS DOUBLE) / "
+        "sqrt(CAST((n*sxx - sx*sx) * (n*syy - sy*sy) AS DOUBLE)) "
+        "END AS assort FROM mm"
+    )
+
+
+QUERIES["assortativity"] = q_assortativity
+ORACLES["assortativity"] = sql_assortativity()

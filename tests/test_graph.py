@@ -610,3 +610,60 @@ def test_sssp_matches_dense(ray_session):
     assert (exp == 0).any()
     assert (exp > SSSP_ROUNDS).any()
     assert len(np.unique(exp[exp > 0])) > 3
+
+
+def test_assortativity_matches_dense(ray_session):
+    import math
+
+    import pyarrow.parquet as pq
+
+    from osmquadtree_depreceated_ray.pipelines.queries_graph import (
+        PR_LINKS,
+        _A,
+        _B,
+        _C,
+        q_assortativity,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ids = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"]
+                        ).column("doc_id").to_numpy().astype(np.int64)
+    mod = int(ids.max()) + 1
+    src = np.repeat(ids, PR_LINKS)
+    j = np.tile(np.arange(PR_LINKS, dtype=np.int64), len(ids))
+    dst = (src * _A + j * _B + _C) % mod
+    keep = (dst != src) & np.isin(dst, ids)
+    e = (pd.DataFrame({"src": src[keep], "dst": dst[keep]})
+         .drop_duplicates())
+    x = e.groupby("src")["dst"].transform("size").to_numpy(np.int64)
+    y = e.groupby("dst")["src"].transform("size").to_numpy(np.int64)
+    n = len(e)
+    num = n * int((x * y).sum()) - int(x.sum()) * int(y.sum())
+    dx = n * int((x * x).sum()) - int(x.sum()) ** 2
+    dy = n * int((y * y).sum()) - int(y.sum()) ** 2
+    exp = float(num) / math.sqrt(float(dx * dy))
+    got = q_assortativity(sf).to_pandas()
+    assert int(got["n_edges"].iloc[0]) == n
+    assert got["assort"].iloc[0] == exp  # bit-exact: fixed-order floats
+    # fixture is meaningful: degrees genuinely vary on both axes
+    assert len(np.unique(x)) > 1 and len(np.unique(y)) > 1
+    assert abs(exp) > 1e-6
+
+
+def test_assortativity_empty(ray_session):
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from osmquadtree_depreceated_ray.pipelines.queries_graph import (
+        q_assortativity,
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(
+            pa.table({"doc_id": pa.array([], pa.int64())}),
+            os.path.join(td, "documents.parquet"))
+        got = q_assortativity(td).to_pandas()
+        assert int(got["n_edges"].iloc[0]) == 0
+        assert pd.isna(got["assort"].iloc[0])
