@@ -1436,3 +1436,143 @@ QUERIES["geary_c"] = q_geary_c
 ORACLES["geary_c"] = sql_geary_c
 QUERIES["getis_g"] = q_getis_g
 ORACLES["getis_g"] = sql_getis_g
+
+
+# --------------------------------------------------------------------------
+# local_g — per-cell Getis-Ord G* hotspot z-scores
+# --------------------------------------------------------------------------
+#
+# The LOCAL member of the autocorrelation family: for every occupied
+# z=MORANS_Z cell i, the G*_i z-score of its rook neighborhood
+# (including self) against the global cell-count distribution — the
+# per-cell hotspot/coldspot map behind every "where is the corpus
+# geographically concentrated?" dashboard.  With neighborhood sum
+# S_i over the k_i member cells (self + occupied rook neighbors):
+#
+#   z_i = (N*S_i - k_i*S) / sqrt( (N*S2 - S^2) * (N*k_i - k_i^2) / (N-1) )
+#
+# Numerator and the radicand's integer factors are exact (Python int /
+# HUGEINT); the only float ops are the final cast-divide-sqrt in a
+# FIXED order the oracle replays — hash-exact DOUBLE output.
+#
+# Distributed shape: the rasterized cell aggregation, then one
+# anchor-cell exchange where each cell routes its value to itself and
+# its 4 rook neighbors; anchors that exist emit (x, y, k, s).  The
+# global moments are three scalars — reduced on the driver from the
+# same bucket partials (O(buckets) rows), never from raw cells.
+
+def q_local_g(sf_dir: str):
+    """(x, y, k_nb, s_nb, gz) per occupied z=MORANS_Z cell: rook+self
+    neighborhood size/sum and the Getis-Ord G* z-score."""
+    import math
+
+    import ray
+    import ray.data
+
+    from ..functions.quadtree import calculate_point, qt_round, qt_tuple
+    from ..stages.assign import QT_BUFFER, QT_MAX_LEVEL
+    from ..stages.shuffle import bucketed_apply, grouped_agg
+
+    n_side = 1 << MORANS_Z
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        d = _q()._derive_batch(b, "doc_id")
+        lon = d.column("lon").to_numpy()
+        lat = d.column("lat").to_numpy()
+        qt = calculate_point(lon, lat, QT_BUFFER, QT_MAX_LEVEL)
+        zx, zy, _ = qt_tuple(qt_round(qt, MORANS_Z))
+        packed = zx * n_side + zy
+        vals, counts = np.unique(packed, return_counts=True)
+        return pa.table({
+            "x": pa.array(vals // n_side),
+            "y": pa.array(vals % n_side),
+            "n": pa.array(counts.astype(np.int64)),
+        })
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    cells = grouped_agg(
+        ds.map_batches(per_batch, batch_format="pyarrow"),
+        ["x", "y"], {"n": ("n", "sum")})
+
+    def fan(b: pa.Table) -> pa.Table:
+        x = b.column("x").to_numpy().astype(np.int64)
+        y = b.column("y").to_numpy().astype(np.int64)
+        n = b.column("n").to_numpy().astype(np.int64)
+        # self carries existence; four probes carry the value outward
+        kx = np.concatenate([x, x + 1, x - 1, x, x])
+        ky = np.concatenate([y, y, y, y + 1, y - 1])
+        kind = np.concatenate([np.zeros(len(x), np.int8),
+                               np.ones(len(x) * 4, np.int8)])
+        return pa.table({"kx": kx, "ky": ky, "kind": kind,
+                         "n": np.tile(n, 5)})
+
+    def bucket_nbhood(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[df["kind"] == 0]
+        p = df[df["kind"] == 1]
+        inc = (p.groupby(["kx", "ky"], as_index=False)
+               .agg(k_in=("n", "size"), s_in=("n", "sum")))
+        m = s.merge(inc, on=["kx", "ky"], how="left")
+        k = 1 + m["k_in"].fillna(0).to_numpy(np.int64)
+        sm = m["n"].to_numpy(np.int64) \
+            + m["s_in"].fillna(0).to_numpy(np.int64)
+        return pd.DataFrame({
+            "x": m["kx"].to_numpy(np.int64),
+            "y": m["ky"].to_numpy(np.int64),
+            "k_nb": k, "s_nb": sm,
+            # scalar moment partials ride along (summed on the driver)
+            "mn": 1, "ms": m["n"].to_numpy(np.int64),
+            "ms2": m["n"].to_numpy(np.int64) ** 2,
+        })
+
+    per_cell = bucketed_apply(
+        cells.map_batches(fan, batch_format="pyarrow"),
+        ["kx", "ky"], bucket_nbhood).materialize()
+    mom = per_cell.sum(["mn", "ms", "ms2"])
+    nc, s1, s2 = (int(mom["sum(mn)"]), int(mom["sum(ms)"]),
+                  int(mom["sum(ms2)"]))
+    bb = nc * s2 - s1 * s1
+    nm1 = nc - 1
+
+    def finish(b: pa.Table) -> pa.Table:
+        k = b.column("k_nb").to_numpy().astype(np.int64)
+        s = b.column("s_nb").to_numpy().astype(np.int64)
+        # num and the radicand are exact ints rounded ONCE to double
+        # (k has at most 5 distinct values, so the bb*(nc*k - k*k)
+        # product is formed in Python int per k — no int64 overflow,
+        # matching the oracle's HUGEINT -> DOUBLE single rounding)
+        num = np.array([float(nc * int(v) - int(q) * s1)
+                        for v, q in zip(s.tolist(), k.tolist())])
+        denmap = {q: float(bb * (nc * q - q * q))
+                  for q in np.unique(k).tolist()}
+        den = np.array([denmap[q] for q in k.tolist()])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            gz = num / np.sqrt(den / float(nm1))
+        return pa.table({
+            "x": b.column("x"), "y": b.column("y"),
+            "k_nb": b.column("k_nb"), "s_nb": b.column("s_nb"),
+            "gz": pa.array(np.where(np.isfinite(gz), gz, np.nan),
+                           pa.float64(), from_pandas=True),
+        })
+
+    return per_cell.drop_columns(["mn", "ms", "ms2"]).map_batches(
+        finish, batch_format="pyarrow")
+
+
+def sql_local_g() -> str:
+    return (
+        _autocorr_sql_prefix()
+        + ", g AS (SELECT a.x, a.y, CAST(COUNT(*) AS HUGEINT) AS k, "
+        "SUM(b.n) AS s FROM cells a JOIN cells b "
+        "ON abs(a.x - b.x) + abs(a.y - b.y) <= 1 GROUP BY a.x, a.y) "
+        "SELECT g.x, g.y, CAST(g.k AS BIGINT) AS k_nb, "
+        "CAST(g.s AS BIGINT) AS s_nb, "
+        "CASE WHEN nc <= 1 OR nc*s2 - s1*s1 = 0 THEN NULL ELSE "
+        "CAST(nc*g.s - g.k*s1 AS DOUBLE) / "
+        "sqrt(CAST((nc*s2 - s1*s1) * (nc*g.k - g.k*g.k) AS DOUBLE) "
+        "/ CAST(nc - 1 AS DOUBLE)) END AS gz FROM g, tot"
+    )
+
+
+QUERIES["local_g"] = q_local_g
+ORACLES["local_g"] = sql_local_g

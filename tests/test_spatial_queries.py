@@ -542,3 +542,57 @@ def test_getis_g_vs_brute_force(ray_session):
     assert int(got["w_pairs"].iloc[0]) * 2 == w
     assert int(got["getis_q12"].iloc[0]) == exp_q
     assert 0 < exp_q < MORANS_QUANT  # a proper fraction of total pair mass
+
+
+def test_local_g_vs_brute_force(ray_session):
+    import math
+
+    from osmquadtree_depreceated_ray.pipelines.queries_spatial import (
+        q_local_g,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    ns, ia, ib = _autocorr_brute(sf)
+    # rebuild the cell frame (ns order) for coordinates
+    from osmquadtree_depreceated_ray.functions.quadtree import (
+        calculate_point,
+        qt_round,
+        qt_tuple,
+    )
+    from osmquadtree_depreceated_ray.pipelines.queries_spatial import MORANS_Z
+    from osmquadtree_depreceated_ray.stages.assign import (
+        QT_BUFFER,
+        QT_MAX_LEVEL,
+    )
+
+    ids = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"]
+                        ).column("doc_id").to_numpy()
+    lon, lat = derive.derive_lonlat(ids)
+    qt = calculate_point(lon, lat, QT_BUFFER, QT_MAX_LEVEL)
+    zx, zy, _ = qt_tuple(qt_round(qt, MORANS_Z))
+    cells = (pd.DataFrame({"x": zx, "y": zy})
+             .groupby(["x", "y"]).size().reset_index(name="n"))
+    nc = len(cells)
+    s1 = int(cells["n"].sum())
+    s2 = int((cells["n"].to_numpy(np.int64) ** 2).sum())
+    bb = nc * s2 - s1 * s1
+    # neighborhood sums incl. self from the directed pair list
+    ksum = np.ones(nc, np.int64)
+    ssum = cells["n"].to_numpy(np.int64).copy()
+    for i, j in zip(ia.tolist(), ib.tolist()):
+        ksum[i] += 1
+        ssum[i] += int(cells["n"].iloc[j])
+    got = (q_local_g(sf).to_pandas()
+           .sort_values(["x", "y"]).reset_index(drop=True))
+    assert len(got) == nc
+    assert (got["x"].to_numpy() == cells["x"].to_numpy()).all()
+    assert (got["k_nb"].to_numpy() == ksum).all()
+    assert (got["s_nb"].to_numpy() == ssum).all()
+    for r in range(nc):
+        num = float(nc * int(ssum[r]) - int(ksum[r]) * s1)
+        den = float(bb * (nc * int(ksum[r]) - int(ksum[r]) ** 2))
+        exp = num / math.sqrt(den / float(nc - 1))
+        assert got["gz"].iloc[r] == exp, r  # bit-exact fixed-order
+    # hotspot structure is real: both signs present, |z| spread > 1
+    assert (got["gz"] > 0).any() and (got["gz"] < 0).any()
+    assert got["gz"].abs().max() > 1.0
