@@ -1576,3 +1576,83 @@ def sql_local_g() -> str:
 
 QUERIES["local_g"] = q_local_g
 ORACLES["local_g"] = sql_local_g
+
+
+# --------------------------------------------------------------------------
+# ripley_k — multi-radius point-pattern pair counts (Ripley's K step)
+# --------------------------------------------------------------------------
+#
+# The empirical pair-count function behind Ripley's K: for each radius
+# r in RIPLEY_RS, the number of unordered point pairs within r and the
+# pair FRACTION 2*cnt / (N*(N-1)) — K(r) up to the constant study-area
+# factor an analyst multiplies in.  Clustered patterns rise faster
+# than CSR's pi*r^2 law; the three-radius profile is the standard
+# "at which scale does clustering kick in?" diagnostic.
+#
+# Distributed shape: ONE cell-blocked pair enumeration at the LARGEST
+# radius (the dist_selfjoin exchange, exactly-once ownership), each
+# bucket emitting a 3-row count vector — the exchange carries
+# O(buckets * radii) rows, never a pair.  Fraction emitted quantized
+# at 1e12, assembled in Python int (N*(N-1) and cnt*Q overflow int64
+# at corpus scale), floor-half contract as the rest of the family.
+
+RIPLEY_RS = (50_000_000, 100_000_000, 150_000_000)
+
+
+def q_ripley_k(sf_dir: str):
+    """(r, n_pairs, pairfrac_q12) for each Ripley radius."""
+    import ray
+    import ray.data
+
+    from ..stages.shuffle import bucketed_apply, grouped_agg
+
+    rmax = max(RIPLEY_RS)
+    pts = _replicated_points(sf_dir, rmax)
+
+    def cnts(g: pd.DataFrame) -> pd.DataFrame:
+        p = _cell_pairs(g, rmax)
+        d2 = p["dist2"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "r": np.array(RIPLEY_RS, np.int64),
+            "n_pairs": np.array(
+                [int((d2 <= r * r).sum()) for r in RIPLEY_RS], np.int64),
+        })
+
+    agg = grouped_agg(
+        bucketed_apply(pts, ["cx", "cy"], cnts),
+        ["r"], {"n_pairs": ("n_pairs", "sum")})
+    nd = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]).count()
+
+    def fin(b: pa.Table) -> pa.Table:
+        cnt = b.column("n_pairs").to_numpy().astype(np.int64)
+        den = 2 * nd * (nd - 1)
+        fr = [((4 * int(c) * MORANS_QUANT + den // 2) // den)
+              if den else None for c in cnt.tolist()]
+        return pa.table({
+            "r": b.column("r"), "n_pairs": b.column("n_pairs"),
+            "pairfrac_q12": pa.array(fr, pa.int64()),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def sql_ripley_k() -> str:
+    vals = ", ".join(f"({r})" for r in RIPLEY_RS)
+    qv = MORANS_QUANT
+    return (
+        f"WITH {_sql_dist_pairs(max(RIPLEY_RS))}, "
+        "n AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nd FROM documents), "
+        f"rr AS (SELECT * FROM (VALUES {vals}) v(r)), "
+        "c AS (SELECT rr.r, CAST((SELECT COUNT(*) FROM pairs p "
+        "WHERE p.dist2 <= CAST(rr.r AS HUGEINT) * rr.r) AS HUGEINT) "
+        "AS cnt FROM rr) "
+        "SELECT CAST(c.r AS BIGINT) AS r, CAST(c.cnt AS BIGINT) "
+        "AS n_pairs, CASE WHEN nd <= 1 THEN NULL ELSE "
+        f"CAST((4*c.cnt*{qv} + nd*(nd-1)) // (2*nd*(nd-1)) AS BIGINT) "
+        "END AS pairfrac_q12 FROM c, n"
+    )
+
+
+QUERIES["ripley_k"] = q_ripley_k
+ORACLES["ripley_k"] = sql_ripley_k

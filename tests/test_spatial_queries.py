@@ -596,3 +596,26 @@ def test_local_g_vs_brute_force(ray_session):
     # hotspot structure is real: both signs present, |z| spread > 1
     assert (got["gz"] > 0).any() and (got["gz"] < 0).any()
     assert got["gz"].abs().max() > 1.0
+
+
+def test_ripley_k_vs_brute_force(ray_session, points):
+    from osmquadtree_depreceated_ray.pipelines.queries_spatial import (
+        MORANS_QUANT,
+        RIPLEY_RS,
+        q_ripley_k,
+    )
+
+    got = (q_ripley_k(SF).to_pandas()
+           .sort_values("r").reset_index(drop=True))
+    nd = len(points)
+    den = 2 * nd * (nd - 1)
+    assert list(got["r"]) == sorted(RIPLEY_RS)
+    prev = -1
+    for i, r in enumerate(sorted(RIPLEY_RS)):
+        cnt = len(_brute_pairs(points, r))
+        assert int(got["n_pairs"].iloc[i]) == cnt
+        exp = (4 * cnt * MORANS_QUANT + den // 2) // den
+        assert int(got["pairfrac_q12"].iloc[i]) == exp
+        assert cnt >= prev  # monotone in r
+        prev = cnt
+    assert prev > 0
