@@ -755,3 +755,145 @@ def sql_mode_by() -> str:
 
 QUERIES["mode_by"] = q_mode_by
 ORACLES["mode_by"] = sql_mode_by()
+
+
+# ------------------------- grouped Spearman rank correlation (exact)
+#
+# Per-language Spearman rho between n_chars and the word count — the
+# nonparametric companion to regress_corr's Pearson r, robust to the
+# heavy-tailed length distributions web corpora actually have.  Ranks
+# are AVERAGE ranks over ties, carried as exact integers (2*avgrank =
+# 2*rank_before + c + 1), so the whole computation is the regress_corr
+# integer-moment shape applied to a distributed RANK TRANSFORM:
+#
+# 1. one map-side-combined count exchange over (lang, var, value) —
+#    O(distinct values), never a data row;
+# 2. per-lang cumulative rank inside the lang bucket -> a (lang, var,
+#    value, 2r) lookup table, broadcast via ray.put (document corpus:
+#    O(distinct lengths); a bucketed join replaces the broadcast above
+#    a size threshold, same contract as winsorize);
+# 3. one moment pass: batches merge the LUT, emit six int64 partial
+#    sums per lang; driver-side finish in Python int + the fixed-order
+#    float finale — rho is hash-exact vs the HUGEINT->DOUBLE oracle.
+
+def q_spearman(sf_dir: str):
+    """(lang, n, rho): per-language Spearman rank correlation of
+    n_chars vs word count."""
+    import math
+
+    import ray
+
+    from ..stages.shuffle import bucketed_apply, grouped_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["lang", "text", "n_chars"])
+
+    def _xy(b: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "lang": b.column("lang").to_pandas(),
+            "x": b.column("n_chars").to_numpy().astype(np.int64),
+            "y": (b.column("text").to_pandas().str.count(" ") + 1)
+            .to_numpy(np.int64),
+        })
+
+    def val_counts(b: pa.Table) -> pa.Table:
+        df = _xy(b)
+        long = pd.concat([
+            df[["lang", "x"]].rename(columns={"x": "v"}).assign(var=0),
+            df[["lang", "y"]].rename(columns={"y": "v"}).assign(var=1),
+        ])
+        out = (long.groupby(["lang", "var", "v"], sort=False).size()
+               .reset_index(name="c"))
+        out["c"] = out["c"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    counts = grouped_agg(
+        ds.map_batches(val_counts, batch_format="pyarrow"),
+        ["lang", "var", "v"], {"c": ("c", "sum")})
+
+    def ranks(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (lang, var), gg in g.groupby(["lang", "var"], sort=False):
+            gg = gg.sort_values("v", kind="stable")
+            c = gg["c"].to_numpy(np.int64)
+            before = np.concatenate([[0], np.cumsum(c)[:-1]])
+            out.append(pd.DataFrame({
+                "lang": lang, "var": var,
+                "v": gg["v"].to_numpy(np.int64),
+                "r2": 2 * before + c + 1,
+            }))
+        return (pd.concat(out) if out else
+                pd.DataFrame({"lang": pd.Series(dtype=object),
+                              "var": pd.Series(dtype=np.int64),
+                              "v": pd.Series(dtype=np.int64),
+                              "r2": pd.Series(dtype=np.int64)}))
+
+    lut = bucketed_apply(counts, ["lang"], ranks).to_pandas()
+    lx = lut[lut["var"] == 0][["lang", "v", "r2"]]
+    ly = lut[lut["var"] == 1][["lang", "v", "r2"]]
+    ref = ray.put((lx, ly))
+
+    def moments(b: pa.Table) -> pa.Table:
+        rx_t, ry_t = ray.get(ref)
+        df = _xy(b)
+        df = df.merge(rx_t.rename(columns={"v": "x", "r2": "rx"}),
+                      on=["lang", "x"])
+        df = df.merge(ry_t.rename(columns={"v": "y", "r2": "ry"}),
+                      on=["lang", "y"])
+        rx = df["rx"].to_numpy(np.int64)
+        ry = df["ry"].to_numpy(np.int64)
+        out = (pd.DataFrame({
+            "lang": df["lang"], "n": 1, "sx": rx, "sy": ry,
+            "sxy": rx * ry, "sxx": rx * rx, "syy": ry * ry})
+            .groupby("lang", as_index=False, sort=False).sum())
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = grouped_agg(
+        ds.map_batches(moments, batch_format="pyarrow"),
+        ["lang"],
+        {c: (c, "sum") for c in ("n", "sx", "sy", "sxy", "sxx", "syy")})
+
+    def finish(b: pa.Table) -> pa.Table:
+        t = b.to_pandas()
+        rho = []
+        for _, r in t.iterrows():
+            n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+            sxy, sxx, syy = int(r["sxy"]), int(r["sxx"]), int(r["syy"])
+            num = n * sxy - sx * sy
+            dx = n * sxx - sx * sx
+            dy = n * syy - sy * sy
+            rho.append(float(num) / math.sqrt(float(dx * dy))
+                       if dx and dy else None)
+        return pa.table({
+            "lang": pa.array(t["lang"].tolist(), pa.string()),
+            "n": pa.array(t["n"].to_numpy(np.int64)),
+            "rho": pa.array(rho, pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_spearman() -> str:
+    return (
+        "WITH t AS (SELECT lang, CAST(n_chars AS BIGINT) AS x, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS y "
+        "FROM documents), "
+        "r AS (SELECT lang, "
+        "CAST(2*RANK() OVER (PARTITION BY lang ORDER BY x) "
+        "+ COUNT(*) OVER (PARTITION BY lang, x) - 1 AS HUGEINT) AS rx, "
+        "CAST(2*RANK() OVER (PARTITION BY lang ORDER BY y) "
+        "+ COUNT(*) OVER (PARTITION BY lang, y) - 1 AS HUGEINT) AS ry "
+        "FROM t), "
+        "m AS (SELECT lang, CAST(COUNT(*) AS HUGEINT) AS n, "
+        "SUM(rx) AS sx, SUM(ry) AS sy, SUM(rx*ry) AS sxy, "
+        "SUM(rx*rx) AS sxx, SUM(ry*ry) AS syy FROM r GROUP BY lang) "
+        "SELECT lang, CAST(n AS BIGINT) AS n, "
+        "CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0 THEN NULL "
+        "ELSE CAST(n*sxy - sx*sy AS DOUBLE) / "
+        "sqrt(CAST((n*sxx - sx*sx) * (n*syy - sy*sy) AS DOUBLE)) "
+        "END AS rho FROM m"
+    )
+
+
+QUERIES["spearman"] = q_spearman
+ORACLES["spearman"] = sql_spearman()

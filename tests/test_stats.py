@@ -187,3 +187,38 @@ def test_mode_by_vs_counter(ray_session):
         top = max(c.values())
         assert r["n_mode"] == top
         assert r["mode"] == min(v for v, n in c.items() if n == top)
+
+
+def test_spearman_matches_scipy_style_brute(ray_session):
+    """Engine Spearman vs a pandas rank-based recomputation (average
+    ranks over ties), per language, bit-exact on the fixed-order
+    float finale."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from osmquadtree_depreceated_ray.pipelines.queries_stats import (
+        q_spearman,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["lang", "text", "n_chars"]).to_pandas()
+    t["x"] = t["n_chars"].astype(np.int64)
+    t["y"] = (t["text"].str.count(" ") + 1).astype(np.int64)
+    got = (q_spearman(sf).to_pandas()
+           .sort_values("lang").reset_index(drop=True))
+    assert list(got["lang"]) == sorted(t["lang"].unique())
+    for _, row in got.iterrows():
+        g = t[t["lang"] == row["lang"]]
+        rx = (2 * g["x"].rank(method="average")).astype(np.int64)
+        ry = (2 * g["y"].rank(method="average")).astype(np.int64)
+        n = len(g)
+        num = n * int((rx * ry).sum()) - int(rx.sum()) * int(ry.sum())
+        dx = n * int((rx * rx).sum()) - int(rx.sum()) ** 2
+        dy = n * int((ry * ry).sum()) - int(ry.sum()) ** 2
+        exp = float(num) / math.sqrt(float(dx * dy))
+        assert int(row["n"]) == n
+        assert row["rho"] == exp, row["lang"]
+        # rank correlation of length vs words is strongly positive
+        assert exp > 0.5
