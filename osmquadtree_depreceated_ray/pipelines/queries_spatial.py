@@ -1656,3 +1656,132 @@ def sql_ripley_k() -> str:
 
 QUERIES["ripley_k"] = q_ripley_k
 ORACLES["ripley_k"] = sql_ripley_k
+
+
+# --------------------------------------------------------------------------
+# join_counts — binary-mark BB/BW/WW join-count statistics
+# --------------------------------------------------------------------------
+#
+# The categorical member of the autocorrelation family: mark each
+# occupied z=MORANS_Z cell Black (count >= JC_MARK_MIN) or White, and
+# count the rook-adjacent pairs by mark combination — BB, BW, WW.
+# Against the hypergeometric CSR expectation E[BB] = |P|*nb*(nb-1) /
+# (N*(N-1)) (emitted alongside, quantized), excess BB says the marked
+# class is spatially clumped.  Same anchor-cell exchange as morans_i;
+# the only new payload is the mark bit.
+
+JC_MARK_MIN = 2
+
+
+def q_join_counts(sf_dir: str):
+    """One row: (n_cells, n_black, bb, bw, ww, ebb_q12) — rook
+    join counts of the count>=JC_MARK_MIN mark plus the CSR
+    expectation of BB."""
+    import ray
+    import ray.data
+
+    from ..functions.quadtree import calculate_point, qt_round, qt_tuple
+    from ..stages.assign import QT_BUFFER, QT_MAX_LEVEL
+    from ..stages.shuffle import bucketed_apply, grouped_agg
+
+    n_side = 1 << MORANS_Z
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        d = _q()._derive_batch(b, "doc_id")
+        lon = d.column("lon").to_numpy()
+        lat = d.column("lat").to_numpy()
+        qt = calculate_point(lon, lat, QT_BUFFER, QT_MAX_LEVEL)
+        zx, zy, _ = qt_tuple(qt_round(qt, MORANS_Z))
+        packed = zx * n_side + zy
+        vals, counts = np.unique(packed, return_counts=True)
+        return pa.table({
+            "x": pa.array(vals // n_side),
+            "y": pa.array(vals % n_side),
+            "n": pa.array(counts.astype(np.int64)),
+        })
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    cells = grouped_agg(
+        ds.map_batches(per_batch, batch_format="pyarrow"),
+        ["x", "y"], {"n": ("n", "sum")})
+
+    def fan(b: pa.Table) -> pa.Table:
+        x = b.column("x").to_numpy().astype(np.int64)
+        y = b.column("y").to_numpy().astype(np.int64)
+        m = (b.column("n").to_numpy().astype(np.int64)
+             >= JC_MARK_MIN).astype(np.int8)
+        kx = np.concatenate([x, x + 1, x])
+        ky = np.concatenate([y, y, y + 1])
+        kind = np.concatenate([np.zeros(len(x), np.int8),
+                               np.ones(len(x) * 2, np.int8)])
+        return pa.table({"kx": kx, "ky": ky, "kind": kind,
+                         "m": np.tile(m, 3)})
+
+    def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[df["kind"] == 0]
+        p = df[df["kind"] == 1]
+        j = p.merge(s, on=["kx", "ky"], suffixes=("_p", "_s"))
+        ma = j["m_p"].to_numpy(np.int8)
+        mb = j["m_s"].to_numpy(np.int8)
+        return pd.DataFrame({
+            "nc": [np.int64(len(s))],
+            "nb": [np.int64(int(s["m"].sum()))],
+            "bb": [np.int64(int((ma & mb).sum()))],
+            "bw": [np.int64(int((ma != mb).sum()))],
+            "ww": [np.int64(int(((1 - ma) & (1 - mb)).sum()))],
+        })
+
+    parts = bucketed_apply(
+        cells.map_batches(fan, batch_format="pyarrow"),
+        ["kx", "ky"], bucket_counts).to_pandas()
+    nc = int(parts["nc"].sum())
+    nb = int(parts["nb"].sum())
+    bb = int(parts["bb"].sum())
+    bw = int(parts["bw"].sum())
+    ww = int(parts["ww"].sum())
+    npair = bb + bw + ww
+    den = 2 * nc * (nc - 1)
+    ebb = ((2 * npair * nb * (nb - 1) * MORANS_QUANT + den // 2) // den
+           if nc > 1 else None)
+    return ray.data.from_arrow(pa.table({
+        "n_cells": pa.array([nc], pa.int64()),
+        "n_black": pa.array([nb], pa.int64()),
+        "bb": pa.array([bb], pa.int64()),
+        "bw": pa.array([bw], pa.int64()),
+        "ww": pa.array([ww], pa.int64()),
+        "ebb_q12": pa.array([ebb], pa.int64()),
+    }))
+
+
+def sql_join_counts() -> str:
+    kx, ky = derive.sql_cells_expr("doc_id")
+    shift = 18 - MORANS_Z
+    x = f"({kx} >> {shift})"
+    y = f"((262143 - {ky}) >> {shift})"
+    qv = MORANS_QUANT
+    return (
+        f"WITH cells AS (SELECT {x} AS x, {y} AS y, "
+        "CAST(CASE WHEN COUNT(*) >= "
+        f"{JC_MARK_MIN} THEN 1 ELSE 0 END AS HUGEINT) AS m "
+        "FROM documents GROUP BY 1, 2), "
+        "tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nc, "
+        "SUM(m) AS nb FROM cells), "
+        "pairs AS (SELECT a.m AS ma, b.m AS mb FROM cells a "
+        "JOIN cells b ON (b.x = a.x + 1 AND b.y = a.y) "
+        "OR (b.x = a.x AND b.y = a.y + 1)), "
+        "p AS (SELECT CAST(COUNT(*) AS HUGEINT) AS np, "
+        "COALESCE(SUM(ma*mb), 0) AS bb, "
+        "COALESCE(SUM(CASE WHEN ma <> mb THEN 1 ELSE 0 END), 0) AS bw, "
+        "COALESCE(SUM((1-ma)*(1-mb)), 0) AS ww FROM pairs) "
+        "SELECT CAST(nc AS BIGINT) AS n_cells, "
+        "CAST(nb AS BIGINT) AS n_black, CAST(bb AS BIGINT) AS bb, "
+        "CAST(bw AS BIGINT) AS bw, CAST(ww AS BIGINT) AS ww, "
+        "CASE WHEN nc <= 1 THEN NULL ELSE "
+        f"CAST((2*np*nb*(nb-1)*{qv} + nc*(nc-1)) // (2*nc*(nc-1)) "
+        "AS BIGINT) END AS ebb_q12 FROM tot, p"
+    )
+
+
+QUERIES["join_counts"] = q_join_counts
+ORACLES["join_counts"] = sql_join_counts

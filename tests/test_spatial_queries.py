@@ -619,3 +619,36 @@ def test_ripley_k_vs_brute_force(ray_session, points):
         assert cnt >= prev  # monotone in r
         prev = cnt
     assert prev > 0
+
+
+def test_join_counts_vs_brute_force(ray_session):
+    from fractions import Fraction
+
+    from osmquadtree_depreceated_ray.pipelines.queries_spatial import (
+        JC_MARK_MIN,
+        MORANS_QUANT,
+        q_join_counts,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    ns, ia, ib = _autocorr_brute(sf)
+    nc = len(ns)
+    m = (ns >= JC_MARK_MIN).astype(np.int8)
+    # unordered pairs: keep directed i<j only
+    keep = ia < ib
+    ma, mb = m[ia[keep]], m[ib[keep]]
+    bb = int((ma & mb).sum())
+    bw = int((ma != mb).sum())
+    ww = int(((1 - ma) & (1 - mb)).sum())
+    npair = bb + bw + ww
+    nb = int(m.sum())
+    exp_ebb = Fraction(npair * nb * (nb - 1), nc * (nc - 1))
+    exp_q = (exp_ebb * MORANS_QUANT + Fraction(1, 2)).__floor__()
+    got = q_join_counts(sf).to_pandas()
+    assert int(got["n_cells"].iloc[0]) == nc
+    assert int(got["n_black"].iloc[0]) == nb
+    assert (int(got["bb"].iloc[0]), int(got["bw"].iloc[0]),
+            int(got["ww"].iloc[0])) == (bb, bw, ww)
+    assert int(got["ebb_q12"].iloc[0]) == exp_q
+    # marks exist on both sides and pair classes are all populated
+    assert 0 < nb < nc and bb > 0 and bw > 0 and ww > 0
