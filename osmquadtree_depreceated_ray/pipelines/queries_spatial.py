@@ -1785,3 +1785,108 @@ def sql_join_counts() -> str:
 
 QUERIES["join_counts"] = q_join_counts
 ORACLES["join_counts"] = sql_join_counts
+
+
+# --------------------------------------------------------------------------
+# contingency — cell x source contingency table with Pearson residuals
+# --------------------------------------------------------------------------
+#
+# Is content SOURCE geographically biased?  The (z=MORANS_Z cell,
+# source) contingency table with each pair's observed count, the
+# independence expectation E = row*col/N (exact, quantized at 1e12,
+# floor-half contract), and the Pearson residual (O - E)/sqrt(E) as a
+# fixed-order-float DOUBLE — the per-pair chi-square contribution a
+# bias report ranks by.
+#
+# Distributed shape: ONE map-side-combined count exchange over
+# (x, y, source) — O(cells x sources) rows; the row/column marginals
+# are tiny re-aggregations of that table (grid-bounded <= 4^z cells,
+# enum-bounded sources) broadcast to the residual pass.  No data row
+# ever reaches the driver.
+
+def q_contingency(sf_dir: str):
+    """(x, y, source, o, e_q12, resid) per occupied (cell, source)."""
+    import ray
+    import ray.data
+
+    from ..functions.quadtree import calculate_point, qt_round, qt_tuple
+    from ..stages.assign import QT_BUFFER, QT_MAX_LEVEL
+    from ..stages.shuffle import grouped_agg
+
+    n_side = 1 << MORANS_Z
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        d = _q()._derive_batch(b, "doc_id")
+        lon = d.column("lon").to_numpy()
+        lat = d.column("lat").to_numpy()
+        qt = calculate_point(lon, lat, QT_BUFFER, QT_MAX_LEVEL)
+        zx, zy, _ = qt_tuple(qt_round(qt, MORANS_Z))
+        df = (pd.DataFrame({
+            "x": zx, "y": zy,
+            "source": b.column("source").to_pandas()})
+            .groupby(["x", "y", "source"], sort=False).size()
+            .reset_index(name="o"))
+        df["o"] = df["o"].astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    cnt = grouped_agg(
+        ds.map_batches(per_batch, batch_format="pyarrow"),
+        ["x", "y", "source"], {"o": ("o", "sum")}).materialize()
+
+    # marginals: grid-bounded and enum-bounded — O(4^z) + O(sources)
+    rt = grouped_agg(cnt, ["x", "y"], {"rt": ("o", "sum")}).to_pandas()
+    ct = grouped_agg(cnt, ["source"], {"ct": ("o", "sum")}).to_pandas()
+    nt = int(ct["ct"].sum())
+    import ray as _ray
+    ref = _ray.put((
+        {(int(r["x"]), int(r["y"])): int(r["rt"])
+         for _, r in rt.iterrows()},
+        {r["source"]: int(r["ct"]) for _, r in ct.iterrows()}))
+
+    def finish(b: pa.Table) -> pa.Table:
+        import math
+
+        rmap, cmap = _ray.get(ref)
+        t = b.to_pandas()
+        e_q, resid = [], []
+        for _, r in t.iterrows():
+            rc = rmap[(int(r["x"]), int(r["y"]))] * cmap[r["source"]]
+            e_q.append((2 * rc * MORANS_QUANT + nt) // (2 * nt))
+            e = float(rc) / float(nt)
+            resid.append((float(int(r["o"])) - e) / math.sqrt(e))
+        return pa.table({
+            "x": pa.array(t["x"].to_numpy(np.int64)),
+            "y": pa.array(t["y"].to_numpy(np.int64)),
+            "source": pa.array(t["source"].tolist(), pa.string()),
+            "o": pa.array(t["o"].to_numpy(np.int64)),
+            "e_q12": pa.array(e_q, pa.int64()),
+            "resid": pa.array(resid, pa.float64())})
+
+    return cnt.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_contingency() -> str:
+    kx, ky = derive.sql_cells_expr("doc_id")
+    shift = 18 - MORANS_Z
+    x = f"({kx} >> {shift})"
+    y = f"((262143 - {ky}) >> {shift})"
+    qv = MORANS_QUANT
+    return (
+        f"WITH cells AS (SELECT {x} AS x, {y} AS y, source, "
+        "CAST(COUNT(*) AS HUGEINT) AS o FROM documents "
+        "GROUP BY 1, 2, 3), "
+        "r AS (SELECT x, y, SUM(o) AS rt FROM cells GROUP BY 1, 2), "
+        "c AS (SELECT source, SUM(o) AS ct FROM cells GROUP BY 1), "
+        "n AS (SELECT SUM(o) AS nt FROM cells) "
+        "SELECT cells.x, cells.y, cells.source, CAST(o AS BIGINT) AS o, "
+        f"CAST((2*rt*ct*{qv} + nt) // (2*nt) AS BIGINT) AS e_q12, "
+        "(CAST(o AS DOUBLE) - CAST(rt*ct AS DOUBLE)/CAST(nt AS DOUBLE)) "
+        "/ sqrt(CAST(rt*ct AS DOUBLE)/CAST(nt AS DOUBLE)) AS resid "
+        "FROM cells JOIN r USING (x, y) JOIN c USING (source), n"
+    )
+
+
+QUERIES["contingency"] = q_contingency
+ORACLES["contingency"] = sql_contingency

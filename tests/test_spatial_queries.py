@@ -652,3 +652,51 @@ def test_join_counts_vs_brute_force(ray_session):
     assert int(got["ebb_q12"].iloc[0]) == exp_q
     # marks exist on both sides and pair classes are all populated
     assert 0 < nb < nc and bb > 0 and bw > 0 and ww > 0
+
+
+def test_contingency_vs_brute_force(ray_session):
+    import math
+    from fractions import Fraction
+
+    from osmquadtree_depreceated_ray.functions.quadtree import (
+        calculate_point,
+        qt_round,
+        qt_tuple,
+    )
+    from osmquadtree_depreceated_ray.pipelines.queries_spatial import (
+        MORANS_QUANT,
+        MORANS_Z,
+        q_contingency,
+    )
+    from osmquadtree_depreceated_ray.stages.assign import (
+        QT_BUFFER,
+        QT_MAX_LEVEL,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    t = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["doc_id", "source"]).to_pandas()
+    lon, lat = derive.derive_lonlat(t["doc_id"].to_numpy())
+    qt = calculate_point(lon, lat, QT_BUFFER, QT_MAX_LEVEL)
+    zx, zy, _ = qt_tuple(qt_round(qt, MORANS_Z))
+    t = t.assign(x=zx, y=zy)
+    obs = (t.groupby(["x", "y", "source"]).size().reset_index(name="o"))
+    rt = t.groupby(["x", "y"]).size()
+    ct = t.groupby("source").size()
+    nt = len(t)
+    got = (q_contingency(sf).to_pandas()
+           .sort_values(["x", "y", "source"]).reset_index(drop=True))
+    assert len(got) == len(obs)
+    assert int(got["o"].sum()) == nt
+    for _, r in got.iterrows():
+        o = int(obs[(obs["x"] == r["x"]) & (obs["y"] == r["y"])
+                    & (obs["source"] == r["source"])]["o"].iloc[0])
+        assert int(r["o"]) == o
+        rc = int(rt.loc[(r["x"], r["y"])]) * int(ct.loc[r["source"]])
+        e = Fraction(rc, nt)
+        assert int(r["e_q12"]) == \
+            (e * MORANS_QUANT + Fraction(1, 2)).__floor__()
+        ef = float(rc) / float(nt)
+        assert r["resid"] == (float(o) - ef) / math.sqrt(ef)
+    # residuals show genuine both-sided deviation from independence
+    assert (got["resid"] > 0).any() and (got["resid"] < 0).any()
