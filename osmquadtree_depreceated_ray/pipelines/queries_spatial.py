@@ -1791,12 +1791,14 @@ ORACLES["join_counts"] = sql_join_counts
 # contingency — cell x source contingency table with Pearson residuals
 # --------------------------------------------------------------------------
 #
-# Is content SOURCE geographically biased?  The (z=MORANS_Z cell,
+# Is content SOURCE geographically biased?  The SPARSE (z=MORANS_Z cell,
 # source) contingency table with each pair's observed count, the
 # independence expectation E = row*col/N (exact, quantized at 1e12,
 # floor-half contract), and the Pearson residual (O - E)/sqrt(E) as a
 # fixed-order-float DOUBLE — the per-pair chi-square contribution a
-# bias report ranks by.
+# bias report ranks by.  SPARSE contract: only OCCUPIED (cell, source)
+# pairs are emitted — an absent pair's residual is mechanically
+# -sqrt(E) from the marginals if a consumer needs the dense table.
 #
 # Distributed shape: ONE map-side-combined count exchange over
 # (x, y, source) — O(cells x sources) rows; the row/column marginals
