@@ -1892,3 +1892,79 @@ def sql_contingency() -> str:
 
 QUERIES["contingency"] = q_contingency
 ORACLES["contingency"] = sql_contingency
+
+
+# --------------------------------------------------------------------------
+# hhi — per-cell Herfindahl-Hirschman source-concentration index
+# --------------------------------------------------------------------------
+#
+# For every occupied z=MORANS_Z cell, how monopolized is its content
+# mix?  HHI = sum over sources of (share)^2 = sum(c^2) / total^2 —
+# exact rational on integer counts, emitted quantized at 1e12 with the
+# family's floor-half contract (1/n_sources = perfectly even, 1.0 =
+# single-source).  One map-side-combined (x, y, source) count
+# exchange (the contingency table), then the per-cell finish runs
+# INSIDE the cell's bucket — no marginals, no driver state.
+
+def q_hhi(sf_dir: str):
+    """(x, y, total, n_sources, hhi_q12) per occupied cell."""
+    import ray
+
+    from ..functions.quadtree import calculate_point, qt_round, qt_tuple
+    from ..stages.assign import QT_BUFFER, QT_MAX_LEVEL
+    from ..stages.shuffle import bucketed_apply, grouped_agg
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        d = _q()._derive_batch(b, "doc_id")
+        lon = d.column("lon").to_numpy()
+        lat = d.column("lat").to_numpy()
+        qt = calculate_point(lon, lat, QT_BUFFER, QT_MAX_LEVEL)
+        zx, zy, _ = qt_tuple(qt_round(qt, MORANS_Z))
+        df = (pd.DataFrame({
+            "x": zx, "y": zy,
+            "source": b.column("source").to_pandas()})
+            .groupby(["x", "y", "source"], sort=False).size()
+            .reset_index(name="o"))
+        df["o"] = df["o"].astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    cnt = grouped_agg(
+        ds.map_batches(per_batch, batch_format="pyarrow"),
+        ["x", "y", "source"], {"o": ("o", "sum")})
+
+    def cell_hhi(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (x, y), gg in g.groupby(["x", "y"], sort=False):
+            c = gg["o"].to_numpy(np.int64)
+            tot = int(c.sum())
+            s2 = sum(int(v) * int(v) for v in c.tolist())
+            den = 2 * tot * tot
+            out.append((int(x), int(y), tot, len(c),
+                        (2 * s2 * MORANS_QUANT + tot * tot) // den))
+        return pd.DataFrame(
+            out, columns=["x", "y", "total", "n_sources", "hhi_q12"])
+
+    return bucketed_apply(cnt, ["x", "y"], cell_hhi)
+
+
+def sql_hhi() -> str:
+    kx, ky = derive.sql_cells_expr("doc_id")
+    shift = 18 - MORANS_Z
+    x = f"({kx} >> {shift})"
+    y = f"((262143 - {ky}) >> {shift})"
+    qv = MORANS_QUANT
+    return (
+        f"WITH c AS (SELECT {x} AS x, {y} AS y, source, "
+        "CAST(COUNT(*) AS HUGEINT) AS o FROM documents "
+        "GROUP BY 1, 2, 3) "
+        "SELECT x, y, CAST(SUM(o) AS BIGINT) AS total, "
+        "CAST(COUNT(*) AS BIGINT) AS n_sources, "
+        f"CAST((2*SUM(o*o)*{qv} + SUM(o)*SUM(o)) // (2*SUM(o)*SUM(o)) "
+        "AS BIGINT) AS hhi_q12 FROM c GROUP BY x, y"
+    )
+
+
+QUERIES["hhi"] = q_hhi
+ORACLES["hhi"] = sql_hhi

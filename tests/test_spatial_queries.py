@@ -703,3 +703,45 @@ def test_contingency_vs_brute_force(ray_session):
     # spread instead
     assert got["resid"].nunique() > 2
     assert got["resid"].max() > 2.0
+
+
+def test_hhi_vs_brute_force(ray_session):
+    from fractions import Fraction
+
+    from osmquadtree_depreceated_ray.functions.quadtree import (
+        calculate_point,
+        qt_round,
+        qt_tuple,
+    )
+    from osmquadtree_depreceated_ray.pipelines.queries_spatial import (
+        MORANS_QUANT,
+        MORANS_Z,
+        q_hhi,
+    )
+    from osmquadtree_depreceated_ray.stages.assign import (
+        QT_BUFFER,
+        QT_MAX_LEVEL,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    t = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["doc_id", "source"]).to_pandas()
+    lon, lat = derive.derive_lonlat(t["doc_id"].to_numpy())
+    qt = calculate_point(lon, lat, QT_BUFFER, QT_MAX_LEVEL)
+    zx, zy, _ = qt_tuple(qt_round(qt, MORANS_Z))
+    t = t.assign(x=zx, y=zy)
+    got = (q_hhi(sf).to_pandas()
+           .sort_values(["x", "y"]).reset_index(drop=True))
+    want = t.groupby(["x", "y"])
+    assert len(got) == want.ngroups
+    for _, r in got.iterrows():
+        g = t[(t["x"] == r["x"]) & (t["y"] == r["y"])]
+        cs = g.groupby("source").size()
+        assert int(r["total"]) == len(g)
+        assert int(r["n_sources"]) == len(cs)
+        h = Fraction(int((cs ** 2).sum()), len(g) ** 2)
+        assert int(r["hhi_q12"]) == \
+            (h * MORANS_QUANT + Fraction(1, 2)).__floor__()
+    # concentration genuinely varies across cells
+    assert got["hhi_q12"].nunique() > 3
+    assert got["hhi_q12"].max() > got["hhi_q12"].min()
