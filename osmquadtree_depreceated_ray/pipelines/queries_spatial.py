@@ -1968,3 +1968,95 @@ def sql_hhi() -> str:
 
 QUERIES["hhi"] = q_hhi
 ORACLES["hhi"] = sql_hhi
+
+
+# --------------------------------------------------------------------------
+# quadrat_csr — quadrat-count chi-square test against CSR
+# --------------------------------------------------------------------------
+#
+# The classical first point-pattern test: partition the world into the
+# FULL z=MORANS_Z grid (G = 4^z quadrats, empties included), and
+# compute the index-of-dispersion statistic against the uniform CSR
+# expectation mu = N/G:
+#
+#   chi2 = sum_cells (n_i - mu)^2 / mu = G*sum(n^2)/N - N
+#
+# Exact rational on the occupied-cell second moment alone (empty
+# cells contribute through the constant G), quantized at 1e12,
+# floor-half contract.  One O(occupied) exchange; two scalars to the
+# driver.
+
+def q_quadrat_csr(sf_dir: str):
+    """One row: (n_grid, n_occupied, n_points, chi2_q12)."""
+    import ray
+    import ray.data
+
+    from ..functions.quadtree import calculate_point, qt_round, qt_tuple
+    from ..stages.assign import QT_BUFFER, QT_MAX_LEVEL
+    from ..stages.shuffle import grouped_agg
+
+    n_side = 1 << MORANS_Z
+    grid = n_side * n_side
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        d = _q()._derive_batch(b, "doc_id")
+        lon = d.column("lon").to_numpy()
+        lat = d.column("lat").to_numpy()
+        qt = calculate_point(lon, lat, QT_BUFFER, QT_MAX_LEVEL)
+        zx, zy, _ = qt_tuple(qt_round(qt, MORANS_Z))
+        packed = zx * n_side + zy
+        vals, counts = np.unique(packed, return_counts=True)
+        return pa.table({"cell": pa.array(vals),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    cells = grouped_agg(
+        ds.map_batches(per_batch, batch_format="pyarrow"),
+        ["cell"], {"n": ("n", "sum")})
+
+    def moments(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy().astype(np.int64)
+        return pa.table({
+            "occ": pa.array([len(n)], pa.int64()),
+            "s1": pa.array([int(n.sum())], pa.int64()),
+            "s2": pa.array([int((n * n).sum())], pa.int64())})
+
+    mm = cells.map_batches(moments, batch_format="pyarrow").to_pandas()
+    occ = int(mm["occ"].sum())
+    s1 = int(mm["s1"].sum())
+    s2 = int(mm["s2"].sum())
+    # chi2*Q = (G*s2 - s1^2)*Q / s1, floor-half
+    q = (((2 * (grid * s2 - s1 * s1) * MORANS_QUANT + s1) // (2 * s1))
+         if s1 else None)
+    return ray.data.from_arrow(pa.table({
+        "n_grid": pa.array([grid], pa.int64()),
+        "n_occupied": pa.array([occ], pa.int64()),
+        "n_points": pa.array([s1], pa.int64()),
+        "chi2_q12": pa.array([q], pa.int64()),
+    }))
+
+
+def sql_quadrat_csr() -> str:
+    kx, ky = derive.sql_cells_expr("doc_id")
+    shift = 18 - MORANS_Z
+    x = f"({kx} >> {shift})"
+    y = f"((262143 - {ky}) >> {shift})"
+    grid = (1 << MORANS_Z) ** 2
+    qv = MORANS_QUANT
+    return (
+        f"WITH cells AS (SELECT {x} AS x, {y} AS y, "
+        "CAST(COUNT(*) AS HUGEINT) AS n FROM documents GROUP BY 1, 2), "
+        "m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS occ, SUM(n) AS s1, "
+        "SUM(n*n) AS s2 FROM cells) "
+        f"SELECT CAST({grid} AS BIGINT) AS n_grid, "
+        "CAST(occ AS BIGINT) AS n_occupied, "
+        "CAST(s1 AS BIGINT) AS n_points, "
+        "CASE WHEN s1 = 0 THEN NULL ELSE "
+        f"CAST((2*({grid}*s2 - s1*s1)*{qv} + s1) // (2*s1) AS BIGINT) "
+        "END AS chi2_q12 FROM m"
+    )
+
+
+QUERIES["quadrat_csr"] = q_quadrat_csr
+ORACLES["quadrat_csr"] = sql_quadrat_csr

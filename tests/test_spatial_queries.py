@@ -745,3 +745,30 @@ def test_hhi_vs_brute_force(ray_session):
     # concentration genuinely varies across cells
     assert got["hhi_q12"].nunique() > 3
     assert got["hhi_q12"].max() > got["hhi_q12"].min()
+
+
+def test_quadrat_csr_vs_brute_force(ray_session):
+    from fractions import Fraction
+
+    from osmquadtree_depreceated_ray.pipelines.queries_spatial import (
+        MORANS_QUANT,
+        MORANS_Z,
+        q_quadrat_csr,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    ns, _, _ = _autocorr_brute(sf)
+    grid = (1 << MORANS_Z) ** 2
+    s1 = int(ns.sum())
+    mu = Fraction(s1, grid)
+    # dense reference: all grid cells, empties contribute (0 - mu)^2/mu
+    chi2 = (sum((Fraction(int(v)) - mu) ** 2 for v in ns.tolist())
+            + (grid - len(ns)) * mu ** 2) / mu
+    exp_q = (chi2 * MORANS_QUANT + Fraction(1, 2)).__floor__()
+    got = q_quadrat_csr(sf).to_pandas()
+    assert int(got["n_grid"].iloc[0]) == grid
+    assert int(got["n_occupied"].iloc[0]) == len(ns)
+    assert int(got["n_points"].iloc[0]) == s1
+    assert int(got["chi2_q12"].iloc[0]) == exp_q
+    # strongly non-CSR either direction: |chi2 - (G-1)| large
+    assert abs(chi2 - (grid - 1)) > 10
