@@ -2046,3 +2046,101 @@ def sql_assortativity() -> str:
 
 QUERIES["assortativity"] = q_assortativity
 ORACLES["assortativity"] = sql_assortativity()
+
+
+# ------------------------------------------------ edge reciprocity
+#
+# Fraction of directed edges (u, v) whose reverse (v, u) also exists —
+# the classic "is linking mutual?" web-graph scalar.  One exchange
+# wave: each src bucket routes its edges keyed by the UNORDERED pair's
+# min endpoint; inside the key's bucket both directions of a pair
+# land together, so the reciprocated count is an exact local
+# drop_duplicates + duplicated() scan.  Emitted as exact integers
+# plus the quantized ratio (floor-half at 1e12).
+
+def _recip_route_impl(n, edges):
+    e = edges.to_pandas()
+    if not len(e):
+        return tuple(pa.table({"a": pa.array([], pa.int64()),
+                               "b": pa.array([], pa.int64())})
+                     for _ in range(n))
+    s = e["src"].to_numpy(np.int64)
+    d = e["dst"].to_numpy(np.int64)
+    a = np.minimum(s, d)
+    b = np.maximum(s, d)
+    fwd = (s < d)  # orientation flag rides along via column order
+    bk = _pr_route(a, n)
+    return tuple(pa.table({"a": a[bk == i], "b": b[bk == i],
+                           "fwd": fwd[bk == i]}) for i in range(n))
+
+
+def _recip_count_impl(*pieces):
+    t = pa.concat_tables(pieces, promote_options="default").to_pandas()
+    if not len(t):
+        return pa.table({"n_edges": pa.array([0], pa.int64()),
+                         "n_recip": pa.array([0], pa.int64())})
+    # a pair is reciprocated iff BOTH orientations arrived
+    g = t.groupby(["a", "b"])["fwd"].agg(["min", "max", "count"])
+    recip = int(((~g["min"]) & g["max"]).sum())
+    return pa.table({
+        "n_edges": pa.array([len(t)], pa.int64()),
+        "n_recip": pa.array([2 * recip], pa.int64())})
+
+
+def q_reciprocity(sf_dir: str):
+    """One row: (n_edges, n_recip, recip_q12) over the synthetic
+    directed link graph."""
+    import ray
+    import ray.data
+
+    n, _nodes, _stats, edges, _state = _directed_shards(sf_dir)
+    for k, f in (("recip_route", _recip_route_impl),
+                 ("recip_count", _recip_count_impl)):
+        if k not in _PR_FNS:
+            _PR_FNS[k] = ray.remote(f)
+    if edges is None:
+        return ray.data.from_arrow(pa.table({
+            "n_edges": pa.array([0], pa.int64()),
+            "n_recip": pa.array([0], pa.int64()),
+            "recip_q12": pa.array([None], pa.int64())}))
+    routed = [_PR_FNS["recip_route"].options(num_returns=n).remote(
+        n, edges[b]) for b in range(n)]
+    parts = ray.get([_PR_FNS["recip_count"].remote(
+        *[routed[s][b] if n > 1 else routed[s] for s in range(n)])
+        for b in range(n)])
+    ne = sum(int(p.column("n_edges")[0].as_py()) for p in parts)
+    nr = sum(int(p.column("n_recip")[0].as_py()) for p in parts)
+    q = ((2 * nr * PR_QUANT_INT + ne) // (2 * ne)) if ne else None
+    return ray.data.from_arrow(pa.table({
+        "n_edges": pa.array([ne], pa.int64()),
+        "n_recip": pa.array([nr], pa.int64()),
+        "recip_q12": pa.array([q], pa.int64())}))
+
+
+PR_QUANT_INT = 10 ** 12
+
+
+def sql_reciprocity() -> str:
+    js = ", ".join(f"({j})" for j in range(PR_LINKS))
+    qv = PR_QUANT_INT
+    return (
+        "WITH m AS (SELECT CAST(MAX(doc_id)+1 AS BIGINT) AS md "
+        "FROM documents), "
+        f"cand AS (SELECT dd.doc_id AS src, "
+        f"(dd.doc_id*{_A} + j.j*{_B} + {_C}) % m.md AS dst "
+        f"FROM documents dd CROSS JOIN m CROSS JOIN (VALUES {js}) j(j)), "
+        "e AS (SELECT DISTINCT c.src, c.dst FROM cand c "
+        "JOIN documents t ON t.doc_id = c.dst WHERE c.dst <> c.src), "
+        "r AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nr FROM e a "
+        "JOIN e b ON b.src = a.dst AND b.dst = a.src), "
+        "n AS (SELECT CAST(COUNT(*) AS HUGEINT) AS ne FROM e) "
+        "SELECT CAST(ne AS BIGINT) AS n_edges, "
+        "CAST(nr AS BIGINT) AS n_recip, "
+        "CASE WHEN ne = 0 THEN NULL ELSE "
+        f"CAST((2*nr*{qv} + ne) // (2*ne) AS BIGINT) END AS recip_q12 "
+        "FROM n, r"
+    )
+
+
+QUERIES["reciprocity"] = q_reciprocity
+ORACLES["reciprocity"] = sql_reciprocity()

@@ -667,3 +667,36 @@ def test_assortativity_empty(ray_session):
         got = q_assortativity(td).to_pandas()
         assert int(got["n_edges"].iloc[0]) == 0
         assert pd.isna(got["assort"].iloc[0])
+
+
+def test_reciprocity_matches_dense(ray_session):
+    import pyarrow.parquet as pq
+
+    from osmquadtree_depreceated_ray.pipelines.queries_graph import (
+        PR_LINKS,
+        PR_QUANT_INT,
+        _A,
+        _B,
+        _C,
+        q_reciprocity,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ids = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"]
+                        ).column("doc_id").to_numpy().astype(np.int64)
+    mod = int(ids.max()) + 1
+    src = np.repeat(ids, PR_LINKS)
+    j = np.tile(np.arange(PR_LINKS, dtype=np.int64), len(ids))
+    dst = (src * _A + j * _B + _C) % mod
+    keep = (dst != src) & np.isin(dst, ids)
+    e = (pd.DataFrame({"src": src[keep], "dst": dst[keep]})
+         .drop_duplicates())
+    es = set(zip(e["src"].tolist(), e["dst"].tolist()))
+    nr = sum((d, s) in es for s, d in es)
+    ne = len(es)
+    got = q_reciprocity(sf).to_pandas()
+    assert int(got["n_edges"].iloc[0]) == ne
+    assert int(got["n_recip"].iloc[0]) == nr
+    assert int(got["recip_q12"].iloc[0]) == \
+        (2 * nr * PR_QUANT_INT + ne) // (2 * ne)
+    assert ne > 0
