@@ -1294,3 +1294,65 @@ def sql_containment() -> str:
 
 QUERIES["containment"] = q_containment
 ORACLES["containment"] = sql_containment()
+
+
+# ------------------------------- type-token ratio per language (exact)
+#
+# TTR = distinct words / total words per language — the standard
+# lexical-diversity profile of a corpus slice.  Distinct counting is
+# the map-side pre-deduped (lang, word) exchange (each bucket counts
+# its own distinct words — no global set), token totals ride the same
+# partials; exact integers, ratio quantized floor-half at 1e12.
+
+def q_ttr(sf_dir: str):
+    """(lang, n_tokens, n_types, ttr_q12) per language."""
+    import ray
+
+    from ..stages.shuffle import bucketed_apply, grouped_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        lang = b.column("lang").to_pandas()
+        words = b.column("text").to_pandas().str.split(" ")
+        df = pd.DataFrame({"lang": lang, "word": words}).explode("word")
+        out = (df.groupby(["lang", "word"], sort=False).size()
+               .reset_index(name="c"))
+        out["c"] = out["c"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    counts = grouped_agg(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        ["lang", "word"], {"c": ("c", "sum")})
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for lang, gg in g.groupby("lang", sort=False):
+            tok = int(gg["c"].sum())
+            typ = len(gg)
+            q = (2 * typ * 10 ** 12 + tok) // (2 * tok) if tok else None
+            out.append((lang, tok, typ, q))
+        return pd.DataFrame(
+            out, columns=["lang", "n_tokens", "n_types", "ttr_q12"])
+
+    return bucketed_apply(counts, ["lang"], finish)
+
+
+def sql_ttr() -> str:
+    return (
+        "WITH w AS (SELECT lang, UNNEST(string_split(text, ' ')) "
+        "AS word FROM documents), "
+        "m AS (SELECT lang, CAST(COUNT(*) AS HUGEINT) AS tok, "
+        "CAST(COUNT(DISTINCT word) AS HUGEINT) AS typ FROM w "
+        "GROUP BY lang) "
+        "SELECT lang, CAST(tok AS BIGINT) AS n_tokens, "
+        "CAST(typ AS BIGINT) AS n_types, "
+        "CASE WHEN tok = 0 THEN NULL ELSE "
+        "CAST((2*typ*1000000000000 + tok) // (2*tok) AS BIGINT) END "
+        "AS ttr_q12 FROM m"
+    )
+
+
+QUERIES["ttr"] = q_ttr
+ORACLES["ttr"] = sql_ttr()

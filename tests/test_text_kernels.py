@@ -120,3 +120,26 @@ def test_levenshtein_batch_matches_scalar():
     got = _levenshtein_batch(ta, tb)
     want = np.array([_levenshtein(a, b) for a, b in zip(ta, tb)])
     assert np.array_equal(got, want)
+
+
+def test_ttr_vs_brute_force(ray_session):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from osmquadtree_depreceated_ray.pipelines.queries_text import q_ttr
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["lang", "text"]).to_pandas()
+    got = (q_ttr(sf).to_pandas()
+           .sort_values("lang").reset_index(drop=True))
+    assert list(got["lang"]) == sorted(t["lang"].unique())
+    for _, r in got.iterrows():
+        words = [w for s in t[t["lang"] == r["lang"]]["text"]
+                 for w in s.split(" ")]
+        tok, typ = len(words), len(set(words))
+        assert int(r["n_tokens"]) == tok
+        assert int(r["n_types"]) == typ
+        assert int(r["ttr_q12"]) == \
+            (2 * typ * 10 ** 12 + tok) // (2 * tok)
+        assert 0 < typ < tok
