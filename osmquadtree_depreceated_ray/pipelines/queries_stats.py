@@ -976,3 +976,79 @@ def sql_skyline() -> str:
 
 QUERIES["skyline"] = q_skyline
 ORACLES["skyline"] = sql_skyline()
+
+
+# --------------------------------- per-group Gini coefficient (exact)
+#
+# Gini of the n_chars distribution per language — the inequality
+# profile of document lengths (0 = all equal, ->1 = one giant doc).
+# With the values of a group sorted ascending x_(1)..x_(n):
+#
+#   G = (2 * sum_i i*x_(i) - (n+1) * sum_i x_i) / (n * sum_i x_i)
+#
+# The rank-weighted sum is computed WITHOUT sorting rows: the same
+# O(distinct values) count exchange as winsorize/spearman, and inside
+# the group's bucket the c copies of value v occupy ranks
+# before+1..before+c, so sum(i*x) += v * (c*before + c*(c+1)/2) —
+# all exact integers, Python-int finish, quantized floor-half at 1e12.
+
+def q_gini(sf_dir: str):
+    """(lang, n, gini_q12) per language over n_chars."""
+    import ray
+
+    from ..stages.shuffle import bucketed_apply, grouped_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+
+    def val_counts(b: pa.Table) -> pa.Table:
+        df = (pd.DataFrame({"lang": b.column("lang").to_pandas(),
+                            "v": b.column("n_chars").to_numpy()})
+              .groupby(["lang", "v"], sort=False).size()
+              .reset_index(name="c"))
+        df["c"] = df["c"].astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    counts = grouped_agg(
+        ds.map_batches(val_counts, batch_format="pyarrow"),
+        ["lang", "v"], {"c": ("c", "sum")})
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for lang, gg in g.groupby("lang", sort=False):
+            gg = gg.sort_values("v", kind="stable")
+            v = [int(x) for x in gg["v"].tolist()]
+            c = [int(x) for x in gg["c"].tolist()]
+            n = sum(c)
+            s = sum(vi * ci for vi, ci in zip(v, c))
+            before = 0
+            ws = 0
+            for vi, ci in zip(v, c):
+                ws += vi * (ci * before + ci * (ci + 1) // 2)
+                before += ci
+            num = 2 * ws - (n + 1) * s
+            den = n * s
+            q = ((2 * num * 10 ** 12 + den) // (2 * den)) if den \
+                else None
+            out.append((lang, n, q))
+        return pd.DataFrame(out, columns=["lang", "n", "gini_q12"])
+
+    return bucketed_apply(counts, ["lang"], finish)
+
+
+def sql_gini() -> str:
+    return (
+        "WITH r AS (SELECT lang, CAST(n_chars AS HUGEINT) AS x, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) "
+        "AS HUGEINT) AS i FROM documents), "
+        "m AS (SELECT lang, CAST(COUNT(*) AS HUGEINT) AS n, "
+        "SUM(x) AS s, SUM(i*x) AS ws FROM r GROUP BY lang) "
+        "SELECT lang, CAST(n AS BIGINT) AS n, "
+        "CASE WHEN n*s = 0 THEN NULL ELSE "
+        "CAST((2*(2*ws - (n+1)*s)*1000000000000 + n*s) // (2*n*s) "
+        "AS BIGINT) END AS gini_q12 FROM m"
+    )
+
+
+QUERIES["gini"] = q_gini
+ORACLES["gini"] = sql_gini()

@@ -276,3 +276,27 @@ def test_skyline_combiner_associative(ray_session):
         pd.concat([_skyline_2d(p) for p in parts])
     ).sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(whole, merged)
+
+
+def test_gini_vs_brute_force(ray_session):
+    from fractions import Fraction
+
+    import pyarrow.parquet as pq
+
+    from osmquadtree_depreceated_ray.pipelines.queries_stats import q_gini
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["lang", "n_chars"]).to_pandas()
+    got = (q_gini(sf).to_pandas()
+           .sort_values("lang").reset_index(drop=True))
+    assert list(got["lang"]) == sorted(t["lang"].unique())
+    for _, r in got.iterrows():
+        x = sorted(t[t["lang"] == r["lang"]]["n_chars"].tolist())
+        n = len(x)
+        ws = sum((i + 1) * v for i, v in enumerate(x))
+        g = Fraction(2 * ws - (n + 1) * sum(x), n * sum(x))
+        exp = (g * 10 ** 12 + Fraction(1, 2)).__floor__()
+        assert int(r["n"]) == n
+        assert int(r["gini_q12"]) == exp
+        assert 0 < g < 1  # genuine inequality, not degenerate
