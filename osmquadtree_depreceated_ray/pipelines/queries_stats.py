@@ -1052,3 +1052,103 @@ def sql_gini() -> str:
 
 QUERIES["gini"] = q_gini
 ORACLES["gini"] = sql_gini()
+
+
+# ------------------------- per-group Lorenz deciles (exact NTILE(10))
+#
+# The Lorenz curve behind the gini scalar: per language, split the
+# length-sorted documents into 10 NTILE deciles and report each
+# decile's row count, char mass, and the CUMULATIVE share of total
+# chars (quantized floor-half at 1e12).  Exact without sorting rows:
+# inside the lang bucket, each distinct value's c copies occupy the
+# rank interval (before, before+c]; NTILE boundaries are pure
+# integer arithmetic (first n%10 tiles take n//10+1 rows), and tied
+# copies are interchangeable, so per-tile sums are exact regardless
+# of how a tie straddles a boundary — matching SQL NTILE semantics.
+
+LORENZ_TILES = 10
+
+
+def q_lorenz(sf_dir: str):
+    """(lang, decile, n_rows, sum_chars, cum_share_q12), 10 rows per
+    language."""
+    import ray
+
+    from ..stages.shuffle import bucketed_apply, grouped_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+
+    def val_counts(b: pa.Table) -> pa.Table:
+        df = (pd.DataFrame({"lang": b.column("lang").to_pandas(),
+                            "v": b.column("n_chars").to_numpy()})
+              .groupby(["lang", "v"], sort=False).size()
+              .reset_index(name="c"))
+        df["c"] = df["c"].astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    counts = grouped_agg(
+        ds.map_batches(val_counts, batch_format="pyarrow"),
+        ["lang", "v"], {"c": ("c", "sum")})
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for lang, gg in g.groupby("lang", sort=False):
+            gg = gg.sort_values("v", kind="stable")
+            vs = [int(x) for x in gg["v"].tolist()]
+            cs = [int(x) for x in gg["c"].tolist()]
+            n = sum(cs)
+            t = LORENZ_TILES
+            base, rem = divmod(n, t)
+            # tile k (1-based) covers ranks (bound[k-1], bound[k]]
+            bounds = [0]
+            for k in range(1, t + 1):
+                bounds.append(bounds[-1] + base + (1 if k <= rem else 0))
+            rows = [0] * t
+            mass = [0] * t
+            before = 0
+            k = 1
+            for v, c in zip(vs, cs):
+                lo, hi = before, before + c
+                while lo < hi:
+                    while bounds[k] <= lo:
+                        k += 1
+                    take = min(hi, bounds[k]) - lo
+                    rows[k - 1] += take
+                    mass[k - 1] += take * v
+                    lo += take
+                before += c
+            total = sum(mass)
+            cum = 0
+            for d in range(t):
+                cum += mass[d]
+                q = ((2 * cum * 10 ** 12 + total) // (2 * total)
+                     if total else None)
+                out.append((lang, d + 1, rows[d], mass[d], q))
+        return pd.DataFrame(out, columns=[
+            "lang", "decile", "n_rows", "sum_chars", "cum_share_q12"])
+
+    return bucketed_apply(counts, ["lang"], finish)
+
+
+def sql_lorenz() -> str:
+    t = LORENZ_TILES
+    return (
+        "WITH r AS (SELECT lang, CAST(n_chars AS HUGEINT) AS x, "
+        f"NTILE({t}) OVER (PARTITION BY lang ORDER BY n_chars) "
+        "AS decile FROM documents), "
+        "d AS (SELECT lang, decile, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "SUM(x) AS sum_chars FROM r GROUP BY lang, decile), "
+        "c AS (SELECT lang, decile, n_rows, sum_chars, "
+        "SUM(sum_chars) OVER (PARTITION BY lang ORDER BY decile) AS cum, "
+        "SUM(sum_chars) OVER (PARTITION BY lang) AS total FROM d) "
+        "SELECT lang, decile, n_rows, "
+        "CAST(sum_chars AS BIGINT) AS sum_chars, "
+        "CASE WHEN total = 0 THEN NULL ELSE "
+        "CAST((2*cum*1000000000000 + total) // (2*total) AS BIGINT) END "
+        "AS cum_share_q12 FROM c"
+    )
+
+
+QUERIES["lorenz"] = q_lorenz
+ORACLES["lorenz"] = sql_lorenz()

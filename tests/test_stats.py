@@ -300,3 +300,46 @@ def test_gini_vs_brute_force(ray_session):
         assert int(r["n"]) == n
         assert int(r["gini_q12"]) == exp
         assert 0 < g < 1  # genuine inequality, not degenerate
+
+
+def test_lorenz_vs_brute_force(ray_session):
+    from fractions import Fraction
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from osmquadtree_depreceated_ray.pipelines.queries_stats import (
+        LORENZ_TILES,
+        q_lorenz,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["lang", "n_chars"]).to_pandas()
+    got = (q_lorenz(sf).to_pandas()
+           .sort_values(["lang", "decile"]).reset_index(drop=True))
+    assert len(got) == t["lang"].nunique() * LORENZ_TILES
+    for lang, g in t.groupby("lang"):
+        x = np.sort(g["n_chars"].to_numpy(np.int64))
+        n = len(x)
+        base, rem = divmod(n, LORENZ_TILES)
+        sizes = [base + (1 if k < rem else 0)
+                 for k in range(LORENZ_TILES)]
+        sub = got[got["lang"] == lang].reset_index(drop=True)
+        total = int(x.sum())
+        off = 0
+        cum = 0
+        for d in range(LORENZ_TILES):
+            chunk = x[off:off + sizes[d]]
+            off += sizes[d]
+            cum += int(chunk.sum())
+            assert int(sub["n_rows"].iloc[d]) == sizes[d]
+            assert int(sub["sum_chars"].iloc[d]) == int(chunk.sum())
+            exp = (Fraction(cum, total) * 10 ** 12
+                   + Fraction(1, 2)).__floor__()
+            assert int(sub["cum_share_q12"].iloc[d]) == exp
+        # Lorenz curve is convex-ish: shares strictly below the
+        # diagonal before the last decile (real inequality)
+        assert int(sub["cum_share_q12"].iloc[-1]) == 10 ** 12
+        mid = int(sub["cum_share_q12"].iloc[4])
+        assert mid < 5 * 10 ** 11
