@@ -2060,3 +2060,126 @@ def sql_quadrat_csr() -> str:
 
 QUERIES["quadrat_csr"] = q_quadrat_csr
 ORACLES["quadrat_csr"] = sql_quadrat_csr
+
+
+# --------------------------------------------------------------------------
+# lisa_quadrants — Moran-scatterplot quadrant per cell
+# --------------------------------------------------------------------------
+#
+# The per-cell categorical companion to morans_i: classify every
+# occupied cell by (own count vs mean, neighborhood-lag mean vs mean)
+# into HH(1) / LH(2) / LL(3) / HL(4) — the hotspot/outlier map of the
+# LISA literature.  All comparisons are EXACT integer cross products
+# (n_i*N <=> S and lag_sum*N <=> k_i*S — no division), "high" means
+# strictly greater.  Isolated cells (no rook neighbor) get NULL.
+# Same anchor-cell exchange as local_g, neighborhood EXCLUDING self.
+
+def q_lisa_quadrants(sf_dir: str):
+    """(x, y, n, k_nb, quadrant) per occupied z=MORANS_Z cell."""
+    import ray
+    import ray.data
+
+    from ..functions.quadtree import calculate_point, qt_round, qt_tuple
+    from ..stages.assign import QT_BUFFER, QT_MAX_LEVEL
+    from ..stages.shuffle import bucketed_apply, grouped_agg
+
+    n_side = 1 << MORANS_Z
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        d = _q()._derive_batch(b, "doc_id")
+        lon = d.column("lon").to_numpy()
+        lat = d.column("lat").to_numpy()
+        qt = calculate_point(lon, lat, QT_BUFFER, QT_MAX_LEVEL)
+        zx, zy, _ = qt_tuple(qt_round(qt, MORANS_Z))
+        packed = zx * n_side + zy
+        vals, counts = np.unique(packed, return_counts=True)
+        return pa.table({
+            "x": pa.array(vals // n_side),
+            "y": pa.array(vals % n_side),
+            "n": pa.array(counts.astype(np.int64)),
+        })
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    cells = grouped_agg(
+        ds.map_batches(per_batch, batch_format="pyarrow"),
+        ["x", "y"], {"n": ("n", "sum")})
+
+    def fan(b: pa.Table) -> pa.Table:
+        x = b.column("x").to_numpy().astype(np.int64)
+        y = b.column("y").to_numpy().astype(np.int64)
+        n = b.column("n").to_numpy().astype(np.int64)
+        kx = np.concatenate([x, x + 1, x - 1, x, x])
+        ky = np.concatenate([y, y, y, y + 1, y - 1])
+        kind = np.concatenate([np.zeros(len(x), np.int8),
+                               np.ones(len(x) * 4, np.int8)])
+        return pa.table({"kx": kx, "ky": ky, "kind": kind,
+                         "n": np.tile(n, 5)})
+
+    def bucket_lag(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[df["kind"] == 0]
+        p = df[df["kind"] == 1]
+        inc = (p.groupby(["kx", "ky"], as_index=False)
+               .agg(k_nb=("n", "size"), lag=("n", "sum")))
+        m = s.merge(inc, on=["kx", "ky"], how="left")
+        return pd.DataFrame({
+            "x": m["kx"].to_numpy(np.int64),
+            "y": m["ky"].to_numpy(np.int64),
+            "n": m["n"].to_numpy(np.int64),
+            "k_nb": m["k_nb"].fillna(0).to_numpy(np.int64),
+            "lag": m["lag"].fillna(0).to_numpy(np.int64),
+            "mn": 1, "ms": m["n"].to_numpy(np.int64),
+        })
+
+    per_cell = bucketed_apply(
+        cells.map_batches(fan, batch_format="pyarrow"),
+        ["kx", "ky"], bucket_lag).materialize()
+    mom = per_cell.sum(["mn", "ms"])
+    nc, s1 = int(mom["sum(mn)"]), int(mom["sum(ms)"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy().astype(np.int64)
+        k = b.column("k_nb").to_numpy().astype(np.int64)
+        lag = b.column("lag").to_numpy().astype(np.int64)
+        hi_own = n * nc > s1
+        hi_lag = lag * nc > k * s1
+        quad = np.where(hi_own, np.where(hi_lag, 1, 4),
+                        np.where(hi_lag, 2, 3)).astype(np.int64)
+        return pa.table({
+            "x": b.column("x"), "y": b.column("y"),
+            "n": b.column("n"), "k_nb": b.column("k_nb"),
+            "quadrant": pa.array(
+                np.ma.masked_array(quad, mask=(k == 0)), pa.int64(),
+                from_pandas=True),
+        })
+
+    return per_cell.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_lisa_quadrants() -> str:
+    kx, ky = derive.sql_cells_expr("doc_id")
+    shift = 18 - MORANS_Z
+    x = f"({kx} >> {shift})"
+    y = f"((262143 - {ky}) >> {shift})"
+    return (
+        f"WITH cells AS (SELECT {x} AS x, {y} AS y, "
+        "CAST(COUNT(*) AS HUGEINT) AS n FROM documents GROUP BY 1, 2), "
+        "tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nc, SUM(n) AS s1 "
+        "FROM cells), "
+        "g AS (SELECT a.x, a.y, a.n, "
+        "CAST(COUNT(b.n) AS HUGEINT) AS k, "
+        "COALESCE(SUM(b.n), 0) AS lag FROM cells a "
+        "LEFT JOIN cells b ON abs(a.x - b.x) + abs(a.y - b.y) = 1 "
+        "GROUP BY a.x, a.y, a.n) "
+        "SELECT g.x, g.y, CAST(g.n AS BIGINT) AS n, "
+        "CAST(g.k AS BIGINT) AS k_nb, "
+        "CASE WHEN g.k = 0 THEN NULL "
+        "WHEN g.n*nc > s1 AND g.lag*nc > g.k*s1 THEN 1 "
+        "WHEN g.n*nc <= s1 AND g.lag*nc > g.k*s1 THEN 2 "
+        "WHEN g.n*nc <= s1 AND g.lag*nc <= g.k*s1 THEN 3 "
+        "ELSE 4 END::BIGINT AS quadrant FROM g, tot"
+    )
+
+
+QUERIES["lisa_quadrants"] = q_lisa_quadrants
+ORACLES["lisa_quadrants"] = sql_lisa_quadrants

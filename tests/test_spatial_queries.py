@@ -772,3 +772,45 @@ def test_quadrat_csr_vs_brute_force(ray_session):
     assert int(got["chi2_q12"].iloc[0]) == exp_q
     # strongly non-CSR either direction: |chi2 - (G-1)| large
     assert abs(chi2 - (grid - 1)) > 10
+
+
+def test_lisa_quadrants_vs_brute_force(ray_session):
+    from osmquadtree_depreceated_ray.functions.quadtree import (
+        calculate_point,
+        qt_round,
+        qt_tuple,
+    )
+    from osmquadtree_depreceated_ray.pipelines.queries_spatial import (
+        MORANS_Z,
+        q_lisa_quadrants,
+    )
+    from osmquadtree_depreceated_ray.stages.assign import (
+        QT_BUFFER,
+        QT_MAX_LEVEL,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    ns, ia, ib = _autocorr_brute(sf)
+    nc = len(ns)
+    s1 = int(ns.sum())
+    k = np.zeros(nc, np.int64)
+    lag = np.zeros(nc, np.int64)
+    for i, j in zip(ia.tolist(), ib.tolist()):
+        k[i] += 1
+        lag[i] += int(ns[j])
+    got = (q_lisa_quadrants(sf).to_pandas()
+           .sort_values(["x", "y"]).reset_index(drop=True))
+    assert len(got) == nc
+    assert (got["n"].to_numpy() == ns).all()
+    assert (got["k_nb"].to_numpy() == k).all()
+    for r in range(nc):
+        if k[r] == 0:
+            assert pd.isna(got["quadrant"].iloc[r])
+            continue
+        hi_own = int(ns[r]) * nc > s1
+        hi_lag = int(lag[r]) * nc > int(k[r]) * s1
+        exp = 1 if (hi_own and hi_lag) else \
+            4 if hi_own else 2 if hi_lag else 3
+        assert int(got["quadrant"].iloc[r]) == exp, r
+    # all four quadrants genuinely occur on the fixture
+    assert set(got["quadrant"].dropna().astype(int)) == {1, 2, 3, 4}
