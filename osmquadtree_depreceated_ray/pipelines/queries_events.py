@@ -1068,3 +1068,82 @@ def sql_interval_merge() -> str:
 
 QUERIES["interval_merge"] = q_interval_merge
 ORACLES["interval_merge"] = sql_interval_merge()
+
+
+# ---------------------- peak concurrency (distributed prefix scan)
+#
+# Treat each event as a CONC_DUR_US-long session interval and report
+# the PEAK number of simultaneously-active intervals — the capacity-
+# planning scalar every event pipeline publishes.  This is the
+# classic sweep: +1/-1 deltas sorted by (t, d) (ends before starts at
+# ties, so instant-adjacent intervals don't overlap), prefix-sum,
+# max.  The distributed shape is a PREFIX SCAN: Ray range-sorts the
+# delta stream, each sorted block reduces to TWO scalars (block sum,
+# block max-prefix), and the driver folds O(blocks) partials —
+# max(offset_b + M_b) — the same order-blocks-by-min pattern as the
+# exact-quantiles pipeline.  Tie groups share a sign, so group-end
+# maxima equal row-level prefix maxima (proved in the test), matching
+# the oracle's RANGE-frame window.
+
+CONC_DUR_US = 300_000_000  # 5-minute sessions
+
+
+def q_max_concurrency(sf_dir: str):
+    """One row: (n_events, peak) over CONC_DUR_US event intervals."""
+    import ray
+    import ray.data
+
+    def deltas(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy()
+        return pa.table({
+            "t": np.concatenate([ts, ts + CONC_DUR_US]),
+            "d": np.concatenate([
+                np.ones(len(ts), np.int64),
+                np.full(len(ts), -1, np.int64)]),
+        })
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts"])
+    n_events = ds.count()
+    dl = ds.map_batches(deltas, batch_format="pyarrow") \
+        .sort(["t", "d"]).materialize()
+
+    @ray.remote
+    def block_partial(block: pa.Table):
+        if block.num_rows == 0:
+            return None
+        t = block.column("t").to_numpy()
+        d = block.column("d").to_numpy()
+        c = np.cumsum(d)
+        # first AND last sort keys: blocks sharing a first key (a tie
+        # group split across blocks) order by where they END
+        return ((int(t[0]), int(d[0]), int(t[-1]), int(d[-1])),
+                int(c[-1]), int(c.max()))
+
+    refs = [r for bu in dl.iter_internal_ref_bundles()
+            for r in bu.block_refs]
+    parts = ray.get([block_partial.remote(r) for r in refs])
+    parts = sorted((p for p in parts if p is not None),
+                   key=lambda p: p[0])
+    peak, offset = 0, 0
+    for _k, s, m in parts:
+        peak = max(peak, offset + m)
+        offset += s
+    return ray.data.from_arrow(pa.table({
+        "n_events": pa.array([n_events], pa.int64()),
+        "peak": pa.array([peak], pa.int64())}))
+
+
+def sql_max_concurrency() -> str:
+    return (
+        "WITH d AS (SELECT CAST(ts AS TIMESTAMP) AS t, 1 AS dd "
+        "FROM events UNION ALL "
+        "SELECT ts + INTERVAL 300 SECOND, -1 FROM events), "
+        "r AS (SELECT SUM(dd) OVER (ORDER BY t, dd) AS c FROM d) "
+        "SELECT CAST((SELECT COUNT(*) FROM events) AS BIGINT) "
+        "AS n_events, CAST(MAX(c) AS BIGINT) AS peak FROM r"
+    )
+
+
+QUERIES["max_concurrency"] = q_max_concurrency
+ORACLES["max_concurrency"] = sql_max_concurrency()

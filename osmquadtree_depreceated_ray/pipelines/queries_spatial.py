@@ -209,9 +209,10 @@ def sql_rasterize() -> str:
 # --------------------------------------------------------------------------
 
 
-def _replicated_points(sf_dir: str, r: int):
+def _replicated_points(sf_dir: str, r: int, extra_cols: tuple = ()):
     """Derived points replicated to the <=4 grid cells that may own one
-    of their pairs (cell ownership = elementwise-min home cell)."""
+    of their pairs (cell ownership = elementwise-min home cell);
+    ``extra_cols`` names raw document columns to carry along."""
     import ray
 
     def rep(b: pa.Table) -> pa.Table:
@@ -225,40 +226,33 @@ def _replicated_points(sf_dir: str, r: int):
         idx = np.tile(np.arange(n, dtype=np.int64), 4)
         dx = np.repeat(np.array([0, 1, 0, 1], dtype=np.int64), n)
         dy = np.repeat(np.array([0, 0, 1, 1], dtype=np.int64), n)
-        return pa.table(
-            {
-                "cx": pa.array(hx[idx] - dx),
-                "cy": pa.array(hy[idx] - dy),
-                "doc_id": pa.array(doc[idx]),
-                "lon": pa.array(lon[idx]),
-                "lat": pa.array(lat[idx]),
-                "hx": pa.array(hx[idx]),
-                "hy": pa.array(hy[idx]),
-            }
-        )
+        cols = {
+            "cx": pa.array(hx[idx] - dx),
+            "cy": pa.array(hy[idx] - dy),
+            "doc_id": pa.array(doc[idx]),
+            "lon": pa.array(lon[idx]),
+            "lat": pa.array(lat[idx]),
+            "hx": pa.array(hx[idx]),
+            "hy": pa.array(hy[idx]),
+        }
+        for c in extra_cols:
+            cols[c] = b.column(c).take(pa.array(idx))
+        return pa.table(cols)
 
     ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", *extra_cols])
     return ds.map_batches(rep, batch_format="pyarrow")
 
 
-def _cell_pairs(g: pd.DataFrame, r: int) -> pd.DataFrame:
-    """All (a < b, dist2 <= r^2) pairs owned by cells in this bucket,
-    with the exactly-once ownership rule (cell == elementwise min of
-    the two home cells).
-
-    Pair enumeration is pure numpy: rows sort by packed replica cell,
-    and each cell's unordered pairs come from a precomputed triangular
-    index template per distinct cell SIZE (one vectorized broadcast
-    per size class).  A pandas self-merge here would materialize the
-    full c^2 cross product with every column duplicated — measured 10x
-    slower and ~16x the peak memory at the 2M-point probe scale."""
-    empty = pd.DataFrame(
-        {"a": pd.Series(dtype=np.int64),
-         "b": pd.Series(dtype=np.int64),
-         "dist2": pd.Series(dtype=np.int64)})
+def _cell_pair_indices(g: pd.DataFrame, r: int):
+    """Row-index view of the exactly-once in-bucket pair enumeration:
+    (a_i, b_i, dist2) positional indices into ``g`` with a < b by doc
+    id and dist2 <= r^2 — shared by the pair materializers
+    (_cell_pairs) and the class-pair counters (cross_k)."""
     if g.empty:
-        return empty
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                np.zeros(0, np.int64))
     cx = g["cx"].to_numpy(np.int64)
     cy = g["cy"].to_numpy(np.int64)
     # collision-free pack: |cx| <= 1.8e9/r < 2^31 and the cy span is
@@ -277,7 +271,8 @@ def _cell_pairs(g: pd.DataFrame, r: int) -> pd.DataFrame:
         ia_parts.append((sel[:, None] + iu[None, :]).ravel())
         ib_parts.append((sel[:, None] + ju[None, :]).ravel())
     if not ia_parts:
-        return empty
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                np.zeros(0, np.int64))
     ia = order[np.concatenate(ia_parts)]
     ib = order[np.concatenate(ib_parts)]
     doc = g["doc_id"].to_numpy(np.int64)
@@ -299,13 +294,28 @@ def _cell_pairs(g: pd.DataFrame, r: int) -> pd.DataFrame:
     dlat = lat[a_i] - lat[b_i]
     d2 = dlon * dlon + dlat * dlat  # int64 exact; |diff| <= 2r
     ok = d2 <= r * r
-    return pd.DataFrame(
-        {
-            "a": doc[a_i][ok],
-            "b": doc[b_i][ok],
-            "dist2": d2[ok],
-        }
-    )
+    return a_i[ok], b_i[ok], d2[ok]
+
+
+def _cell_pairs(g: pd.DataFrame, r: int) -> pd.DataFrame:
+    """All (a < b, dist2 <= r^2) pairs owned by cells in this bucket,
+    with the exactly-once ownership rule (cell == elementwise min of
+    the two home cells).
+
+    Pair enumeration is pure numpy: rows sort by packed replica cell,
+    and each cell's unordered pairs come from a precomputed triangular
+    index template per distinct cell SIZE (one vectorized broadcast
+    per size class).  A pandas self-merge here would materialize the
+    full c^2 cross product with every column duplicated — measured 10x
+    slower and ~16x the peak memory at the 2M-point probe scale."""
+    a_i, b_i, d2 = _cell_pair_indices(g, r)
+    if not len(a_i):
+        return pd.DataFrame(
+            {"a": pd.Series(dtype=np.int64),
+             "b": pd.Series(dtype=np.int64),
+             "dist2": pd.Series(dtype=np.int64)})
+    doc = g["doc_id"].to_numpy(np.int64)
+    return pd.DataFrame({"a": doc[a_i], "b": doc[b_i], "dist2": d2})
 
 
 def q_dist_selfjoin(sf_dir: str, r: int = DIST_R):
@@ -2183,3 +2193,71 @@ def sql_lisa_quadrants() -> str:
 
 QUERIES["lisa_quadrants"] = q_lisa_quadrants
 ORACLES["lisa_quadrants"] = sql_lisa_quadrants
+
+
+# --------------------------------------------------------------------------
+# cross_k — bivariate (cross-type) pair counts by source class
+# --------------------------------------------------------------------------
+#
+# The bivariate companion to ripley_k: within CROSS_K_R, how many
+# point pairs join each unordered SOURCE-class combination?  Excess
+# same-class pairs = the classes clump apart; excess cross-class =
+# they co-locate — the "do sources share geography?" diagnostic.
+# Same cell-blocked exactly-once pair exchange (via the shared
+# _cell_pair_indices view); each bucket emits O(classes^2) count rows.
+
+CROSS_K_R = 100_000_000
+
+
+def q_cross_k(sf_dir: str):
+    """(sa, sb, n_pairs) per unordered source-class pair within
+    CROSS_K_R."""
+    from ..stages.shuffle import bucketed_apply, grouped_agg
+
+    pts = _replicated_points(sf_dir, CROSS_K_R, extra_cols=("source",))
+
+    def cnts(g: pd.DataFrame) -> pd.DataFrame:
+        a_i, b_i, _d2 = _cell_pair_indices(g, CROSS_K_R)
+        if not len(a_i):
+            return pd.DataFrame({"sa": pd.Series(dtype=object),
+                                 "sb": pd.Series(dtype=object),
+                                 "n_pairs": pd.Series(dtype=np.int64)})
+        src = g["source"].to_numpy()
+        sa = src[a_i]
+        sb = src[b_i]
+        swap = sa > sb
+        lo = np.where(swap, sb, sa)
+        hi = np.where(swap, sa, sb)
+        out = (pd.DataFrame({"sa": lo, "sb": hi})
+               .groupby(["sa", "sb"], sort=False).size()
+               .reset_index(name="n_pairs"))
+        out["n_pairs"] = out["n_pairs"].astype(np.int64)
+        return out
+
+    return grouped_agg(
+        bucketed_apply(pts, ["cx", "cy"], cnts),
+        ["sa", "sb"], {"n_pairs": ("n_pairs", "sum")})
+
+
+def sql_cross_k() -> str:
+    lon, lat = derive.sql_lonlat_expr("doc_id")
+    r = CROSS_K_R
+    d2 = (
+        "CAST(a.lon - b.lon AS HUGEINT) * CAST(a.lon - b.lon AS HUGEINT) + "
+        "CAST(a.lat - b.lat AS HUGEINT) * CAST(a.lat - b.lat AS HUGEINT)"
+    )
+    return (
+        f"WITH e AS (SELECT doc_id, source, {lon} AS lon, {lat} AS lat "
+        "FROM documents), "
+        "p AS (SELECT LEAST(a.source, b.source) AS sa, "
+        "GREATEST(a.source, b.source) AS sb "
+        "FROM e a JOIN e b ON a.doc_id < b.doc_id "
+        f"AND abs(a.lon - b.lon) <= {r} AND abs(a.lat - b.lat) <= {r} "
+        f"AND {d2} <= {r}::HUGEINT * {r}::HUGEINT) "
+        "SELECT sa, sb, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM p "
+        "GROUP BY sa, sb"
+    )
+
+
+QUERIES["cross_k"] = q_cross_k
+ORACLES["cross_k"] = sql_cross_k

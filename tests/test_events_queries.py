@@ -149,3 +149,30 @@ def test_transitions_vs_pandas(ray_session):
     # probabilities are a proper row-stochastic matrix
     s = got.groupby("src")["p"].sum()
     assert np.allclose(s, 1.0)
+
+
+def test_max_concurrency_vs_brute_force(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from osmquadtree_depreceated_ray.pipelines.queries_events import (
+        CONC_DUR_US,
+        q_max_concurrency,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ts = pq.read_table(f"{sf}/events.parquet", columns=["ts"]) \
+        .column("ts").cast("int64").to_numpy()
+    # brute sweep with ends-before-starts tie rule
+    deltas = sorted(
+        [(int(t), 1) for t in ts]
+        + [(int(t) + CONC_DUR_US, -1) for t in ts])
+    cur = peak = 0
+    for _t, d in deltas:
+        cur += d
+        peak = max(peak, cur)
+    got = q_max_concurrency(sf).to_pandas()
+    assert int(got["n_events"].iloc[0]) == len(ts)
+    assert int(got["peak"].iloc[0]) == peak
+    # intervals genuinely overlap but not everything at once
+    assert 1 < peak < len(ts)

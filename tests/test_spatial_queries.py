@@ -814,3 +814,29 @@ def test_lisa_quadrants_vs_brute_force(ray_session):
         assert int(got["quadrant"].iloc[r]) == exp, r
     # all four quadrants genuinely occur on the fixture
     assert set(got["quadrant"].dropna().astype(int)) == {1, 2, 3, 4}
+
+
+def test_cross_k_vs_brute_force(ray_session):
+    from osmquadtree_depreceated_ray.pipelines.queries_spatial import (
+        CROSS_K_R,
+        q_cross_k,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "source"]).to_pandas()
+    lon, lat = derive.derive_lonlat(docs["doc_id"].to_numpy())
+    pts = docs.assign(lon=lon, lat=lat)
+    pairs = _brute_pairs(pts, CROSS_K_R)
+    smap = docs.set_index("doc_id")["source"]
+    sa = pairs["a"].map(smap).to_numpy()
+    sb = pairs["b"].map(smap).to_numpy()
+    lo = np.where(sa <= sb, sa, sb)
+    hi = np.where(sa <= sb, sb, sa)
+    want = (pd.DataFrame({"sa": lo, "sb": hi})
+            .groupby(["sa", "sb"]).size().reset_index(name="n_pairs"))
+    got = (q_cross_k(sf).to_pandas()
+           .sort_values(["sa", "sb"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got["n_pairs"].sum() == len(pairs)  # conservation
+    assert (got["sa"] <= got["sb"]).all()
