@@ -1152,3 +1152,95 @@ def sql_lorenz() -> str:
 
 QUERIES["lorenz"] = q_lorenz
 ORACLES["lorenz"] = sql_lorenz()
+
+
+# ---------------- per-source two-sample KS statistic (exact rational)
+#
+# Which SOURCE has an anomalous length distribution?  For every
+# source s, the two-sample Kolmogorov-Smirnov statistic between s's
+# n_chars CDF and the complement corpus's:
+#
+#   D_s = max over distinct v of |F_s(v) - F_rest(v)|
+#       = max |cum_s*(N - n_s) - (cum_all - cum_s)*n_s| / (n_s*(N-n_s))
+#
+# — EXACT on the integer counts (no empirical-CDF floats), quantized
+# floor-half at 1e12.  Shape: the (value, source) count exchange
+# (O(distinct x sources) rows), then ONE finishing bucket pivots and
+# cumsums the dense value x source matrix — bounded by the value
+# domain times the source enum, the same O(distinct) finishing
+# contract as winsorize/gini (a per-source-partition exchange with a
+# broadcast all-corpus CDF replaces it if the value domain explodes).
+
+def q_ks_test(sf_dir: str):
+    """(source, n, ks_q12) per source vs the rest of the corpus."""
+    import ray
+
+    from ..stages.shuffle import bucketed_apply, grouped_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+
+    def val_counts(b: pa.Table) -> pa.Table:
+        df = (pd.DataFrame({"source": b.column("source").to_pandas(),
+                            "v": b.column("n_chars").to_numpy()})
+              .groupby(["source", "v"], sort=False).size()
+              .reset_index(name="c"))
+        df["c"] = df["c"].astype(np.int64)
+        df["k"] = np.int64(0)  # single finishing bucket
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    counts = grouped_agg(
+        ds.map_batches(val_counts, batch_format="pyarrow"),
+        ["k", "source", "v"], {"c": ("c", "sum")})
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        piv = (g.pivot_table(index="v", columns="source", values="c",
+                             aggfunc="sum", fill_value=0)
+               .sort_index())
+        cum = piv.cumsum()
+        ns = piv.sum()
+        nt = int(ns.sum())
+        call = cum.sum(axis=1).to_numpy(np.int64)
+        out = []
+        for src in sorted(ns.index):
+            n_s = int(ns[src])
+            cs = cum[src].to_numpy(np.int64)
+            num = np.abs(cs.astype(object) * (nt - n_s)
+                         - (call - cs).astype(object) * n_s)
+            d = int(num.max())
+            den = n_s * (nt - n_s)
+            q = ((2 * d * 10 ** 12 + den) // (2 * den)) if den else None
+            out.append((src, n_s, q))
+        return pd.DataFrame(out, columns=["source", "n", "ks_q12"])
+
+    return bucketed_apply(counts, ["k"], finish)
+
+
+def sql_ks_test() -> str:
+    return (
+        "WITH c AS (SELECT source, CAST(n_chars AS HUGEINT) AS v, "
+        "CAST(COUNT(*) AS HUGEINT) AS c FROM documents GROUP BY 1, 2), "
+        "vals AS (SELECT DISTINCT v FROM c), "
+        "srcs AS (SELECT source, SUM(c) AS ns FROM c GROUP BY 1), "
+        "n AS (SELECT SUM(c) AS nt FROM c), "
+        "grid AS (SELECT s.source, s.ns, va.v FROM srcs s "
+        "CROSS JOIN vals va), "
+        "cum AS (SELECT g.source, g.ns, g.v, "
+        "COALESCE(SUM(c.c), 0) AS cs FROM grid g LEFT JOIN c "
+        "ON c.source = g.source AND c.v <= g.v "
+        "GROUP BY g.source, g.ns, g.v), "
+        "ca AS (SELECT v, SUM(cs) AS call FROM cum GROUP BY v), "
+        "d AS (SELECT cum.source, cum.ns, "
+        "MAX(abs(cum.cs*(n.nt - cum.ns) "
+        "- (ca.call - cum.cs)*cum.ns)) AS dmax, "
+        "MAX(cum.ns*(n.nt - cum.ns)) AS den FROM cum "
+        "JOIN ca USING (v), n GROUP BY cum.source, cum.ns) "
+        "SELECT source, CAST(ns AS BIGINT) AS n, "
+        "CASE WHEN den = 0 THEN NULL ELSE "
+        "CAST((2*dmax*1000000000000 + den) // (2*den) AS BIGINT) END "
+        "AS ks_q12 FROM d"
+    )
+
+
+QUERIES["ks_test"] = q_ks_test
+ORACLES["ks_test"] = sql_ks_test()

@@ -343,3 +343,37 @@ def test_lorenz_vs_brute_force(ray_session):
         assert int(sub["cum_share_q12"].iloc[-1]) == 10 ** 12
         mid = int(sub["cum_share_q12"].iloc[4])
         assert mid < 5 * 10 ** 11
+
+
+def test_ks_test_vs_brute_force(ray_session):
+    from fractions import Fraction
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from osmquadtree_depreceated_ray.pipelines.queries_stats import (
+        q_ks_test,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["source", "n_chars"]).to_pandas()
+    got = (q_ks_test(sf).to_pandas()
+           .sort_values("source").reset_index(drop=True))
+    assert list(got["source"]) == sorted(t["source"].unique())
+    nt = len(t)
+    vals = np.sort(t["n_chars"].unique())
+    for _, r in got.iterrows():
+        a = t[t["source"] == r["source"]]["n_chars"].to_numpy()
+        b = t[t["source"] != r["source"]]["n_chars"].to_numpy()
+        na, nb = len(a), len(b)
+        assert int(r["n"]) == na
+        d = max(Fraction(int((a <= v).sum()), na)
+                - Fraction(int((b <= v).sum()), nb) for v in vals)
+        d = max(d, max(Fraction(int((b <= v).sum()), nb)
+                       - Fraction(int((a <= v).sum()), na)
+                       for v in vals))
+        exp = (d * 10 ** 12 + Fraction(1, 2)).__floor__()
+        assert int(r["ks_q12"]) == exp, r["source"]
+    # distributions genuinely differ between sources
+    assert got["ks_q12"].max() > 10 ** 11
