@@ -2144,3 +2144,107 @@ def sql_reciprocity() -> str:
 
 QUERIES["reciprocity"] = q_reciprocity
 ORACLES["reciprocity"] = sql_reciprocity()
+
+
+# ------------------------------------- two-hop neighborhood (distinct)
+#
+# |N2(v)|: how many distinct pages are exactly reachable in <= 2
+# out-hops (excluding v itself) — the friend-of-follower expansion
+# factor behind crawl-frontier and influence estimates.  Shape: the
+# directed shards give bucket(u) BOTH u's out-edges (by construction)
+# and, after ONE routing wave, every edge ARRIVING at u — the
+# wedge join (a -> u -> w) therefore runs entirely bucket-locally,
+# pre-dedupes (a, w) map-side, and one second wave routes the pairs
+# home to bucket(a) for the exact distinct count.  The wedge volume
+# is O(E * avg_deg) — identical to the triangle counter's bound, with
+# the same orient-toward-higher-degree mitigation at hub scale.
+
+def _twohop_in_route_impl(n, edges):
+    """Route this src bucket's edges to the DST's home bucket (the
+    wedge midpoint owns the join)."""
+    e = edges.to_pandas()
+    if not len(e):
+        return tuple(pa.table({"src": pa.array([], pa.int64()),
+                               "dst": pa.array([], pa.int64())})
+                     for _ in range(n))
+    d = e["dst"].to_numpy(np.int64)
+    bk = _pr_route(d, n)
+    return tuple(
+        pa.Table.from_pandas(e[bk == i], preserve_index=False)
+        for i in range(n))
+
+
+def _twohop_join_impl(n, edges, *incoming):
+    """Join arriving edges (a -> u) with local out-edges (u -> w);
+    emit map-side-deduped (a, w) pairs routed to bucket(a).  One-hop
+    neighbors join in too (a -> u counts as reach), w == a dropped."""
+    inc = pa.concat_tables(incoming, promote_options="default") \
+        .to_pandas().rename(columns={"src": "a", "dst": "u"})
+    out = edges.to_pandas().rename(columns={"src": "u", "dst": "w"})
+    two = inc.merge(out, on="u")[["a", "w"]]
+    one = inc.rename(columns={"u": "w"})[["a", "w"]]
+    pairs = pd.concat([two, one])
+    pairs = pairs[pairs["a"] != pairs["w"]].drop_duplicates()
+    bk = _pr_route(pairs["a"].to_numpy(np.int64), n)
+    return tuple(
+        pa.Table.from_pandas(pairs[bk == i], preserve_index=False)
+        for i in range(n))
+
+
+def _twohop_count_impl(nodes, *pieces):
+    t = pa.concat_tables(pieces, promote_options="default").to_pandas()
+    node = nodes.column("node").to_numpy().astype(np.int64)
+    cnt = (t.drop_duplicates().groupby("a", sort=False).size()
+           if len(t) else pd.Series(dtype=np.int64))
+    out = pd.Series(node).map(cnt).fillna(0).to_numpy(np.int64)
+    return pa.table({"doc_id": node, "n_2hop": out})
+
+
+def q_two_hop(sf_dir: str):
+    """(doc_id, n_2hop) — distinct pages within two out-hops."""
+    import ray
+    import ray.data
+
+    n, nodes, _stats, edges, _state = _directed_shards(sf_dir)
+    for k, f in (("twohop_in", _twohop_in_route_impl),
+                 ("twohop_join", _twohop_join_impl),
+                 ("twohop_count", _twohop_count_impl)):
+        if k not in _PR_FNS:
+            _PR_FNS[k] = ray.remote(f)
+    if edges is None:
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_2hop": pa.array([], pa.int64())}))
+    inc = [_PR_FNS["twohop_in"].options(num_returns=n).remote(
+        n, edges[b]) for b in range(n)]
+    pairs = [_PR_FNS["twohop_join"].options(num_returns=n).remote(
+        n, edges[b], *[inc[s][b] if n > 1 else inc[s]
+                       for s in range(n)]) for b in range(n)]
+    out = [_PR_FNS["twohop_count"].remote(
+        nodes[b], *[pairs[s][b] if n > 1 else pairs[s]
+                    for s in range(n)]) for b in range(n)]
+    return ray.data.from_arrow_refs(out)
+
+
+def sql_two_hop() -> str:
+    js = ", ".join(f"({j})" for j in range(PR_LINKS))
+    return (
+        "WITH m AS (SELECT CAST(MAX(doc_id)+1 AS BIGINT) AS md "
+        "FROM documents), "
+        f"cand AS (SELECT dd.doc_id AS src, "
+        f"(dd.doc_id*{_A} + j.j*{_B} + {_C}) % m.md AS dst "
+        f"FROM documents dd CROSS JOIN m CROSS JOIN (VALUES {js}) j(j)), "
+        "e AS (SELECT DISTINCT c.src, c.dst FROM cand c "
+        "JOIN documents t ON t.doc_id = c.dst WHERE c.dst <> c.src), "
+        "reach AS (SELECT src AS a, dst AS w FROM e "
+        "UNION SELECT e1.src, e2.dst FROM e e1 "
+        "JOIN e e2 ON e2.src = e1.dst WHERE e2.dst <> e1.src), "
+        "r AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS c FROM reach "
+        "GROUP BY a) "
+        "SELECT dd.doc_id, COALESCE(r.c, 0) AS n_2hop "
+        "FROM documents dd LEFT JOIN r ON r.a = dd.doc_id"
+    )
+
+
+QUERIES["two_hop"] = q_two_hop
+ORACLES["two_hop"] = sql_two_hop()

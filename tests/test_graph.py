@@ -700,3 +700,39 @@ def test_reciprocity_matches_dense(ray_session):
     assert int(got["recip_q12"].iloc[0]) == \
         (2 * nr * PR_QUANT_INT + ne) // (2 * ne)
     assert ne > 0
+
+
+def test_two_hop_matches_dense(ray_session):
+    import pyarrow.parquet as pq
+
+    from osmquadtree_depreceated_ray.pipelines.queries_graph import (
+        PR_LINKS,
+        _A,
+        _B,
+        _C,
+        q_two_hop,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ids = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"]
+                        ).column("doc_id").to_numpy().astype(np.int64)
+    mod = int(ids.max()) + 1
+    src = np.repeat(ids, PR_LINKS)
+    j = np.tile(np.arange(PR_LINKS, dtype=np.int64), len(ids))
+    dst = (src * _A + j * _B + _C) % mod
+    keep = (dst != src) & np.isin(dst, ids)
+    adj = {}
+    for s, d in zip(src[keep].tolist(), dst[keep].tolist()):
+        adj.setdefault(s, set()).add(d)
+    got = (q_two_hop(sf).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert (got["doc_id"].to_numpy() == ids).all()
+    for v, exp_row in zip(ids.tolist(), got["n_2hop"].tolist()):
+        reach = set(adj.get(v, ()))
+        for u in list(reach):
+            reach |= adj.get(u, set())
+        reach.discard(v)
+        assert exp_row == len(reach), v
+    # the expansion is real: 2-hop counts exceed out-degree somewhere
+    deg = np.array([len(adj.get(v, ())) for v in ids.tolist()])
+    assert (got["n_2hop"].to_numpy() > deg).any()
