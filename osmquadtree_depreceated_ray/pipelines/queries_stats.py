@@ -1244,3 +1244,91 @@ def sql_ks_test() -> str:
 
 QUERIES["ks_test"] = q_ks_test
 ORACLES["ks_test"] = sql_ks_test()
+
+
+# ----------------- Welch's t between source cohorts (fixed-order)
+#
+# For every source, Welch's unequal-variance t statistic comparing
+# its n_chars mean against the complement corpus — the significance
+# companion to ks_test's distribution-shape score.  Integer moments
+# (n, sum, sum-of-squares) per source plus the global pair come from
+# ONE map-side-combined exchange; the driver-side finish is exact
+# Python int until the single fixed-order float chain
+#
+#   t = (ma - mb) / sqrt(va/na + vb/nb)
+#
+# with ma = float(sa)/float(na), va = float(na*qa - sa*sa) /
+# (float(na)*float(na-1)) — replayed verbatim by the oracle's
+# HUGEINT -> DOUBLE casts, so the DOUBLE output hash-matches.
+
+def q_welch_t(sf_dir: str):
+    """(source, n, t_stat) per source vs the rest of the corpus."""
+    import math
+
+    import ray
+
+    from ..stages.shuffle import grouped_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+
+    def moments(b: pa.Table) -> pa.Table:
+        v = b.column("n_chars").to_numpy().astype(np.int64)
+        df = pd.DataFrame({"source": b.column("source").to_pandas(),
+                           "n": 1, "s": v, "q": v * v})
+        return pa.Table.from_pandas(
+            df.groupby("source", as_index=False, sort=False).sum(),
+            preserve_index=False)
+
+    agg = grouped_agg(
+        ds.map_batches(moments, batch_format="pyarrow"),
+        ["source"], {c: (c, "sum") for c in ("n", "s", "q")}).to_pandas()
+    nt = int(agg["n"].sum())
+    st = int(agg["s"].sum())
+    qt = int(agg["q"].sum())
+
+    out = []
+    for _, r in agg.sort_values("source").iterrows():
+        na, sa, qa = int(r["n"]), int(r["s"]), int(r["q"])
+        nb, sb, qb = nt - na, st - sa, qt - qa
+        if na < 2 or nb < 2:
+            out.append((r["source"], na, None))
+            continue
+        ma = float(sa) / float(na)
+        mb = float(sb) / float(nb)
+        va = float(na * qa - sa * sa) / (float(na) * float(na - 1))
+        vb = float(nb * qb - sb * sb) / (float(nb) * float(nb - 1))
+        t = (ma - mb) / math.sqrt(va / float(na) + vb / float(nb))
+        out.append((r["source"], na, t))
+    import ray.data
+
+    return ray.data.from_arrow(pa.table({
+        "source": pa.array([o[0] for o in out], pa.string()),
+        "n": pa.array([o[1] for o in out], pa.int64()),
+        "t_stat": pa.array([o[2] for o in out], pa.float64())}))
+
+
+def sql_welch_t() -> str:
+    return (
+        "WITH m AS (SELECT source, CAST(COUNT(*) AS HUGEINT) AS na, "
+        "SUM(CAST(n_chars AS HUGEINT)) AS sa, "
+        "SUM(CAST(n_chars AS HUGEINT)*CAST(n_chars AS HUGEINT)) AS qa "
+        "FROM documents GROUP BY source), "
+        "g AS (SELECT SUM(na) AS nt, SUM(sa) AS st, SUM(qa) AS qt "
+        "FROM m), "
+        "f AS (SELECT source, na, nt - na AS nb, sa, st - sa AS sb, "
+        "qa, qt - qa AS qb FROM m, g) "
+        "SELECT source, CAST(na AS BIGINT) AS n, "
+        "CASE WHEN na < 2 OR nb < 2 THEN NULL ELSE "
+        "(CAST(sa AS DOUBLE)/CAST(na AS DOUBLE) "
+        "- CAST(sb AS DOUBLE)/CAST(nb AS DOUBLE)) / "
+        "sqrt(CAST(na*qa - sa*sa AS DOUBLE)"
+        "/(CAST(na AS DOUBLE)*CAST(na - 1 AS DOUBLE))/CAST(na AS DOUBLE)"
+        " + CAST(nb*qb - sb*sb AS DOUBLE)"
+        "/(CAST(nb AS DOUBLE)*CAST(nb - 1 AS DOUBLE))/CAST(nb AS DOUBLE)"
+        ") END AS t_stat FROM f"
+    )
+
+
+QUERIES["welch_t"] = q_welch_t
+ORACLES["welch_t"] = sql_welch_t()

@@ -377,3 +377,34 @@ def test_ks_test_vs_brute_force(ray_session):
         assert int(r["ks_q12"]) == exp, r["source"]
     # distributions genuinely differ between sources
     assert got["ks_q12"].max() > 10 ** 11
+
+
+def test_welch_t_vs_brute_force(ray_session):
+    import math
+
+    import pyarrow.parquet as pq
+
+    from osmquadtree_depreceated_ray.pipelines.queries_stats import (
+        q_welch_t,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["source", "n_chars"]).to_pandas()
+    got = (q_welch_t(sf).to_pandas()
+           .sort_values("source").reset_index(drop=True))
+    assert list(got["source"]) == sorted(t["source"].unique())
+    for _, r in got.iterrows():
+        a = t[t["source"] == r["source"]]["n_chars"].to_numpy(np.int64)
+        b = t[t["source"] != r["source"]]["n_chars"].to_numpy(np.int64)
+        na, nb = len(a), len(b)
+        sa, qa = int(a.sum()), int((a * a).sum())
+        sb, qb = int(b.sum()), int((b * b).sum())
+        ma, mb = float(sa) / na, float(sb) / nb
+        va = float(na * qa - sa * sa) / (float(na) * float(na - 1))
+        vb = float(nb * qb - sb * sb) / (float(nb) * float(nb - 1))
+        exp = (ma - mb) / math.sqrt(va / float(na) + vb / float(nb))
+        assert int(r["n"]) == na
+        assert r["t_stat"] == exp, r["source"]
+    # statistic has real spread and both signs across sources
+    assert (got["t_stat"] > 0).any() and (got["t_stat"] < 0).any()
