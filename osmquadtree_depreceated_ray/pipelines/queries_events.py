@@ -1147,3 +1147,101 @@ def sql_max_concurrency() -> str:
 
 QUERIES["max_concurrency"] = q_max_concurrency
 ORACLES["max_concurrency"] = sql_max_concurrency()
+
+
+# ------------------- daily-series lag-1 autocorrelation (fixed-order)
+#
+# Pearson correlation between consecutive DAYS' event counts — the
+# "is traffic momentum real?" scalar of every event dashboard.  The
+# daily series comes from one map-side-combined day-count exchange
+# (O(days) rows); consecutive pairs materialize by routing each day's
+# count to itself AND day+1 (the as-of trick, no sort), per-bucket
+# integer moment partials, Python-int driver combine, fixed-order
+# float finale — hash-exact DOUBLE vs the HUGEINT -> DOUBLE oracle.
+# Days absent from the data are genuinely missing (not zero-filled):
+# only adjacent CALENDAR days present in the data form a pair, the
+# same contract as the SQL self-join oracle.
+
+def q_lag_corr(sf_dir: str):
+    """One row: (n_days, n_pairs, lag_corr) for daily event counts."""
+    import math
+
+    import ray
+    import ray.data
+
+    from ..stages.shuffle import bucketed_apply, grouped_agg
+
+    US_PER_DAY = 86_400_000_000
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy()
+        day = ts // US_PER_DAY
+        vals, cnt = np.unique(day, return_counts=True)
+        return pa.table({"day": pa.array(vals),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts"])
+    days = grouped_agg(
+        ds.map_batches(per_batch, batch_format="pyarrow"),
+        ["day"], {"c": ("c", "sum")})
+
+    def fan(b: pa.Table) -> pa.Table:
+        d = b.column("day").to_numpy().astype(np.int64)
+        c = b.column("c").to_numpy().astype(np.int64)
+        return pa.table({
+            "k": np.concatenate([d, d + 1]),
+            "kind": np.concatenate([np.zeros(len(d), np.int8),
+                                    np.ones(len(d), np.int8)]),
+            "c": np.tile(c, 2)})
+
+    def pair_moments(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[df["kind"] == 0]          # day k's own count (y)
+        p = df[df["kind"] == 1]          # day k-1's count (x)
+        m = p.merge(s, on="k", suffixes=("_x", "_y"))
+        x = m["c_x"].to_numpy(np.int64)
+        y = m["c_y"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "nd": [np.int64(len(s))], "np_": [np.int64(len(m))],
+            "sx": [x.sum()], "sy": [y.sum()], "sxy": [(x * y).sum()],
+            "sxx": [(x * x).sum()], "syy": [(y * y).sum()]})
+
+    parts = bucketed_apply(
+        days.map_batches(fan, batch_format="pyarrow"),
+        ["k"], pair_moments).to_pandas()
+    nd = int(parts["nd"].sum())
+    n = int(parts["np_"].sum())
+    sx, sy = int(parts["sx"].sum()), int(parts["sy"].sum())
+    sxy = int(parts["sxy"].sum())
+    sxx, syy = int(parts["sxx"].sum()), int(parts["syy"].sum())
+    num = n * sxy - sx * sy
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    r = float(num) / math.sqrt(float(dx * dy)) if dx and dy else None
+    return ray.data.from_arrow(pa.table({
+        "n_days": pa.array([nd], pa.int64()),
+        "n_pairs": pa.array([n], pa.int64()),
+        "lag_corr": pa.array([r], pa.float64())}))
+
+
+def sql_lag_corr() -> str:
+    return (
+        "WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) "
+        "AS day, CAST(COUNT(*) AS HUGEINT) AS c FROM events "
+        "GROUP BY 1), "
+        "p AS (SELECT a.c AS x, b.c AS y FROM d a "
+        "JOIN d b ON b.day = a.day + 1), "
+        "m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx, "
+        "SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx, "
+        "SUM(y*y) AS syy FROM p), "
+        "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM d) "
+        "SELECT nd AS n_days, CAST(n AS BIGINT) AS n_pairs, "
+        "CASE WHEN n*sxx - sx*sx = 0 OR n*syy - sy*sy = 0 THEN NULL "
+        "ELSE CAST(n*sxy - sx*sy AS DOUBLE) / "
+        "sqrt(CAST((n*sxx - sx*sx) * (n*syy - sy*sy) AS DOUBLE)) END "
+        "AS lag_corr FROM m, t"
+    )
+
+
+QUERIES["lag_corr"] = q_lag_corr
+ORACLES["lag_corr"] = sql_lag_corr()

@@ -176,3 +176,36 @@ def test_max_concurrency_vs_brute_force(ray_session):
     assert int(got["peak"].iloc[0]) == peak
     # intervals genuinely overlap but not everything at once
     assert 1 < peak < len(ts)
+
+
+def test_lag_corr_vs_brute_force(ray_session):
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from osmquadtree_depreceated_ray.pipelines.queries_events import (
+        q_lag_corr,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ts = pq.read_table(f"{sf}/events.parquet", columns=["ts"]) \
+        .column("ts").cast("int64").to_numpy()
+    days = pd.Series(ts // 86_400_000_000).value_counts().sort_index()
+    d = days.index.to_numpy(np.int64)
+    c = days.to_numpy(np.int64)
+    adj = np.isin(d + 1, d)
+    x = c[adj]
+    nxt = {int(k): int(v) for k, v in zip(d, c)}
+    y = np.array([nxt[int(k) + 1] for k in d[adj]], np.int64)
+    n = len(x)
+    num = n * int((x * y).sum()) - int(x.sum()) * int(y.sum())
+    dx = n * int((x * x).sum()) - int(x.sum()) ** 2
+    dy = n * int((y * y).sum()) - int(y.sum()) ** 2
+    exp = float(num) / math.sqrt(float(dx * dy))
+    got = q_lag_corr(sf).to_pandas()
+    assert int(got["n_days"].iloc[0]) == len(d)
+    assert int(got["n_pairs"].iloc[0]) == n
+    assert got["lag_corr"].iloc[0] == exp
+    assert n > 10  # a real multi-day series
