@@ -1245,3 +1245,106 @@ def sql_lag_corr() -> str:
 
 QUERIES["lag_corr"] = q_lag_corr
 ORACLES["lag_corr"] = sql_lag_corr()
+
+
+# --------------------- Mann-Kendall trend test on the daily series
+#
+# Is daily event volume trending?  The nonparametric Mann-Kendall
+# statistic over the day-ordered daily counts: S = sum over day pairs
+# i < j of sign(c_j - c_i), the tie-corrected variance
+# 18*var = n(n-1)(2n+5) - sum_t t(t-1)(2t+5), and the continuity-
+# corrected z — S and var exact integers, z the usual fixed-order
+# float.  Day counts come from the O(days) exchange; the pairwise S
+# runs in ONE finishing bucket over the day series (bounded by the
+# corpus'  calendar span — a merge-count decomposition replaces it if
+# the span ever exceeds a bucket).
+
+def q_mann_kendall(sf_dir: str):
+    """One row: (n_days, s_stat, var18, z_stat)."""
+    import math
+
+    import ray
+    import ray.data
+
+    from ..stages.shuffle import bucketed_apply, grouped_agg
+
+    US_PER_DAY = 86_400_000_000
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy()
+        day = ts // US_PER_DAY
+        vals, cnt = np.unique(day, return_counts=True)
+        return pa.table({"day": pa.array(vals),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts"])
+    days = grouped_agg(
+        ds.map_batches(per_batch, batch_format="pyarrow"),
+        ["day"], {"c": ("c", "sum")})
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column("k", pa.array(
+            np.zeros(b.num_rows, np.int64)))
+
+    def series_stats(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):   # bucketed_apply visits every bucket
+            return pd.DataFrame({"n": pd.Series(dtype=np.int64),
+                                 "s": pd.Series(dtype=np.int64),
+                                 "var18": pd.Series(dtype=np.int64)})
+        g = g.sort_values("day", kind="stable")
+        c = g["c"].to_numpy(np.int64)
+        n = len(c)
+        diff = np.sign(c[None, :] - c[:, None])
+        sv = int(np.triu(diff, k=1).sum())
+        _, tcnt = np.unique(c, return_counts=True)
+        tie = sum(int(t) * (int(t) - 1) * (2 * int(t) + 5)
+                  for t in tcnt if t > 1)
+        return pd.DataFrame({
+            "n": [np.int64(n)], "s": [np.int64(sv)],
+            "var18": [np.int64(n * (n - 1) * (2 * n + 5) - tie)]})
+
+    st = bucketed_apply(
+        days.map_batches(tag, batch_format="pyarrow"),
+        ["k"], series_stats).to_pandas()
+    n = int(st["n"].sum())
+    s = int(st["s"].sum())
+    var18 = int(st["var18"].sum())
+    if var18 > 0 and s != 0:
+        v = float(var18) / 18.0
+        z = (s - (1 if s > 0 else -1)) / math.sqrt(v)
+    elif var18 > 0:
+        z = 0.0
+    else:
+        z = None
+    return ray.data.from_arrow(pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "s_stat": pa.array([s], pa.int64()),
+        "var18": pa.array([var18], pa.int64()),
+        "z_stat": pa.array([z], pa.float64())}))
+
+
+def sql_mann_kendall() -> str:
+    return (
+        "WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) "
+        "AS day, CAST(COUNT(*) AS HUGEINT) AS c FROM events "
+        "GROUP BY 1), "
+        "s AS (SELECT COALESCE(SUM(CASE WHEN b.c > a.c THEN 1 "
+        "WHEN b.c < a.c THEN -1 ELSE 0 END), 0) AS s FROM d a "
+        "JOIN d b ON b.day > a.day), "
+        "n AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM d), "
+        "tie AS (SELECT COALESCE(SUM(t*(t-1)*(2*t+5)), 0) AS tie FROM "
+        "(SELECT CAST(COUNT(*) AS HUGEINT) AS t FROM d GROUP BY c) "
+        "WHERE t > 1), "
+        "v AS (SELECT n*(n-1)*(2*n+5) - tie AS var18 FROM n, tie) "
+        "SELECT CAST(n AS BIGINT) AS n_days, CAST(s AS BIGINT) "
+        "AS s_stat, CAST(var18 AS BIGINT) AS var18, "
+        "CASE WHEN var18 <= 0 THEN NULL WHEN s = 0 THEN 0.0 ELSE "
+        "(CAST(s AS DOUBLE) - CASE WHEN s > 0 THEN 1 ELSE -1 END) "
+        "/ sqrt(CAST(var18 AS DOUBLE)/18.0) END AS z_stat "
+        "FROM s, n, v"
+    )
+
+
+QUERIES["mann_kendall"] = q_mann_kendall
+ORACLES["mann_kendall"] = sql_mann_kendall()

@@ -209,3 +209,35 @@ def test_lag_corr_vs_brute_force(ray_session):
     assert int(got["n_pairs"].iloc[0]) == n
     assert got["lag_corr"].iloc[0] == exp
     assert n > 10  # a real multi-day series
+
+
+def test_mann_kendall_vs_brute_force(ray_session):
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from osmquadtree_depreceated_ray.pipelines.queries_events import (
+        q_mann_kendall,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ts = pq.read_table(f"{sf}/events.parquet", columns=["ts"]) \
+        .column("ts").cast("int64").to_numpy()
+    days = pd.Series(ts // 86_400_000_000).value_counts().sort_index()
+    c = days.to_numpy(np.int64)
+    n = len(c)
+    s = sum(int(np.sign(c[j] - c[i]))
+            for i in range(n) for j in range(i + 1, n))
+    tie = sum(int(t) * (int(t) - 1) * (2 * int(t) + 5)
+              for t in pd.Series(c).value_counts() if t > 1)
+    var18 = n * (n - 1) * (2 * n + 5) - tie
+    z = (s - (1 if s > 0 else -1)) / math.sqrt(var18 / 18.0) \
+        if s != 0 else 0.0
+    got = q_mann_kendall(sf).to_pandas()
+    assert int(got["n_days"].iloc[0]) == n
+    assert int(got["s_stat"].iloc[0]) == s
+    assert int(got["var18"].iloc[0]) == var18
+    assert got["z_stat"].iloc[0] == z
+    assert n > 10 and var18 > 0
