@@ -1332,3 +1332,88 @@ def sql_welch_t() -> str:
 
 QUERIES["welch_t"] = q_welch_t
 ORACLES["welch_t"] = sql_welch_t()
+
+
+# ------------------------- Benford first-digit profile (shared table)
+#
+# First-significant-digit distribution of n_chars vs Benford's law —
+# the fabricated-data / synthetic-corpus smoke alarm.  The nine
+# Benford probabilities are a FIXED quantized constant table (q12,
+# precomputed once) shared verbatim by engine and oracle, so the
+# expectation column is pure integer arithmetic (floor-half) — no
+# runtime log10 whose last ulp could differ between numpy and DuckDB.
+# One 9-row count exchange; excess_q12 = observed/N - benford, signed.
+
+BENFORD_Q12 = {1: 301029995664, 2: 176091259056, 3: 124938736608,
+               4: 96910013008, 5: 79181246048, 6: 66946789631,
+               7: 57991946978, 8: 51152522447, 9: 45757490561}
+
+
+def q_benford(sf_dir: str):
+    """(digit, n_obs, benford_q12, obs_q12, excess_q12), 9 rows."""
+    import ray
+    import ray.data
+
+    from ..stages.shuffle import grouped_agg
+
+    def digits(b: pa.Table) -> pa.Table:
+        v = b.column("n_chars").to_numpy().astype(np.int64)
+        v = v[v > 0]
+        while_div = v.copy()
+        # vectorized leading digit: divide by 10 until < 10
+        for _ in range(18):
+            big = while_div >= 10
+            if not big.any():
+                break
+            while_div = np.where(big, while_div // 10, while_div)
+        vals, cnt = np.unique(while_div, return_counts=True)
+        return pa.table({"digit": pa.array(vals),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    agg = grouped_agg(
+        ds.map_batches(digits, batch_format="pyarrow"),
+        ["digit"], {"c": ("c", "sum")}).to_pandas()
+    by_d = {int(r["digit"]): int(r["c"]) for _, r in agg.iterrows()}
+    n = sum(by_d.values())
+    rows = []
+    for d in range(1, 10):
+        o = by_d.get(d, 0)
+        obs = (2 * o * 10 ** 12 + n) // (2 * n) if n else None
+        rows.append((d, o, BENFORD_Q12[d],
+                     obs, obs - BENFORD_Q12[d] if n else None))
+    return ray.data.from_arrow(pa.table({
+        "digit": pa.array([r[0] for r in rows], pa.int64()),
+        "n_obs": pa.array([r[1] for r in rows], pa.int64()),
+        "benford_q12": pa.array([r[2] for r in rows], pa.int64()),
+        "obs_q12": pa.array([r[3] for r in rows], pa.int64()),
+        "excess_q12": pa.array([r[4] for r in rows], pa.int64())}))
+
+
+def sql_benford() -> str:
+    bt = ", ".join(f"({d}, {q})" for d, q in BENFORD_Q12.items())
+    return (
+        "WITH v AS (SELECT CAST(n_chars AS HUGEINT) AS x "
+        "FROM documents WHERE n_chars > 0), "
+        "d AS (SELECT CAST(substr(CAST(x AS VARCHAR), 1, 1) "
+        "AS BIGINT) AS digit FROM v), "
+        "c AS (SELECT digit, CAST(COUNT(*) AS HUGEINT) AS o FROM d "
+        "GROUP BY digit), "
+        "n AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nt FROM v), "
+        f"b(digit, bq) AS (VALUES {bt}) "
+        "SELECT b.digit::BIGINT AS digit, "
+        "CAST(COALESCE(c.o, 0) AS BIGINT) AS n_obs, "
+        "b.bq::BIGINT AS benford_q12, "
+        "CASE WHEN nt = 0 THEN NULL ELSE "
+        "CAST((2*COALESCE(c.o, 0)*1000000000000 + nt) // (2*nt) "
+        "AS BIGINT) END AS obs_q12, "
+        "CASE WHEN nt = 0 THEN NULL ELSE "
+        "CAST((2*COALESCE(c.o, 0)*1000000000000 + nt) // (2*nt) "
+        "- b.bq AS BIGINT) END AS excess_q12 "
+        "FROM b LEFT JOIN c ON c.digit = b.digit, n"
+    )
+
+
+QUERIES["benford"] = q_benford
+ORACLES["benford"] = sql_benford()

@@ -408,3 +408,32 @@ def test_welch_t_vs_brute_force(ray_session):
         assert r["t_stat"] == exp, r["source"]
     # statistic has real spread and both signs across sources
     assert (got["t_stat"] > 0).any() and (got["t_stat"] < 0).any()
+
+
+def test_benford_vs_brute_force(ray_session):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from osmquadtree_depreceated_ray.pipelines.queries_stats import (
+        BENFORD_Q12,
+        q_benford,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    v = pq.read_table(f"{sf}/documents.parquet", columns=["n_chars"]
+                      ).column("n_chars").to_numpy()
+    v = v[v > 0]
+    first = pd.Series([int(str(int(x))[0]) for x in v])
+    cnt = first.value_counts()
+    n = len(v)
+    got = (q_benford(sf).to_pandas()
+           .sort_values("digit").reset_index(drop=True))
+    assert list(got["digit"]) == list(range(1, 10))
+    for _, r in got.iterrows():
+        o = int(cnt.get(int(r["digit"]), 0))
+        assert int(r["n_obs"]) == o
+        obs = (2 * o * 10 ** 12 + n) // (2 * n)
+        assert int(r["obs_q12"]) == obs
+        assert int(r["benford_q12"]) == BENFORD_Q12[int(r["digit"])]
+        assert int(r["excess_q12"]) == obs - BENFORD_Q12[int(r["digit"])]
+    assert got["n_obs"].sum() == n
