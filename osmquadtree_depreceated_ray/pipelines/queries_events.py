@@ -1348,3 +1348,113 @@ def sql_mann_kendall() -> str:
 
 QUERIES["mann_kendall"] = q_mann_kendall
 ORACLES["mann_kendall"] = sql_mann_kendall()
+
+
+# ------------------ Wald-Wolfowitz runs test on the daily series
+#
+# Randomness check on daily volumes: dichotomize each day as above /
+# below the series' LOWER MEDIAN (days equal to it are dropped, the
+# standard treatment), count runs R of consecutive same-side days,
+# and compare with the exact conditional moments
+#
+#   mu  = 2*n1*n2/(n1+n2) + 1
+#   var = 2*n1*n2*(2*n1*n2 - n1 - n2) / ((n1+n2)^2 * (n1+n2-1))
+#
+# — n1/n2/R exact integers from the same O(days) exchange + finishing
+# bucket as mann_kendall; z = (R - mu)/sqrt(var) is the fixed-order
+# float finale the oracle replays with HUGEINT -> DOUBLE casts.
+
+def q_runs_test(sf_dir: str):
+    """One row: (n_above, n_below, n_runs, z_stat)."""
+    import math
+
+    import ray
+    import ray.data
+
+    from ..stages.shuffle import bucketed_apply, grouped_agg
+
+    US_PER_DAY = 86_400_000_000
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy()
+        day = ts // US_PER_DAY
+        vals, cnt = np.unique(day, return_counts=True)
+        return pa.table({"day": pa.array(vals),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts"])
+    days = grouped_agg(
+        ds.map_batches(per_batch, batch_format="pyarrow"),
+        ["day"], {"c": ("c", "sum")})
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column("k", pa.array(
+            np.zeros(b.num_rows, np.int64)))
+
+    def series_stats(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {"n1": np.int64, "n2": np.int64, "r": np.int64}
+        if not len(g):
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in cols.items()})
+        g = g.sort_values("day", kind="stable")
+        c = g["c"].to_numpy(np.int64)
+        med = int(np.sort(c)[(len(c) - 1) // 2])  # lower median
+        keep = c != med
+        side = (c[keep] > med)
+        n1 = int(side.sum())
+        n2 = int((~side).sum())
+        r = (1 + int((side[1:] != side[:-1]).sum())) if len(side) \
+            else 0
+        return pd.DataFrame({"n1": [np.int64(n1)], "n2": [np.int64(n2)],
+                             "r": [np.int64(r)]})
+
+    st = bucketed_apply(
+        days.map_batches(tag, batch_format="pyarrow"),
+        ["k"], series_stats).to_pandas()
+    n1 = int(st["n1"].sum())
+    n2 = int(st["n2"].sum())
+    r = int(st["r"].sum())
+    if n1 > 0 and n2 > 0 and n1 + n2 > 1:
+        mu = float(2 * n1 * n2) / float(n1 + n2) + 1.0
+        var = float(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)) \
+            / float((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))
+        z = (float(r) - mu) / math.sqrt(var)
+    else:
+        z = None
+    return ray.data.from_arrow(pa.table({
+        "n_above": pa.array([n1], pa.int64()),
+        "n_below": pa.array([n2], pa.int64()),
+        "n_runs": pa.array([r], pa.int64()),
+        "z_stat": pa.array([z], pa.float64())}))
+
+
+def sql_runs_test() -> str:
+    return (
+        "WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) "
+        "AS day, CAST(COUNT(*) AS HUGEINT) AS c FROM events "
+        "GROUP BY 1), "
+        "md AS (SELECT c AS med FROM (SELECT c, ROW_NUMBER() OVER "
+        "(ORDER BY c) AS rn, COUNT(*) OVER () AS n FROM d) "
+        "WHERE rn = (n - 1) // 2 + 1), "
+        "f AS (SELECT day, c > med AS side FROM d, md WHERE c <> med), "
+        "runs AS (SELECT side, LAG(side) OVER (ORDER BY day) AS prev "
+        "FROM f), "
+        "agg AS (SELECT CAST(SUM(CASE WHEN side THEN 1 ELSE 0 END) "
+        "AS HUGEINT) AS n1, "
+        "CAST(SUM(CASE WHEN side THEN 0 ELSE 1 END) AS HUGEINT) AS n2, "
+        "CAST(1 + SUM(CASE WHEN prev IS NOT NULL AND side <> prev "
+        "THEN 1 ELSE 0 END) AS HUGEINT) AS r FROM runs) "
+        "SELECT CAST(n1 AS BIGINT) AS n_above, "
+        "CAST(n2 AS BIGINT) AS n_below, CAST(r AS BIGINT) AS n_runs, "
+        "CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 <= 1 THEN NULL ELSE "
+        "(CAST(r AS DOUBLE) - (CAST(2*n1*n2 AS DOUBLE)"
+        "/CAST(n1 + n2 AS DOUBLE) + 1.0)) / "
+        "sqrt(CAST(2*n1*n2*(2*n1*n2 - n1 - n2) AS DOUBLE) "
+        "/ CAST((n1 + n2)*(n1 + n2)*(n1 + n2 - 1) AS DOUBLE)) END "
+        "AS z_stat FROM agg"
+    )
+
+
+QUERIES["runs_test"] = q_runs_test
+ORACLES["runs_test"] = sql_runs_test()

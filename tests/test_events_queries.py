@@ -241,3 +241,35 @@ def test_mann_kendall_vs_brute_force(ray_session):
     assert int(got["var18"].iloc[0]) == var18
     assert got["z_stat"].iloc[0] == z
     assert n > 10 and var18 > 0
+
+
+def test_runs_test_vs_brute_force(ray_session):
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from osmquadtree_depreceated_ray.pipelines.queries_events import (
+        q_runs_test,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ts = pq.read_table(f"{sf}/events.parquet", columns=["ts"]) \
+        .column("ts").cast("int64").to_numpy()
+    days = pd.Series(ts // 86_400_000_000).value_counts().sort_index()
+    c = days.to_numpy(np.int64)
+    med = int(np.sort(c)[(len(c) - 1) // 2])
+    side = (c[c != med] > med)
+    n1, n2 = int(side.sum()), int((~side).sum())
+    r = 1 + int((side[1:] != side[:-1]).sum())
+    mu = float(2 * n1 * n2) / float(n1 + n2) + 1.0
+    var = float(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)) \
+        / float((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))
+    z = (float(r) - mu) / math.sqrt(var)
+    got = q_runs_test(sf).to_pandas()
+    assert int(got["n_above"].iloc[0]) == n1
+    assert int(got["n_below"].iloc[0]) == n2
+    assert int(got["n_runs"].iloc[0]) == r
+    assert got["z_stat"].iloc[0] == z
+    assert n1 > 2 and n2 > 2 and r > 2
