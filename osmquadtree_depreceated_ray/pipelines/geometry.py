@@ -71,6 +71,16 @@ def _align(t: pa.Table, cols: dict[str, pa.DataType]) -> pa.Table:
     for name, typ in cols.items():
         if name in t.column_names:
             arrays.append(t.column(name).cast(typ))
+        elif pa.types.is_integer(typ):
+            # -1 sentinel, NOT null: an int64 column carrying a null
+            # becomes float64 in the exchange's per-bucket pandas
+            # frames, silently rounding 63-bit qt/id payloads to the
+            # 2^53 float mantissa (it zeroed the depth bits of parent
+            # qts, caught by the parent_tags oracle).  Consumers subset
+            # rows by 'kind' before reading side-specific columns, so
+            # the sentinel is never observed.
+            arrays.append(
+                pa.array(np.full(t.num_rows, -1, np.int64)).cast(typ))
         else:
             arrays.append(pa.nulls(t.num_rows, typ))
     return pa.table(dict(zip(cols.keys(), arrays)))
@@ -213,6 +223,37 @@ def route_list(tags: dict, key: str, values: list[str]) -> bool:
         return False
     tags[key] = ";".join(sorted(set(values)))
     return True
+
+
+def relation_qt_fold(rel_ids, rel_qt_parts: pd.DataFrame,
+                     rel_rel_edges: list[tuple[int, int]],
+                     rounds: int = 5) -> dict[int, int]:
+    """A4: fold per-bucket (rel_id, qmin, qmax) partials into one common
+    qt per relation, then run the fixed propagation rounds over the
+    rel->rel membership edges (resortwaynodes.go:767-824).
+
+    A rel's ways may span way-id buckets, so the partials are re-folded
+    (min of qmins, max of qmaxs) before ONE common(min, max) per rel —
+    valid because the deepest common ancestor of a qt SET equals
+    common(min, max) in pre-order.  Driver state is O(relations).
+    Each round walks the edge list in its given order; -1 acts as the
+    common() identity and maps to 0 at the end (as the reference does).
+    """
+    rel_qt: dict[int, int] = {int(r): -1 for r in rel_ids}
+    if len(rel_qt_parts):
+        fold = rel_qt_parts.groupby("rel_id").agg(
+            qmin=("qmin", "min"), qmax=("qmax", "max"))
+        commons = qt_common(fold["qmin"].to_numpy(), fold["qmax"].to_numpy())
+        for rid, c in zip(fold.index, commons):
+            rel_qt[int(rid)] = int(c)
+    for _ in range(rounds):
+        for k, v in rel_rel_edges:
+            if v in rel_qt:
+                rel_qt[k] = int(
+                    qt_common(np.asarray([rel_qt[k]]),
+                              np.asarray([rel_qt.get(v, -1)]))[0]
+                )
+    return {k: (0 if v == -1 else v) for k, v in rel_qt.items()}
 
 
 def _node_join_fn(style, point_qt_buffer=0.05):
@@ -731,26 +772,11 @@ def build_geometries(fixture_dir: str, out_dir: str,
             qmin=("qt", "min"), qmax=("qt", "max"))
 
     rel_qt_parts = bucketed_apply(qt_in, ["way_id"], qt_join).to_pandas()
-    # re-fold across buckets (a rel's ways may span way-id buckets), then
-    # one common(min, max) per relation — driver state is O(relations)
-    rel_qt: dict[int, int] = {int(r): -1 for r in rel_df["rel_id"].unique()}
-    if len(rel_qt_parts):
-        fold = rel_qt_parts.groupby("rel_id").agg(
-            qmin=("qmin", "min"), qmax=("qmax", "max"))
-        commons = qt_common(fold["qmin"].to_numpy(), fold["qmax"].to_numpy())
-        for rid, c in zip(fold.index, commons):
-            rel_qt[int(rid)] = int(c)
     rr_df = rel_df[rel_df["member_type"] == 2]
     rel_rel_edges = list(zip(rr_df["rel_id"].astype("int64").tolist(),
                              rr_df["member_ref"].astype("int64").tolist()))
-    for _ in range(5):  # fixed 5 propagation rounds (resortwaynodes.go:767-824)
-        for k, v in rel_rel_edges:
-            if v in rel_qt:
-                rel_qt[k] = int(
-                    qt_common(np.asarray([rel_qt[k]]),
-                              np.asarray([rel_qt.get(v, -1)]))[0]
-                )
-    rel_qt = {k: (0 if v == -1 else v) for k, v in rel_qt.items()}
+    rel_qt = relation_qt_fold(rel_df["rel_id"].unique(), rel_qt_parts,
+                              rel_rel_edges)
 
     # --- final features: stream -> count -> split -> tiled write -----------
     def node_features(b: pa.Table) -> pa.Table:

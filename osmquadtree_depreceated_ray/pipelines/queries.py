@@ -456,7 +456,7 @@ def _merge_registries():
     for mod_name in ("queries_events", "queries_text", "queries_embed",
                      "queries_curate", "queries_stats", "queries_pack",
                      "queries_spatial", "queries_corpus",
-                     "queries_graph", "queries_web"):
+                     "queries_graph", "queries_web", "queries_geomjoin"):
         try:
             import importlib
 
