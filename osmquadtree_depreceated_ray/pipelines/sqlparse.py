@@ -2586,12 +2586,45 @@ def _restore_int_cols(m: pd.DataFrame, int_cols: dict) -> pd.DataFrame:
     return m
 
 
+def _driver_read_small(ds_b):
+    """Short-circuit collecting a PURE parquet Read (no transforms, no
+    filter/partitioning/UDF) by reading the file(s) driver-side: a Ray
+    streaming execution costs ~0.3 s of launch latency even for a
+    25-row build table, paid once per broadcast join.  Returns None
+    whenever the plan is anything but that exact shape."""
+    try:
+        dag = ds_b._logical_plan.dag
+        if type(dag).__name__ != "Read" or dag.input_dependencies:
+            return None
+        src = getattr(dag, "_datasource", None)
+        if type(src).__name__ != "ParquetDatasource":
+            return None
+        if (getattr(src, "_partition_columns", None)
+                or getattr(src, "_block_udf", None)
+                or getattr(src, "_to_batches_kwargs", None)):
+            return None
+        paths = list(getattr(src, "_pq_paths", None) or [])
+        if not paths or len(paths) > 16:
+            return None
+        import pyarrow.parquet as _pq
+
+        cols = getattr(src, "_data_columns", None)
+        return pa.concat_tables(
+            [_pq.read_table(p, columns=cols) for p in paths],
+            promote_options="default")
+    except Exception:
+        return None
+
+
 def _collect_small(ds_b) -> pd.DataFrame:
     """Materialize a small dataset's blocks into one pandas frame.
     Blocks may be Arrow or pandas (a prior join / map_groups stage
     yields pandas blocks) — normalize before concatenating."""
     import ray
 
+    direct = _driver_read_small(ds_b)
+    if direct is not None:
+        return direct.to_pandas()
     blocks = ray.get(ds_b.to_arrow_refs())
     b_tbl = pa.concat_tables(
         [b if isinstance(b, pa.Table)
@@ -3471,9 +3504,25 @@ def _schema_names_or_none(ds):
     Ray Data skips map_batches UDFs on zero-row blocks, so a pipeline
     over an empty stream can lose its schema entirely — consumers must
     treat such a dataset as 'empty, unknown columns' rather than crash
-    on ``ds.schema()`` being None."""
+    on ``ds.schema()`` being None.
+
+    COSTLY on derived pipelines: fetching a missing schema executes the
+    plan prefix (a probe through a Sort pays the whole sort).  The
+    planner therefore tracks output names symbolically (projection
+    keys, join column algebra) and only falls back here when a name
+    hint is genuinely unavailable."""
     s = ds.schema(fetch_if_missing=True)
     return list(s.names) if s is not None and s.names else None
+
+
+def _sel_item_names(sel) -> "list[str] | None":
+    """The output column names a select with an explicit item list
+    produces — every select path (plain project, window, grouped,
+    unnest) ends in ``select(**proj)`` keyed by these names."""
+    if sel.get("items") is None:
+        return None
+    return [name or _expr_name(e, i)
+            for i, (e, name) in enumerate(sel["items"])]
 
 
 def _align_positional(left_names, other):
@@ -3740,7 +3789,11 @@ def parse_sql(sql: str, tables: dict,
 
 def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
     runs = []
+    # symbolic output names per run (None = unknown, probe lazily):
+    # avoids ds.schema() fetches that execute derived pipeline prefixes
+    runs_names: list = []
     for sel in ast["selects"]:
+        from_names: "list[str] | None" = None
         if isinstance(sel["table"], tuple) and sel["table"][0] == "derived":
             ds = _exec_ast(sel["table"][1], tables, broadcast_threshold)
         elif isinstance(sel["table"], tuple) and sel["table"][0] == "values":
@@ -3860,8 +3913,11 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
                     rhs = jt if inline_rhs else tables[jt]
                 # side resolution by schema when an unqualified pair was
                 # written join-side-first (ON g = k with g only in rhs)
-                l_have = set(ds.schema().names)
-                r_have = set(rhs.schema().names)
+                l_list = (from_names if from_names is not None
+                          else list(ds.schema().names))
+                l_have = set(l_list)
+                r_order = list(rhs.schema().names)
+                r_have = set(r_order)
                 if lateral_rhs:
                     missing = [c for c in lcols if c not in l_have]
                     if missing:
@@ -3978,13 +4034,25 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
                         _compile_expr(theta_resid)).run()
                 if lateral_rhs and lat_hidden:
                     ds = ds.drop_columns(lat_hidden)
+                # every join flavor's output is l + (r - overlap) in
+                # order (merge suffix convention: shared names carry
+                # LEFT values, right dupes are dropped) — track it so
+                # later stages never probe the join pipeline's schema
+                r_eff = (r_order if needed is None or lateral_rhs
+                         else [c for c in r_order if c in needed])
+                from_names = l_list + [c for c in r_eff
+                                       if c not in l_have]
+                if lateral_rhs and lat_hidden:
+                    from_names = [c for c in from_names
+                                  if c not in set(lat_hidden)]
             if pending_sc and sel["items"] is None:
                 # SELECT *: synthetic semi-join / decorrelation columns
                 # must not surface in the star expansion.  They are
                 # still live in the resolved WHERE, which the plain
                 # select applies BEFORE its projection — so defer the
                 # drop to a post-projection on the final output
-                keep = [c for c in ds.schema().names
+                keep = [c for c in (from_names if from_names is not None
+                                    else list(ds.schema().names))
                         if not (c.startswith("__sj")
                                 or c.startswith("__sc"))]
                 sel = dict(sel, items=[(("col", c), c) for c in keep])
@@ -3996,13 +4064,16 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
                     "GROUP BY ROLLUP/CUBE combined with window "
                     "functions or QUALIFY is not supported")
             out = _run_window_select(ds, sel)
+            out_names = _sel_item_names(sel)
             if sel["distinct"]:
                 from ..stages.shuffle import distinct as _distinct
 
-                _dn = _schema_names_or_none(out)
+                _dn = (out_names if out_names is not None
+                       else _schema_names_or_none(out))
                 if _dn is not None:
                     out = _distinct(out, _dn)
             runs.append(out)
+            runs_names.append(out_names)
             continue
         if sel.get("group") or (
             sel["items"] is not None
@@ -4010,24 +4081,31 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
         ):
             out = (_run_rollup_select(ds, sel) if sel.get("rollup")
                    else _run_grouped_select(ds, sel))
+            out_names = (None if sel.get("rollup")
+                         else _sel_item_names(sel))
             if sel["distinct"]:
                 from ..stages.shuffle import distinct as _distinct
 
-                _dn = _schema_names_or_none(out)
+                _dn = (out_names if out_names is not None
+                       else _schema_names_or_none(out))
                 if _dn is not None:
                     out = _distinct(out, _dn)
             runs.append(out)
+            runs_names.append(out_names)
             continue
         if sel["items"] is not None and any(
                 _has_unnest(e) for e, _ in sel["items"]):
             out = _run_unnest_select(ds, sel)
+            out_names = _sel_item_names(sel)
             if sel["distinct"]:
                 from ..stages.shuffle import distinct as _distinct
 
-                _dn = _schema_names_or_none(out)
+                _dn = (out_names if out_names is not None
+                       else _schema_names_or_none(out))
                 if _dn is not None:
                     out = _distinct(out, _dn)
             runs.append(out)
+            runs_names.append(out_names)
             continue
         q = Query(ds)
         if sel["where"] is not None:
@@ -4042,7 +4120,8 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
             # is an error in SQL and stays one here)
             if (not sel["distinct"] and ast.get("order")
                     and len(ast["selects"]) == 1):
-                in_names = set(_schema_names_or_none(ds) or [])
+                in_names = (set(from_names) if from_names is not None
+                            else set(_schema_names_or_none(ds) or []))
                 for node in ast["order"]:
                     if (isinstance(node, tuple) and node[0] == "col"
                             and node[1] not in proj
@@ -4050,18 +4129,25 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
                         proj[f"__ob_{node[1]}"] = col(node[1])
             q = q.select(**proj)
         out = q.run()
+        out_names = (list(proj.keys()) if sel["items"] is not None
+                     else from_names)
         if sel["distinct"]:
             from ..stages.shuffle import distinct as _distinct
 
-            _dn = _schema_names_or_none(out)
+            _dn = (out_names if out_names is not None
+                   else _schema_names_or_none(out))
             if _dn is not None:
                 out = _distinct(out, _dn)
         runs.append(out)
+        runs_names.append(out_names)
     ds = runs[0]
+    ds_names = runs_names[0]
     set_ops = ast.get("set_ops") or ["union_all"] * (len(runs) - 1)
-    for other, sop in zip(runs[1:], set_ops):
-        lnames = _schema_names_or_none(ds)
-        rnames = _schema_names_or_none(other)
+    for (other, onames), sop in zip(zip(runs[1:], runs_names[1:]), set_ops):
+        lnames = (ds_names if ds_names is not None
+                  else _schema_names_or_none(ds))
+        rnames = (onames if onames is not None
+                  else _schema_names_or_none(other))
         if rnames is None:
             # right side is a schema-less empty relation: UNION ALL and
             # EXCEPT [ALL] keep the left unchanged, UNION still dedups
@@ -4073,16 +4159,19 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
             elif sop in ("intersect", "intersect_all") \
                     and lnames is not None:
                 ds = ds.limit(0)
+            ds_names = lnames
             continue
         if lnames is None:
             # empty left: UNION [ALL] adopts the right side;
             # (empty) INTERSECT/EXCEPT x stays empty
             if sop == "union_all":
                 ds = other
+                ds_names = rnames
             elif sop == "union":
                 from ..stages.shuffle import distinct as _distinct
 
                 ds = _distinct(other, rnames)
+                ds_names = rnames
             continue
         # SQL set operations align columns by POSITION, not name:
         # positionally rename the right side to the left's schema
@@ -4100,7 +4189,10 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
             # side, co-locate identical rows via the bucketed exchange,
             # keep one copy of rows present in both (or left-only)
             ds = _set_op(ds, other, lnames, sop)
-    if _schema_names_or_none(ds) is None:
+        ds_names = lnames
+    if ds_names is None:
+        ds_names = _schema_names_or_none(ds)
+    if ds_names is None:
         # fully-void result (schema lost over an empty stream):
         # ORDER BY / LIMIT over an empty relation are no-ops
         return ds
@@ -4112,7 +4204,7 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
                     and isinstance(node[1], int)
                     and not isinstance(node[1], bool)):
                 # SQL ordinal: ORDER BY 1 names the first output column
-                names = ds.schema().names
+                names = ds_names
                 if not 1 <= node[1] <= len(names):
                     raise ValueError(
                         f"ORDER BY ordinal {node[1]} out of range")
@@ -4131,8 +4223,7 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
                         break
             if isinstance(node, tuple) and node[0] == "col":
                 key = node[1]
-                _names = _schema_names_or_none(ds) or []
-                if key not in _names and f"__ob_{key}" in _names:
+                if key not in ds_names and f"__ob_{key}" in ds_names:
                     key = f"__ob_{key}"
             else:
                 if _has_agg(node):
@@ -4167,9 +4258,10 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
 
             ds = ds.map_batches(add_sort_cols, batch_format="pyarrow")
         ds = ds.sort(sort_cols, descending=descs)
+        # names are known symbolically (pre-sort names + synth keys) —
+        # probing here would execute the whole sort just to list columns
         drop = [c for c, _e in synth] + [
-            c for c in (_schema_names_or_none(ds) or [])
-            if c.startswith("__ob_")]
+            c for c in ds_names if c.startswith("__ob_")]
         if drop:
             ds = ds.drop_columns(drop)
     if ast["limit"] is not None:
