@@ -38,21 +38,36 @@ CH_CREATE = 5
 
 
 def _changes_dir(out_dir: str) -> str:
-    return os.path.join(out_dir, "changes")
+    from ..state import fsio
+
+    return fsio.join(out_dir, "changes")
+
+
+def _changes_present(out_dir: str) -> bool:
+    """True when retired-able change files exist — fs-routed so the
+    overlay/compaction lifecycle runs on any fsspec backend."""
+    from ..state import fsio
+
+    fs, root = fsio.get_fs(_changes_dir(out_dir))
+    return fs.isdir(root) and bool(fsio.list_basenames(fs, root))
 
 
 def _migrate_legacy_lineage(out_dir: str) -> None:
     """One-time migration of a legacy single-file lineage.parquet into
     the bucketed store (a stale legacy file would shadow bucket state)."""
-    legacy = os.path.join(out_dir, "lineage.parquet")
-    if not os.path.exists(legacy):
+    from ..state import fsio
+
+    fs, root = fsio.get_fs(out_dir)
+    legacy = fsio.join(root, "lineage.parquet")
+    if not fs.exists(legacy):
         return
-    t = pq.read_table(legacy)
+    with fs.open(legacy, "rb") as f:
+        t = pq.read_table(f)
     eids = t.column("entity_id").to_numpy()
     bks = mf.lineage_bucket(eids)
     for b in np.unique(bks):
         mf.write_lineage_bucket(out_dir, int(b), t.filter(pa.array(bks == b)))
-    os.remove(legacy)
+    fs.rm(legacy)
 
 
 def apply_change_batch(out_dir: str, changes: pa.Table, seq: int) -> dict:
@@ -147,8 +162,12 @@ def apply_change_batch(out_dir: str, changes: pa.Table, seq: int) -> dict:
             "seq": pa.array(np.full(len(cat[0]), seq, np.int64)),
         }
     )
-    os.makedirs(_changes_dir(out_dir), exist_ok=True)
-    pq.write_table(out, os.path.join(_changes_dir(out_dir), f"change_{seq:06d}.parquet"))
+    from ..state import fsio
+
+    cfs, croot = fsio.get_fs(_changes_dir(out_dir))
+    cfs.makedirs(croot, exist_ok=True)
+    fsio.commit_parquet(out, cfs,
+                        fsio.join(croot, f"change_{seq:06d}.parquet"))
 
     # rewrite ONLY the affected lineage buckets: drop deleted ids, upsert
     # modified/created ids
@@ -247,9 +266,8 @@ def read_snapshot(out_dir: str):
     cols = ["entity_id", "lon", "lat", "qt", "tile", "change", "seq"]
     base = base.map_batches(base_rows, batch_format="pyarrow").select_columns(cols)
 
-    cdir = _changes_dir(out_dir)
-    if os.path.isdir(cdir) and os.listdir(cdir):
-        ch = ray.data.read_parquet(cdir).select_columns(cols)
+    if _changes_present(out_dir):
+        ch = ray.data.read_parquet(_changes_dir(out_dir)).select_columns(cols)
         both = base.union(ch)
     else:
         both = base
@@ -309,9 +327,9 @@ def compact(out_dir: str) -> dict:
 
     from ..stages.shuffle import bucketed_apply
 
-    cdir = _changes_dir(out_dir)
-    if not (os.path.isdir(cdir) and os.listdir(cdir)):
+    if not _changes_present(out_dir):
         return {"rewritten_tiles": 0, "retired_files": 0}
+    cdir = _changes_dir(out_dir)
     data_dir = mf.data_dir(out_dir)
 
     # route the change stream to per-tile compaction through the
@@ -342,8 +360,11 @@ def compact(out_dir: str) -> dict:
                        results_df["count"].astype(int)))
 
     retired = 0
-    for f in list(os.listdir(cdir)):
-        os.remove(os.path.join(cdir, f))
+    from ..state import fsio
+
+    cfs, croot = fsio.get_fs(cdir)
+    for f in fsio.list_basenames(cfs, croot):
+        cfs.rm(fsio.join(croot, f))
         retired += 1
     # refresh manifest counts for rewritten tiles
     man = mf.read_manifest(out_dir).to_pandas()

@@ -183,3 +183,124 @@ def test_ordered_read_on_memory_fs(memfs):
         tab = _read_tile_impl(files, None)
         got_rows += tab.num_rows
     assert got_rows == 100
+
+
+def test_update_compact_lifecycle_memory(memfs, ray_session):
+    """Directive: the FULL sink lifecycle on a non-rename backend —
+    tiled base write -> change-batch apply -> per-tile compaction ->
+    retirement — every file operation fs-routed, driven in-process
+    (the memory backend is per-process; the Ray-task path runs in
+    test_full_lifecycle_file_scheme on a shared backend)."""
+    import pandas as pd
+
+    from osmquadtree_depreceated_ray.functions.quadtree import (
+        calculate_point,
+    )
+    from osmquadtree_depreceated_ray.pipelines import update as up
+
+    root = "memory://lc"
+    data = manifest.data_dir(root)
+    eid = np.arange(1, 7, dtype=np.int64)
+    lon = (eid * 100_000_000 - 400_000_000).astype(np.int64)
+    lat = (eid * 50_000_000 - 200_000_000).astype(np.int64)
+    qt = calculate_point(lon, lat, 0.05, 18)
+    base = pa.table({
+        "tile": np.zeros(6, np.int64), "entity_id": eid,
+        "lon": lon, "lat": lat, "qt": qt,
+    })
+    tiles = np.array([0], dtype=np.int64)
+    wid = _writer_ranges(tiles, np.array([6], np.int64), 1)
+    piece = _split_impl(tiles, wid, 1, None, base)
+    _write_range_impl(0, data, manifest.lineage_dir(root), None, piece)
+    manifest.write_manifest(root, tiles, np.array([6], np.int64),
+                            state={"seq": 0})
+
+    changes = pa.table({
+        "entity_id": np.array([2, 3, 7], np.int64),
+        "change": np.array([up.CH_MODIFY, up.CH_DELETE, up.CH_CREATE],
+                           np.int8),
+        "lon": np.array([123_000_000, 0, -456_000_000], np.int64),
+        "lat": np.array([45_000_000, 0, -10_000_000], np.int64),
+        "seq": np.array([1, 1, 1], np.int64),
+    })
+    res = up.apply_change_batch(root, changes, 1)
+    assert res["records"] == 3 and res["missing_deletes"] == 0
+    # change file committed on the memory backend, no tmp residue
+    assert up._changes_present(root)
+    cfs, croot = fsio.get_fs(up._changes_dir(root))
+    names = fsio.list_basenames(cfs, croot)
+    assert names == ["change_000001.parquet"]
+    assert not [p for p in memfs.find("/lc") if ".tmp" in p]
+    # lineage reflects the delete/create
+    lin = manifest.read_lineage(root).to_pandas()
+    assert 3 not in set(lin["entity_id"])
+    assert 7 in set(lin["entity_id"])
+
+    # per-tile compaction (the compact_bucket body, driven in-process)
+    with cfs.open(fsio.join(croot, names[0]), "rb") as f:
+        ch = pq.read_table(f).to_pandas()
+    for t, grp in ch.groupby("tile"):
+        up._compact_tile_impl(
+            data, int(t),
+            grp[["entity_id", "lon", "lat", "qt", "change", "seq"]])
+    # compacted tile replaces the base parts entirely
+    tdir = "/lc/data/tile=0"
+    assert [n for n in fsio.list_basenames(memfs, tdir)
+            if n.endswith(".parquet")] == ["part-compacted.parquet"]
+    with memfs.open(tdir + "/part-compacted.parquet", "rb") as f:
+        got = pq.read_table(f).to_pandas().set_index("entity_id").sort_index()
+    assert got.index.tolist() == [1, 2, 4, 5, 6, 7]
+    assert int(got.loc[2, "lon"]) == 123_000_000
+    assert int(got.loc[7, "lat"]) == -10_000_000
+    # retirement protocol (compact()'s tail) on the same backend
+    for f in fsio.list_basenames(cfs, croot):
+        cfs.rm(fsio.join(croot, f))
+    assert not up._changes_present(root)
+
+
+def test_full_lifecycle_file_scheme(ray_session, tmp_path):
+    """tiled write -> update overlay -> compact -> read_snapshot over a
+    scheme-qualified URL, through the REAL Ray operators (file:// is
+    shared across worker processes, unlike memory://)."""
+    import ray
+
+    from osmquadtree_depreceated_ray.functions.quadtree import (
+        calculate_point,
+    )
+    from osmquadtree_depreceated_ray.pipelines import update as up
+    from osmquadtree_depreceated_ray.pipelines.tile import tile_entities
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    eid = np.arange(1, n + 1, dtype=np.int64)
+    lon = rng.integers(-1_700_000_000, 1_700_000_000, n).astype(np.int64)
+    lat = rng.integers(-800_000_000, 800_000_000, n).astype(np.int64)
+    qt = calculate_point(lon, lat, 0.05, 18)
+    ents = ray.data.from_arrow(pa.table({
+        "entity_id": eid, "lon": lon, "lat": lat, "qt": qt}))
+    out = f"file://{tmp_path}/lcy"
+    stats = tile_entities(ents, out, target=500, minimum=20, resume=False)
+    assert stats["total"] == n
+
+    changes = pa.table({
+        "entity_id": np.array([10, 20, n + 1], np.int64),
+        "change": np.array([up.CH_MODIFY, up.CH_DELETE, up.CH_CREATE],
+                           np.int8),
+        "lon": np.array([900_000_000, 0, -900_000_000], np.int64),
+        "lat": np.array([300_000_000, 0, -300_000_000], np.int64),
+        "seq": np.array([1, 1, 1], np.int64),
+    })
+    up.apply_change_batch(out, changes, 1)
+    before = (up.read_snapshot(out).to_pandas()
+              .set_index("entity_id").sort_index())
+    assert len(before) == n  # -1 delete +1 create
+    assert 20 not in before.index and (n + 1) in before.index
+    assert int(before.loc[10, "lon"]) == 900_000_000
+
+    res = up.compact(out)
+    assert res["rewritten_tiles"] > 0 and res["retired_files"] == 1
+    after = (up.read_snapshot(out).to_pandas()
+             .set_index("entity_id").sort_index())
+    assert (after.index == before.index).all()
+    for c in ("lon", "lat", "qt"):
+        assert (after[c].to_numpy() == before[c].to_numpy()).all()
