@@ -4,14 +4,23 @@
 cell-ID algorithm (quadratic ST projection + Hilbert curve position, as
 documented for s2geometry): lon/lat -> unit xyz -> cube face + (u,v) ->
 (s,t) -> 30-bit (i,j) -> Hilbert position via 4-bit lookup tables ->
-64-bit cell id, truncatable to any level 0..30.  The north_rule requires
-an H3/S2-style cell index; ``icosa_cell_id`` is a from-scratch
-icosahedral aperture-7 hex index built exactly as the public H3 design
-describes (gnomonic projection per icosahedron face, sqrt(7) scale +
-19.1066-degree rotation per resolution) — same geometry as H3, different
-orientation/numbering.  ``hex_cell_id`` remains as a cheap planar
-hexagonal binning (axial coordinates + cube rounding on an
-equirectangular projection) with the same interface.
+64-bit cell id, truncatable to any level 0..30.  ``s2_cell_id`` IS
+canonically numbered (matches the published S2 algorithm bit for bit).
+
+The north_rule requires an H3/S2-style cell index; ``icosa_cell_id``
+is a from-scratch icosahedral aperture-7 hex index built exactly as
+the public H3 design describes (gnomonic projection per icosahedron
+face, sqrt(7) scale + 19.1066-degree rotation per resolution) — same
+geometry and same aggregation/join properties as H3, but **NOT
+canonical H3 numbering**: the canonical ids depend on the reference
+implementation's 122-entry base-cell assignment and orientation
+tables, which are data, not derivable geometry.  Ids from this module
+are deterministic and self-consistent (parent/child containment,
+equal-area-ish cells, prefix joins) but are NOT interchangeable with
+ids from the `h3` library — hence the column is named ``cell_hex``,
+not ``cell_h3``.  ``hex_cell_id`` remains as a cheap planar hexagonal
+binning (axial coordinates + cube rounding on an equirectangular
+projection) with the same interface.
 
 These ids serve as companion partition keys next to the osmquadtree
 ``qt`` (SURVEY §1.2): same deepest-cell prefix-join patterns apply.

@@ -613,7 +613,7 @@ def q_cells(sf_dir: str):
     pipeline is not practical to replicate in SQL); determinism +
     properties pinned by tests/test_cells_geom.py."""
     ds = derived_entities(sf_dir, include_icosa=True)
-    return ds.select_columns(["doc_id", "cell_s2", "cell_h3", "cell_icosa"])
+    return ds.select_columns(["doc_id", "cell_s2", "cell_hex", "cell_icosa"])
 
 
 def sql_cells_golden() -> str:
@@ -633,17 +633,17 @@ def sql_cells_golden() -> str:
                                "lon": pa.array(lon), "lat": pa.array(lat)}),
                      include_icosa=True)
     s2 = t.column("cell_s2").to_pylist()
-    h3 = t.column("cell_h3").to_pylist()
+    h3 = t.column("cell_hex").to_pylist()
     ic = t.column("cell_icosa").to_pylist()
     rows = ",".join(
         f"({k},{int(s2[k])},{int(h3[k])},{int(ic[k])})" for k in range(500)
     )
     return (
-        "WITH golden(doc_id, cell_s2, cell_h3, cell_icosa) AS (VALUES "
+        "WITH golden(doc_id, cell_s2, cell_hex, cell_icosa) AS (VALUES "
         + rows + ") "
         "SELECT CAST(g.doc_id AS BIGINT) AS doc_id, "
         "CAST(g.cell_s2 AS BIGINT) AS cell_s2, "
-        "CAST(g.cell_h3 AS BIGINT) AS cell_h3, "
+        "CAST(g.cell_hex AS BIGINT) AS cell_hex, "
         "CAST(g.cell_icosa AS BIGINT) AS cell_icosa "
         "FROM golden g JOIN documents d ON d.doc_id = g.doc_id"
     )

@@ -36,7 +36,7 @@ DEFAULT_MINIMUM = 500
 
 
 def pages_to_entities(pages_ds, parallelism_hint: int | None = None):
-    """pages Dataset -> entity Dataset with qt / cell_s2 / cell_h3."""
+    """pages Dataset -> entity Dataset with qt / cell_s2 / cell_hex."""
     from ..stages.extract import add_entity_id
 
     ents = (

@@ -38,7 +38,7 @@ def assign_cells(batch: pa.Table, buffer: float = QT_BUFFER,
     out = (
         batch.append_column("qt", pa.array(qt))
         .append_column("cell_s2", pa.array(s2))
-        .append_column("cell_h3", pa.array(hx))
+        .append_column("cell_hex", pa.array(hx))
     )
     if include_icosa:
         # the icosahedral aperture-7 index (20-face matmul + trig) is
