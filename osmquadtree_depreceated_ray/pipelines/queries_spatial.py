@@ -1609,23 +1609,29 @@ ORACLES["local_g"] = sql_local_g
 RIPLEY_RS = (50_000_000, 100_000_000, 150_000_000)
 
 
-def q_ripley_k(sf_dir: str):
-    """(r, n_pairs, pairfrac_q12) for each Ripley radius."""
+def q_ripley_k(sf_dir: str, rs: tuple = RIPLEY_RS):
+    """(r, n_pairs, pairfrac_q12) for each Ripley radius.
+
+    ``rs`` defaults to the oracle-checked radii (sized for the sf
+    tables).  A fixed-radius pair count is inherently O(n^2 r^2 / A):
+    at probe scale the caller must pass density-appropriate radii so
+    mean pairs-per-point stays bounded (tools/family_probe.py passes
+    ~0.15-degree radii at 16M uniform points)."""
     import ray
     import ray.data
 
     from ..stages.shuffle import bucketed_apply, grouped_agg
 
-    rmax = max(RIPLEY_RS)
+    rmax = max(rs)
     pts = _replicated_points(sf_dir, rmax)
 
     def cnts(g: pd.DataFrame) -> pd.DataFrame:
         p = _cell_pairs(g, rmax)
         d2 = p["dist2"].to_numpy(np.int64)
         return pd.DataFrame({
-            "r": np.array(RIPLEY_RS, np.int64),
+            "r": np.array(rs, np.int64),
             "n_pairs": np.array(
-                [int((d2 <= r * r).sum()) for r in RIPLEY_RS], np.int64),
+                [int((d2 <= r * r).sum()) for r in rs], np.int64),
         })
 
     agg = grouped_agg(

@@ -3,6 +3,11 @@ testdata dir with the same comparison the driver uses (row count, schema
 column names, order-insensitive value equality).
 
 Usage: python tools/check_oracles.py [sf_dir] [name ...]
+       python tools/check_oracles.py --json OUT.json [sf_dir] [name ...]
+
+``--json`` additionally writes one record per query (status, rows,
+issues, timings) so each round's full-registry sweep persists as an
+auditable artifact (e.g. CORRECTNESS_full_r05.json).
 """
 
 from __future__ import annotations
@@ -69,8 +74,13 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     os.environ.setdefault(
         "RAY_DATA_LOGGING_CONFIG",
@@ -97,6 +107,7 @@ def main():
         )
 
     failures = 0
+    records = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -107,17 +118,23 @@ def main():
             got = to_pandas(fn(sf_dir))
         except Exception as e:
             print(f"FAIL {name}: query raised {type(e).__name__}: {e}")
+            records[name] = {"status": "FAIL",
+                             "err": f"query {type(e).__name__}: {e}"}
             failures += 1
             continue
         ray_t = time.time() - t0
         if name not in oracles:
             print(f"ok?  {name}: rows={len(got)} ({ray_t:.1f}s) [no oracle: rows-only]")
+            records[name] = {"status": "ROWS_ONLY", "rows": len(got),
+                             "ray_s": round(ray_t, 2)}
             continue
         t0 = time.time()
         try:
             want = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name}: oracle raised {type(e).__name__}: {e}")
+            records[name] = {"status": "FAIL",
+                             "err": f"oracle {type(e).__name__}: {e}"}
             failures += 1
             continue
         sql_t = time.time() - t0
@@ -125,8 +142,27 @@ def main():
         if issues:
             failures += 1
             print(f"FAIL {name}: " + "; ".join(issues))
+            records[name] = {"status": "FAIL", "rows": len(got),
+                             "oracle_rows": len(want), "issues": issues}
         else:
             print(f"PASS {name}: rows={len(got)} (ray {ray_t:.1f}s, sql {sql_t:.1f}s)")
+            records[name] = {"status": "PASS", "rows": len(got),
+                             "ray_s": round(ray_t, 2),
+                             "sql_s": round(sql_t, 2)}
+    if json_out:
+        import json
+
+        summary = {
+            "sf_dir": sf_dir,
+            "total": len(records),
+            "pass": sum(1 for r in records.values() if r["status"] == "PASS"),
+            "rows_only": sum(1 for r in records.values()
+                             if r["status"] == "ROWS_ONLY"),
+            "fail": failures,
+        }
+        with open(json_out, "w") as f:
+            json.dump({"summary": summary, "queries": records}, f, indent=1)
+        print(f"wrote {json_out}: {summary}")
     sys.exit(1 if failures else 0)
 
 
