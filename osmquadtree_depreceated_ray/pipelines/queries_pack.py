@@ -418,6 +418,81 @@ def _doc_ngrams(b: pa.Table) -> pd.DataFrame:
          "g": s.to_numpy()})
 
 
+def _doc_gram_hashes(b: pa.Table, width: int = NGRAM_W):
+    """(row_index, gram_hash) for every sliding ``width``-gram, hashing
+    byte SLICES of the original text instead of materializing gram
+    strings.  Exact because ``" ".join(s.split(" ")) == s`` for any s:
+    the gram joining words i..i+w-1 with single spaces IS the byte span
+    from the start of word i to the end of word i+w-1, so
+    md5(slice) == md5(" ".join(words)) byte for byte (empty words from
+    repeated spaces included).  Replaces the w-1 pandas concat passes
+    (one new Python string per gram per pass) with one vectorized space
+    scan + one md5 per gram over a zero-copy memoryview — measured
+    35.4 s -> 14.5 s for the 8M-doc decontaminate probe at 32 cpus."""
+    import hashlib
+
+    col = b.column("text")
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    md5 = hashlib.md5
+    rows_out: list[np.ndarray] = []
+    ghs_out: list[np.ndarray] = []
+    row_base = 0
+    for chunk in chunks:
+        n = len(chunk)
+        if n == 0:
+            continue
+        if chunk.null_count:
+            raise ValueError("null text")
+        odt = (np.int64 if pa.types.is_large_string(chunk.type)
+               else np.int32)
+        bufs = chunk.buffers()
+        offs = np.frombuffer(
+            bufs[1], dtype=odt, count=n + 1,
+            offset=chunk.offset * np.dtype(odt).itemsize).astype(np.int64)
+        data = np.frombuffer(bufs[2], dtype=np.uint8)
+        mv = memoryview(bufs[2])
+        # every space byte position inside this chunk's rows
+        sp = np.flatnonzero(data[offs[0]:offs[-1]] == 32) + offs[0]
+        row_of_sp = np.searchsorted(offs, sp, side="right") - 1
+        n_words = np.bincount(row_of_sp - 0, minlength=n)[:n] + 1
+        # word START byte offsets, grouped by row: row start + each
+        # space position + 1;  word END offsets: each space + row end
+        starts = np.empty(int(n_words.sum()), np.int64)
+        ends = np.empty_like(starts)
+        # rows are contiguous: word k of row r lives at word_base[r]+k
+        word_base = np.concatenate([[0], np.cumsum(n_words)])
+        starts[word_base[:-1]] = offs[:-1]
+        ends[word_base[1:] - 1] = offs[1:]
+        # spaces fill the rest, in order (sp is sorted; within a row the
+        # j-th space ends word j and starts word j+1).  spaces before
+        # row r = words before r - r, so the within-row rank is the
+        # global space index minus that.
+        sp_rank = np.arange(len(sp)) - (word_base[row_of_sp] - row_of_sp)
+        starts[word_base[row_of_sp] + sp_rank + 1] = sp + 1
+        ends[word_base[row_of_sp] + sp_rank] = sp
+        n_grams = np.maximum(n_words - (width - 1), 0)
+        tot = int(n_grams.sum())
+        if tot == 0:
+            row_base += n
+            continue
+        gram_rows = np.repeat(np.arange(n, dtype=np.int64), n_grams)
+        gram_base = np.concatenate([[0], np.cumsum(n_grams)])
+        gram_rank = np.arange(tot, dtype=np.int64) - gram_base[gram_rows]
+        gi = word_base[gram_rows] + gram_rank
+        g_start = starts[gi]
+        g_end = ends[gi + (width - 1)]
+        gh = np.fromiter(
+            (int.from_bytes(md5(mv[s:e]).digest()[8:16], "little")
+             for s, e in zip(g_start.tolist(), g_end.tolist())),
+            dtype=np.uint64, count=tot)
+        rows_out.append(gram_rows + row_base)
+        ghs_out.append(gh.view(np.int64))
+        row_base += n
+    if not rows_out:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(rows_out), np.concatenate(ghs_out)
+
+
 def q_decontaminate(sf_dir: str, broadcast_max: int | None = None):
     """Benchmark-overlap screening: flag how much of every corpus doc
     is covered by sliding 8-grams that also occur in the eval set
@@ -439,10 +514,8 @@ def q_decontaminate(sf_dir: str, broadcast_max: int | None = None):
         keep = np.flatnonzero(
             b.column("doc_id").to_numpy() % EVAL_MOD == 0)
         sub = b.take(pa.array(keep, pa.int64()))
-        df = _doc_ngrams(sub)
-        uniq = pd.unique(df["g"])
-        gh = np.unique(_md5_lower64(uniq).view(np.int64))
-        return pa.table({"gh": pa.array(gh)})
+        _rows, gh = _doc_gram_hashes(sub)
+        return pa.table({"gh": pa.array(np.unique(gh))})
 
     from ..stages.shuffle import distinct
 
@@ -456,12 +529,10 @@ def q_decontaminate(sf_dir: str, broadcast_max: int | None = None):
         def occ(b: pa.Table) -> pa.Table:
             keep = np.flatnonzero(
                 b.column("doc_id").to_numpy() % EVAL_MOD != 0)
-            df = _doc_ngrams(b.take(pa.array(keep, pa.int64())))
-            codes, uniq = pd.factorize(df["g"], sort=False)
-            gh = _md5_lower64(uniq).view(np.int64)[codes] \
-                if len(df) else np.empty(0, np.int64)
-            per = (pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
-                                 "gh": gh})
+            sub = b.take(pa.array(keep, pa.int64()))
+            rows, gh = _doc_gram_hashes(sub)
+            d = sub.column("doc_id").to_numpy().astype(np.int64)[rows]
+            per = (pd.DataFrame({"doc_id": d, "gh": gh})
                    .groupby(["doc_id", "gh"], sort=False).size()
                    .reset_index(name="cnt"))
             return pa.Table.from_pandas(per, preserve_index=False)
@@ -469,9 +540,10 @@ def q_decontaminate(sf_dir: str, broadcast_max: int | None = None):
         def totals(b: pa.Table) -> pa.Table:
             keep = np.flatnonzero(
                 b.column("doc_id").to_numpy() % EVAL_MOD != 0)
-            df = _doc_ngrams(b.take(pa.array(keep, pa.int64())))
-            docs, n = np.unique(df["doc_id"].to_numpy(),
-                                return_counts=True)
+            sub = b.take(pa.array(keep, pa.int64()))
+            rows, _gh = _doc_gram_hashes(sub)
+            d = sub.column("doc_id").to_numpy().astype(np.int64)[rows]
+            docs, n = np.unique(d, return_counts=True)
             return pa.table(
                 {"doc_id": pa.array(docs.astype(np.int64)),
                  "total": pa.array(n.astype(np.int64))})
@@ -498,22 +570,20 @@ def q_decontaminate(sf_dir: str, broadcast_max: int | None = None):
         keep = np.flatnonzero(
             b.column("doc_id").to_numpy() % EVAL_MOD != 0)
         sub = b.take(pa.array(keep, pa.int64()))
-        df = _doc_ngrams(sub)
-        if not len(df):
+        rows, gh = _doc_gram_hashes(sub)
+        if not len(rows):
             return pa.table(
                 {"doc_id": pa.array([], pa.int64()),
                  "n_grams": pa.array([], pa.int64()),
                  "n_contam": pa.array([], pa.int64()),
                  "contam_frac": pa.array([], pa.float64())})
-        codes, uniq = pd.factorize(df["g"], sort=False)
-        gh = _md5_lower64(uniq).view(np.int64)[codes]
         if len(ev):
             j = np.searchsorted(ev, gh)
             j[j >= len(ev)] = len(ev) - 1
             hit = ev[j] == gh
         else:
             hit = np.zeros(len(gh), bool)
-        d = df["doc_id"].to_numpy()
+        d = sub.column("doc_id").to_numpy().astype(np.int64)[rows]
         docs = np.unique(d)
         idx = np.searchsorted(docs, d)
         n_all = np.bincount(idx, minlength=len(docs)).astype(np.int64)
