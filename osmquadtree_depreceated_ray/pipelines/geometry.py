@@ -246,13 +246,25 @@ def relation_qt_fold(rel_ids, rel_qt_parts: pd.DataFrame,
         commons = qt_common(fold["qmin"].to_numpy(), fold["qmax"].to_numpy())
         for rid, c in zip(fold.index, commons):
             rel_qt[int(rid)] = int(c)
+    # scalar common() for the sequential edge walk: the per-edge
+    # 1-element-ndarray qt_common call cost ~7 us/edge — at 100k+
+    # edges x 5 rounds (rel_qt_rounds at sf0.1) that was ~4 s of
+    # driver time; plain-int bit ops run the same walk in ~0.3 s.
+    # Equality with the vectorized kernel is pinned by
+    # tests/test_geomjoin_queries.py.
     for _ in range(rounds):
         for k, v in rel_rel_edges:
             if v in rel_qt:
-                rel_qt[k] = int(
-                    qt_common(np.asarray([rel_qt[k]]),
-                              np.asarray([rel_qt.get(v, -1)]))[0]
-                )
+                a = rel_qt[k]
+                b = rel_qt[v]
+                if a == -1:
+                    rel_qt[k] = b
+                elif b != -1:
+                    d = min(a & 31, b & 31)
+                    x = (a & ~31) ^ (b & ~31)
+                    lvl = min(d, (63 - x.bit_length()) // 2)
+                    sh = 63 - 2 * lvl
+                    rel_qt[k] = ((a >> sh) << sh) + lvl
     return {k: (0 if v == -1 else v) for k, v in rel_qt.items()}
 
 
