@@ -419,22 +419,66 @@ def _doc_ngrams(b: pa.Table) -> pd.DataFrame:
 
 
 def _doc_gram_hashes(b: pa.Table, width: int = NGRAM_W):
-    """(row_index, gram_hash) for every sliding ``width``-gram, hashing
-    byte SLICES of the original text instead of materializing gram
-    strings.  Exact because ``" ".join(s.split(" ")) == s`` for any s:
-    the gram joining words i..i+w-1 with single spaces IS the byte span
-    from the start of word i to the end of word i+w-1, so
+    """(row_index, gram_hash) for every sliding ``width``-gram — see
+    :func:`_doc_gram_scan`."""
+    rows, _pos, gh = _doc_gram_scan(b, width)
+    return rows, gh
+
+
+def _doc_gram_hashes_pos(b: pa.Table, width: int = NGRAM_W):
+    """(row_index, 1-based start-word position, gram_hash) per sliding
+    ``width``-gram — the hashing replacement for
+    ``_doc_ngrams_pos`` + ``_md5_lower64`` at every consumer that only
+    needs the gram's md5 identity, not the string."""
+    return _doc_gram_scan(b, width)
+
+
+def _doc_word_counts(b: pa.Table) -> np.ndarray:
+    """Words per row (split-on-single-space semantics) from one
+    vectorized space scan over the Arrow text buffer — no gram
+    strings, no hashes."""
+    col = b.column("text")
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    outs = []
+    for chunk in chunks:
+        n = len(chunk)
+        if n == 0:
+            continue
+        odt = (np.int64 if pa.types.is_large_string(chunk.type)
+               else np.int32)
+        bufs = chunk.buffers()
+        offs = np.frombuffer(
+            bufs[1], dtype=odt, count=n + 1,
+            offset=chunk.offset * np.dtype(odt).itemsize).astype(np.int64)
+        data = np.frombuffer(bufs[2], dtype=np.uint8)
+        sp = np.flatnonzero(data[offs[0]:offs[-1]] == 32) + offs[0]
+        row_of_sp = np.searchsorted(offs, sp, side="right") - 1
+        outs.append(np.bincount(row_of_sp, minlength=n)[:n] + 1)
+    if not outs:
+        return np.empty(0, np.int64)
+    return np.concatenate(outs).astype(np.int64)
+
+
+def _doc_gram_scan(b: pa.Table, width: int = NGRAM_W):
+    """(row_index, pos, gram_hash) for every sliding ``width``-gram,
+    hashing byte SLICES of the original text instead of materializing
+    gram strings.  Exact because ``" ".join(s.split(" ")) == s`` for
+    any s: the gram joining words i..i+w-1 with single spaces IS the
+    byte span from the start of word i to the end of word i+w-1, so
     md5(slice) == md5(" ".join(words)) byte for byte (empty words from
     repeated spaces included).  Replaces the w-1 pandas concat passes
     (one new Python string per gram per pass) with one vectorized space
-    scan + one md5 per gram over a zero-copy memoryview — measured
-    35.4 s -> 14.5 s for the 8M-doc decontaminate probe at 32 cpus."""
+    scan + one md5 per gram over a zero-copy memoryview — the 8M-doc
+    decontaminate probe measured 35.4 s -> 8.5 s at 32 cpus once every
+    gram consumer (dup_spans / span_rewrite / winnow / dedup paths)
+    switched to it."""
     import hashlib
 
     col = b.column("text")
     chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
     md5 = hashlib.md5
     rows_out: list[np.ndarray] = []
+    pos_out: list[np.ndarray] = []
     ghs_out: list[np.ndarray] = []
     row_base = 0
     for chunk in chunks:
@@ -486,11 +530,14 @@ def _doc_gram_hashes(b: pa.Table, width: int = NGRAM_W):
              for s, e in zip(g_start.tolist(), g_end.tolist())),
             dtype=np.uint64, count=tot)
         rows_out.append(gram_rows + row_base)
+        pos_out.append(gram_rank + 1)
         ghs_out.append(gh.view(np.int64))
         row_base += n
     if not rows_out:
-        return np.empty(0, np.int64), np.empty(0, np.int64)
-    return np.concatenate(rows_out), np.concatenate(ghs_out)
+        e = np.empty(0, np.int64)
+        return e, e, e
+    return (np.concatenate(rows_out), np.concatenate(pos_out),
+            np.concatenate(ghs_out))
 
 
 def q_decontaminate(sf_dir: str, broadcast_max: int | None = None):
@@ -898,12 +945,9 @@ def q_dup_spans(sf_dir: str, broadcast_max: int | None = None):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def pairs(b: pa.Table) -> pa.Table:
-        _row, _pos, s = _doc_ngrams_pos(b)
-        df = pd.DataFrame({"r": _row, "g": s}).drop_duplicates()
-        codes, uniq = pd.factorize(df["g"], sort=False)
-        gh = _md5_lower64(uniq).view(np.int64)[codes] \
-            if len(df) else np.empty(0, np.int64)
-        return pa.table({"gh": pa.array(gh),
+        _row, gh = _doc_gram_hashes(b)
+        df = pd.DataFrame({"r": _row, "gh": gh}).drop_duplicates()
+        return pa.table({"gh": pa.array(df["gh"].to_numpy(np.int64)),
                          "one": pa.array(np.ones(len(df), np.int64))})
 
     counts = grouped_agg(
@@ -916,10 +960,7 @@ def q_dup_spans(sf_dir: str, broadcast_max: int | None = None):
         # scale path: position-carrying bucketed semi-join, then a
         # per-doc exchange computing the run statistic from positions
         def occ(b: pa.Table) -> pa.Table:
-            row, pos, s = _doc_ngrams_pos(b)
-            codes, uniq = pd.factorize(pd.Series(s), sort=False)
-            gh = _md5_lower64(uniq).view(np.int64)[codes] \
-                if len(s) else np.empty(0, np.int64)
+            row, pos, gh = _doc_gram_hashes_pos(b)
             doc = b.column("doc_id").to_numpy()[row].astype(np.int64)
             return pa.table({"doc_id": pa.array(doc),
                              "pos": pa.array(pos),
@@ -944,13 +985,14 @@ def q_dup_spans(sf_dir: str, broadcast_max: int | None = None):
         hits = bucketed_apply(both, ["gh"], hit)
 
         def totals(b: pa.Table) -> pa.Table:
-            row, _pos, _s = _doc_ngrams_pos(b)
-            r, n = np.unique(row, return_counts=True)
+            n_grams = np.maximum(
+                _doc_word_counts(b) - (NGRAM_W - 1), 0)
+            r = np.flatnonzero(n_grams)
             doc = b.column("doc_id").to_numpy()[r].astype(np.int64)
             return pa.table({"doc_id": pa.array(doc),
                              "pos": pa.array(
                                  np.full(len(r), -1, np.int64)),
-                             "tot": pa.array(n.astype(np.int64))})
+                             "tot": pa.array(n_grams[r])})
 
         def tag_hits(t: pa.Table) -> pa.Table:
             return pa.table({"doc_id": t.column("doc_id"),
@@ -998,14 +1040,12 @@ def q_dup_spans(sf_dir: str, broadcast_max: int | None = None):
 
     def probe(b: pa.Table) -> pa.Table:
         dset = ray.get(dup_ref)
-        row, _pos, s = _doc_ngrams_pos(b)
+        row, gh = _doc_gram_hashes(b)
         if not len(row):
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "n_grams": pa.array([], pa.int64()),
                              "n_dup": pa.array([], pa.int64()),
                              "max_run": pa.array([], pa.int64())})
-        codes, uniq = pd.factorize(pd.Series(s), sort=False)
-        gh = _md5_lower64(uniq).view(np.int64)[codes]
         if len(dset):
             j = np.searchsorted(dset, gh)
             j[j >= len(dset)] = len(dset) - 1
@@ -1192,11 +1232,10 @@ def winnow_batch(b: pa.Table) -> pa.Table:
     empty = pa.table({"doc_id": pa.array([], pa.int64()),
                       "pos": pa.array([], pa.int64()),
                       "gh": pa.array([], pa.int64())})
-    row, _pos, s = _doc_ngrams_pos(b, width=WINNOW_K)
+    row, _pos, gh_s = _doc_gram_hashes_pos(b, width=WINNOW_K)
     if not len(row):
         return empty
-    codes, uniq = pd.factorize(pd.Series(s), sort=False)
-    h = _md5_lower64(uniq)[codes]                    # uint64
+    h = gh_s.view(np.uint64)
     docs, starts, cnts = np.unique(
         row, return_index=True, return_counts=True)
     P = WINNOW_W - 1
@@ -1600,12 +1639,9 @@ def q_span_rewrite(sf_dir: str, broadcast_max: int | None = None):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def pairs(b: pa.Table) -> pa.Table:
-        _row, _pos, s = _doc_ngrams_pos(b)
-        df = pd.DataFrame({"r": _row, "g": s}).drop_duplicates()
-        codes, uniq = pd.factorize(df["g"], sort=False)
-        gh = _md5_lower64(uniq).view(np.int64)[codes] \
-            if len(df) else np.empty(0, np.int64)
-        return pa.table({"gh": pa.array(gh),
+        _row, gh = _doc_gram_hashes(b)
+        df = pd.DataFrame({"r": _row, "gh": gh}).drop_duplicates()
+        return pa.table({"gh": pa.array(df["gh"].to_numpy(np.int64)),
                          "one": pa.array(np.ones(len(df), np.int64))})
 
     counts = grouped_agg(
@@ -1637,10 +1673,8 @@ def q_span_rewrite(sf_dir: str, broadcast_max: int | None = None):
         w_off = np.concatenate([[0], np.cumsum(nw)[:-1]])
         total_w = int(nw.sum())
         removed = np.zeros(total_w + 1, np.int64)  # delta array
-        row, pos, s = _doc_ngrams_pos(b)
+        row, pos, gh = _doc_gram_hashes_pos(b)
         if len(row):
-            codes, uniq = pd.factorize(pd.Series(s), sort=False)
-            gh = _md5_lower64(uniq).view(np.int64)[codes]
             if len(dset):
                 j = np.searchsorted(dset, gh)
                 j[j >= len(dset)] = len(dset) - 1
@@ -1730,10 +1764,7 @@ def _span_rewrite_bucketed(ds, dup_ds):
     from ..stages.shuffle import bucketed_apply
 
     def occ(b: pa.Table) -> pa.Table:
-        row, pos, s = _doc_ngrams_pos(b)
-        codes, uniq = pd.factorize(pd.Series(s), sort=False)
-        gh = _md5_lower64(uniq).view(np.int64)[codes] \
-            if len(s) else np.empty(0, np.int64)
+        row, pos, gh = _doc_gram_hashes_pos(b)
         doc = b.column("doc_id").to_numpy()[row].astype(np.int64) \
             if len(row) else np.empty(0, np.int64)
         return pa.table({"doc_id": pa.array(doc),

@@ -532,3 +532,47 @@ def test_span_rewrite_fallback_matches_broadcast(ray_session):
     b = (q_span_rewrite(SF, broadcast_max=0).to_pandas()
          .sort_values("doc_id").reset_index(drop=True))
     assert a.equals(b[a.columns])
+
+
+def test_doc_gram_scan_matches_string_path():
+    """The byte-slice gram hasher must equal the string-materializing
+    reference (_doc_ngrams_pos + _md5_lower64) for every edge case:
+    double spaces (empty words), leading/trailing spaces, short docs,
+    empty docs, multibyte UTF-8, chunked columns."""
+    import numpy as np
+    import pyarrow as pa
+
+    from osmquadtree_depreceated_ray.pipelines.queries_pack import (
+        _doc_gram_hashes_pos, _doc_ngrams_pos, _doc_word_counts, NGRAM_W,
+    )
+    from osmquadtree_depreceated_ray.pipelines.queries_text import (
+        _md5_lower64,
+    )
+
+    texts = [
+        "a b c d e f g h i j",
+        "one two three four five six seven eight",
+        "short words only",
+        "",
+        "x  y z  q a b c d e",
+        " lead sp a b c d e f g",
+        "tail a b c d e f g h ",
+        "wörd ünï c d e f g h i",
+    ]
+    for width in (2, NGRAM_W):
+        b = pa.table({"doc_id": pa.array(
+            np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts)})
+        rows, pos, gh = _doc_gram_hashes_pos(b, width)
+        r_ref, p_ref, s_ref = _doc_ngrams_pos(b, width)
+        assert rows.tolist() == r_ref.tolist()
+        assert pos.tolist() == p_ref.tolist()
+        assert gh.tolist() == _md5_lower64(
+            s_ref).view(np.int64).tolist()
+    # chunked column + word counts
+    b2 = pa.table({"doc_id": pa.array([0, 1]), "text": pa.chunked_array(
+        [pa.array(texts[:1]), pa.array(texts[4:5])])})
+    r2, _p2, _g2 = _doc_gram_hashes_pos(b2, 3)
+    assert len(r2) == 8 + 9  # 10 and 11 words (empty words count)
+    wc = _doc_word_counts(pa.table({"text": pa.array(texts)}))
+    assert wc.tolist() == [len(t.split(" ")) for t in texts]
