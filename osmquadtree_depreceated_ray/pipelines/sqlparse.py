@@ -1734,7 +1734,7 @@ def _run_grouped_select(ds, sel) -> "ray.data.Dataset":  # noqa: F821
     # expression appears
     raw_group = sel["group"] or []
     alias_map = {name: e for e, name in sel["items"] if name}
-    schema_names = set(ds.schema().names) if raw_group else set()
+    schema_names = set(_hint_names(ds, sel)) if raw_group else set()
     group_cols: list = []
     gexprs: list = []  # (ast_node, synthetic_name)
     for i, gnode in enumerate(raw_group):
@@ -1781,7 +1781,7 @@ def _run_grouped_select(ds, sel) -> "ray.data.Dataset":  # noqa: F821
         # HAVING may reference a SELECT alias (DuckDB): resolve it to
         # the item's expression BEFORE aggregate extraction, unless a
         # real input column shadows the alias
-        in_schema = set(ds.schema().names)
+        in_schema = set(_hint_names(ds, sel))
         for aname, aexpr in alias_map.items():
             if aname not in in_schema and aexpr != ("col", aname):
                 having_raw = _subst(having_raw, ("col", aname), aexpr)
@@ -2397,7 +2397,7 @@ def _run_window_select(ds, sel) -> "ray.data.Dataset":  # noqa: F821
         # QUALIFY may reference SELECT aliases (not yet projected) —
         # substitute them with their expressions first
         alias_map = {name: e for e, name in sel["items"] if name}
-        schema_names = set(ds.schema().names)
+        schema_names = set(_hint_names(ds, sel))
 
         def _alias_sub(n):
             if (isinstance(n, tuple) and len(n) == 2 and n
@@ -2420,7 +2420,7 @@ def _run_window_select(ds, sel) -> "ray.data.Dataset":  # noqa: F821
     q = Query(ds)
     if sel["where"] is not None:
         q = q.where(_compile_expr(sel["where"]))
-    names = ds.schema().names
+    names = _hint_names(ds, sel)
     pre = {c: col(c) for c in names}
     # normalize PARTITION BY entries: plain column names pass through,
     # expression entries become synthetic pre-projected partition
@@ -3515,6 +3515,15 @@ def _schema_names_or_none(ds):
     return list(s.names) if s is not None and s.names else None
 
 
+def _hint_names(ds, sel) -> list:
+    """Input column names for a select runner: the planner's symbolic
+    hint (attached as ``sel['_in_names']`` after join tracking) when
+    available — probing ``ds.schema()`` on a joined FROM executes the
+    join prefix just to list columns — else the schema fetch."""
+    h = sel.get("_in_names")
+    return list(h) if h is not None else list(ds.schema().names)
+
+
 def _sel_item_names(sel) -> "list[str] | None":
     """The output column names a select with an explicit item list
     produces — every select path (plain project, window, grouped,
@@ -4056,6 +4065,10 @@ def _exec_ast(ast, tables: dict, broadcast_threshold: int = 1_000_000):
                         if not (c.startswith("__sj")
                                 or c.startswith("__sc"))]
                 sel = dict(sel, items=[(("col", c), c) for c in keep])
+        if from_names is not None:
+            # hand the join-tracked input names to the select runners
+            # so their own schema lookups never execute the pipeline
+            sel = dict(sel, _in_names=from_names)
         if (sel["items"] is not None and any(
                 _has_win(e) for e, _ in sel["items"])) \
                 or sel.get("qualify") is not None:
