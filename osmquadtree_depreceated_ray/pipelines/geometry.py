@@ -935,18 +935,18 @@ def _write_geojson_tile_impl(tile_dir: str, dest: str, gzip_out: bool) -> int:
 
     import pyarrow.parquet as pq
 
-    t = pq.read_table(tile_dir, columns=["feature_id", "geom_type",
-                                         "tags", "wkb"])
+    from ..state import fsio
+
+    sfs, sroot = fsio.get_fs(tile_dir)
+    t = pq.read_table(sroot, filesystem=sfs,
+                      columns=["feature_id", "geom_type", "tags", "wkb"])
     lines = geojson_lines_batch(t).column("line").to_pylist()
     data = ("\n".join(lines) + ("\n" if lines else "")).encode()
-    tmp = dest + ".tmp"
     if gzip_out:
-        with _gz.open(tmp, "wb") as f:
-            f.write(data)
-    else:
-        with open(tmp, "wb") as f:
-            f.write(data)
-    os.replace(tmp, dest)
+        # mtime=0 keeps the output byte-deterministic across runs
+        data = _gz.compress(data, mtime=0)
+    dfs, droot = fsio.get_fs(dest)
+    fsio.commit_bytes(data, dfs, droot)
     return len(lines)
 
 
