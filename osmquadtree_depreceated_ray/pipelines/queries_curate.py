@@ -798,6 +798,12 @@ ORACLES["outliers_mad"] = sql_outliers_mad()
 # The exchange moves O(sum quota_s per split task), never the corpus.
 
 MIX_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+# exact integer permille weights: float floor-division on the weights
+# is representation-sensitive (250 // 0.4 -> 624 in float64, 625 in
+# exact arithmetic — DuckDB parses 0.4 as DECIMAL, caught by an sf0.1
+# sweep), so the budget/quota math runs in integers on both engine
+# and oracle
+MIX_PERMILLE = {s: round(w * 1000) for s, w in MIX_WEIGHTS.items()}
 
 
 def q_mix_quota(sf_dir: str):
@@ -816,13 +822,13 @@ def q_mix_quota(sf_dir: str):
             batch_format="pyarrow"),
         ["source"], {"n": ("n", "sum")}).to_pandas()
     cmap = dict(zip(counts["source"], counts["n"].astype(np.int64)))
-    known = {s: w for s, w in MIX_WEIGHTS.items() if s in cmap}
+    known = {s: pm for s, pm in MIX_PERMILLE.items() if s in cmap}
     if not known:
         return pa.table({"source": pa.array([], pa.string()),
                          "doc_id": pa.array([], pa.int64()),
                          "rk": pa.array([], pa.int64())})
-    budget = min(int(cmap[s] // w) for s, w in known.items())
-    quotas = {s: int(w * budget) for s, w in known.items()}
+    budget = min(int(cmap[s]) * 1000 // pm for s, pm in known.items())
+    quotas = {s: pm * budget // 1000 for s, pm in known.items()}
 
     def keyed(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -854,14 +860,15 @@ def q_mix_quota(sf_dir: str):
 
 
 def sql_mix_quota() -> str:
-    w_rows = ", ".join(f"('{s}', {w})" for s, w in MIX_WEIGHTS.items())
+    w_rows = ", ".join(f"('{s}', {pm})" for s, pm in MIX_PERMILLE.items())
     return (
-        f"WITH tw(source, p) AS (VALUES {w_rows}), "
-        "n AS (SELECT d.source, COUNT(*) AS n_s, ANY_VALUE(p) AS p "
+        f"WITH tw(source, pm) AS (VALUES {w_rows}), "
+        "n AS (SELECT d.source, COUNT(*) AS n_s, ANY_VALUE(pm) AS pm "
         "FROM documents d JOIN tw ON d.source = tw.source "
         "GROUP BY d.source), "
-        "b AS (SELECT MIN(CAST(n_s // p AS BIGINT)) AS budget FROM n), "
-        "q AS (SELECT source, CAST(FLOOR(p * budget) AS BIGINT) "
+        "b AS (SELECT MIN(CAST(n_s * 1000 // pm AS BIGINT)) "
+        "AS budget FROM n), "
+        "q AS (SELECT source, CAST(pm * budget // 1000 AS BIGINT) "
         "AS quota FROM n, b), "
         "r AS (SELECT d.source, doc_id, row_number() OVER ("
         "PARTITION BY d.source ORDER BY md5(CAST(doc_id AS VARCHAR)), "

@@ -301,7 +301,7 @@ def test_mix_quota_proportions(ray_session):
     import pyarrow.parquet as pq
 
     from osmquadtree_depreceated_ray.pipelines.queries_curate import (
-        MIX_WEIGHTS,
+        MIX_PERMILLE,
         q_mix_quota,
     )
 
@@ -310,9 +310,9 @@ def test_mix_quota_proportions(ray_session):
     docs = pq.read_table(f"{sf}/documents.parquet",
                          columns=["doc_id", "source"]).to_pandas()
     n_s = docs["source"].value_counts()
-    known = {s: w for s, w in MIX_WEIGHTS.items() if s in n_s.index}
-    budget = min(int(n_s[s] // w) for s, w in known.items())
-    quotas = {s: int(w * budget) for s, w in known.items()}
+    known = {s: pm for s, pm in MIX_PERMILLE.items() if s in n_s.index}
+    budget = min(int(n_s[s]) * 1000 // pm for s, pm in known.items())
+    quotas = {s: pm * budget // 1000 for s, pm in known.items()}
     # exact per-source sizes
     sizes = got.groupby("source")["doc_id"].count().to_dict()
     assert sizes == {s: q for s, q in quotas.items() if q > 0}
