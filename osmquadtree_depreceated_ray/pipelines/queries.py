@@ -627,7 +627,10 @@ def sql_cells_golden() -> str:
     tests/test_cells_geom.py)."""
     from ..stages.assign import assign_cells
 
-    keys = np.arange(500, dtype=np.int64)
+    # 5000 keys cover documents.doc_id at every driver scale (500 rows
+    # at sf0.001/0.01, 5000 at sf0.1) — the join against documents
+    # trims the golden to whatever ids exist
+    keys = np.arange(5000, dtype=np.int64)
     lon, lat = derive.derive_lonlat(keys)
     t = assign_cells(pa.table({"doc_id": pa.array(keys),
                                "lon": pa.array(lon), "lat": pa.array(lat)}),
@@ -636,7 +639,7 @@ def sql_cells_golden() -> str:
     h3 = t.column("cell_hex").to_pylist()
     ic = t.column("cell_icosa").to_pylist()
     rows = ",".join(
-        f"({k},{int(s2[k])},{int(h3[k])},{int(ic[k])})" for k in range(500)
+        f"({k},{int(s2[k])},{int(h3[k])},{int(ic[k])})" for k in range(5000)
     )
     return (
         "WITH golden(doc_id, cell_s2, cell_hex, cell_icosa) AS (VALUES "
